@@ -1,13 +1,149 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every implemented operator has a `queries` entry; SQL-expressible ones
+  * also have a DuckDB oracle in `oracleSql` with identical column names
+  * (the driver sorts columns by name before hashing values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, d) => Relational.q1Agg(Tables.lineitem(s, d))),
+    "q2_filter_project" -> ((s, d) => Relational.q2FilterProject(Tables.lineitem(s, d))),
+    "q3_join_broadcast" -> ((s, d) =>
+      Relational.q3JoinBroadcast(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q4_join_shuffle" -> ((s, d) => Relational.q4JoinShuffle(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q5_topk" -> ((s, d) => Relational.q5TopK(Tables.orders(s, d))),
+    "q6_distinct" -> ((s, d) => Relational.q6Distinct(Tables.lineitem(s, d))),
+    "q7_window" -> ((s, d) => Relational.q7Window(Tables.orders(s, d))),
+    "q8_semi_anti" -> ((s, d) => Relational.q8SemiAnti(Tables.customer(s, d), Tables.orders(s, d))),
+    "q9_rollup" -> ((s, d) => Relational.q9Rollup(Tables.lineitem(s, d))),
+    "q10_conditional_agg" -> ((s, d) => Relational.q10ConditionalAgg(Tables.lineitem(s, d))),
+    "q11_string_funcs" -> ((s, d) => Relational.q11StringFuncs(Tables.part(s, d))),
+    "q12_time_series" -> ((s, d) => Relational.q12TimeSeries(Tables.orders(s, d))),
+    "q13_union" -> ((s, d) => Relational.q13Union(Tables.orders(s, d))),
+    "q14_exists_subquery" -> ((s, d) => Relational.q14ExistsSubquery(Tables.customer(s, d))),
+    "q15_asof_join" -> ((s, d) => Relational.q15AsofJoin(Tables.events(s, d))),
+    "q16_range_join" -> ((s, d) => Relational.q16RangeJoin(Tables.lineitem(s, d), Tables.orders(s, d))),
+  )
+
+  /** DuckDB-dialect oracle SQL, column names matched to `queries`. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 24.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_broadcast" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q4_join_shuffle" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q6_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q7_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | row_number() OVER w AS rnk,
+        | round(sum(o_totalprice) OVER w, 2) AS run_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |QUALIFY rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q8_semi_anti" ->
+      """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+        |SELECT c_custkey, 'has_big_order' AS kind FROM customer
+        | WHERE EXISTS (SELECT 1 FROM hi WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_big_order' AS kind FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM hi WHERE o_custkey = c_custkey)
+        |ORDER BY kind, c_custkey""".stripMargin,
+    "q9_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q10_conditional_agg" ->
+      """SELECT l_linestatus,
+        | round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END), 2) AS qty_a,
+        | round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END), 2) AS qty_n,
+        | round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END), 2) AS qty_r,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q11_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, length(p_name) AS name_len,
+        | substr(p_type, 1, 5) AS type5,
+        | concat_ws('#', p_brand, p_type) AS brand_type,
+        | replace(p_name, ' ', '_') AS name_snake
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q12_time_series" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q13_union" ->
+      """SELECT bucket, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM (
+        |  SELECT 'hi' AS bucket, o_totalprice FROM orders WHERE o_totalprice > 100000.0
+        |  UNION ALL
+        |  SELECT 'lo' AS bucket, o_totalprice FROM orders WHERE o_totalprice <= 100000.0
+        |) GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q14_exists_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_above, round(min(c_acctbal), 2) AS min_above
+        |FROM customer WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q15_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS tag, event_id AS view_id, CAST(NULL AS BIGINT) AS purchase_id
+        |    FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS tag, CAST(NULL AS BIGINT) AS view_id, event_id AS purchase_id
+        |    FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT purchase_id, user_id,
+        |  last_value(view_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, tag ASC, view_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_view_id
+        |FROM u QUALIFY purchase_id IS NOT NULL ORDER BY purchase_id""".stripMargin,
+    "q16_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_in_window,
+        | round(avg(l_quantity), 4) AS avg_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed loaders for the driver-generated TPC-H-ish testdata.
+  *
+  * Each loader is a plain parquet scan: column pruning and predicate
+  * pushdown are left to Catalyst (callers `select`/`filter` and the
+  * optimizer pushes into the scan — verified in RelationalSpec via
+  * `PushedFilters` in the formatted plan).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long (legacy conf, runtime
+    * settable) and normalize to a microsecond TimestampType column so
+    * downstream operators and the DuckDB oracle agree on semantics.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.functions._
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

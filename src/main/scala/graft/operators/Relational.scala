@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / analytical core operators, SURVEY.md §2b.
+  *
+  * All operators are pure `DataFrame => DataFrame` pipelines: Catalyst
+  * handles pushdown, pruning, partial aggregation and join selection.
+  * Every output is deterministically ordered and every computed column
+  * explicitly aliased so the DuckDB oracle can hash-match.
+  *
+  * Scale notes (100 TB): aggregations are keyed (map-side partial agg
+  * kicks in); dimension joins use `broadcast`; fact-fact joins rely on
+  * shuffle-hash/sort-merge with AQE skew handling; top-k compiles to
+  * TakeOrderedAndProject (no global sort materialization).
+  */
+object Relational {
+
+  private def disc(c: Column): Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q1 pricing summary. Partial agg on 2 low-cardinality keys —
+    * at 100 TB this is a near-pure map-side combine, ~6 output rows. */
+  def q1Agg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(disc(col("l_extendedprice"))), 2).as("sum_disc_price"),
+        round(sum(disc(col("l_extendedprice")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Selective filter + narrow projection; both must reach the parquet
+    * scan (PushedFilters + 4-column ReadSchema). */
+  def q2FilterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 24.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Revenue per nation for one region: fact ⋈ broadcast dim chain.
+    * nation/region are tiny at any SF → explicit broadcast; customer
+    * shuffles with orders (not broadcastable at 100 TB). */
+  def q3JoinBroadcast(orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+
+  /** Fact-fact shuffle join on the orderkey; AQE coalesces/skew-splits
+    * post-shuffle partitions at scale. */
+  def q4JoinShuffle(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(disc(col("l_extendedprice"))), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Global top-k: orderBy+limit → TakeOrderedAndProject — per-partition
+    * heaps + driver merge of k rows, no full sort at 100 TB. */
+  def q5TopK(orders: DataFrame, k: Int = 10): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** Exact distincts (shuffled partial-distinct) + plain counts. */
+  def q6Distinct(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      count(lit(1)).as("n_rows"))
+
+  /** Window functions: top-3 orders per customer by price. Single
+    * shuffle on o_custkey; ties broken by orderkey for determinism. */
+  def q7Window(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rnk"),
+        round(sum(col("o_totalprice")).over(w), 2).as("run_sum"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Left-semi + left-anti join (EXISTS / NOT EXISTS) in one result. */
+  def q8SemiAnti(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val hi = orders.filter(col("o_totalprice") > 150000.0).select(col("o_custkey"))
+    val semi = customer.join(hi, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_big_order").as("kind"))
+    val anti = customer.join(hi, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_big_order").as("kind"))
+    semi.unionAll(anti).orderBy(col("kind"), col("c_custkey"))
+  }
+
+  /** Hierarchical rollup; group keys coalesced to 'ALL' so the oracle
+    * ordering is NULL-free (Spark NULLS FIRST vs DuckDB NULLS LAST). */
+  def q9Rollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Pivot-style conditional aggregation (codegen'd CASE WHEN sums). */
+  def q10ConditionalAgg(lineitem: DataFrame): DataFrame = {
+    def flagSum(f: String) =
+      round(sum(when(col("l_returnflag") === f, col("l_quantity")).otherwise(0.0)), 2)
+    lineitem
+      .groupBy(col("l_linestatus"))
+      .agg(
+        flagSum("A").as("qty_a"), flagSum("N").as("qty_n"), flagSum("R").as("qty_r"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** String transform battery (all codegen'd builtins, no UDFs). */
+  def q11StringFuncs(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_name"), " ", "_").as("name_snake"))
+      .orderBy(col("p_partkey"))
+
+  /** Monthly revenue time series (date_trunc agg). */
+  def q12TimeSeries(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("month"))
+
+  /** Union-all of two branches + reaggregation. */
+  def q13Union(orders: DataFrame): DataFrame = {
+    val hi = orders.filter(col("o_totalprice") > 100000.0)
+      .select(lit("hi").as("bucket"), col("o_totalprice"))
+    val lo = orders.filter(col("o_totalprice") <= 100000.0)
+      .select(lit("lo").as("bucket"), col("o_totalprice"))
+    hi.unionAll(lo)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Scalar-subquery shape: customers above global mean balance, per
+    * segment. The single-row aggregate is cross-joined (broadcast by
+    * definition) rather than collected on the driver. */
+  def q14ExistsSubquery(customer: DataFrame): DataFrame = {
+    val mean = customer.agg(avg(col("c_acctbal")).as("mean_bal"))
+    customer.crossJoin(broadcast(mean))
+      .filter(col("c_acctbal") > col("mean_bal"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_above"), round(min(col("c_acctbal")), 2).as("min_above"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** As-of join: for each purchase event, the most recent prior-or-equal
+    * 'view' event of the same user.
+    *
+    * Implemented scalably as union + running `last(ignoreNulls)` over a
+    * single per-user sort — no row-multiplying join, one shuffle on
+    * user_id, O(n log n/partition). (The naive formulation — equi-join
+    * then keep max — multiplies rows and dies at 100 TB.)
+    */
+  def q15AsofJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("event_id").as("view_id"), lit(null).cast("long").as("purchase_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("view_id"), col("event_id").as("purchase_id"))
+    // At equal ts the view sorts first (tag 0) → inclusive as-of.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("view_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionAll(purchases)
+      .select(col("user_id"), col("ts"), col("purchase_id"),
+        last(col("view_id"), ignoreNulls = true).over(w).as("prior_view_id"))
+      .filter(col("purchase_id").isNotNull)
+      .select(col("purchase_id"), col("user_id"), col("prior_view_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Equi + range predicate join: lineitems shipped within 90 days of
+    * their order date. The equi key carries the shuffle; the range
+    * predicate evaluates post-match (no cross product). */
+  def q16RangeJoin(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_in_window"), round(avg(col("l_quantity")), 4).as("avg_qty"))
+      .orderBy(col("o_orderpriority"))
+}
