@@ -34,6 +34,24 @@ object SparkEntry {
     "q14_exists_subquery" -> ((s, d) => Relational.q14ExistsSubquery(Tables.customer(s, d))),
     "q15_asof_join" -> ((s, d) => Relational.q15AsofJoin(Tables.events(s, d))),
     "q16_range_join" -> ((s, d) => Relational.q16RangeJoin(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
+    "text_langid" -> ((s, d) => TextOps.textLangid(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.F.fingerprint(col("text"), 8, 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          element_at(col("fp"), 1).as("fp_head"))
+        .orderBy(col("doc_id"))
+    }),
+    "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
+    "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(Tables.embeddings(s, d))),
+    "ann_bruteforce" -> ((s, d) => Ann.annBruteforce(Tables.embeddings(s, d))),
+    "ann_lsh" -> ((s, d) => Ann.annLsh(Tables.embeddings(s, d))),
   )
 
   /** DuckDB-dialect oracle SQL, column names matched to `queries`. */
@@ -145,5 +163,54 @@ object SparkEntry {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        | len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_ws_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |   regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |   length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |   length(regexp_replace(text, '\s+', '', 'g')) AS n_nonws
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+        |   CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        |   CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |   CAST(n_nonws AS DOUBLE) / len(toks) AS mean_word_len
+        |  FROM t
+        |)
+        |SELECT doc_id, n_chars, n_tokens,
+        | round(punct_ratio + 1e-9, 4) AS punct_ratio, round(stop_ratio + 1e-9, 4) AS stop_ratio,
+        | round(mean_word_len + 1e-9, 4) AS mean_word_len,
+        | round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+        |   + least(stop_ratio * 5.0, 1.0) * 0.3
+        |   + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 + 1e-9, 4) AS quality_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |   strlen(text) - length(text) AS zh_score
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang, zh_score,
+        |   len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS en_score,
+        |   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS de_score,
+        |   len(list_filter(toks, x -> x IN ('le','la','les','et','est','un'))) AS fr_score,
+        |   len(list_filter(toks, x -> x IN ('el','la','los','y','es','un'))) AS es_score
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, en_score, de_score, fr_score, es_score, zh_score,
+        | CASE WHEN zh_score > 0 THEN 'zh'
+        |      WHEN en_score >= de_score AND en_score >= fr_score AND en_score >= es_score THEN 'en'
+        |      WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+        |      WHEN fr_score >= es_score THEN 'fr'
+        |      ELSE 'es' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
   )
 }

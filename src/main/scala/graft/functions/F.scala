@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Column-API entry points for graft's custom Catalyst expressions. */
+object F {
+
+  /** Registers graft_* as session SQL functions (idempotent) so they
+    * are also callable from spark.sql text. */
+  def register(spark: SparkSession): Unit = Shims.register(spark)
+
+  /** MinHash signature of an array<string> shingle column. */
+  def minhash(shingles: Column, numPerm: Int = 128): Column =
+    Shims.column(MinHashSignature(Shims.expression(shingles), numPerm))
+
+  /** 64-bit SimHash of an array<string> token column. */
+  def simhash(tokens: Column): Column =
+    Shims.column(SimHash64(Shims.expression(tokens)))
+
+  /** Winnowing fingerprint set of a string column. */
+  def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
+    Shims.column(WinnowFingerprint(Shims.expression(text), k, w))
+
+  /** Cosine similarity of two array<float> columns. */
+  def cosine(a: Column, b: Column): Column =
+    Shims.column(CosineSim(Shims.expression(a), Shims.expression(b)))
+
+  /** Random-hyperplane LSH bucket id of an array<float> column. */
+  def hyperplaneBucket(vec: Column, numPlanes: Int = 12): Column =
+    Shims.column(HyperplaneBucket(Shims.expression(vec), numPlanes))
+}

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level kernels behind the custom Catalyst expressions. All are
+  * static, allocation-light, branch-free where it matters — codegen
+  * emits a single static call per row (see the expressions' doGenCode).
+  *
+  * Deterministic by construction: fixed xxhash64 seed, splitmix64-derived
+  * permutation coefficients — results are stable across partitions,
+  * executors and runs, which the dedup operators rely on.
+  */
+object HashImpls {
+  final val HashSeed = 42L
+
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hash64(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, HashSeed)
+
+  private final val MaxPerm = 256
+  // Odd multipliers so the affine permutations are bijective mod 2^64.
+  private val permA: Array[Long] = Array.tabulate(MaxPerm)(i => splitmix64(2L * i) | 1L)
+  private val permB: Array[Long] = Array.tabulate(MaxPerm)(i => splitmix64(2L * i + 1))
+
+  /** MinHash signature: per permutation i, min over shingles of the
+    * affine-permuted xxhash64, compared unsigned. */
+  def minhash(shingles: ArrayData, numPerm: Int): ArrayData = {
+    val mins = Array.fill(numPerm)(-1L) // unsigned max
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = hash64(shingles.getUTF8String(i))
+        var j = 0
+        while (j < numPerm) {
+          val v = permA(j) * h + permB(j)
+          if (java.lang.Long.compareUnsigned(v, mins(j)) < 0) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over token hashes (majority vote per bit). */
+  def simhash(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) r |= (1L << b); b += 1 }
+    r
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., MOSS): k-gram
+    * rolling polynomial hashes, rightmost-min per window of w, distinct
+    * sorted selection. Robust to insertions/reorderings, output size
+    * ~2/(w+1) of input length.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (n <= k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * 257L + (bytes(i) & 0xffL); i += 1 }
+      return new GenericArrayData(Array(splitmix64(h)))
+    }
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= 257L; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * 257L + (bytes(i) & 0xffL); i += 1 }
+    hashes(0) = splitmix64(h)
+    i = 1
+    while (i < m) {
+      h = (h - (bytes(i - 1) & 0xffL) * pow) * 257L + (bytes(i + k - 1) & 0xffL)
+      hashes(i) = splitmix64(h)
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var min = hashes(0)
+      i = 1
+      while (i < m) { if (java.lang.Long.compareUnsigned(hashes(i), min) <= 0) min = hashes(i); i += 1 }
+      selected.add(min)
+    } else {
+      var start = 0
+      while (start + w <= m) {
+        var minIdx = start
+        i = start + 1
+        while (i < start + w) {
+          if (java.lang.Long.compareUnsigned(hashes(i), hashes(minIdx)) <= 0) minIdx = i
+          i += 1
+        }
+        selected.add(hashes(minIdx))
+        start += 1
+      }
+    }
+    val out = new Array[Long](selected.size())
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Cosine similarity of two float vectors (tight primitive loop —
+    * no boxing, unlike zip_with/aggregate higher-order functions). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Random-hyperplane LSH bucket: bit p = sign of <vec, plane_p> with
+    * plane coefficients derived from splitmix64 — the deterministic
+    * analog of a Gaussian projection (uniform in [-1,1)). */
+  def hyperplaneBucket(vec: ArrayData, numPlanes: Int): Int = {
+    val n = vec.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val c = splitmix64((p.toLong << 32) | (j.toLong & 0xffffffffL))
+        // map to [-1, 1)
+        val coef = (c >> 11).toDouble / (1L << 52).toDouble
+        dot += vec.getFloat(j) * coef
+        j += 1
+      }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for ops Spark's builtins can't express
+  * efficiently (SURVEY.md §2d). Each generates a single static call into
+  * [[HashImpls]] per row, so they stay inside WholeStageCodegen spans.
+  */
+
+/** array<string> shingles → array<long> MinHash signature. */
+case class MinHashSignature(child: Expression, numPerm: Int)
+    extends UnaryExpression {
+  require(numPerm > 0 && numPerm <= 256, "numPerm must be in 1..256")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.minhash(input.asInstanceOf[ArrayData], numPerm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.minhash($c, $numPerm)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → 64-bit SimHash. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** string → array<long> winnowing fingerprint (k-gram size, window w). */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+/** (array<float>, array<float>) → cosine similarity as double. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpls.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** array<float> → int LSH bucket from `numPlanes` random hyperplanes. */
+case class HyperplaneBucket(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
+  require(numPlanes > 0 && numPlanes <= 30)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hyperplane_bucket"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.hyperplaneBucket(input.asInstanceOf[ArrayData], numPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.hyperplaneBucket($c, $numPlanes)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}

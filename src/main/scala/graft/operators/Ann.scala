@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Approximate-nearest-neighbor search over an embedding column,
+  * SURVEY.md §2d. Baseline: exact brute-force cosine top-k (broadcast
+  * the small query set, stream the corpus — one pass, no shuffle of the
+  * corpus). Scale path: random-hyperplane LSH bucketing so each query
+  * only scans its bucket (~corpus/2^planes rows).
+  */
+object Ann {
+
+  /** Every `stride`-th vector is a query — a deterministic stand-in for
+    * an external query set. */
+  private def querySet(embeddings: DataFrame, stride: Int) =
+    embeddings.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  /** Exact top-k: corpus scanned once, queries broadcast; per-query
+    * ranking via window over (query, cosine). */
+  def annBruteforce(embeddings: DataFrame, k: Int = 5, stride: Int = 50): DataFrame = {
+    val scored = embeddings.crossJoin(broadcast(querySet(embeddings, stride)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", F.cosine(col("q_vec"), col("embedding")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: corpus and queries hash to hyperplane buckets;
+    * each query ranks only its own bucket. Recall trades off with
+    * numPlanes; same output shape as the exact baseline. */
+  def annLsh(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+             numPlanes: Int = 6): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"),
+      F.hyperplaneBucket(col("embedding"), numPlanes).as("bucket"))
+    val queries = querySet(embeddings, stride)
+      .withColumn("bucket", F.hyperplaneBucket(col("q_vec"), numPlanes))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", F.cosine(col("q_vec"), col("embedding")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

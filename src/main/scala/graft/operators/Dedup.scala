@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Deduplication operators for LLM training data, SURVEY.md §2d.
+  *
+  * Shared shape: per-row signature (codegen custom Expression) →
+  * bucket/band shuffle → candidate pairs within buckets → exact verify.
+  * No all-pairs comparison anywhere: candidate generation is always
+  * bounded by a bucketing key, which is what keeps these ops alive at
+  * 100 TB (pairs are generated per band-bucket, and band buckets are
+  * uniformly hash-distributed).
+  */
+object Dedup {
+
+  private[operators] val tokens: Column = split(trim(lower(col("text"))), "\\s+")
+
+  /** Word 3-gram shingles (falls back to whole text when too short). */
+  private[operators] def shingles(k: Int = 3): Column =
+    when(size(tokens) >= k,
+      transform(sequence(lit(0), size(tokens) - k),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", tokens)))
+
+  /** Exact dedup by content hash; groups shuffle on a 128-bit digest,
+    * never on raw text (shuffle key stays 16 bytes at 100 TB). */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  /** MinHash + banded LSH near-dup detection.
+    *
+    * numPerm=128 signature, `bands` bands of 128/bands rows hashed to a
+    * band key; docs sharing any band key become candidates; candidates
+    * are verified with exact shingle-set Jaccard >= `threshold`.
+    * Output: one row per doc with its verified duplicate partner (min
+    * doc_id), or null — plus signature head for inspection.
+    */
+  def dedupMinhashLsh(documents: DataFrame, numPerm: Int = 128, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val docs = documents
+      .select(col("doc_id"), shingles().as("sh"))
+      .withColumn("sig", F.minhash(col("sh"), numPerm))
+
+    val banded = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+      .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
+
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+
+    val verified = cands
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+
+    // Symmetrize so every member of a dup pair points at its min partner.
+    val partners = verified.select(col("a_id").as("doc_id"), col("b_id").as("partner"))
+      .unionAll(verified.select(col("b_id").as("doc_id"), col("a_id").as("partner")))
+      .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_partner"))
+
+    docs.select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        element_at(col("sig"), 1).as("sig_head"))
+      .join(partners, Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup: 64-bit signature, candidates share one of four
+    * 16-bit bands, verified by Hamming distance <= maxHamming. */
+  def dedupSimhash(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val docs = documents.select(col("doc_id"), F.simhash(tokens).as("sim"))
+    val banded = docs.select(col("doc_id"), col("sim"),
+        posexplode(array((0 to 3).map(b =>
+          shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("sim"), col("pos").as("band_id"), col("col").as("band_val"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.sim").as("sim_a"),
+        col("y.doc_id").as("b_id"), col("y.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+    val partners = cands.select(col("a_id").as("doc_id"), col("b_id").as("partner"))
+      .unionAll(cands.select(col("b_id").as("doc_id"), col("a_id").as("partner")))
+      .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_partner"))
+    docs.join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sim").as("simhash"), col("dup_partner"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Blocked n-gram (token-set) Jaccard dedup: pairwise comparison only
+    * within (lang, source, length-bucket) blocks — the classic blocking
+    * strategy; block sizes stay bounded as data grows. */
+  def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("lang"), col("source"),
+        (col("n_chars") / 100).cast("int").as("len_bucket"),
+        array_distinct(tokens).as("tok_set"))
+    val pairs = docs.as("x").join(docs.as("y"),
+        col("x.lang") === col("y.lang") &&
+        col("x.source") === col("y.source") &&
+        col("x.len_bucket") === col("y.len_bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("x.tok_set"), col("y.tok_set"))).cast("double") /
+          size(array_union(col("x.tok_set"), col("y.tok_set"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+    pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs, candidates restricted to a shared
+    * random-hyperplane LSH bucket (no all-pairs at scale). */
+  def dedupEmbedding(embeddings: DataFrame, numPlanes: Int = 8,
+                     threshold: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      F.hyperplaneBucket(col("embedding"), numPlanes).as("bucket"))
+    val pairs = vecs.as("x").join(vecs.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .withColumn("cos", F.cosine(col("x.embedding"), col("y.embedding")))
+    val w = Window.partitionBy(col("x.vec_id")).orderBy(col("cos").desc, col("y.vec_id").asc)
+    val best = pairs
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("best_match_id"),
+        round(col("cos"), 4).as("best_cosine"),
+        (col("cos") >= threshold).as("is_dup"))
+    vecs.select(col("vec_id"), col("bucket"))
+      .join(best, Seq("vec_id"), "left")
+      .orderBy(col("vec_id"))
+  }
+}

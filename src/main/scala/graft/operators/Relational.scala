@@ -90,7 +90,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     orders
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).as("rnk"),
+        row_number().over(w).cast("long").as("rnk"),
         round(sum(col("o_totalprice")).over(w), 2).as("run_sum"))
       .filter(col("rnk") <= 3)
       .orderBy(col("o_custkey"), col("rnk"))
@@ -135,7 +135,7 @@ object Relational {
     part.select(
       col("p_partkey"),
       upper(col("p_brand")).as("brand_u"),
-      length(col("p_name")).as("name_len"),
+      length(col("p_name")).cast("long").as("name_len"),
       substring(col("p_type"), 1, 5).as("type5"),
       concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
       regexp_replace(col("p_name"), " ", "_").as("name_snake"))

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines, SURVEY.md §2d.
+  *
+  * Everything here is built from codegen'd builtins (split / filter
+  * lambda / regexp) — no UDFs — so the whole pipeline stays inside
+  * WholeStageCodegen and scales embarrassingly parallel (per-row, no
+  * shuffle). Each op has an exact DuckDB-SQL mirror in SparkEntry.
+  */
+object TextOps {
+
+  private val tokens: Column = split(trim(lower(col("text"))), "\\s+")
+
+  private def stopHits(stops: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(stops.map(x => x: Any): _*)))
+
+  val EN_STOPS = Seq("the", "a", "of", "and", "to", "in", "is")
+  val DE_STOPS = Seq("der", "die", "das", "und", "ist", "ein")
+  val FR_STOPS = Seq("le", "la", "les", "et", "est", "un")
+  val ES_STOPS = Seq("el", "la", "los", "y", "es", "un")
+
+  /** Token statistics: whitespace tokens + BPE-ish regex tokens. */
+  def textTokens(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(tokens).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * word length, and a bounded composite score. */
+  def textQuality(documents: DataFrame): DataFrame = {
+    val nChars = length(col("text"))
+    val nTok = size(tokens)
+    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val punctRatio = punct.cast("double") / nChars
+    val stopRatio = stopHits(EN_STOPS).cast("double") / nTok
+    val meanWordLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
+    val score =
+      least(nTok.cast("double") / lit(50.0), lit(1.0)) * lit(0.5) +
+        least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3) +
+        (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2)
+    documents.select(
+      col("doc_id"),
+      nChars.cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round(punctRatio + lit(1e-9), 4).as("punct_ratio"),
+      round(stopRatio + lit(1e-9), 4).as("stop_ratio"),
+      round(meanWordLen + lit(1e-9), 4).as("mean_word_len"),
+      round(score + lit(1e-9), 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword-profile language ID. `nonascii` doubles as a CJK signal
+    * (octet_length > char length) without regex-dialect hazards. */
+  def textLangid(documents: DataFrame): DataFrame = {
+    val en = stopHits(EN_STOPS)
+    val de = stopHits(DE_STOPS)
+    val fr = stopHits(FR_STOPS)
+    val es = stopHits(ES_STOPS)
+    val zh = octet_length(col("text")) - length(col("text"))
+    val pred = when(zh > 0, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    documents.select(
+      col("doc_id"), col("lang"),
+      en.cast("long").as("en_score"), de.cast("long").as("de_score"), fr.cast("long").as("fr_score"), es.cast("long").as("es_score"),
+      zh.cast("long").as("zh_score"), pred.as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+}
