@@ -52,6 +52,14 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(Tables.embeddings(s, d))),
     "ann_bruteforce" -> ((s, d) => Ann.annBruteforce(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.annLsh(Tables.embeddings(s, d))),
+    "sink_batch_assign" -> ((s, d) => SinkOps.batchAssign(Tables.events(s, d))),
+    "sink_batch_bytes" -> ((s, d) => SinkOps.batchBytes(Tables.events(s, d))),
+    "sink_rows_batch" -> ((s, d) => SinkOps.rowsBatch(Tables.events(s, d))),
+    "sink_stream_offsets" -> ((s, d) => SinkOps.streamOffsets(Tables.events(s, d))),
+    "serialize_json" -> ((s, d) => SinkOps.serializeJson(Tables.events(s, d))),
+    "stream_window_agg" -> ((s, d) => graft.streaming.Streams.windowAgg(Tables.events(s, d))),
+    "stream_session" -> ((s, d) => graft.streaming.Streams.sessionize(Tables.events(s, d))),
+    "mm_features" -> ((s, d) => Multimodal.mmFeatures(Tables.documents(s, d))),
   )
 
   /** DuckDB-dialect oracle SQL, column names matched to `queries`. */
@@ -212,5 +220,55 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "sink_batch_assign" ->
+      """SELECT event_id, user_id,
+        | CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) / 100) AS BIGINT) AS batch_id
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sink_rows_batch" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, strlen(props) + 24 AS rec_size,
+        |   CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) / 100) AS BIGINT) AS batch_id
+        |  FROM events
+        |)
+        |SELECT user_id, batch_id, count(*) AS n_rows, CAST(sum(rec_size) AS BIGINT) AS batch_bytes,
+        | min(event_id) AS first_event, max(event_id) AS last_event,
+        | concat('projects/p/datasets/d/tables/events_u', user_id, '/streams/_default') AS stream
+        |FROM b GROUP BY user_id, batch_id ORDER BY user_id, batch_id""".stripMargin,
+    "sink_stream_offsets" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |   CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) / 100) AS BIGINT) AS batch_id
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, batch_id, count(*) AS n_rows FROM b GROUP BY user_id, batch_id
+        |)
+        |SELECT user_id, batch_id,
+        | CAST(sum(n_rows) OVER (PARTITION BY user_id ORDER BY batch_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows AS BIGINT) AS offset_start,
+        | n_rows
+        |FROM g ORDER BY user_id, batch_id""".stripMargin,
+    "serialize_json" ->
+      """SELECT event_id,
+        | to_json(struct_pack(event_id := event_id, event_type := event_type, user_id := user_id)) AS payload,
+        | strlen(to_json(struct_pack(event_id := event_id, event_type := event_type, user_id := user_id))) AS payload_bytes
+        |FROM events ORDER BY event_id""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, ts, value,
+        |   CAST(sum(CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM o
+        |)
+        |SELECT user_id, session_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+        | count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM m GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
   )
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing, SURVEY.md §2d item 43: media as opaque
+  * binary columns + typed metadata, processed in partition-sized
+  * batches via `mapPartitions` over typed Datasets (the JVM analog of
+  * `mapInPandas` batch UDFs).
+  *
+  * The decode step is a clearly-marked deterministic STUB (no image/
+  * audio codecs in this environment); everything around it — schema,
+  * batching, partitioning, feature/resize/frame-sample signatures — is
+  * the real Spark plumbing a production codec would drop into.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte],
+                      width: Int, height: Int)
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                           mean_byte: Double, width: Int, height: Int, n_frames: Int)
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Long, n_bytes: Int)
+
+  /** Derives a deterministic media table from `documents`: content is
+    * the utf-8 payload as opaque bytes; metadata is hash-derived. */
+  def mediaTable(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("content"),
+      (lit(32) + pmod(xxhash64(col("doc_id")), lit(8)).cast("int") * 16).as("width"),
+      (lit(32) + pmod(xxhash64(col("doc_id"), lit(1)), lit(8)).cast("int") * 16).as("height"))
+      .as[MediaRow]
+  }
+
+  /** STUB DECODER: stands in for image/audio decode. Deterministic over
+    * the bytes; a real codec replaces only this function. */
+  private def decodeStub(content: Array[Byte]): (Double, Int) = {
+    var sum = 0L
+    var i = 0
+    while (i < content.length) { sum += content(i) & 0xff; i += 1 }
+    val mean = if (content.length == 0) 0.0 else sum.toDouble / content.length
+    val frames = content.length / 64 + 1 // fake "frame" every 64 bytes
+    (mean, frames)
+  }
+
+  /** Feature extraction in partition batches; no shuffle — scales with
+    * input partitioning alone. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (mean, frames) = decodeStub(r.content)
+        MediaFeatures(r.doc_id, r.media_type, r.content.length.toLong,
+          math.rint(mean * 10000) / 10000,
+          r.width, r.height, if (r.media_type == "video") frames else 1)
+      }
+    }
+  }
+
+  /** Resize: metadata-true, payload-stubbed (truncate/zero-pad to the
+    * implied byte budget — a real resampler replaces the body). */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val budget = w * h / 64 + 1
+        val out = java.util.Arrays.copyOf(r.content, budget)
+        r.copy(content = out, width = w, height = h)
+      }
+    }
+  }
+
+  /** Frame sampling for "video" rows: every `stride`-th fake frame. */
+  def frameSample(media: Dataset[MediaRow], stride: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.content.length / 64 + 1
+        (0 until n by stride).map { i =>
+          val off = i.toLong * 64
+          val len = math.min(64, r.content.length - off).toInt.max(0)
+          Frame(r.doc_id, i, off, len)
+        }
+      }
+    }
+  }
+
+  /** Query-shaped summary for the driver's rows-only check. */
+  def mmFeatures(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    extractFeatures(mediaTable(documents)).toDF()
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+
+import scala.annotation.tailrec
+import scala.util.control.NonFatal
+
+/** Retry classification + bounded retry loop — the Spark analog of the
+  * reference's status-code switches (sink/defaultStream/
+  * BigQueryDefaultSinkWriter.java: retry on INTERNAL/CANCELLED/ABORTED;
+  * recreate on MAXIMUM_BATCHING_ERROR) and WriterRetrySettings. */
+object RetryPolicy {
+  sealed trait Classification
+  case object Retryable extends Classification
+  case object RecreateWriter extends Classification
+  case object Fatal extends Classification
+
+  final case class RetryableException(msg: String) extends RuntimeException(msg)
+  final case class WriterClosedException(msg: String) extends RuntimeException(msg)
+
+  def classify(t: Throwable): Classification = t match {
+    case _: RetryableException => Retryable
+    case _: WriterClosedException => RecreateWriter
+    case _ => Fatal
+  }
+
+  /** Runs `op`, retrying Retryable failures up to maxRetries, invoking
+    * `onRecreate` for recreate-writer failures (fresh writer, retry). */
+  def withRetries[T](maxRetries: Int, metrics: SinkMetrics = new SinkMetrics)(
+      op: () => T, onRecreate: () => Unit = () => ()): T = {
+    @tailrec def loop(attempt: Int): T = {
+      val r = try Right(op()) catch { case NonFatal(t) => Left(t) }
+      r match {
+        case Right(v) => v
+        case Left(t) =>
+          classify(t) match {
+            case Fatal => throw t
+            case c if attempt >= maxRetries => throw t
+            case Retryable =>
+              metrics.appendRetries += 1
+              loop(attempt + 1)
+            case RecreateWriter =>
+              metrics.appendRetries += 1
+              onRecreate()
+              loop(attempt + 1)
+          }
+      }
+    }
+    loop(0)
+  }
+}
+
+/** At-least-once append writer — the Spark re-expression of
+  * sink/defaultStream/BigQueryDefaultSinkWriter.java +
+  * sink/BigQuerySinkWriter.java's batch splitting: an append whose
+  * payload exceeds the API limit is halved recursively and re-appended
+  * (split_batch_count metric), transient failures retry per
+  * RetryPolicy. `append` is the pluggable transport (the tests inject
+  * failures; a real deployment would PUT to an external service).
+  */
+class AtLeastOnceWriter[A](append: Seq[A] => Unit, sizeOf: A => Long,
+                           maxAppendBytes: Long, maxRetries: Int = 3,
+                           val metrics: SinkMetrics = new SinkMetrics) extends Serializable {
+
+  def write(batch: RowBatch[A]): Unit = writeData(batch.data)
+
+  private def writeData(data: Seq[A]): Unit = {
+    val bytes = data.iterator.map(sizeOf).sum
+    if (data.size > 1 && bytes > maxAppendBytes) {
+      metrics.splitBatchCount += 1
+      val (a, b) = data.splitAt(data.size / 2)
+      writeData(a); writeData(b)
+    } else {
+      RetryPolicy.withRetries(maxRetries, metrics)(() => append(data))
+      metrics.batchCount += 1
+      metrics.batchSizeBytes += bytes
+    }
+  }
+}
+
+/** Exactly-once micro-batch sink: the Spark re-expression of the
+  * reference's BUFFERED-stream + commit-on-checkpoint protocol
+  * (sink/buffered/BigQueryBufferedSinkWriter.java +
+  * BigQuerySinkCommitter.java). In Structured Streaming the epoch id of
+  * `foreachBatch` is the checkpointed offset: a replayed epoch must not
+  * re-append. We write each epoch under an epoch-scoped directory and
+  * atomically record it in a commit ledger; replays of committed epochs
+  * are no-ops (idempotent 2-phase commit). Offsets in the ledger are
+  * monotone, mirroring StreamState.offset.
+  */
+class ExactlyOnceParquetSink(basePath: String) extends Serializable {
+  private def ledgerDir: Path = Paths.get(basePath, "_graft_commits")
+
+  def committedEpochs(): Set[Long] = {
+    val d = ledgerDir
+    if (!Files.isDirectory(d)) Set.empty
+    else {
+      val it = Files.list(d).iterator()
+      var s = Set.empty[Long]
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.endsWith(".committed")) s += name.stripSuffix(".committed").toLong
+      }
+      s
+    }
+  }
+
+  /** foreachBatch body. Returns true if the epoch was appended, false
+    * if it was a replay of a committed epoch. */
+  def addBatch(df: DataFrame, epochId: Long): Boolean = {
+    if (committedEpochs().contains(epochId)) return false
+    // Phase 1: write data under the epoch directory (overwrite-safe on
+    // partial previous attempts of the SAME epoch — BigQuery analog:
+    // append at a fixed offset is rejected/ignored when already there).
+    df.write.mode("overwrite").parquet(s"$basePath/epoch=$epochId")
+    // Phase 2: atomic commit marker (temp + ATOMIC_MOVE = flush offset).
+    Files.createDirectories(ledgerDir)
+    val tmp = ledgerDir.resolve(s".$epochId.tmp")
+    Files.writeString(tmp, String.valueOf(df.count()))
+    Files.move(tmp, ledgerDir.resolve(s"$epochId.committed"),
+      StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  /** All committed data, for reads (uncommitted epochs invisible). */
+  def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val epochs = committedEpochs().toSeq.sorted
+    val dfs = epochs.map(e => spark.read.parquet(s"$basePath/epoch=$e"))
+    if (dfs.isEmpty) spark.emptyDataFrame else dfs.reduce(_ unionAll _)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface, SURVEY.md §2c. The aggregation
+  * functions are written once and run unchanged on batch or streaming
+  * DataFrames (watermark applied only when streaming); the stateful
+  * offset tracker mirrors the reference's StreamStateHandler.
+  */
+/** One keyed micro-batch heading to the sink. */
+case class KeyedBatch(key: String, n: Long, eventMillis: Long)
+
+/** Offset ledger output: where this batch starts in its key's write
+  * stream, and whether the stream was (re)created for it. */
+case class OffsetAssignment(key: String, stream: String, offsetStart: Long,
+                            n: Long, recreated: Boolean)
+
+private[streaming] case class TrackerState(streamEpoch: Long, offset: Long, lastUpdateMillis: Long)
+
+object Streams {
+
+  /** Event-time tumbling window aggregate. Streaming: watermark bounds
+    * state; late events beyond `lateness` are dropped. */
+  def windowAgg(events: DataFrame, width: String = "1 hour",
+                lateness: String = "10 minutes"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", lateness) else events
+    val agg = in
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    if (events.isStreaming) agg else agg.orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Gap-based sessionization. Batch path: gaps-and-islands via lag +
+    * running sum (one shuffle on user_id) — semantically equal to
+    * `session_window(ts, gap)`, and DuckDB-expressible for the oracle.
+    * Streaming path would use session_window directly (see spec). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") >= col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        date_trunc("second", min(col("ts"))).as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Streaming variant via native session_window (stateful, watermark-
+    * bounded) — used by the ScalaTest streaming spec. */
+  def sessionizeStreaming(events: DataFrame, gapMinutes: Int = 30,
+                          lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** Per-key monotone offset assignment with TTL-based stream
+    * recreation — `mapGroupsWithState` re-expression of the reference's
+    * StreamStateHandler (process/StreamStateHandler.java:96-160:
+    * NOT_EXISTS/EXPIRED → create stream at offset 0, else append at the
+    * tracked offset; 7-day TTL). */
+  def assignOffsets(batches: Dataset[KeyedBatch], ttlDays: Int = 7): Dataset[OffsetAssignment] = {
+    import batches.sparkSession.implicits._
+    val ttlMillis = ttlDays.toLong * 24 * 60 * 60 * 1000
+    batches.groupByKey(_.key)
+      .flatMapGroupsWithState[TrackerState, OffsetAssignment](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[KeyedBatch], state: GroupState[TrackerState]) =>
+          var st = state.getOption.getOrElse(TrackerState(0L, 0L, Long.MinValue))
+          val out = rows.toSeq.sortBy(_.eventMillis).map { b =>
+            val expired = st.lastUpdateMillis != Long.MinValue &&
+              b.eventMillis >= st.lastUpdateMillis + ttlMillis
+            val recreated = st.lastUpdateMillis == Long.MinValue || expired
+            if (expired) st = TrackerState(st.streamEpoch + 1, 0L, b.eventMillis)
+            val assignment = OffsetAssignment(key, s"$key/streams/${st.streamEpoch}",
+              st.offset, b.n, recreated)
+            st = TrackerState(st.streamEpoch, st.offset + b.n, b.eventMillis)
+            assignment
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -26,14 +26,14 @@ object Shims {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_minhash",
-      args => MinHashSignature(args(0), intArg(args(1), "numPerm")), "graft")
+      args => MinHashSignature(args(0), intArg(args(1), "numPerm")), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
-      args => SimHash64(args(0)), "graft")
+      args => SimHash64(args(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint",
-      args => WinnowFingerprint(args(0), intArg(args(1), "k"), intArg(args(2), "w")), "graft")
+      args => WinnowFingerprint(args(0), intArg(args(1), "k"), intArg(args(2), "w")), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
-      args => CosineSim(args(0), args(1)), "graft")
+      args => CosineSim(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_bucket",
-      args => HyperplaneBucket(args(0), intArg(args(1), "numPlanes")), "graft")
+      args => HyperplaneBucket(args(0), intArg(args(1), "numPlanes")), "built-in")
   }
 }

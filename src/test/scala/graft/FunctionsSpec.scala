@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{F, HashImpls}
+
+class HashImplsSpec extends AnyFunSuite {
+
+  private def arr(ss: String*) = new GenericArrayData(ss.map(UTF8String.fromString).toArray[Any])
+
+  test("minhash: identical inputs → identical signatures; supersets keep elementwise mins") {
+    val a = HashImpls.minhash(arr("x", "y", "z"), 32).toLongArray()
+    val b = HashImpls.minhash(arr("x", "y", "z"), 32).toLongArray()
+    assert(a.toSeq == b.toSeq)
+    val sup = HashImpls.minhash(arr("x", "y", "z", "w"), 32).toLongArray()
+    (a zip sup).foreach { case (ai, si) =>
+      assert(java.lang.Long.compareUnsigned(si, ai) <= 0)
+    }
+  }
+
+  test("minhash similarity estimates Jaccard") {
+    val n = 256
+    val a = HashImpls.minhash(arr((1 to 100).map("s" + _): _*), n).toLongArray()
+    val b = HashImpls.minhash(arr((51 to 150).map("s" + _): _*), n).toLongArray()
+    val agree = (a zip b).count { case (x, y) => x == y }.toDouble / n
+    val trueJ = 50.0 / 150.0
+    assert(math.abs(agree - trueJ) < 0.12, s"estimate $agree vs $trueJ")
+  }
+
+  test("simhash: near-identical token sets have small hamming distance") {
+    val base = (1 to 200).map("tok" + _)
+    val h1 = HashImpls.simhash(arr(base: _*))
+    val h2 = HashImpls.simhash(arr((base.drop(2) :+ "other" :+ "new"): _*))
+    val h3 = HashImpls.simhash(arr((1 to 200).map("zzz" + _): _*))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1, h2) < 12)
+    assert(ham(h1, h3) > 12)
+  }
+
+  test("winnow: fingerprints are order-robust and contained for substrings") {
+    def fp(s: String) = HashImpls.winnow(UTF8String.fromString(s), 8, 4).toLongArray().toSet
+    val a = fp("the quick brown fox jumps over the lazy dog")
+    val b = fp("the quick brown fox leaps over the lazy dog")
+    assert(a == fp("the quick brown fox jumps over the lazy dog"))
+    val overlap = a.intersect(b).size.toDouble / a.union(b).size
+    assert(overlap > 0.3, s"overlap $overlap")
+    assert(fp("").isEmpty && fp("ab").size == 1)
+  }
+
+  test("cosine: orthogonal/parallel/empty vectors") {
+    def v(fs: Float*) = new GenericArrayData(fs.toArray[Any])
+    assert(HashImpls.cosine(v(1f, 0f), v(0f, 1f)) == 0.0)
+    assert(math.abs(HashImpls.cosine(v(1f, 2f, 3f), v(2f, 4f, 6f)) - 1.0) < 1e-12)
+    assert(HashImpls.cosine(v(0f, 0f), v(1f, 1f)) == 0.0)
+  }
+
+  test("hyperplane bucket: deterministic, scale-invariant for positive scaling") {
+    def v(fs: Float*) = new GenericArrayData(fs.toArray[Any])
+    val b1 = HashImpls.hyperplaneBucket(v(1f, -2f, 3f, 0.5f), 12)
+    val b2 = HashImpls.hyperplaneBucket(v(2f, -4f, 6f, 1f), 12)
+    assert(b1 == b2)
+    assert(b1 >= 0 && b1 < 4096)
+  }
+}
+
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("custom expressions run inside codegen plans and via SQL registration") {
+    import spark.implicits._
+    F.register(spark)
+    val df = Seq(("a b c d e", Seq(0.5f, 1.0f)), ("a b c x y", Seq(1.0f, 0.0f)))
+      .toDF("text", "vec")
+    val out = df.select(
+      F.minhash(split($"text", " "), 16).as("mh"),
+      F.simhash(split($"text", " ")).as("sh"),
+      F.fingerprint($"text", 4, 2).as("fp"),
+      F.cosine($"vec", $"vec").as("cos_self"),
+      F.hyperplaneBucket($"vec", 6).as("bucket")).collect()
+    assert(out.length == 2)
+    assert(out(0).getSeq[Long](0).size == 16)
+    assert(math.abs(out(0).getDouble(3) - 1.0) < 1e-12)
+    // SQL surface
+    val viaSql = spark.sql(
+      "SELECT graft_cosine(array(1.0f, 0.0f), array(0.0f, 2.0f)) AS c").head().getDouble(0)
+    assert(viaSql == 0.0)
+    // identical text → identical minhash through the Column API
+    val sigs = Seq("x y z", "x y z").toDF("text")
+      .select(F.minhash(split($"text", " "), 8).as("s")).collect()
+    assert(sigs(0).getSeq[Long](0) == sigs(1).getSeq[Long](0))
+  }
+}

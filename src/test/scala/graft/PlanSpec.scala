@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Plan-shape assertions: the optimizations SURVEY.md promises must be
+  * visible in the physical plan, not just hoped for. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2 filter and projection reach the parquet scan") {
+    val p = plan(Relational.q2FilterProject(Tables.lineitem(spark, TestSpark.sf)))
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"))
+    // pruned read schema: only the 6 referenced columns, not all 11
+    assert(!p.contains("l_returnflag"))
+  }
+
+  test("q3 dimension joins broadcast, fact join does not collapse to cartesian") {
+    val p = plan(Relational.q3JoinBroadcast(Tables.orders(spark, TestSpark.sf),
+      Tables.customer(spark, TestSpark.sf), Tables.nation(spark, TestSpark.sf),
+      Tables.region(spark, TestSpark.sf)))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q5 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.q5TopK(Tables.orders(spark, TestSpark.sf)))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("q1 aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan(Relational.q1Agg(Tables.lineitem(spark, TestSpark.sf)))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("partial"))
+  }
+
+  test("custom expressions do not break whole-stage codegen") {
+    val df = TextOps.textTokens(Tables.documents(spark, TestSpark.sf))
+    df.collect() // finalize the AQE plan so codegen spans are visible
+    assert(plan(df).contains("*("), "no whole-stage codegen span")
+    import org.apache.spark.sql.functions._
+    val fp = Tables.documents(spark, TestSpark.sf)
+      .select(graft.functions.F.fingerprint(col("text"), 8, 4).as("fp"))
+    fp.collect()
+    assert(plan(fp).contains("*("), "no whole-stage codegen span")
+  }
+
+  test("ann_bruteforce broadcasts the query side") {
+    val p = plan(Ann.annBruteforce(Tables.embeddings(spark, TestSpark.sf)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}

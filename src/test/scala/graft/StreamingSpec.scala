@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.streaming.Streams
+import graft.streaming.{KeyedBatch, OffsetAssignment}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowAgg on a stream aggregates by event-time tumbling window with watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowAgg(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wa").outputMode("update").start()
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), "view", 1.0),
+      (ts("2024-01-01 10:55:00"), "view", 2.0),
+      (ts("2024-01-01 11:05:00"), "click", 5.0))
+    q.processAllAvailable()
+    val out = spark.table("wa").collect().map(r =>
+      (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out.contains(("2024-01-01 10:00:00.0", "view", 2L, 3.0)))
+    assert(out.contains(("2024-01-01 11:00:00.0", "click", 1L, 5.0)))
+
+    // late beyond the 10-minute watermark (watermark ≈ 10:55) → dropped
+    mem.addData((ts("2024-01-01 09:00:00"), "view", 100.0))
+    q.processAllAvailable()
+    val late = spark.table("wa").collect()
+      .filter(r => r.getTimestamp(0).toString.startsWith("2024-01-01 09"))
+    assert(late.isEmpty)
+    q.stop()
+  }
+
+  test("batch sessionize splits on the 30-minute gap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 10:40:00"), 3.0), // exactly 30m after previous → new session
+      (2L, ts("2024-01-01 09:00:00"), 4.0))
+      .toDF("user_id", "ts", "value")
+    val sessions = Streams.sessionize(df, 30).collect()
+    assert(sessions.length == 3)
+    val u1 = sessions.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getLong(3)).toSeq == Seq(2L, 1L)) // n_events per session
+  }
+
+  test("sessionizeStreaming emits watermark-closed sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val q = Streams.sessionizeStreaming(events, 30, "5 minutes")
+      .writeStream.format("memory").queryName("ss").outputMode("append").start()
+    mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L))
+    q.processAllAvailable()
+    // advance watermark far past the session gap so the session closes
+    mem.addData((ts("2024-01-01 12:00:00"), 9L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 14:00:00"), 9L))
+    q.processAllAvailable()
+    val out = spark.table("ss").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.contains((1L, 2L)))
+    q.stop()
+  }
+
+  test("assignOffsets tracks per-key monotone offsets and recreates expired streams") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val day = 24L * 60 * 60 * 1000
+    val mem = MemoryStream[KeyedBatch]
+    val q = Streams.assignOffsets(mem.toDS(), ttlDays = 7)
+      .writeStream.format("memory").queryName("offsets").outputMode("append").start()
+    mem.addData(KeyedBatch("t1", 10, 0), KeyedBatch("t2", 3, 0))
+    q.processAllAvailable()
+    mem.addData(KeyedBatch("t1", 5, day))
+    q.processAllAvailable()
+    mem.addData(KeyedBatch("t1", 2, 9 * day)) // > 7d since last update → new stream
+    q.processAllAvailable()
+    val out = spark.table("offsets").as[OffsetAssignment].collect()
+    val t1 = out.filter(_.key == "t1").sortBy(_.offsetStart != 0).toSeq
+    assert(out.filter(_.key == "t2").head == OffsetAssignment("t2", "t2/streams/0", 0, 3, recreated = true))
+    val byStream = out.filter(_.key == "t1").groupBy(_.stream)
+    assert(byStream("t1/streams/0").map(a => (a.offsetStart, a.n)).sortBy(_._1).toSeq == Seq((0L, 10L), (10L, 5L)))
+    assert(byStream("t1/streams/1").map(a => (a.offsetStart, a.n, a.recreated)).toSeq == Seq((0L, 2L, true)))
+    q.stop()
+  }
+}
