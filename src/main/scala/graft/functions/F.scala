@@ -26,6 +26,10 @@ object F {
   def cosine(a: Column, b: Column): Column =
     Shims.column(CosineSim(Shims.expression(a), Shims.expression(b)))
 
+  /** Intersection size of two sorted array<long> columns. */
+  def sortedIntersect(a: Column, b: Column): Column =
+    Shims.column(SortedIntersectCount(Shims.expression(a), Shims.expression(b)))
+
   /** Random-hyperplane LSH bucket id of an array<float> column. */
   def hyperplaneBucket(vec: Column, numPlanes: Int = 12): Column =
     Shims.column(HyperplaneBucket(Shims.expression(vec), numPlanes))

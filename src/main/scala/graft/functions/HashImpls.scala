@@ -129,6 +129,25 @@ object HashImpls {
     new GenericArrayData(out)
   }
 
+  /** Intersection size of two SORTED long arrays (single merge pass —
+    * the per-pair kernel behind set-similarity joins; no hashing, no
+    * allocation). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Cosine similarity of two float vectors (tight primitive loop —
     * no boxing, unlike zip_with/aggregate higher-order functions). */
   def cosine(a: ArrayData, b: ArrayData): Double = {

@@ -52,6 +52,19 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** (array<long> sorted, array<long> sorted) → intersection size. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpls.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** (array<float>, array<float>) → cosine similarity as double. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -107,17 +107,23 @@ object Dedup {
     * within (lang, source, length-bucket) blocks — the classic blocking
     * strategy; block sizes stay bounded as data grows. */
   def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // Token sets as SORTED xxhash64 arrays: the pairwise kernel becomes
+    // a primitive merge loop (custom SortedIntersectCount expression)
+    // and the block-join shuffles long arrays instead of strings —
+    // ~4x cheaper per pair than array_intersect over strings.
     val docs = documents.select(col("doc_id"), col("lang"), col("source"),
         (col("n_chars") / 100).cast("int").as("len_bucket"),
-        array_distinct(tokens).as("tok_set"))
+        sort_array(array_distinct(transform(array_distinct(tokens),
+          t => xxhash64(t)))).as("tok_hashes"))
+    val inter = F.sortedIntersect(col("x.tok_hashes"), col("y.tok_hashes"))
     val pairs = docs.as("x").join(docs.as("y"),
         col("x.lang") === col("y.lang") &&
         col("x.source") === col("y.source") &&
         col("x.len_bucket") === col("y.len_bucket") &&
         col("x.doc_id") < col("y.doc_id"))
       .withColumn("jaccard",
-        size(array_intersect(col("x.tok_set"), col("y.tok_set"))).cast("double") /
-          size(array_union(col("x.tok_set"), col("y.tok_set"))))
+        inter.cast("double") /
+          (size(col("x.tok_hashes")) + size(col("y.tok_hashes")) - inter))
       .filter(col("jaccard") >= threshold)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         round(col("jaccard"), 4).as("jaccard"))

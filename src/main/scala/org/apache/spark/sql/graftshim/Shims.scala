@@ -33,6 +33,8 @@ object Shims {
       args => WinnowFingerprint(args(0), intArg(args(1), "k"), intArg(args(2), "w")), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       args => CosineSim(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect",
+      args => SortedIntersectCount(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_bucket",
       args => HyperplaneBucket(args(0), intArg(args(1), "numPlanes")), "built-in")
   }
