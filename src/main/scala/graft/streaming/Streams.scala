@@ -20,6 +20,14 @@ case class OffsetAssignment(key: String, stream: String, offsetStart: Long,
 
 private[streaming] case class TrackerState(streamEpoch: Long, offset: Long, lastUpdateMillis: Long)
 
+/** A keyed record with a serialized-size estimate and event time. */
+case class TimedRecord(key: String, payload: String, sizeBytes: Long, eventMillis: Long)
+
+/** A fired batch and why it fired: "count" | "bytes" | "timeout". */
+case class FiredBatch(key: String, n: Long, bytes: Long, reason: String)
+
+private[streaming] case class PendingBatch(n: Long, bytes: Long, anchorMillis: Long)
+
 object Streams {
 
   /** Event-time tumbling window aggregate. Streaming: watermark bounds
@@ -65,6 +73,63 @@ object Streams {
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** Count/bytes/timeout batch trigger with optional reset-on-new-
+    * record — the Structured Streaming re-expression of the reference's
+    * composed trigger (BatchTrigger.Builder.build, BatchTrigger.java:
+    * 117-125: PurgingTrigger(ProcessingTimeoutTrigger(BatchTrigger))).
+    * Count/bytes fire inline as records accumulate; a partial batch
+    * fires via processing-time timeout. `resetTimerOnNewRecord` re-arms
+    * the timeout on every arrival (idle-gap flush) instead of only when
+    * a batch opens. */
+  def timeoutBatcher(records: Dataset[TimedRecord], maxCount: Long, maxBytes: Long,
+                     timeoutMs: Long, resetTimerOnNewRecord: Boolean = false): Dataset[FiredBatch] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    // Event-time timeouts (watermark-driven) instead of wall-clock: same
+    // flush-partial-batch semantics, but deterministic and replayable —
+    // the right trade at scale, where wall-clock timers skew per
+    // executor and break recovery.
+    val withTs = records
+      .withColumn("ts", timestamp_millis(col("eventMillis")))
+      .withWatermark("ts", "0 seconds")
+      .as[TimedRecord]
+    withTs.groupByKey(_.key)
+      .flatMapGroupsWithState[PendingBatch, FiredBatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[TimedRecord], state: GroupState[PendingBatch]) =>
+          if (state.hasTimedOut) {
+            val pending = state.getOption.getOrElse(PendingBatch(0, 0, -1L))
+            state.remove()
+            if (pending.n > 0) Iterator(FiredBatch(key, pending.n, pending.bytes, "timeout"))
+            else Iterator.empty
+          } else {
+            var pending = state.getOption.getOrElse(PendingBatch(0, 0, -1L))
+            val fired = scala.collection.mutable.Buffer.empty[FiredBatch]
+            rows.foreach { r =>
+              // anchor: batch-open time, or last arrival when resetting
+              val anchor =
+                if (pending.n == 0 || resetTimerOnNewRecord) r.eventMillis
+                else pending.anchorMillis
+              pending = PendingBatch(pending.n + 1, pending.bytes + r.sizeBytes, anchor)
+              if (pending.n >= maxCount) {
+                fired += FiredBatch(key, pending.n, pending.bytes, "count")
+                pending = PendingBatch(0, 0, -1L)
+              } else if (pending.bytes >= maxBytes) {
+                fired += FiredBatch(key, pending.n, pending.bytes, "bytes")
+                pending = PendingBatch(0, 0, -1L)
+              }
+            }
+            if (pending.n > 0) {
+              state.update(pending)
+              state.setTimeoutTimestamp(pending.anchorMillis + timeoutMs)
+            } else {
+              state.remove()
+            }
+            fired.iterator
+          }
+      }
+  }
 
   /** Per-key monotone offset assignment with TTL-based stream
     * recreation — `mapGroupsWithState` re-expression of the reference's

@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sinks._
+
+class SerializerSpec extends AnyFunSuite {
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType), StructField("ok", BooleanType)))
+
+  private def row(vs: Any*) = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vs.toArray, schema)
+
+  test("json serializer matches Spark to_json conventions (order, nulls omitted, escaping)") {
+    val s = new JsonRowSerializer
+    assert(new String(s.serialize(row(1L, "a\"b", 2.5, true))) ==
+      """{"id":1,"name":"a\"b","score":2.5,"ok":true}""")
+    assert(new String(s.serialize(row(7L, null, 1.0, false))) ==
+      """{"id":7,"score":1.0,"ok":false}""")
+  }
+
+  test("binary serializer is deterministic, self-delimiting, and distinguishes values") {
+    val s = new BinaryRowSerializer
+    val a = s.serialize(row(1L, "x", 2.5, true))
+    val b = s.serialize(row(1L, "x", 2.5, true))
+    val c = s.serialize(row(1L, "y", 2.5, true))
+    assert(a.toSeq == b.toSeq && a.toSeq != c.toSeq)
+    assert(new NoOpRowSerializer().serialize(a) eq a)
+  }
+}
+
+class ConfigSpec extends AnyFunSuite {
+  test("credentials providers resolve from json/file/default") {
+    assert(JsonCredentialsProvider("""{"k":1}""").resolve() == """{"k":1}""")
+    val f = java.nio.file.Files.createTempFile("cred", ".json")
+    java.nio.file.Files.writeString(f, "secret")
+    assert(FileCredentialsProvider(f.toString).resolve() == "secret")
+    assert(DefaultCredentials.resolve() == "")
+  }
+
+  test("retry settings back off exponentially with a cap") {
+    val r = WriterRetrySettings(initialBackoff = java.time.Duration.ofMillis(100),
+      backoffMultiplier = 2.0, maxBackoff = java.time.Duration.ofMillis(350))
+    assert(r.backoffFor(0).toMillis == 100)
+    assert(r.backoffFor(1).toMillis == 200)
+    assert(r.backoffFor(2).toMillis == 350) // capped
+  }
+
+  test("async writer drains all batches under the in-flight cap with retries") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Int]]()
+    val concurrent = new java.util.concurrent.atomic.AtomicInteger
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val settings = WriterSettings().withMaxInFlight(2).withMaxBuffered(10)
+    val w = new AsyncBatchWriter[Int](batch => {
+      val cur = concurrent.incrementAndGet()
+      maxSeen.accumulateAndGet(cur, Math.max(_, _))
+      try {
+        if (!failedOnce.getAndSet(true)) throw RetryPolicy.RetryableException("first call flakes")
+        Thread.sleep(30)
+        seen.add(batch)
+      } finally concurrent.decrementAndGet()
+    }, settings)
+    (1 to 6).foreach(i => w.submit(Seq(i)))
+    w.close()
+    assert(seen.size() == 6)
+    assert(maxSeen.get() <= 2, s"in-flight exceeded cap: ${maxSeen.get()}")
+    assert(w.metrics.appendRetries >= 1)
+  }
+}
+
+class ExactlyOnceStreamingSpec extends AnyFunSuite {
+  test("foreachBatch + epoch ledger survives checkpoint replay without duplicates") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val sink = new ExactlyOnceParquetSink(s"$dir/out")
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q1 = mem.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, epoch: Long) => { sink.addBatch(df, epoch); () })
+      .start()
+    mem.addData(1L, 2L, 3L)
+    q1.processAllAvailable()
+    mem.addData(4L, 5L)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(sink.read(spark).count() == 5)
+
+    // Replay the last epoch manually (what a post-crash restart does
+    // when the sink committed but the checkpoint didn't advance).
+    val replayed = sink.addBatch(Seq(4L, 5L).toDF(), sink.committedEpochs().max)
+    assert(!replayed)
+    assert(sink.read(spark).count() == 5)
+
+    // Restart from the same checkpoint; new data lands in a new epoch.
+    val q2 = mem.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, epoch: Long) => { sink.addBatch(df, epoch); () })
+      .start()
+    mem.addData(6L)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(sink.read(spark).count() == 6)
+  }
+}
+
+class TimeoutBatcherSpec extends AnyFunSuite {
+  test("timeout batcher fires on count and bytes inline, partial batches on timeout") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.TimedRecord]
+    import graft.streaming.TimedRecord
+    val q = graft.streaming.Streams.timeoutBatcher(mem.toDS(), maxCount = 3, maxBytes = 1000, timeoutMs = 400)
+      .writeStream.format("memory").queryName("tb").outputMode("append").start()
+    try {
+      val t0 = 1000000L // comfortably past epoch 0 (the initial watermark)
+      mem.addData(TimedRecord("a", "r", 10, t0), TimedRecord("a", "r", 10, t0 + 10), TimedRecord("a", "r", 10, t0 + 20),
+        TimedRecord("a", "r", 10, t0 + 30), // 3 fire on count, 1 pending (timeout armed at t0+430)
+        TimedRecord("b", "big", 600, t0), TimedRecord("b", "big", 600, t0 + 5)) // fires on bytes
+      q.processAllAvailable()
+      val fired = spark.table("tb").as[graft.streaming.FiredBatch].collect()
+      assert(fired.contains(graft.streaming.FiredBatch("a", 3, 30, "count")))
+      assert(fired.contains(graft.streaming.FiredBatch("b", 2, 1200, "bytes")))
+
+      // advance the event-time watermark past a's 430ms deadline; the
+      // following micro-batch fires the pending partial batch
+      mem.addData(TimedRecord("c", "tick", 1, t0 + 5000))
+      q.processAllAvailable()
+      mem.addData(TimedRecord("c", "tick2", 1, t0 + 6000))
+      q.processAllAvailable()
+      val after = spark.table("tb").as[graft.streaming.FiredBatch].collect()
+      assert(after.contains(graft.streaming.FiredBatch("a", 1, 10, "timeout")),
+        s"got: ${after.mkString(", ")}")
+    } finally q.stop()
+  }
+}
