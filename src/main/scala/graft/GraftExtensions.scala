@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** `spark.sql.extensions=graft.GraftExtensions` injection point: makes
+  * every graft_* function available at session build time (the
+  * SparkSessionExtensions-sanctioned alternative to
+  * `graft.functions.F.register(spark)` for sessions you don't build).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String, builder: FunctionBuilder): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("graft_minhash", "graft_minhash(shingles, numPerm) - MinHash signature",
+      args => MinHashSignature(args(0), intArg(args(1), "numPerm")))
+    inject("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash",
+      args => SimHash64(args(0)))
+    inject("graft_fingerprint", "graft_fingerprint(text, k, w) - winnowing fingerprints",
+      args => WinnowFingerprint(args(0), intArg(args(1), "k"), intArg(args(2), "w")))
+    inject("graft_cosine", "graft_cosine(a, b) - cosine similarity of float vectors",
+      args => CosineSim(args(0), args(1)))
+    inject("graft_sorted_intersect", "graft_sorted_intersect(a, b) - sorted long array intersection size",
+      args => SortedIntersectCount(args(0), args(1)))
+    inject("graft_hyperplane_bucket", "graft_hyperplane_bucket(vec, planes) - LSH bucket",
+      args => HyperplaneBucket(args(0), intArg(args(1), "numPlanes")))
+  }
+}

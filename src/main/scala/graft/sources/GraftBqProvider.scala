@@ -1,0 +1,259 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `format("graft-bq")` — a DataSource V2 table emulating the
+  * reference's BigQuery Storage-Write transport on a filesystem:
+  *
+  *  - batch + streaming WRITE through the V2 commit protocol: tasks
+  *    write temp files, the driver commit renames them and records a
+  *    manifest — exactly-once at the job/epoch level (the analog of
+  *    buffered-stream append + flush-on-commit,
+  *    sink/buffered/BigQueryBufferedSinkWriter.java); a replayed
+  *    streaming epoch whose manifest exists is skipped.
+  *  - batch READ back of committed data only (uncommitted/aborted task
+  *    output is invisible), one input partition per committed file.
+  *
+  * Rows travel as JSON lines (serializer/JsonRowValueSerializer analog);
+  * the table schema is persisted as DDL alongside the data. Local-FS
+  * paths here; the production transport would target an object store or
+  * RPC endpoint behind the same DataWriter seam.
+  */
+class GraftBqProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-bq"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = GraftBqProvider.pathOf(options)
+    val ddl = dir.resolve("_schema.ddl")
+    if (Files.exists(ddl))
+      StructType.fromDDL(new String(Files.readAllBytes(ddl), StandardCharsets.UTF_8))
+    else throw new IllegalArgumentException(
+      s"graft-bq: no _schema.ddl under $dir and no user schema given")
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftBqTable(schema, properties.get("path"))
+}
+
+object GraftBqProvider {
+  def pathOf(options: CaseInsensitiveStringMap): Path = {
+    val p = options.get("path")
+    require(p != null, "graft-bq requires a 'path' option")
+    Paths.get(p)
+  }
+}
+
+class GraftBqTable(schema: StructType, path: String) extends Table
+    with SupportsWrite with SupportsRead {
+  require(path != null, "graft-bq requires a 'path' option")
+
+  override def name(): String = s"graft-bq:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.BATCH_READ, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new GraftBqWrite(schema, path, info.queryId())
+    }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftBqScan(schema, path)
+    }
+}
+
+/** Commit message: the temp files this task produced. */
+case class FilesCommitMessage(tempFiles: Seq[String], rows: Long) extends WriterCommitMessage
+
+class GraftBqWrite(schema: StructType, path: String, queryId: String)
+    extends Write with BatchWrite with StreamingWrite {
+
+  override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite = this
+  override def useCommitCoordinator(): Boolean = true
+
+  private def base: Path = Paths.get(path)
+  private def committedDir: Path = base.resolve("_committed")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftBqWriterFactory(schema, path, queryId)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftBqWriterFactory(schema, path, queryId)
+
+  private def finalizeFiles(tag: String, messages: Array[WriterCommitMessage]): Unit = {
+    Files.createDirectories(committedDir)
+    val ddl = base.resolve("_schema.ddl")
+    if (!Files.exists(ddl)) Files.write(ddl, schema.toDDL.getBytes(StandardCharsets.UTF_8))
+    val finals = messages.collect { case m: FilesCommitMessage => m }.flatMap(_.tempFiles).map { tmp =>
+      val src = Paths.get(tmp)
+      val dst = base.resolve(src.getFileName.toString.stripPrefix(".tmp-"))
+      if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      dst.getFileName.toString
+    }
+    val manifest = committedDir.resolve(s".$tag.inprogress")
+    Files.write(manifest, finals.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(manifest, committedDir.resolve(tag), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def dropTempFiles(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: FilesCommitMessage => m }.flatMap(_.tempFiles)
+      .foreach(f => Files.deleteIfExists(Paths.get(f)))
+
+  // batch
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    finalizeFiles(s"batch-$queryId", messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit = dropTempFiles(messages)
+
+  // streaming: epoch manifest = the flushed offset; replayed epoch → no-op
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    if (Files.exists(committedDir.resolve(s"epoch-$epochId"))) dropTempFiles(messages)
+    else finalizeFiles(s"epoch-$epochId", messages)
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    dropTempFiles(messages)
+}
+
+class GraftBqWriterFactory(schema: StructType, path: String, queryId: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftBqDataWriter(schema, path, queryId, -1L, partitionId, taskId)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftBqDataWriter(schema, path, queryId, epochId, partitionId, taskId)
+}
+
+/** Task-side writer: JSON-lines into an attempt-isolated temp file. */
+class GraftBqDataWriter(schema: StructType, path: String, queryId: String,
+                        epochId: Long, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val tag = if (epochId >= 0) s"e$epochId" else s"q$queryId"
+  private val tmp = Paths.get(path).resolve(s".tmp-$tag-p$partitionId-t$taskId.jsonl")
+  Files.createDirectories(tmp.getParent)
+  private val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8,
+    StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val sb = new StringBuilder("{")
+    var first = true
+    var i = 0
+    while (i < schema.length) {
+      if (!record.isNullAt(i)) {
+        if (!first) sb.append(',')
+        first = false
+        sb.append('"').append(schema(i).name).append("\":")
+        schema(i).dataType match {
+          case LongType => sb.append(record.getLong(i))
+          case IntegerType => sb.append(record.getInt(i))
+          case DoubleType => sb.append(record.getDouble(i))
+          case BooleanType => sb.append(record.getBoolean(i))
+          case StringType => sb.append(jsonString(record.getUTF8String(i).toString))
+          case TimestampType => sb.append(record.getLong(i)) // micros
+          case other => throw new UnsupportedOperationException(s"graft-bq: $other")
+        }
+      }
+      i += 1
+    }
+    out.write(sb.append("}\n").toString)
+    rows += 1
+  }
+
+  private def jsonString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    FilesCommitMessage(Seq(tmp.toString), rows)
+  }
+  override def abort(): Unit = { out.close(); Files.deleteIfExists(tmp) }
+  override def close(): Unit = ()
+}
+
+/** Read side: committed files only, one input partition per file. */
+class GraftBqScan(schema: StructType, path: String) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val committedDir = Paths.get(path).resolve("_committed")
+    if (!Files.isDirectory(committedDir)) return Array.empty
+    val files = Files.list(committedDir).iterator().asScala
+      .filter(p => !p.getFileName.toString.startsWith("."))
+      .flatMap(m => new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+        .split("\n").iterator.filter(_.nonEmpty))
+      .toArray.sorted
+    files.map(f => GraftBqInputPartition(Paths.get(path).resolve(f).toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftBqReaderFactory(schema)
+}
+
+case class GraftBqInputPartition(file: String) extends InputPartition
+
+class GraftBqReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftBqPartitionReader(schema, partition.asInstanceOf[GraftBqInputPartition].file)
+}
+
+class GraftBqPartitionReader(schema: StructType, file: String)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val lines = Files.lines(Paths.get(file))
+  private val it = lines.iterator()
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val node = mapper.readTree(it.next())
+    val values = schema.fields.map { f =>
+      val v = node.get(f.name)
+      if (v == null || v.isNull) null
+      else f.dataType match {
+        case LongType | TimestampType => v.asLong(): java.lang.Long
+        case IntegerType => v.asInt(): java.lang.Integer
+        case DoubleType => v.asDouble(): java.lang.Double
+        case BooleanType => v.asBoolean(): java.lang.Boolean
+        case StringType => UTF8String.fromString(v.asText())
+        case other => throw new UnsupportedOperationException(s"graft-bq: $other")
+      }
+    }
+    current = InternalRow.fromSeq(values.toIndexedSeq)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("spark.sql.extensions=graft.GraftExtensions exposes graft_* in a fresh session") {
+    // getOrCreate reuses the default session (ignoring configs), so
+    // detach it first to prove injection happens at session-build time.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions()) // = spark.sql.extensions=graft.GraftExtensions (static conf can't attach to the test's pre-existing context)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val one = s.sql("SELECT graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c").head().getDouble(0)
+      assert(math.abs(one - 1.0) < 1e-12)
+      val mh = s.sql("SELECT size(graft_minhash(array('a','b'), 16)) AS n").head().getInt(0)
+      assert(mh == 16)
+      val fp = s.sql("SELECT graft_fingerprint('hello world, again', 4, 2) AS f").head().getSeq[Long](0)
+      assert(fp.nonEmpty)
+      val si = s.sql("SELECT graft_sorted_intersect(array(1L,2L,5L), array(2L,5L,9L)) AS i").head().getInt(0)
+      assert(si == 2)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
