@@ -60,6 +60,10 @@ object SparkEntry {
     "stream_window_agg" -> ((s, d) => graft.streaming.Streams.windowAgg(Tables.events(s, d))),
     "stream_session" -> ((s, d) => graft.streaming.Streams.sessionize(Tables.events(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(Tables.documents(s, d))),
+    "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
+    "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
+    "scale_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(Tables.lineitem(s, d))),
+    "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
   )
 
   /** DuckDB-dialect oracle SQL, column names matched to `queries`. */
@@ -270,5 +274,20 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
         | count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM m GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "scale_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scale_salted_join" ->
+      """WITH dim(event_type, weight) AS (VALUES
+        |  ('view', 1.0), ('click', 2.0), ('purchase', 10.0), ('signup', 5.0), ('error', 0.0))
+        |SELECT e.event_type, count(*) AS n, round(sum(e.value * d.weight), 2) AS weighted
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "scale_bucketed_join" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path operators, SURVEY.md §2e: the techniques that keep joins
+  * and aggregations alive at 100 TB — bucketing (co-located joins with
+  * no exchange), key salting (skew mitigation), and sketch-based
+  * approximate aggregation.
+  */
+object ScaleOps {
+
+  /** Writes `lineitem` and `orders` bucketed by the join key. A later
+    * sort-merge join of the two bucketed tables requires NO shuffle —
+    * at 100 TB this turns the biggest exchange in the workload into a
+    * local merge per bucket. Bucket count picks total-size/target-
+    * partition at real scale; parameterized here. */
+  def writeBucketed(spark: SparkSession, sfDir: String, buckets: Int = 8): Unit = {
+    graft.Tables.lineitem(spark, sfDir).write.mode("overwrite")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_bucketed")
+    graft.Tables.orders(spark, sfDir).write.mode("overwrite")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_bucketed")
+  }
+
+  /** The q4 join over the bucketed tables: same result, no Exchange in
+    * the physical plan (asserted in BucketedJoinSpec). */
+  def bucketedJoin(spark: SparkSession): DataFrame =
+    spark.table("graft_lineitem_bucketed")
+      .join(spark.table("graft_orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Salted aggregation for skewed keys: two-phase — aggregate on
+    * (key, salt) to split a hot key across `salts` reducers, then
+    * re-aggregate partials on the key alone. Exact same result as a
+    * direct groupBy; the skew never lands on one reducer. */
+  def saltedAgg(events: DataFrame, salts: Int = 16): DataFrame =
+    events
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"), round(sum(col("pv")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** Salted broadcast join against a replicated small side: the skewed
+    * fact key is salted and the dim is exploded across the salt range,
+    * so one hot key spreads over `salts` tasks. Equivalent rows to the
+    * unsalted join. */
+  def saltedJoin(events: DataFrame, salts: Int = 8): DataFrame = {
+    val dim = events.sparkSession.createDataFrame(Seq(
+      ("view", 1.0), ("click", 2.0), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)))
+      .toDF("event_type", "weight")
+    val saltedDim = dim.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    events
+      .withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+      .join(broadcast(saltedDim), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value") * col("weight")), 2).as("weighted"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sketch-based distinct: HyperLogLog++ approximate counts next to
+    * exact ones. At 100 TB the approx pass is one scan with tiny fixed
+    * state; rsd controls the memory/accuracy trade. */
+  def approxDistinct(lineitem: DataFrame, rsd: Double = 0.02): DataFrame =
+    lineitem.agg(
+      approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_suppkey"), rsd).as("approx_supps"),
+      countDistinct(col("l_suppkey")).as("exact_supps"))
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Relational, ScaleOps}
+
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed join produces the q4 result with no shuffle exchange") {
+    ScaleOps.writeBucketed(spark, TestSpark.sf, buckets = 4)
+    val bucketed = ScaleOps.bucketedJoin(spark)
+    val expected = Relational.q4JoinShuffle(
+      Tables.lineitem(spark, TestSpark.sf), Tables.orders(spark, TestSpark.sf))
+    assert(bucketed.collect().toSeq == expected.collect().toSeq)
+    val p = bucketed.queryExecution.executedPlan.toString
+    // the join itself must not exchange: both sides are bucket-local.
+    // (the final orderBy may still range-partition — ignore after Sort)
+    val joinPart = p.split("Sort ").last
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"))
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, TestSpark.sf)
+    val direct = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type")).collect().toSeq
+    val salted = ScaleOps.saltedAgg(events).collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("salted broadcast join equals unsalted join") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, TestSpark.sf)
+    val dim = spark.createDataFrame(Seq(
+      ("view", 1.0), ("click", 2.0), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)))
+      .toDF("event_type", "weight")
+    val direct = events.join(dim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value") * col("weight")), 2).as("weighted"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(ScaleOps.saltedJoin(events).collect().toSeq == direct)
+  }
+
+  test("approx distinct lands within the configured error of exact") {
+    val r = ScaleOps.approxDistinct(Tables.lineitem(spark, TestSpark.sf)).head()
+    val (ap, ep) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    val (as_, es) = (r.getLong(2).toDouble, r.getLong(3).toDouble)
+    assert(math.abs(ap - ep) / ep < 0.1, s"parts: approx $ap vs exact $ep")
+    assert(math.abs(as_ - es) / es < 0.1, s"supps: approx $as_ vs exact $es")
+  }
+
+  test("events can be consumed as a file stream (readStream over the testdata layout)") {
+    import org.apache.spark.sql.functions._
+    // copy a parquet file into a stream-source dir (file streams read dirs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(Tables.events(spark, TestSpark.sf).schema("ts").dataType match {
+        case _ => spark.read.parquet(dir.toString).schema
+      })
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = graft.streaming.Streams.windowAgg(raw, "1 hour", "1 minute")
+      .writeStream.format("memory").queryName("filestream").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("filestream").agg(sum(col("n_events"))).head().getLong(0)
+      assert(n == 1000) // sf0.001 events total
+    } finally q.stop()
+  }
+}
