@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => CosineSim(args(0), args(1)))
     inject("graft_sorted_intersect", "graft_sorted_intersect(a, b) - sorted long array intersection size",
       args => SortedIntersectCount(args(0), args(1)))
+    inject("graft_topk", "graft_topk(score, id, k) - top-k (score,id) pairs",
+      args => TopKByScore(args(0), args(1), intArg(args(2), "k")).toAggregateExpression())
     inject("graft_hyperplane_bucket", "graft_hyperplane_bucket(vec, planes) - LSH bucket",
       args => HyperplaneBucket(args(0), intArg(args(1), "numPlanes")))
   }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.graftshim.Shims
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 
 /** Column-API entry points for graft's custom Catalyst expressions. */
 object F {
@@ -29,6 +30,12 @@ object F {
   /** Intersection size of two sorted array<long> columns. */
   def sortedIntersect(a: Column, b: Column): Column =
     Shims.column(SortedIntersectCount(Shims.expression(a), Shims.expression(b)))
+
+  /** Bounded top-k aggregate: array<struct<score,id>> of the k highest
+    * scores (map-side partial aggregation, O(k) state per group). */
+  def topk(score: Column, id: Column, k: Int): Column =
+    Shims.column(TopKByScore(Shims.expression(score), Shims.expression(id), k)
+      .toAggregateExpression())
 
   /** Random-hyperplane LSH bucket id of an array<float> column. */
   def hyperplaneBucket(vec: Column, numPlanes: Int = 12): Column =

@@ -67,10 +67,13 @@ object Ann {
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", F.cosine(col("q_vec"), col("embedding")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 4).as("cosine"), row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    // graft_topk aggregates to a k-sized heap per group WITH map-side
+    // partial aggregation — only q x k rows ever shuffle.
+    scored.groupBy(col("q_id"))
+      .agg(F.topk(col("cos"), col("vec_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 4).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 }

@@ -16,6 +16,18 @@ object ScaleOps {
     * local merge per bucket. Bucket count picks total-size/target-
     * partition at real scale; parameterized here. */
   def writeBucketed(spark: SparkSession, sfDir: String, buckets: Int = 8): Unit = {
+    // In-memory catalogs don't know about tables a previous session left
+    // in the warehouse dir — drop both the entry and the location.
+    Seq("graft_lineitem_bucketed", "graft_orders_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.isDirectory(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     graft.Tables.lineitem(spark, sfDir).write.mode("overwrite")
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("graft_lineitem_bucketed")

@@ -35,6 +35,9 @@ object Shims {
       args => CosineSim(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect",
       args => SortedIntersectCount(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk",
+      args => TopKByScore(args(0), args(1), intArg(args(2), "k")).toAggregateExpression(),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_bucket",
       args => HyperplaneBucket(args(0), intArg(args(1), "numPlanes")), "built-in")
   }

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{F, TopKBuffer}
+
+class TopKSpec extends AnyFunSuite {
+
+  test("TopKBuffer matches naive sort across 200 seeded random inputs") {
+    val rng = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val n = rng.nextInt(60)
+      val k = 1 + rng.nextInt(8)
+      val xs = List.fill(n)((math.floor(rng.nextDouble() * 40) / 2, rng.nextInt(50).toLong))
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (s, i) => buf.add(s, i) }
+      val expected = xs.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(buf.sorted.toSeq == expected, s"n=$n k=$k xs=$xs")
+    }
+  }
+
+  test("merge of partial buffers equals global top-k") {
+    val xs = (1 to 1000).map(i => (((i * 2654435761L) % 997).toDouble, i.toLong))
+    val (l, r) = xs.splitAt(500)
+    val a = new TopKBuffer(10); l.foreach { case (s, i) => a.add(s, i) }
+    val b = new TopKBuffer(10); r.foreach { case (s, i) => b.add(s, i) }
+    a.mergeFrom(b)
+    val whole = new TopKBuffer(10); xs.foreach { case (s, i) => whole.add(s, i) }
+    assert(a.sorted.toSeq == whole.sorted.toSeq)
+  }
+
+  test("graft_topk aggregate equals the window top-k formulation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq.tabulate(500)(i => (i % 7L, ((i * 37) % 101).toDouble, i.toLong))
+      .toDF("g", "score", "id")
+    val viaAgg = df.groupBy($"g").agg(F.topk($"score", $"id", 3).as("nn"))
+      .select($"g", posexplode($"nn"))
+      .select($"g", $"col.score", $"col.id", ($"pos" + 1).as("rank"))
+      .orderBy($"g", $"rank").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+      .orderBy($"score".desc, $"id".asc)
+    val viaWindow = df.select($"g", $"score", $"id", row_number().over(w).cast("long").as("rank"))
+      .filter($"rank" <= 3).orderBy($"g", $"rank").collect().toSeq
+    assert(viaAgg.map(_.toSeq) == viaWindow.map(_.toSeq))
+  }
+
+  test("graft_topk is callable from SQL") {
+    val spark = TestSpark.spark
+    F.register(spark)
+    val r = spark.sql(
+      """SELECT graft_topk(s, i, 2) AS nn FROM VALUES (1.0, 1L), (5.0, 2L), (3.0, 3L) AS t(s, i)"""
+    ).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(x => (x.getDouble(0), x.getLong(1))) == Seq((5.0, 2L), (3.0, 3L)))
+  }
+}
