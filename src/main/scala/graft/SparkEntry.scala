@@ -64,6 +64,9 @@ object SparkEntry {
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
     "scale_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(Tables.lineitem(s, d))),
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
+    "q17_cube" -> ((s, d) => Relational.q17Cube(Tables.orders(s, d))),
+    "text_ngram_freq" -> ((s, d) => TextOps.ngramFreq(Tables.documents(s, d))),
+    "dedup_fingerprint" -> ((s, d) => Dedup.dedupFingerprint(Tables.documents(s, d))),
   )
 
   /** DuckDB-dialect oracle SQL, column names matched to `queries`. */
@@ -283,6 +286,18 @@ object SparkEntry {
         |SELECT e.event_type, count(*) AS n, round(sum(e.value * d.weight), 2) AS weighted
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q17_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "text_ngram_freq" ->
+      """SELECT token, count(*) AS freq FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |) WHERE length(token) > 0
+        |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
     "scale_bucketed_join" ->
       """SELECT o_orderpriority,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

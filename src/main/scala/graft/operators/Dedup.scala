@@ -130,6 +130,40 @@ object Dedup {
     pairs.orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Winnowing-fingerprint dedup: docs sharing >= `minShared` selected
+    * fingerprints are near-dup candidates, verified by fingerprint-set
+    * overlap ratio. The explode/group candidate generation is the
+    * inverted-index pattern: pairs only form inside one fingerprint
+    * bucket, never globally. */
+  def dedupFingerprint(documents: DataFrame, minShared: Int = 3,
+                       overlap: Double = 0.5, maxDocFreq: Int = 20): DataFrame = {
+    val docs = documents.select(col("doc_id"),
+      F.fingerprint(col("text"), 20, 4).as("fp"))
+    val exploded = docs.select(col("doc_id"), explode(col("fp")).as("f"))
+    // Stop-fingerprint removal (standard winnowing-index practice): a
+    // gram shared by more than maxDocFreq docs is boilerplate and would
+    // blow the bucket join quadratically; true near-dups still share
+    // plenty of rare grams. Bounds pairs at maxDocFreq^2/2 per bucket.
+    val rare = exploded.groupBy(col("f"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("f"))
+    val inverted = exploded.join(rare, "f")
+    val cands = inverted.as("x").join(inverted.as("y"),
+        col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    cands
+      .join(docs.select(col("doc_id").as("a_id"), size(col("fp")).as("na")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), size(col("fp")).as("nb")), "b_id")
+      .withColumn("overlap_ratio",
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 4))
+      .filter(col("overlap_ratio") >= overlap)
+      .select(col("a_id"), col("b_id"), col("shared"), col("overlap_ratio"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, candidates restricted to a shared
     * random-hyperplane LSH bucket (no all-pairs at scale). */
   def dedupEmbedding(embeddings: DataFrame, numPlanes: Int = 8,

@@ -199,6 +199,18 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** Full cube over two dims + a measure (grouping-sets family,
+    * complements q9's rollup). */
+  def q17Cube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("revenue"), col("n"))
+      .orderBy(col("status"), col("priority"))
+
   /** Equi + range predicate join: lineitems shipped within 90 days of
     * their order date. The equi key carries the shuffle; the range
     * predicate evaluates post-match (no cross product). */

@@ -56,6 +56,19 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-level vocabulary statistics: top-N token frequencies.
+    * explode → hash-agg on token (map-side combine) → global top-N via
+    * TakeOrdered; at 100 TB the agg output is vocabulary-sized, tiny
+    * next to the corpus. */
+  def ngramFreq(documents: DataFrame, topN: Int = 100): DataFrame =
+    documents
+      .select(explode(tokens).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topN)
+
   /** Stopword-profile language ID. `nonascii` doubles as a CJK signal
     * (octet_length > char length) without regex-dialect hazards. */
   def textLangid(documents: DataFrame): DataFrame = {
