@@ -16,6 +16,14 @@ object ScaleOps {
     * local merge per bucket. Bucket count picks total-size/target-
     * partition at real scale; parameterized here. */
   def writeBucketed(spark: SparkSession, sfDir: String, buckets: Int = 8): Unit = {
+    // Reuse a bucketed copy this session already wrote for the same
+    // source (bench/verify call per query; bucketing is a one-time cost).
+    if (spark.catalog.tableExists("graft_lineitem_bucketed") &&
+        spark.catalog.tableExists("graft_orders_bucketed") &&
+        spark.table("graft_lineitem_bucketed").count() ==
+          graft.Tables.lineitem(spark, sfDir).count()) {
+      return
+    }
     // In-memory catalogs don't know about tables a previous session left
     // in the warehouse dir — drop both the entry and the location.
     Seq("graft_lineitem_bucketed", "graft_orders_bucketed").foreach { t =>

@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -70,7 +71,8 @@ class GraftBqTable(schema: StructType, path: String) extends Table
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.BATCH_READ, TableCapability.TRUNCATE).asJava
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -201,10 +203,14 @@ class GraftBqDataWriter(schema: StructType, path: String, queryId: String,
   override def close(): Unit = ()
 }
 
-/** Read side: committed files only, one input partition per file. */
+/** Read side: committed files only, one input partition per file.
+  * Streaming read: each micro-batch consumes the manifests that
+  * appeared since the last offset (offset = set of seen manifests). */
 class GraftBqScan(schema: StructType, path: String) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftBqMicroBatchStream(schema, path)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val committedDir = Paths.get(path).resolve("_committed")
@@ -226,6 +232,46 @@ case class GraftBqInputPartition(file: String) extends InputPartition
 class GraftBqReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftBqPartitionReader(schema, partition.asInstanceOf[GraftBqInputPartition].file)
+}
+
+/** Offset = the sorted set of committed manifest names already seen. */
+case class GraftBqOffset(manifests: Seq[String]) extends Offset {
+  override def json(): String = manifests.sorted.mkString("[\"", "\",\"", "\"]") match {
+    case "[\"\"]" => "[]"
+    case j => j
+  }
+}
+
+class GraftBqMicroBatchStream(schema: StructType, path: String) extends MicroBatchStream {
+  private def committedDir = Paths.get(path).resolve("_committed")
+
+  private def currentManifests(): Seq[String] =
+    if (!Files.isDirectory(committedDir)) Nil
+    else Files.list(committedDir).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq.sorted
+
+  override def initialOffset(): Offset = GraftBqOffset(Nil)
+  override def latestOffset(): Offset = GraftBqOffset(currentManifests())
+
+  override def deserializeOffset(json: String): Offset = {
+    val names = json.stripPrefix("[").stripSuffix("]").split(",")
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    GraftBqOffset(names)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GraftBqOffset].manifests.toSet
+    val fresh = end.asInstanceOf[GraftBqOffset].manifests.filterNot(seen)
+    fresh.sorted.flatMap { m =>
+      new String(Files.readAllBytes(committedDir.resolve(m)), StandardCharsets.UTF_8)
+        .split("\n").iterator.filter(_.nonEmpty)
+        .map(f => GraftBqInputPartition(Paths.get(path).resolve(f).toString): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftBqReaderFactory(schema)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class GraftBqPartitionReader(schema: StructType, file: String)

@@ -63,3 +63,26 @@ class GraftBqSourceSpec extends AnyFunSuite {
     assert(back.schema.fieldNames.sorted.toSeq == out.schema.fieldNames.sorted.toSeq)
   }
 }
+
+class GraftBqStreamReadSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("readStream over graft-bq consumes committed batches incrementally") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bq-sr").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.format("graft-bq").mode("append").option("path", dir).save()
+
+    val q = spark.readStream.format("graft-bq").option("path", dir).load()
+      .writeStream.format("memory").queryName("bqsr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bqsr").count() == 2)
+      // a second committed batch appears → next micro-batch picks it up
+      Seq((3L, "c")).toDF("id", "name")
+        .write.format("graft-bq").mode("append").option("path", dir).save()
+      q.processAllAvailable()
+      assert(spark.table("bqsr").orderBy("id").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+}
