@@ -211,6 +211,32 @@ object Relational {
         col("revenue"), col("n"))
       .orderBy(col("status"), col("priority"))
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`; both exact linear interpolation). At
+    * 100 TB one would switch to approx_percentile sketches — kept exact
+    * here so the oracle hash-matches. */
+  def q18Percentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Statistical aggregates battery (moments, correlation). */
+  def q19Stats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        round(skewness(col("l_discount")) + lit(1e-9), 4).as("skew_disc"))
+      .orderBy(col("l_linestatus"))
+
   /** Equi + range predicate join: lineitems shipped within 90 days of
     * their order date. The equi key carries the shuffle; the range
     * predicate evaluates post-match (no cross product). */
