@@ -67,23 +67,14 @@ object SparkEntry {
     "q17_cube" -> ((s, d) => Relational.q17Cube(Tables.orders(s, d))),
     "q18_percentiles" -> ((s, d) => Relational.q18Percentiles(Tables.lineitem(s, d))),
     "q19_stats" -> ((s, d) => Relational.q19Stats(Tables.lineitem(s, d))),
-    "q18_percentiles" ->
-      """SELECT l_returnflag,
-        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
-        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
-        | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
-        | count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q19_stats" ->
-      """SELECT l_linestatus,
-        | round(stddev_samp(l_extendedprice), 4) AS sd_price,
-        | round(var_samp(l_quantity), 4) AS var_qty,
-        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
-        | round(skewness(l_discount) + 1e-9, 4) AS skew_disc
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "text_ngram_freq" -> ((s, d) => TextOps.ngramFreq(Tables.documents(s, d))),
     "dedup_fingerprint" -> ((s, d) => Dedup.dedupFingerprint(Tables.documents(s, d))),
+    "scale_hash_split" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      ScaleOps.hashSplit(Tables.documents(s, d))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))
+    }),
   )
 
   /** DuckDB-dialect oracle SQL, column names matched to `queries`. */

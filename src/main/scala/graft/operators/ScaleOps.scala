@@ -84,6 +84,21 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** Stratified sampling: per-stratum fractions without a shuffle
+    * (seeded Bernoulli per row → deterministic, reproducible splits —
+    * the train/eval split primitive of a data pipeline). */
+  def stratifiedSample(documents: DataFrame, fractions: Map[String, Double],
+                       seed: Long = 42L): DataFrame =
+    documents.stat.sampleBy("lang", fractions, seed)
+
+  /** Deterministic train/val/test split by key hash — stable across
+    * runs and cluster sizes (hash-mod, not RNG). */
+  def hashSplit(documents: DataFrame, valPct: Int = 10, testPct: Int = 10): DataFrame =
+    documents.withColumn("split",
+      when(pmod(xxhash64(col("doc_id")), lit(100)) < valPct, "val")
+        .when(pmod(xxhash64(col("doc_id")), lit(100)) < valPct + testPct, "test")
+        .otherwise("train"))
+
   /** Sketch-based distinct: HyperLogLog++ approximate counts next to
     * exact ones. At 100 TB the approx pass is one scan with tiny fixed
     * state; rsd controls the memory/accuracy trade. */

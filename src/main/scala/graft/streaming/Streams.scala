@@ -131,6 +131,14 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup on a key with bounded state:
+    * dropDuplicatesWithinWatermark keeps ids only as long as the
+    * watermark can still admit a duplicate — the streaming face of
+    * Dedup.dedupExact. */
+  def streamDedup(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-key monotone offset assignment with TTL-based stream
     * recreation — `mapGroupsWithState` re-expression of the reference's
     * StreamStateHandler (process/StreamStateHandler.java:96-160:

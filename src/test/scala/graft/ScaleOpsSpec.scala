@@ -74,3 +74,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("stratified sample hits per-stratum fractions, deterministically") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val fr = Map("en" -> 0.5, "de" -> 0.1, "fr" -> 0.0, "es" -> 1.0, "zh" -> 0.2)
+    val s1 = graft.operators.ScaleOps.stratifiedSample(docs, fr).collect()
+    val s2 = graft.operators.ScaleOps.stratifiedSample(docs, fr).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq) // seeded → stable
+    val byLang = s1.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(!byLang.contains("fr"))
+    assert(byLang("es") == 80) // fraction 1.0 keeps all 80 es docs at sf0.001
+    assert(byLang("en") > 50 && byLang("en") < 145) // ~50% of 193
+  }
+
+  test("hash split is stable, complete, and near the requested ratios") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val split = graft.operators.ScaleOps.hashSplit(docs)
+    assert(split.count() == docs.count())
+    val counts = split.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 350 && counts("val") > 20 && counts("test") > 20)
+    // same doc always lands in the same split
+    val again = graft.operators.ScaleOps.hashSplit(docs)
+    assert(split.exceptAll(again).isEmpty)
+  }
+}
+
+class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "event_id")
+    val q = graft.streaming.Streams.streamDedup(df, "10 minutes")
+      .writeStream.format("memory").queryName("sdd").outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((t, 1L), (t, 2L), (t, 1L)) // dup within batch
+      q.processAllAvailable()
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 2L)) // dup across batches
+      q.processAllAvailable()
+      assert(spark.table("sdd").count() == 2)
+    } finally q.stop()
+  }
+}
