@@ -140,3 +140,31 @@ class TimeoutBatcherSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class GraftSinkSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("writeAtLeastOnce delivers every row distributed, with accumulator metrics") {
+    val spark = TestSpark.spark
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-alo").toString
+    // transport: one file per append (executor-side, shared tmpfs in local
+    // mode); capture the dir as String — Path is not serializable
+    val transport: Seq[Array[Byte]] => Unit = { batch =>
+      val f = java.nio.file.Paths.get(sinkDir).resolve(java.util.UUID.randomUUID().toString + ".jsonl")
+      java.nio.file.Files.write(f, batch.map(new String(_, "UTF-8")).mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val df = Tables.events(spark, TestSpark.sf)
+      .selectExpr("event_id", "event_type", "user_id")
+    val totals = graft.sinks.GraftSink.writeAtLeastOnce(
+      df, graft.sinks.TableRef("p", "d", "events"),
+      graft.sinks.WriterSettings(maxBatchCount = 64, maxBatchBytes = 1L << 20,
+        maxAppendBytes = 1L << 14), transport)
+    assert(totals.rows == 1000)
+    assert(totals.batches > 0 && totals.bytes > 0)
+    // every event written exactly once (at-least-once with no failures)
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.list(java.nio.file.Paths.get(sinkDir)).iterator().asScala
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala).toSeq
+    assert(lines.size == 1000)
+    val ids = lines.map(l => l.split("\"event_id\":")(1).takeWhile(_.isDigit).toLong).sorted
+    assert(ids == (0L until 1000L))
+  }
+}
