@@ -69,6 +69,7 @@ object SparkEntry {
     "q19_stats" -> ((s, d) => Relational.q19Stats(Tables.lineitem(s, d))),
     "text_ngram_freq" -> ((s, d) => TextOps.ngramFreq(Tables.documents(s, d))),
     "dedup_fingerprint" -> ((s, d) => Dedup.dedupFingerprint(Tables.documents(s, d))),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "scale_hash_split" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       ScaleOps.hashSplit(Tables.documents(s, d))

@@ -164,6 +164,50 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Connected components over near-dup pairs: iterative min-label
+    * propagation (each node adopts the min label in its neighborhood)
+    * until fixpoint — the distributed union-find that turns pairwise
+    * dup evidence into clusters. Converges in O(component diameter)
+    * rounds; dup clusters are shallow in practice. `localCheckpoint`
+    * per round truncates lineage so plans stay constant-size.
+    * Input: (a_id, b_id) pairs. Output: (doc_id, cluster_id) with
+    * cluster_id = min doc_id of the component; keep-one dedup keeps
+    * doc_id == cluster_id. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b_id"), col("label").as("nl")), "b_id")
+        .groupBy(col("a_id").as("id")).agg(min(col("nl")).as("nmin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("new_label") < col("label")).isEmpty
+      labels = updated.select(col("id"), col("new_label").as("label")).localCheckpoint(true)
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** End-to-end near-dup clustering: fingerprint pairs → components →
+    * cluster summary (size, kept representative). */
+  def dedupClusters(documents: DataFrame): DataFrame = {
+    val pairs = dedupFingerprint(documents).select(col("a_id"), col("b_id"))
+    dupClusters(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, candidates restricted to a shared
     * random-hyperplane LSH bucket (no all-pairs at scale). */
   def dedupEmbedding(embeddings: DataFrame, numPlanes: Int = 8,

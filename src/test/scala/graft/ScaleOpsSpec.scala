@@ -124,3 +124,27 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class DupClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("min-label propagation finds connected components incl. long chains") {
+    import spark.implicits._
+    // components: {1,2,3}, {4,5}, and a chain 10-11-...-19 (tests iteration depth)
+    val chain = (10L until 19L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (4L, 5L)) ++ chain).toDF("a_id", "b_id")
+    val got = graft.operators.Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(4L) == 4L && got(5L) == 4L)
+    (10L to 19L).foreach(i => assert(got(i) == 10L, s"node $i"))
+  }
+
+  test("cluster summary keeps one representative per near-dup group") {
+    import org.apache.spark.sql.functions._
+    val clusters = graft.operators.Dedup.dedupClusters(Tables.documents(spark, TestSpark.sf))
+    val rows = clusters.collect()
+    assert(rows.nonEmpty) // the corpus has planted dups
+    assert(rows.forall(r => r.getLong(1) >= 2)) // clusters are real groups
+    assert(rows.forall(r => r.getLong(0) == r.getLong(2))) // keep = min = cluster id
+  }
+}
