@@ -70,6 +70,11 @@ object SparkEntry {
     "text_ngram_freq" -> ((s, d) => TextOps.ngramFreq(Tables.documents(s, d))),
     "dedup_fingerprint" -> ((s, d) => Dedup.dedupFingerprint(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
+    "mm_frames" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.frameSample(Multimodal.mediaTable(Tables.documents(s, d))).toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
     "scale_hash_split" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       ScaleOps.hashSplit(Tables.documents(s, d))
@@ -240,6 +245,24 @@ object SparkEntry {
       """SELECT event_id, user_id,
         | CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) / 100) AS BIGINT) AS batch_id
         |FROM events ORDER BY event_id""".stripMargin,
+    "sink_batch_bytes" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, event_id, strlen(props) + 24 AS sz,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, rn, sz,
+        |         CAST(0 AS BIGINT) AS batch_id, sz AS acc,
+        |         CASE WHEN sz >= 4096 THEN 1 ELSE 0 END AS fired
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.event_id, o.rn, o.sz,
+        |         CASE WHEN r.fired = 1 THEN r.batch_id + 1 ELSE r.batch_id END,
+        |         CASE WHEN r.fired = 1 THEN o.sz ELSE r.acc + o.sz END,
+        |         CASE WHEN (CASE WHEN r.fired = 1 THEN o.sz ELSE r.acc + o.sz END) >= 4096 THEN 1 ELSE 0 END
+        |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        |)
+        |SELECT event_id, user_id, batch_id FROM r ORDER BY event_id""".stripMargin,
     "sink_rows_batch" ->
       """WITH b AS (
         |  SELECT event_id, user_id, strlen(props) + 24 AS rec_size,
