@@ -66,6 +66,8 @@ object SparkEntry {
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
     "q17_cube" -> ((s, d) => Relational.q17Cube(Tables.orders(s, d))),
     "q18_percentiles" -> ((s, d) => Relational.q18Percentiles(Tables.lineitem(s, d))),
+    "q20_outer_join" -> ((s, d) => Relational.q20OuterJoin(Tables.customer(s, d), Tables.orders(s, d))),
+    "q21_json_extract" -> ((s, d) => Relational.q21JsonExtract(Tables.events(s, d))),
     "q19_stats" -> ((s, d) => Relational.q19Stats(Tables.lineitem(s, d))),
     "text_ngram_freq" -> ((s, d) => TextOps.ngramFreq(Tables.documents(s, d))),
     "dedup_fingerprint" -> ((s, d) => Dedup.dedupFingerprint(Tables.documents(s, d))),
@@ -331,6 +333,20 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q20_outer_join" ->
+      """WITH stats AS (
+        |  SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT c_custkey, c_mktsegment,
+        | coalesce(cnt, 0) AS n_orders, coalesce(total, 0.0) AS order_total
+        |FROM customer LEFT JOIN stats ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q21_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q19_stats" ->
       """SELECT l_linestatus,
         | round(stddev_samp(l_extendedprice), 4) AS sd_price,

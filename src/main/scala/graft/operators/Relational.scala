@@ -237,6 +237,28 @@ object Relational {
         round(skewness(col("l_discount")) + lit(1e-9), 4).as("skew_disc"))
       .orderBy(col("l_linestatus"))
 
+  /** Outer-join family: customers left-joined to their order stats
+    * (zero-order customers surface with n_orders = 0). */
+  def q20OuterJoin(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val stats = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+    customer.join(stats, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("total"), lit(0.0)).as("order_total"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** JSON extraction from the events payload column (get_json_object
+    * stays codegen'd; schema-on-read without a parse step). */
+  def q21JsonExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
   /** Equi + range predicate join: lineitems shipped within 90 days of
     * their order date. The equi key carries the shuffle; the range
     * predicate evaluates post-match (no cross product). */
