@@ -59,6 +59,7 @@ object SparkEntry {
     "serialize_json" -> ((s, d) => SinkOps.serializeJson(Tables.events(s, d))),
     "stream_window_agg" -> ((s, d) => graft.streaming.Streams.windowAgg(Tables.events(s, d))),
     "stream_session" -> ((s, d) => graft.streaming.Streams.sessionize(Tables.events(s, d))),
+    "stream_interval_join" -> ((s, d) => graft.streaming.Streams.intervalJoinCounts(Tables.events(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
@@ -311,6 +312,13 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
         | count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM m GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "stream_interval_join" ->
+      """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id, count(*) AS n_views
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 60 MINUTE
+        |GROUP BY p.event_id, p.user_id ORDER BY purchase_id""".stripMargin,
     "scale_salted_agg" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -131,6 +131,35 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * view events within the preceding `windowMinutes`. In streaming both
+    * sides carry watermarks and the time-range condition bounds join
+    * state (Spark discards rows older than watermark - interval). The
+    * same expression tree runs in batch for the oracle. */
+  def intervalJoin(views: DataFrame, purchases: DataFrame,
+                   windowMinutes: Int = 60): DataFrame = {
+    val v = (if (views.isStreaming) views.withWatermark("ts", "10 minutes") else views)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = (if (purchases.isStreaming) purchases.withWatermark("ts", "10 minutes") else purchases)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+      col("v_ts") <= col("p_ts") &&
+      col("v_ts") > col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
+  /** Batch/oracle shape: per purchase, how many prior-hour views. */
+  def intervalJoinCounts(events: DataFrame, windowMinutes: Int = 60): DataFrame =
+    intervalJoin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"), windowMinutes)
+      .groupBy(col("purchase_id"), col("p_user"))
+      .agg(count(lit(1)).as("n_views"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("n_views"))
+      .orderBy(col("purchase_id"))
+
   /** Streaming exact dedup on a key with bounded state:
     * dropDuplicatesWithinWatermark keeps ids only as long as the
     * watermark can still admit a duplicate — the streaming face of

@@ -93,3 +93,26 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 }
+
+class IntervalJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("stream-stream interval join matches views within the window, drops older state") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = graft.streaming.Streams.intervalJoin(
+        views.toDF().toDF("ts", "user_id", "event_id"),
+        purchases.toDF().toDF("ts", "user_id", "event_id"), 60)
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      views.addData((ts("2024-01-01 10:00:00"), 1L, 100L), (ts("2024-01-01 08:00:00"), 1L, 101L))
+      purchases.addData((ts("2024-01-01 10:30:00"), 1L, 200L))
+      q.processAllAvailable()
+      val got = spark.table("ivj").collect().map(r => (r.getLong(2), r.getLong(5))).sorted
+      // only the 10:00 view is within the preceding hour of the 10:30 purchase
+      assert(got.toSeq == Seq((200L, 100L)))
+    } finally q.stop()
+  }
+}
