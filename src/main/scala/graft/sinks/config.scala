@@ -65,6 +65,10 @@ class AsyncBatchWriter[A](transport: Seq[A] => Unit, settings: WriterSettings,
   /** Blocks when maxBufferedRequests is reached (backpressure). */
   def submit(batch: Seq[A]): Unit = buffer.put(batch)
 
+  /** Gauges mirroring AsyncBigQueryStreamMetrics.java. */
+  def bufferedRequests: Int = buffer.size()
+  def inFlightRequests: Int = settings.maxInFlightRequests - inFlight.availablePermits()
+
   def flush(): Unit = {
     val futures = new java.util.ArrayList[java.util.concurrent.Future[_]]()
     var b = buffer.poll()

@@ -212,3 +212,13 @@ class GraftStreamSinkSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(lines.exists(_.contains("\"id\":2")))
   }
 }
+
+class AsyncGaugesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("async writer exposes buffered/in-flight gauges") {
+    val w = new graft.sinks.AsyncBatchWriter[Int](_ => (), graft.sinks.WriterSettings())
+    w.submit(Seq(1)); w.submit(Seq(2))
+    assert(w.bufferedRequests == 2 && w.inFlightRequests == 0)
+    w.close()
+    assert(w.bufferedRequests == 0)
+  }
+}
