@@ -47,6 +47,7 @@ object SparkEntry {
     }),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
+    "dedup_minhash_fast" -> ((s, d) => Dedup.dedupMinhashLshFast(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(Tables.embeddings(s, d))),

@@ -27,6 +27,14 @@ object F {
   def cosine(a: Column, b: Column): Column =
     Shims.column(CosineSim(Shims.expression(a), Shims.expression(b)))
 
+  /** Hashed k-token shingles straight from a string column. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    Shims.column(ShingleHashes(Shims.expression(text), k))
+
+  /** MinHash signature over precomputed element hashes. */
+  def minhashHashed(hashes: Column, numPerm: Int = 128): Column =
+    Shims.column(MinHashFromHashes(Shims.expression(hashes), numPerm))
+
   /** Intersection size of two sorted array<long> columns. */
   def sortedIntersect(a: Column, b: Column): Column =
     Shims.column(SortedIntersectCount(Shims.expression(a), Shims.expression(b)))

@@ -129,6 +129,70 @@ object HashImpls {
     new GenericArrayData(out)
   }
 
+  /** Hashed k-token shingles straight from UTF-8 bytes: lowercases
+    * ASCII inline, hashes each whitespace token (xxhash64), then
+    * combines k consecutive token hashes into a shingle hash — no
+    * token/shingle strings ever materialize (the allocation-free fast
+    * path under MinHash at corpus scale). Combiner = order-sensitive
+    * splitmix chain, matching logical k-gram semantics. */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val tokenHashes = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    var h = 0xcbf29ce484222325L // FNV offset as running token hash
+    var inTok = false
+    while (i <= n) {
+      val c = if (i < n) bytes(i) else ' '.toByte
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      if (isWs) {
+        if (inTok) { tokenHashes.add(splitmix64(h)); h = 0xcbf29ce484222325L; inTok = false }
+      } else {
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+        h = (h ^ (lc & 0xffL)) * 0x100000001b3L // FNV-1a step
+        inTok = true
+      }
+      i += 1
+    }
+    val m = tokenHashes.size()
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (m < k) {
+      var acc = 0L
+      var j = 0
+      while (j < m) { acc = splitmix64(acc ^ tokenHashes.get(j)); j += 1 }
+      return new GenericArrayData(Array(acc))
+    }
+    val out = new Array[Long](m - k + 1)
+    var s0 = 0
+    while (s0 <= m - k) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = splitmix64(acc ^ tokenHashes.get(s0 + j)); j += 1 }
+      out(s0) = acc
+      s0 += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash over precomputed 64-bit element hashes (pairs with
+    * [[shingleHashes]]; skips string hashing entirely). */
+  def minhashFromHashes(hashes: ArrayData, numPerm: Int): ArrayData = {
+    val mins = Array.fill(numPerm)(-1L)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < numPerm) {
+        val v = permA(j) * h + permB(j)
+        if (java.lang.Long.compareUnsigned(v, mins(j)) < 0) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Intersection size of two SORTED long arrays (single merge pass —
     * the per-pair kernel behind set-similarity joins; no hashing, no
     * allocation). */

@@ -52,6 +52,32 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** string → array<long> hashed k-token shingles (no string shingles). */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.shingleHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** array<long> element hashes → array<long> MinHash signature. */
+case class MinHashFromHashes(child: Expression, numPerm: Int) extends UnaryExpression {
+  require(numPerm > 0 && numPerm <= 256)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.minhashFromHashes(input.asInstanceOf[ArrayData], numPerm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.minhashFromHashes($c, $numPerm)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
+    copy(child = newChild)
+}
+
 /** (array<long> sorted, array<long> sorted) → intersection size. */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {

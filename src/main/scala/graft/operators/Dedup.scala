@@ -78,6 +78,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** MinHash LSH on the allocation-free fast path: hashed shingles
+    * straight from text bytes (ShingleHashes) → MinHash over longs →
+    * same banding — no token/shingle strings materialize anywhere, and
+    * the Jaccard verify runs the sorted-merge intersect kernel. Same
+    * output shape as [[dedupMinhashLsh]]; the spec asserts both find
+    * the same duplicate partners. */
+  def dedupMinhashLshFast(documents: DataFrame, numPerm: Int = 128, bands: Int = 16,
+                          threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val docs = documents
+      .select(col("doc_id"),
+        sort_array(array_distinct(F.shingleHashes(col("text"), 3))).as("shh"))
+      .withColumn("sig", F.minhashHashed(col("shh"), numPerm))
+
+    val banded = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+      .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
+
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+
+    val inter = F.sortedIntersect(col("shh_a"), col("shh_b"))
+    val verified = cands
+      .join(docs.select(col("doc_id").as("a_id"), col("shh").as("shh_a")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("shh").as("shh_b")), "b_id")
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("shh_a")) + size(col("shh_b")) - inter))
+      .filter(col("jaccard") >= threshold)
+
+    val partners = verified.select(col("a_id").as("doc_id"), col("b_id").as("partner"))
+      .unionAll(verified.select(col("b_id").as("doc_id"), col("a_id").as("partner")))
+      .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_partner"))
+
+    docs.select(col("doc_id"), size(col("shh")).as("n_shingles"),
+        element_at(col("sig"), 1).as("sig_head"))
+      .join(partners, Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup: 64-bit signature, candidates share one of four
     * 16-bit bands, verified by Hamming distance <= maxHamming. */
   def dedupSimhash(documents: DataFrame, maxHamming: Int = 6): DataFrame = {

@@ -148,3 +148,24 @@ class DupClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) == r.getLong(2))) // keep = min = cluster id
   }
 }
+
+class MinhashFastPathSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("hashed-shingle fast path finds the same duplicate partners as the string path") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val slow = graft.operators.Dedup.dedupMinhashLsh(docs)
+      .select(col("doc_id"), col("dup_partner")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val fast = graft.operators.Dedup.dedupMinhashLshFast(docs)
+      .select(col("doc_id"), col("dup_partner")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(slow.keySet == fast.keySet)
+    val disagree = slow.keys.filter(k => slow(k) != fast(k))
+    // different hash families → borderline candidates may differ, but the
+    // planted near-identical dups must agree
+    val hardDups = slow.filter(_._2 >= 0).keySet
+    assert(disagree.size <= hardDups.size / 5, s"disagreements: ${disagree.take(10)}")
+    assert(fast.count(_._2 >= 0) >= slow.count(_._2 >= 0) / 2)
+  }
+}
