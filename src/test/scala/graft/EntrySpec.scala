@@ -1,0 +1,18 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the driver's t1 smoke: entry() on sf0.001 returns rows. */
+class EntrySpec extends AnyFunSuite {
+  test("entry returns a non-empty flagship result") {
+    val df = SparkEntry.entry(TestSpark.spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("sum_qty"))
+  }
+
+  test("every oracleSql key has a queries entry (driver contract invariant)") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}
