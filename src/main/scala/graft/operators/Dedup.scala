@@ -147,20 +147,52 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Blocked n-gram (token-set) Jaccard dedup: pairwise comparison only
-    * within (lang, source, length-bucket) blocks — the classic blocking
-    * strategy; block sizes stay bounded as data grows. */
-  def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // Token sets as SORTED xxhash64 arrays: the pairwise kernel becomes
-    // a primitive merge loop (custom SortedIntersectCount expression)
-    // and the block-join shuffles long arrays instead of strings —
-    // ~4x cheaper per pair than array_intersect over strings.
+  /** Token-set Jaccard dedup with a signature-banded candidate stage:
+    * MinHash over the distinct tokens → banded LSH buckets generate
+    * candidates (bucket sizes bounded by collision probability, NOT by
+    * corpus size — this is what survives 1000x), then exact token-set
+    * Jaccard verifies via the sorted-merge intersect kernel. 32 bands x
+    * 4 rows → >0.99 recall at threshold 0.8. */
+  def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.8,
+                        numPerm: Int = 128, bands: Int = 32): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val docs = documents.select(col("doc_id"),
+        array_distinct(tokens).as("tok_set"),
+        sort_array(array_distinct(transform(array_distinct(tokens),
+          t => xxhash64(t)))).as("tok_hashes"))
+      .withColumn("sig", F.minhash(col("tok_set"), numPerm))
+    val banded = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+      .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val inter = F.sortedIntersect(col("h_a"), col("h_b"))
+    cands
+      .join(docs.select(col("doc_id").as("a_id"), col("tok_hashes").as("h_a")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("tok_hashes").as("h_b")), "b_id")
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("h_a")) + size(col("h_b")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Attribute-blocked variant (classic record-linkage blocking on
+    * (lang, source, length)) — kept for corpora where metadata blocking
+    * is cheaper than signatures; block sizes grow with corpus, so the
+    * banded [[dedupNgramJaccard]] is the default scale path. */
+  def dedupNgramJaccardBlocked(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
     val docs = documents.select(col("doc_id"), col("lang"), col("source"),
         (col("n_chars") / 100).cast("int").as("len_bucket"),
         sort_array(array_distinct(transform(array_distinct(tokens),
           t => xxhash64(t)))).as("tok_hashes"))
     val inter = F.sortedIntersect(col("x.tok_hashes"), col("y.tok_hashes"))
-    val pairs = docs.as("x").join(docs.as("y"),
+    docs.as("x").join(docs.as("y"),
         col("x.lang") === col("y.lang") &&
         col("x.source") === col("y.source") &&
         col("x.len_bucket") === col("y.len_bucket") &&
@@ -171,7 +203,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         round(col("jaccard"), 4).as("jaccard"))
-    pairs.orderBy(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Winnowing-fingerprint dedup: docs sharing >= `minShared` selected

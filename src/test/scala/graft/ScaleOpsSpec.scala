@@ -169,3 +169,19 @@ class MinhashFastPathSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(fast.count(_._2 >= 0) >= slow.count(_._2 >= 0) / 2)
   }
 }
+
+class NgramJaccardBandingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("banded candidate stage recovers (nearly) all pairs the exact blocked scan finds") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val banded = graft.operators.Dedup.dedupNgramJaccard(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = graft.operators.Dedup.dedupNgramJaccardBlocked(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // blocked only compares within (lang,source,len) so banded may find MORE;
+    // of the blocked pairs, banding must recover nearly all (LSH recall)
+    val missed = blocked.diff(banded)
+    assert(missed.size <= math.max(1, blocked.size / 20), s"missed: $missed")
+    assert(banded.nonEmpty)
+  }
+}
