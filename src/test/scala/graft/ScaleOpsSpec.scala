@@ -185,3 +185,18 @@ class NgramJaccardBandingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(banded.nonEmpty)
   }
 }
+
+class ComposedJaccardSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("block-then-band candidates are a subset of blocked pairs with near-full recall") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val composed = graft.operators.Dedup.dedupNgramJaccardComposed(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blockedAll = graft.operators.Dedup.dedupNgramJaccardBlocked(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // composed verifies the same threshold inside (lang,source) blocks
+    // (len-bucket relaxed), so blocked-with-len pairs should be found
+    val missed = blockedAll.diff(composed)
+    assert(missed.size <= math.max(1, blockedAll.size / 20), s"missed ${missed.size} of ${blockedAll.size}")
+  }
+}
