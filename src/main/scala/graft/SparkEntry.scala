@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_minhash_fast" -> ((s, d) => Dedup.dedupMinhashLshFast(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccardBlocked(Tables.documents(s, d))),
+    "dedup_ngram_composed" -> ((s, d) => Dedup.dedupNgramJaccardComposed(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(Tables.embeddings(s, d))),
     "ann_bruteforce" -> ((s, d) => Ann.annBruteforce(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.annLsh(Tables.embeddings(s, d))),

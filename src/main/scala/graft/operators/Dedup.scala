@@ -149,21 +149,25 @@ object Dedup {
 
   /** Token-set Jaccard dedup with a signature-banded candidate stage:
     * MinHash over the distinct tokens → banded LSH buckets generate
-    * candidates (bucket sizes bounded by collision probability, NOT by
-    * corpus size — this is what survives 1000x), then exact token-set
-    * Jaccard verifies via the sorted-merge intersect kernel. 32 bands x
-    * 4 rows → >0.99 recall at threshold 0.8. */
+    * candidates, then exact token-set Jaccard verifies via the
+    * sorted-merge intersect kernel. `blockKeys` (e.g. lang/source)
+    * compose metadata blocking with banding: the block columns are
+    * FOLDED INTO the 8-byte band hash, so block-AND-band semantics
+    * cost no extra join keys and no string replication in the shuffle.
+    * 32 bands x 4 rows → >0.99 recall at threshold 0.8. */
   def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.8,
-                        numPerm: Int = 128, bands: Int = 32): DataFrame = {
+                        numPerm: Int = 128, bands: Int = 32,
+                        blockKeys: Seq[String] = Nil): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val docs = documents.select(col("doc_id"),
+    val docs = documents.select((Seq(col("doc_id")) ++ blockKeys.map(col) ++ Seq(
         array_distinct(tokens).as("tok_set"),
         sort_array(array_distinct(transform(array_distinct(tokens),
-          t => xxhash64(t)))).as("tok_hashes"))
+          t => xxhash64(t)))).as("tok_hashes"))): _*)
       .withColumn("sig", F.minhash(col("tok_set"), numPerm))
     val banded = docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+          b => xxhash64((blockKeys.map(col) :+
+            slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))): _*))))
       .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -182,41 +186,11 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Composed candidate generation: metadata block AND signature band
-    * must both collide — the production shape (block, then band within
-    * blocks): metadata bounds the similarity-degenerate case, banding
-    * bounds the big-block case. */
-  def dedupNgramJaccardComposed(documents: DataFrame, threshold: Double = 0.8,
-                                numPerm: Int = 128, bands: Int = 32): DataFrame = {
-    val rowsPerBand = numPerm / bands
-    val docs = documents.select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(tokens).as("tok_set"),
-        sort_array(array_distinct(transform(array_distinct(tokens),
-          t => xxhash64(t)))).as("tok_hashes"))
-      .withColumn("sig", F.minhash(col("tok_set"), numPerm))
-    val banded = docs.select(col("doc_id"), col("lang"), col("source"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("pos").as("band_id"), col("col").as("band_hash"))
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.lang") === col("y.lang") &&
-        col("x.source") === col("y.source") &&
-        col("x.band_id") === col("y.band_id") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    val inter = F.sortedIntersect(col("h_a"), col("h_b"))
-    cands
-      .join(docs.select(col("doc_id").as("a_id"), col("tok_hashes").as("h_a")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("tok_hashes").as("h_b")), "b_id")
-      .withColumn("jaccard",
-        inter.cast("double") / (size(col("h_a")) + size(col("h_b")) - inter))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
-  }
+  /** Block-then-band composition (the production default): metadata
+    * bounds the similarity-degenerate case, banding bounds the
+    * big-block case. */
+  def dedupNgramJaccardComposed(documents: DataFrame, threshold: Double = 0.8): DataFrame =
+    dedupNgramJaccard(documents, threshold, blockKeys = Seq("lang", "source"))
 
   /** Attribute-blocked variant (classic record-linkage blocking on
     * (lang, source, length)) — kept for corpora where metadata blocking
