@@ -11,9 +11,11 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the end-to-end curation pipeline — dedup, quality gate, language
+    * ID, deterministic split — composed from the library's operators. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    TextOps.curationPipeline(Tables.documents(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -34,6 +36,7 @@ object SparkEntry {
     "q14_exists_subquery" -> ((s, d) => Relational.q14ExistsSubquery(Tables.customer(s, d))),
     "q15_asof_join" -> ((s, d) => Relational.q15AsofJoin(Tables.events(s, d))),
     "q16_range_join" -> ((s, d) => Relational.q16RangeJoin(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.textLangid(Tables.documents(s, d))),
@@ -197,6 +200,43 @@ object SparkEntry {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "pipeline_curation" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |   regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |   length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |   strlen(text) - length(text) AS zh_score,
+        |   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS copy_rank,
+        |   CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 AS split_bucket
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, copy_rank, split_bucket, zh_score,
+        |   CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        |   CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |   len(toks) AS n_tokens,
+        |   len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS en_score,
+        |   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS de_score,
+        |   len(list_filter(toks, x -> x IN ('le','la','les','et','est','un'))) AS fr_score,
+        |   len(list_filter(toks, x -> x IN ('el','la','los','y','es','un'))) AS es_score
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, copy_rank, split_bucket,
+        |   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+        |     + least(stop_ratio * 5.0, 1.0) * 0.3
+        |     + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality_score,
+        |   CASE WHEN zh_score > 0 THEN 'zh'
+        |        WHEN en_score >= de_score AND en_score >= fr_score AND en_score >= es_score THEN 'en'
+        |        WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+        |        WHEN fr_score >= es_score THEN 'fr'
+        |        ELSE 'es' END AS lang_pred
+        |  FROM q
+        |)
+        |SELECT lang_pred,
+        | CASE WHEN split_bucket < 10 THEN 'val'
+        |      WHEN split_bucket < 20 THEN 'test' ELSE 'train' END AS split,
+        | count(*) AS n_docs, round(avg(quality_score) + 1e-9, 4) AS avg_quality
+        |FROM s WHERE copy_rank = 1 AND quality_score >= 0.5
+        |GROUP BY 1, 2 ORDER BY lang_pred, split""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, length(text) AS n_chars,
         | len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_ws_tokens,

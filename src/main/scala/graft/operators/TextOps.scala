@@ -32,19 +32,30 @@ object TextOps {
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  private def punctRatioCol: Column = {
+    val nChars = length(col("text"))
+    (nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") / nChars
+  }
+
+  /** Unrounded composite quality score (shared by textQuality and the
+    * curation pipeline so filters compare raw values on both sides). */
+  private[operators] def rawQualityScore: Column = {
+    val nTok = size(tokens)
+    val stopRatio = stopHits(EN_STOPS).cast("double") / nTok
+    least(nTok.cast("double") / lit(50.0), lit(1.0)) * lit(0.5) +
+      least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - least(punctRatioCol * lit(10.0), lit(1.0))) * lit(0.2)
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * word length, and a bounded composite score. */
   def textQuality(documents: DataFrame): DataFrame = {
     val nChars = length(col("text"))
     val nTok = size(tokens)
-    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val punctRatio = punct.cast("double") / nChars
+    val punctRatio = punctRatioCol
     val stopRatio = stopHits(EN_STOPS).cast("double") / nTok
     val meanWordLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
-    val score =
-      least(nTok.cast("double") / lit(50.0), lit(1.0)) * lit(0.5) +
-        least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3) +
-        (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2)
+    val score = rawQualityScore
     documents.select(
       col("doc_id"),
       nChars.cast("long").as("n_chars"),
@@ -68,6 +79,33 @@ object TextOps {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token").asc)
       .limit(topN)
+
+  /** Flagship curation pipeline: the composition a training-data run
+    * actually executes — exact-dedup (keep first copy), quality gate,
+    * language ID, deterministic md5 train/val/test split — in one
+    * DataFrame program (one shuffle for the dedup window, one for the
+    * final rollup). */
+  def curationPipeline(documents: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = documents.select(col("doc_id"), rawQualityScore.as("quality_score"))
+    val lang = textLangid(documents).select(col("doc_id"), col("lang_pred"))
+    val keepW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val split = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100
+    documents
+      .withColumn("copy_rank", row_number().over(keepW))
+      .withColumn("split_bucket", split)
+      .filter(col("copy_rank") === 1)
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("split",
+        when(col("split_bucket") < 10, "val")
+          .when(col("split_bucket") < 20, "test")
+          .otherwise("train"))
+      .groupBy(col("lang_pred"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("quality_score")) + lit(1e-9), 4).as("avg_quality"))
+      .orderBy(col("lang_pred"), col("split"))
+  }
 
   /** Stopword-profile language ID. `nonascii` doubles as a CJK signal
     * (octet_length > char length) without regex-dialect hazards. */

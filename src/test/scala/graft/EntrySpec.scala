@@ -7,7 +7,7 @@ class EntrySpec extends AnyFunSuite {
   test("entry returns a non-empty flagship result") {
     val df = SparkEntry.entry(TestSpark.spark)
     assert(df.count() > 0)
-    assert(df.columns.contains("sum_qty"))
+    assert(df.columns.toSet == Set("lang_pred", "split", "n_docs", "avg_quality"))
   }
 
   test("every oracleSql key has a queries entry (driver contract invariant)") {
