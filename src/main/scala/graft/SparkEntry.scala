@@ -301,6 +301,29 @@ object SparkEntry {
         |SELECT doc_id, length(redacted) AS redacted_len,
         | orig_len - length(stripped) > 0 AS had_pii
         |FROM r ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100) AS INT) AS lb,
+        |   list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |  FROM documents
+        |)
+        |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        | round(CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+        |   / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))), 4) AS jaccard
+        |FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
+        |  AND x.lb = y.lb AND x.doc_id < y.doc_id
+        |WHERE CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+        |   / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "scale_hash_split" ->
+      """WITH b AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 10 THEN 'val'
+        |            WHEN bucket < 20 THEN 'test' ELSE 'train' END AS split,
+        | count(*) AS n
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "text_repetition" ->
       """WITH e AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

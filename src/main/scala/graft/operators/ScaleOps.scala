@@ -92,12 +92,15 @@ object ScaleOps {
     documents.stat.sampleBy("lang", fractions, seed)
 
   /** Deterministic train/val/test split by key hash — stable across
-    * runs and cluster sizes (hash-mod, not RNG). */
-  def hashSplit(documents: DataFrame, valPct: Int = 10, testPct: Int = 10): DataFrame =
+    * runs, cluster sizes and engines (md5-derived bucket, not RNG). */
+  def hashSplit(documents: DataFrame, valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
     documents.withColumn("split",
-      when(pmod(xxhash64(col("doc_id")), lit(100)) < valPct, "val")
-        .when(pmod(xxhash64(col("doc_id")), lit(100)) < valPct + testPct, "test")
+      when(bucket < valPct, "val")
+        .when(bucket < valPct + testPct, "test")
         .otherwise("train"))
+  }
 
   /** Sketch-based distinct: HyperLogLog++ approximate counts next to
     * exact ones. At 100 TB the approx pass is one scan with tiny fixed
