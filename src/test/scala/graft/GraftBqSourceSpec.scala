@@ -86,3 +86,61 @@ class GraftBqStreamReadSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class CommitProtocolRetrySpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("speculative/retried task attempts: only the committed attempt's file is visible") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bq-retry").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val write = new graft.sources.GraftBqWrite(schema, dir, "qretry")
+    // two attempts for partition 0 (taskId 1 and 2) — attempt 2 wins
+    val w1 = new graft.sources.GraftBqDataWriter(schema, dir, "qretry", -1L, 0, 1L)
+    val w2 = new graft.sources.GraftBqDataWriter(schema, dir, "qretry", -1L, 0, 2L)
+    val row = org.apache.spark.sql.catalyst.InternalRow(7L)
+    w1.write(row); w2.write(row); w2.write(org.apache.spark.sql.catalyst.InternalRow(8L))
+    val m2 = w2.commit()
+    w1.abort() // loser attempt aborts
+    write.commit(Array(m2))
+    val back = spark.read.format("graft-bq").option("path", dir).load()
+    assert(back.as[Long].collect().sorted.toSeq == Seq(7L, 8L))
+  }
+}
+
+class StreamingDagSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("full streaming DAG: graft-bq source -> windowAgg -> exactly-once sink -> read back") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val srcDir = java.nio.file.Files.createTempDirectory("dag-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dag-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dag-ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // land source batches in the graft-bq transport (timestamps as micros)
+    Seq((ts("2024-01-01 10:05:00"), "view", 1.0), (ts("2024-01-01 10:45:00"), "view", 2.0))
+      .toDF("ts", "event_type", "value")
+      .write.format("graft-bq").mode("append").option("path", srcDir).save()
+
+    val eoSink = new graft.sinks.ExactlyOnceParquetSink(outDir)
+    val stream = spark.readStream.format("graft-bq").option("path", srcDir).load()
+    val agg = graft.streaming.Streams.windowAgg(stream, "1 hour", "10 minutes")
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, epoch: Long) => { eoSink.addBatch(df, epoch); () })
+      .start()
+    try {
+      q.processAllAvailable()
+      // second source commit arrives mid-stream
+      Seq((ts("2024-01-01 11:10:00"), "click", 5.0)).toDF("ts", "event_type", "value")
+        .write.format("graft-bq").mode("append").option("path", srcDir).save()
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = eoSink.read(spark)
+      .groupBy(col("hour"), col("event_type")).agg(max(col("n_events")).as("n"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(out.contains(("2024-01-01 10:00:00.0", "view", 2L)))
+    assert(out.contains(("2024-01-01 11:00:00.0", "click", 1L)))
+  }
+}
