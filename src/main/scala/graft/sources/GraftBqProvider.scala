@@ -52,7 +52,8 @@ class GraftBqProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new GraftBqTable(schema, properties.get("path"))
+    new GraftBqTable(schema, properties.get("path"),
+      "permissive".equalsIgnoreCase(properties.getOrDefault("mode", "failfast")))
 }
 
 object GraftBqProvider {
@@ -63,8 +64,8 @@ object GraftBqProvider {
   }
 }
 
-class GraftBqTable(schema: StructType, path: String) extends Table
-    with SupportsWrite with SupportsRead {
+class GraftBqTable(schema: StructType, path: String, permissive: Boolean = false)
+    extends Table with SupportsWrite with SupportsRead {
   require(path != null, "graft-bq requires a 'path' option")
 
   override def name(): String = s"graft-bq:$path"
@@ -79,10 +80,12 @@ class GraftBqTable(schema: StructType, path: String) extends Table
       override def build(): Write = new GraftBqWrite(schema, path, info.queryId())
     }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val perm = permissive || "permissive".equalsIgnoreCase(options.get("mode"))
     new ScanBuilder {
-      override def build(): Scan = new GraftBqScan(schema, path)
+      override def build(): Scan = new GraftBqScan(schema, path, perm)
     }
+  }
 }
 
 /** Commit message: the temp files this task produced. */
@@ -206,11 +209,12 @@ class GraftBqDataWriter(schema: StructType, path: String, queryId: String,
 /** Read side: committed files only, one input partition per file.
   * Streaming read: each micro-batch consumes the manifests that
   * appeared since the last offset (offset = set of seen manifests). */
-class GraftBqScan(schema: StructType, path: String) extends Scan with Batch {
+class GraftBqScan(schema: StructType, path: String, permissive: Boolean = false)
+    extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftBqMicroBatchStream(schema, path)
+    new GraftBqMicroBatchStream(schema, path, permissive)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val committedDir = Paths.get(path).resolve("_committed")
@@ -224,14 +228,16 @@ class GraftBqScan(schema: StructType, path: String) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftBqReaderFactory(schema)
+    new GraftBqReaderFactory(schema, permissive)
 }
 
 case class GraftBqInputPartition(file: String) extends InputPartition
 
-class GraftBqReaderFactory(schema: StructType) extends PartitionReaderFactory {
+class GraftBqReaderFactory(schema: StructType, permissive: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftBqPartitionReader(schema, partition.asInstanceOf[GraftBqInputPartition].file)
+    new GraftBqPartitionReader(schema,
+      partition.asInstanceOf[GraftBqInputPartition].file, permissive)
 }
 
 /** Offset = the sorted set of committed manifest names already seen. */
@@ -242,7 +248,8 @@ case class GraftBqOffset(manifests: Seq[String]) extends Offset {
   }
 }
 
-class GraftBqMicroBatchStream(schema: StructType, path: String) extends MicroBatchStream {
+class GraftBqMicroBatchStream(schema: StructType, path: String,
+                              permissive: Boolean = false) extends MicroBatchStream {
   private def committedDir = Paths.get(path).resolve("_committed")
 
   private def currentManifests(): Seq[String] =
@@ -269,21 +276,38 @@ class GraftBqMicroBatchStream(schema: StructType, path: String) extends MicroBat
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new GraftBqReaderFactory(schema)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftBqReaderFactory(schema, permissive)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-class GraftBqPartitionReader(schema: StructType, file: String)
+/** `permissive` skips unparseable lines (counted nowhere — the analog
+  * of a DLQ would attach here); default failfast surfaces corruption. */
+class GraftBqPartitionReader(schema: StructType, file: String, permissive: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val lines = Files.lines(Paths.get(file))
   private val it = lines.iterator()
   private var current: InternalRow = _
 
-  override def next(): Boolean = {
+  @scala.annotation.tailrec
+  final override def next(): Boolean = {
     if (!it.hasNext) return false
-    val node = mapper.readTree(it.next())
+    val line = it.next()
+    val parsed = try Some(mapper.readTree(line)) catch {
+      case e: Exception => if (permissive) None else throw e
+    }
+    parsed match {
+      case None => next()
+      case Some(node) if !node.isObject =>
+        if (permissive) next()
+        else throw new java.io.IOException(s"graft-bq: non-object JSON line in $file")
+      case Some(node) => nextFrom(node)
+    }
+  }
+
+  private def nextFrom(node: com.fasterxml.jackson.databind.JsonNode): Boolean = {
     val values = schema.fields.map { f =>
       val v = node.get(f.name)
       if (v == null || v.isNull) null

@@ -144,3 +144,26 @@ class StreamingDagSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.contains(("2024-01-01 11:00:00.0", "click", 1L)))
   }
 }
+
+class PermissiveReadSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("permissive mode skips corrupt lines; failfast surfaces them") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bq-perm").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.format("graft-bq").mode("append").option("path", dir).save()
+    // corrupt one committed data file by appending garbage
+    import scala.jdk.CollectionConverters._
+    val dataFile = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".jsonl")).next()
+    java.nio.file.Files.writeString(dataFile, "NOT-JSON\n7\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val ok = spark.read.format("graft-bq").option("path", dir)
+      .option("mode", "permissive").load()
+    assert(ok.count() == 2)
+    val thrown = intercept[Exception] {
+      spark.read.format("graft-bq").option("path", dir).load().count()
+    }
+    assert(thrown.toString.nonEmpty)
+  }
+}
