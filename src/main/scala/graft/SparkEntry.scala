@@ -75,6 +75,7 @@ object SparkEntry {
     "q17_cube" -> ((s, d) => Relational.q17Cube(Tables.orders(s, d))),
     "q18_percentiles" -> ((s, d) => Relational.q18Percentiles(Tables.lineitem(s, d))),
     "q20_outer_join" -> ((s, d) => Relational.q20OuterJoin(Tables.customer(s, d), Tables.orders(s, d))),
+    "q22_upsert" -> ((s, d) => Relational.q22Upsert(Tables.orders(s, d))),
     "q21_json_extract" -> ((s, d) => Relational.q21JsonExtract(Tables.events(s, d))),
     "q19_stats" -> ((s, d) => Relational.q19Stats(Tables.lineitem(s, d))),
     "text_ngram_freq" -> ((s, d) => TextOps.ngramFreq(Tables.documents(s, d))),
@@ -444,6 +445,19 @@ object SparkEntry {
         | coalesce(cnt, 0) AS n_orders, coalesce(total, 0.0) AS order_total
         |FROM customer LEFT JOIN stats ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "q22_upsert" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |   round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), merged AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM updates
+        |)
+        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q21_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -237,6 +237,22 @@ object Relational {
         round(skewness(col("l_discount")) + lit(1e-9), 4).as("skew_disc"))
       .orderBy(col("l_linestatus"))
 
+  /** Upsert / MERGE semantics on an immutable snapshot: updated rows
+    * replace targets on the key, unmatched targets survive — the
+    * anti-join + union formulation every lakehouse MERGE lowers to.
+    * Updates here are a deterministic derivation (10% price bump on
+    * keys divisible by 97) so the oracle can reproduce them. */
+  def q22Upsert(orders: DataFrame): DataFrame = {
+    val updates = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+    val merged = orders.join(updates.select(col("o_orderkey").as("u_key")),
+        col("o_orderkey") === col("u_key"), "left_anti")
+      .unionAll(updates)
+    merged.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Outer-join family: customers left-joined to their order stats
     * (zero-order customers surface with n_orders = 0). */
   def q20OuterJoin(customer: DataFrame, orders: DataFrame): DataFrame = {
