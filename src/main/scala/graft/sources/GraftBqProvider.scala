@@ -29,8 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    buffered-stream append + flush-on-commit,
   *    sink/buffered/BigQueryBufferedSinkWriter.java); a replayed
   *    streaming epoch whose manifest exists is skipped.
-  *  - batch READ back of committed data only (uncommitted/aborted task
-  *    output is invisible), one input partition per committed file.
+  *  - batch READ of committed data only (uncommitted/aborted task
+  *    output is invisible), one input partition per committed file;
+  *    micro-batch STREAMING READ consuming newly committed manifests
+  *    incrementally (offset = seen-manifest set).
+  *  - mode=permissive skips corrupt lines on read; failfast (default)
+  *    surfaces them.
   *
   * Rows travel as JSON lines (serializer/JsonRowValueSerializer analog);
   * the table schema is persisted as DDL alongside the data. Local-FS
