@@ -36,7 +36,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-suspenders for the driver's parser: also drop the bare
+    // JSON to a file so the result survives any log decoration.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
