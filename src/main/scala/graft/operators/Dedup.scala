@@ -42,6 +42,9 @@ object Dedup {
     */
   def dedupMinhashLsh(documents: DataFrame, numPerm: Int = 128, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm): a remainder silently drops " +
+        "tail permutations, and bands > numPerm degenerates to all-pairs")
     val rowsPerBand = numPerm / bands
     val docs = documents
       .select(col("doc_id"), shingles().as("sh"))
@@ -86,6 +89,8 @@ object Dedup {
     * the same duplicate partners. */
   def dedupMinhashLshFast(documents: DataFrame, numPerm: Int = 128, bands: Int = 16,
                           threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
     val rowsPerBand = numPerm / bands
     val docs = documents
       .select(col("doc_id"),
@@ -158,6 +163,8 @@ object Dedup {
   def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.8,
                         numPerm: Int = 128, bands: Int = 32,
                         blockKeys: Seq[String] = Nil): DataFrame = {
+    require(bands > 0 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
     val rowsPerBand = numPerm / bands
     val docs = documents.select((Seq(col("doc_id")) ++ blockKeys.map(col) ++ Seq(
         array_distinct(tokens).as("tok_set"),

@@ -36,6 +36,9 @@ class JsonRowSerializer extends RowValueSerializer[Row] {
         row.get(i) match {
           case s: String => sb.append('"').append(escape(s)).append('"')
           case b: Boolean => sb.append(b)
+          // bare NaN/Infinity tokens are invalid JSON — encode as null
+          case d: java.lang.Double if d.isNaN || d.isInfinite => sb.append("null")
+          case f: java.lang.Float if f.isNaN || f.isInfinite => sb.append("null")
           case n: java.lang.Number => sb.append(n.toString)
           case other => sb.append('"').append(escape(other.toString)).append('"')
         }

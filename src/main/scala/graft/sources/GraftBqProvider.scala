@@ -80,8 +80,11 @@ class GraftBqTable(schema: StructType, path: String, permissive: Boolean = false
       TableCapability.TRUNCATE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new GraftBqWrite(schema, path, info.queryId())
+    new WriteBuilder with SupportsTruncate {
+      private var truncateRequested = false
+      override def truncate(): WriteBuilder = { truncateRequested = true; this }
+      override def build(): Write =
+        new GraftBqWrite(schema, path, info.queryId(), truncateRequested)
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -95,7 +98,8 @@ class GraftBqTable(schema: StructType, path: String, permissive: Boolean = false
 /** Commit message: the temp files this task produced. */
 case class FilesCommitMessage(tempFiles: Seq[String], rows: Long) extends WriterCommitMessage
 
-class GraftBqWrite(schema: StructType, path: String, queryId: String)
+class GraftBqWrite(schema: StructType, path: String, queryId: String,
+                   truncateOnCommit: Boolean = false)
     extends Write with BatchWrite with StreamingWrite {
 
   override def toBatch: BatchWrite = this
@@ -123,25 +127,55 @@ class GraftBqWrite(schema: StructType, path: String, queryId: String)
     }
     val manifest = committedDir.resolve(s".$tag.inprogress")
     Files.write(manifest, finals.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(manifest, committedDir.resolve(tag), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(manifest, committedDir.resolve(GraftBqWrite.monotoneName(tag)),
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def dropTempFiles(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: FilesCommitMessage => m }.flatMap(_.tempFiles)
       .foreach(f => Files.deleteIfExists(Paths.get(f)))
 
+  /** Driver-side truncate (SupportsTruncate / mode("overwrite")):
+    * drop every committed manifest and the data files it references,
+    * then fall through to the normal commit of the new files. */
+  private def truncateCommitted(): Unit = {
+    if (!Files.isDirectory(committedDir)) return
+    val manifests = Files.list(committedDir).iterator().asScala
+      .filter(p => !p.getFileName.toString.startsWith(".")).toList
+    manifests.foreach { m =>
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+        .split("\n").iterator.filter(_.nonEmpty)
+        .foreach(f => Files.deleteIfExists(base.resolve(f)))
+      Files.deleteIfExists(m)
+    }
+  }
+
   // batch
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncateOnCommit) truncateCommitted()
     finalizeFiles(s"batch-$queryId", messages)
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = dropTempFiles(messages)
 
   // streaming: epoch manifest = the flushed offset; replayed epoch → no-op
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    if (Files.exists(committedDir.resolve(s"epoch-$epochId"))) dropTempFiles(messages)
+    val replayed = Files.isDirectory(committedDir) &&
+      Files.list(committedDir).iterator().asScala
+        .exists(_.getFileName.toString.endsWith(s"-epoch-$epochId"))
+    if (replayed) dropTempFiles(messages)
     else finalizeFiles(s"epoch-$epochId", messages)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     dropTempFiles(messages)
+}
+
+object GraftBqWrite {
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+  /** Manifest names sort in commit order (zero-padded millis + a
+    * per-JVM sequence tiebreaker), so the streaming-read offset can be
+    * a single high-water-mark name instead of the full seen-set. */
+  private[sources] def monotoneName(tag: String): String =
+    f"${System.currentTimeMillis()}%014d-${seq.incrementAndGet()}%06d-$tag"
 }
 
 class GraftBqWriterFactory(schema: StructType, path: String, queryId: String)
@@ -217,6 +251,8 @@ class GraftBqScan(schema: StructType, path: String, permissive: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new DroppedLinesMetric)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftBqMicroBatchStream(schema, path, permissive)
 
@@ -244,12 +280,13 @@ class GraftBqReaderFactory(schema: StructType, permissive: Boolean = false)
       partition.asInstanceOf[GraftBqInputPartition].file, permissive)
 }
 
-/** Offset = the sorted set of committed manifest names already seen. */
-case class GraftBqOffset(manifests: Seq[String]) extends Offset {
-  override def json(): String = manifests.sorted.mkString("[\"", "\",\"", "\"]") match {
-    case "[\"\"]" => "[]"
-    case j => j
-  }
+/** Offset = high-water mark over manifest names (names sort in commit
+  * order, see [[GraftBqWrite.monotoneName]]) plus a consumed count for
+  * sanity. Constant-size regardless of stream age — the full seen-set
+  * of round 1 grew the checkpoint linearly with epoch count. */
+case class GraftBqOffset(last: String, count: Long) extends Offset {
+  override def json(): String =
+    s"""{"last":"$last","n":$count}"""
 }
 
 class GraftBqMicroBatchStream(schema: StructType, path: String,
@@ -261,19 +298,30 @@ class GraftBqMicroBatchStream(schema: StructType, path: String,
     else Files.list(committedDir).iterator().asScala
       .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq.sorted
 
-  override def initialOffset(): Offset = GraftBqOffset(Nil)
-  override def latestOffset(): Offset = GraftBqOffset(currentManifests())
+  override def initialOffset(): Offset = GraftBqOffset("", 0L)
+  override def latestOffset(): Offset = {
+    val ms = currentManifests()
+    GraftBqOffset(ms.lastOption.getOrElse(""), ms.size.toLong)
+  }
 
   override def deserializeOffset(json: String): Offset = {
-    val names = json.stripPrefix("[").stripSuffix("]").split(",")
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
-    GraftBqOffset(names)
+    val t = json.trim
+    if (t.startsWith("[")) {
+      // legacy seen-set format from a round-1 checkpoint
+      val names = t.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      GraftBqOffset(if (names.isEmpty) "" else names.max, names.size.toLong)
+    } else {
+      val last = "\"last\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(t).map(_.group(1)).getOrElse("")
+      val n = "\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toLong).getOrElse(0L)
+      GraftBqOffset(last, n)
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[GraftBqOffset].manifests.toSet
-    val fresh = end.asInstanceOf[GraftBqOffset].manifests.filterNot(seen)
-    fresh.sorted.flatMap { m =>
+    val lo = start.asInstanceOf[GraftBqOffset].last
+    val hi = end.asInstanceOf[GraftBqOffset].last
+    currentManifests().filter(m => m > lo && m <= hi).flatMap { m =>
       new String(Files.readAllBytes(committedDir.resolve(m)), StandardCharsets.UTF_8)
         .split("\n").iterator.filter(_.nonEmpty)
         .map(f => GraftBqInputPartition(Paths.get(path).resolve(f).toString): InputPartition)
@@ -286,14 +334,37 @@ class GraftBqMicroBatchStream(schema: StructType, path: String,
   override def stop(): Unit = ()
 }
 
-/** `permissive` skips unparseable lines (counted nowhere — the analog
-  * of a DLQ would attach here); default failfast surfaces corruption. */
+/** Per-task dropped-line count, surfaced through the DSv2 custom-
+  * metric channel (aggregated "dropped_lines" in the SQL UI / listener
+  * — the analog of the reference's per-stream drop counters in
+  * metric/BigQueryStreamMetrics.java). [[GraftBqMetrics.droppedLines]]
+  * additionally accumulates process-wide for local-mode assertions. */
+class DroppedLinesMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "dropped_lines"
+  override def description(): String = "corrupt lines skipped by permissive reads"
+}
+
+object GraftBqMetrics {
+  val droppedLines = new java.util.concurrent.atomic.LongAdder
+}
+
+/** `permissive` counts-and-skips unparseable lines (dropped_lines
+  * custom metric); default failfast surfaces corruption. */
 class GraftBqPartitionReader(schema: StructType, file: String, permissive: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val lines = Files.lines(Paths.get(file))
   private val it = lines.iterator()
   private var current: InternalRow = _
+  private var dropped = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "dropped_lines"
+      override def value(): Long = dropped
+    })
+
+  private def drop(): Unit = { dropped += 1; GraftBqMetrics.droppedLines.increment() }
 
   @scala.annotation.tailrec
   final override def next(): Boolean = {
@@ -303,9 +374,9 @@ class GraftBqPartitionReader(schema: StructType, file: String, permissive: Boole
       case e: Exception => if (permissive) None else throw e
     }
     parsed match {
-      case None => next()
+      case None => drop(); next()
       case Some(node) if !node.isObject =>
-        if (permissive) next()
+        if (permissive) { drop(); next() }
         else throw new java.io.IOException(s"graft-bq: non-object JSON line in $file")
       case Some(node) => nextFrom(node)
     }

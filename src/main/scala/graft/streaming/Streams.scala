@@ -122,7 +122,12 @@ object Streams {
             }
             if (pending.n > 0) {
               state.update(pending)
-              state.setTimeoutTimestamp(pending.anchorMillis + timeoutMs)
+              // Spark rejects event-time timeouts at/behind the current
+              // watermark; clamp so a slow key whose anchor lags the
+              // global watermark flushes next micro-batch instead of
+              // crashing the query.
+              state.setTimeoutTimestamp(math.max(
+                pending.anchorMillis + timeoutMs, state.getCurrentWatermarkMs() + 1))
             } else {
               state.remove()
             }

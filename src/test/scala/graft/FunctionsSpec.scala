@@ -92,3 +92,19 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(sigs(0).getSeq[Long](0) == sigs(1).getSeq[Long](0))
   }
 }
+
+class DedupParamSpec extends AnyFunSuite {
+  test("band counts that do not divide numPerm are rejected") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.sf)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.dedupMinhashLsh(docs, numPerm = 128, bands = 7)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.dedupMinhashLshFast(docs, numPerm = 128, bands = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.dedupNgramJaccard(docs, numPerm = 64, bands = 256)
+    }
+  }
+}

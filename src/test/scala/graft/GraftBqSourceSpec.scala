@@ -64,6 +64,20 @@ class GraftBqSourceSpec extends AnyFunSuite {
   }
 }
 
+class GraftBqOverwriteSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("mode(overwrite) truncates committed data before the new commit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bq-ow").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.format("graft-bq").mode("append").option("path", dir).save()
+    Seq((3L, "c")).toDF("id", "name")
+      .write.format("graft-bq").mode("overwrite").option("path", dir).save()
+    val back = spark.read.format("graft-bq").option("path", dir).load()
+    assert(back.as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+  }
+}
+
 class GraftBqStreamReadSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("readStream over graft-bq consumes committed batches incrementally") {
     val spark = TestSpark.spark
@@ -158,9 +172,12 @@ class PermissiveReadSpec extends org.scalatest.funsuite.AnyFunSuite {
       .filter(_.toString.endsWith(".jsonl")).next()
     java.nio.file.Files.writeString(dataFile, "NOT-JSON\n7\n",
       java.nio.file.StandardOpenOption.APPEND)
+    graft.sources.GraftBqMetrics.droppedLines.reset()
     val ok = spark.read.format("graft-bq").option("path", dir)
       .option("mode", "permissive").load()
     assert(ok.count() == 2)
+    // both corrupt lines are counted, not silently vanished
+    assert(graft.sources.GraftBqMetrics.droppedLines.sum() == 2)
     val thrown = intercept[Exception] {
       spark.read.format("graft-bq").option("path", dir).load().count()
     }

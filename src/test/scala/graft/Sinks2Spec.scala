@@ -20,6 +20,14 @@ class SerializerSpec extends AnyFunSuite {
       """{"id":7,"score":1.0,"ok":false}""")
   }
 
+  test("json serializer encodes non-finite doubles as null (valid JSON)") {
+    val s = new JsonRowSerializer
+    assert(new String(s.serialize(row(1L, "n", Double.NaN, true))) ==
+      """{"id":1,"name":"n","score":null,"ok":true}""")
+    assert(new String(s.serialize(row(2L, "i", Double.PositiveInfinity, false))) ==
+      """{"id":2,"name":"i","score":null,"ok":false}""")
+  }
+
   test("binary serializer is deterministic, self-delimiting, and distinguishes values") {
     val s = new BinaryRowSerializer
     val a = s.serialize(row(1L, "x", 2.5, true))
