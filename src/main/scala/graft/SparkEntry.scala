@@ -45,7 +45,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Tables.documents(s, d).select(col("doc_id"),
-          graft.functions.F.fingerprint(col("text"), 8, 4).as("fp"))
+          graft.functions.F.fingerprint(col("text"), 8, 4, portable = true).as("fp"))
         .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
           element_at(col("fp"), 1).as("fp_head"))
         .orderBy(col("doc_id"))
@@ -53,7 +53,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     "dedup_minhash_fast" -> ((s, d) => Dedup.dedupMinhashLshFast(Tables.documents(s, d))),
-    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d), portable = true)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccardBlocked(Tables.documents(s, d))),
     "dedup_ngram_composed" -> ((s, d) => Dedup.dedupNgramJaccardComposed(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(Tables.embeddings(s, d))),
@@ -79,7 +79,7 @@ object SparkEntry {
     "q21_json_extract" -> ((s, d) => Relational.q21JsonExtract(Tables.events(s, d))),
     "q19_stats" -> ((s, d) => Relational.q19Stats(Tables.lineitem(s, d))),
     "text_ngram_freq" -> ((s, d) => TextOps.ngramFreq(Tables.documents(s, d))),
-    "dedup_fingerprint" -> ((s, d) => Dedup.dedupFingerprint(Tables.documents(s, d))),
+    "dedup_fingerprint" -> ((s, d) => Dedup.dedupFingerprint(Tables.documents(s, d), portable = true)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -483,5 +483,221 @@ object SparkEntry {
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "scale_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        | count(DISTINCT l_suppkey) AS exact_supps,
+        | TRUE AS parts_within_tol, TRUE AS supps_within_tol
+        |FROM lineitem""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT q.q_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS cos
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
+        |), r AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM s
+        |)
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.v, y.v) >= 0.95
+        |), u AS (
+        |  SELECT a_id AS vec_id, b_id AS partner FROM p
+        |  UNION ALL SELECT b_id AS vec_id, a_id AS partner FROM p
+        |), m AS (SELECT vec_id, min(partner) AS dup_partner FROM u GROUP BY vec_id)
+        |SELECT e.vec_id, m.dup_partner, m.dup_partner IS NOT NULL AS is_dup
+        |FROM e LEFT JOIN m USING (vec_id) ORDER BY vec_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+        |    ELSE [concat_ws(' ', toks)] END AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+        |  FROM s x JOIN s y ON x.doc_id < y.doc_id
+        |)
+        |SELECT a_id, b_id, round(j, 4) AS jaccard FROM p WHERE j >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_minhash_fast" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+        |    ELSE [concat_ws(' ', toks)] END AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+        |  FROM s x JOIN s y ON x.doc_id < y.doc_id
+        |)
+        |SELECT a_id, b_id, round(j, 4) AS jaccard FROM p WHERE j >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_ngram_composed" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |  FROM documents
+        |), p AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |    CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+        |      / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) AS j
+        |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+        |)
+        |SELECT a_id, b_id, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, tok, count(*) AS cnt,
+        |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM tok GROUP BY doc_id, tok
+        |), bits AS (
+        |  SELECT doc_id, bb.b,
+        |    CASE WHEN sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN cnt ELSE -cnt END) > 0
+        |         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM tc, (SELECT unnest(range(0, 60)) AS b) bb
+        |  GROUP BY doc_id, bb.b
+        |), sig AS (
+        |  SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS sim FROM bits GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, sim, t.band_id, (sim >> (t.band_id * 15)) & 32767 AS band_val
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS band_id) t
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS a_id, x.sim AS sim_a, y.doc_id AS b_id, y.sim AS sim_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+        |), ver AS (
+        |  SELECT a_id, b_id FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6
+        |), u AS (
+        |  SELECT a_id AS doc_id, b_id AS partner FROM ver
+        |  UNION ALL SELECT b_id AS doc_id, a_id AS partner FROM ver
+        |), m AS (SELECT doc_id, min(partner) AS dup_partner FROM u GROUP BY doc_id)
+        |SELECT s.doc_id, s.sim AS simhash, m.dup_partner
+        |FROM sig s LEFT JOIN m USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |small AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp
+        |  FROM d WHERE n > 0 AND n <= 8
+        |), g AS (
+        |  SELECT doc_id, i,
+        |    CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT) AS h,
+        |    n - 7 AS m
+        |  FROM d, LATERAL unnest(range(1, n - 6)) AS t(i) WHERE n > 8
+        |), wm_small AS (
+        |  SELECT doc_id, min(h) AS fp FROM g WHERE m <= 4 GROUP BY doc_id
+        |), win AS (
+        |  SELECT doc_id, i, m,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM g WHERE m > 4
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, wmin AS fp FROM win WHERE i <= m - 3
+        |), fps AS (
+        |  SELECT * FROM small UNION ALL SELECT * FROM wm_small UNION ALL SELECT * FROM sel
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_head FROM fps GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(agg.n_fp, 0) AS n_fp, agg.fp_head
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dedup_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |small AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp
+        |  FROM d WHERE n > 0 AND n <= 20
+        |), g AS (
+        |  SELECT doc_id, i,
+        |    CAST(('0x' || substr(md5(substr(text, i, 20)), 1, 15)) AS BIGINT) AS h,
+        |    n - 19 AS m
+        |  FROM d, LATERAL unnest(range(1, n - 18)) AS t(i) WHERE n > 20
+        |), wm_small AS (
+        |  SELECT doc_id, min(h) AS fp FROM g WHERE m <= 4 GROUP BY doc_id
+        |), win AS (
+        |  SELECT doc_id, i, m,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM g WHERE m > 4
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, wmin AS fp FROM win WHERE i <= m - 3
+        |), fps AS (
+        |  SELECT * FROM small UNION ALL SELECT * FROM wm_small UNION ALL SELECT * FROM sel
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+        |inv AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+        |cand AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS shared
+        |  FROM inv x JOIN inv y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT c.a_id, c.b_id, c.shared,
+        |  round(CAST(c.shared AS DOUBLE) / least(sa.sz, sb.sz), 4) AS overlap_ratio
+        |FROM cand c JOIN sizes sa ON sa.doc_id = c.a_id
+        |            JOIN sizes sb ON sb.doc_id = c.b_id
+        |WHERE round(CAST(c.shared AS DOUBLE) / least(sa.sz, sb.sz), 4) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100) AS INT) AS lb,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |  FROM documents
+        |), pr AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
+        |    AND x.lb = y.lb AND x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+        |     / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) >= 0.8
+        |), e AS (
+        |  SELECT a_id, b_id FROM pr UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pr
+        |), walk(id, reach) AS (
+        |  SELECT a_id, a_id FROM e
+        |  UNION
+        |  SELECT w.id, e.b_id FROM walk w JOIN e ON e.a_id = w.reach
+        |), lab AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id)
+        |SELECT cluster_id, count(*) AS cluster_size, min(doc_id) AS keep_id
+        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "mm_features" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS nb FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT) AS bv
+        |  FROM d, LATERAL unnest(range(1, nb + 1)) AS t(i) WHERE nb > 0
+        |), mb AS (
+        |  SELECT doc_id, CAST(sum(bv) AS DOUBLE) / count(*) AS mean FROM bytes GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  d.nb AS n_bytes,
+        |  round(coalesce(mb.mean, 0.0), 4) AS mean_byte,
+        |  CAST(32 + (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'w'), 1, 4)) AS BIGINT) % 8) * 16 AS INT) AS width,
+        |  CAST(32 + (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'h'), 1, 4)) AS BIGINT) % 8) * 16 AS INT) AS height,
+        |  CAST(CASE WHEN d.doc_id % 3 = 2 THEN d.nb // 64 + 1 ELSE 1 END AS INT) AS n_frames
+        |FROM d LEFT JOIN mb USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH d AS (SELECT doc_id, strlen(text) AS nb FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 64 AS BIGINT) AS "offset",
+        |    CAST(greatest(least(64, nb - i * 64), 0) AS INT) AS n_bytes
+        |  FROM d, LATERAL unnest(range(0, nb // 64 + 1, 4)) AS t(i)
+        |)
+        |SELECT doc_id, frame_idx, "offset", n_bytes FROM f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

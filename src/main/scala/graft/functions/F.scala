@@ -15,13 +15,14 @@ object F {
   def minhash(shingles: Column, numPerm: Int = 128): Column =
     Shims.column(MinHashSignature(Shims.expression(shingles), numPerm))
 
-  /** 64-bit SimHash of an array<string> token column. */
-  def simhash(tokens: Column): Column =
-    Shims.column(SimHash64(Shims.expression(tokens)))
+  /** SimHash of an array<string> token column (64-bit fast path;
+    * portable = 60-bit md5 variant reproducible by SQL oracles). */
+  def simhash(tokens: Column, portable: Boolean = false): Column =
+    Shims.column(SimHash64(Shims.expression(tokens), portable))
 
   /** Winnowing fingerprint set of a string column. */
-  def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
-    Shims.column(WinnowFingerprint(Shims.expression(text), k, w))
+  def fingerprint(text: Column, k: Int = 8, w: Int = 4, portable: Boolean = false): Column =
+    Shims.column(WinnowFingerprint(Shims.expression(text), k, w, portable))
 
   /** Cosine similarity of two array<float> columns. */
   def cosine(a: Column, b: Column): Column =
@@ -46,6 +47,6 @@ object F {
       .toAggregateExpression())
 
   /** Random-hyperplane LSH bucket id of an array<float> column. */
-  def hyperplaneBucket(vec: Column, numPlanes: Int = 12): Column =
-    Shims.column(HyperplaneBucket(Shims.expression(vec), numPlanes))
+  def hyperplaneBucket(vec: Column, numPlanes: Int = 12, planeOffset: Int = 0): Column =
+    Shims.column(HyperplaneBucket(Shims.expression(vec), numPlanes, planeOffset))
 }

@@ -233,8 +233,10 @@ object HashImpls {
 
   /** Random-hyperplane LSH bucket: bit p = sign of <vec, plane_p> with
     * plane coefficients derived from splitmix64 — the deterministic
-    * analog of a Gaussian projection (uniform in [-1,1)). */
-  def hyperplaneBucket(vec: ArrayData, numPlanes: Int): Int = {
+    * analog of a Gaussian projection (uniform in [-1,1)). `planeOffset`
+    * selects a disjoint plane family, giving independent hash tables
+    * for OR-amplified (multi-table) LSH. */
+  def hyperplaneBucket(vec: ArrayData, numPlanes: Int, planeOffset: Int = 0): Int = {
     val n = vec.numElements()
     var bucket = 0
     var p = 0
@@ -242,7 +244,7 @@ object HashImpls {
       var dot = 0.0
       var j = 0
       while (j < n) {
-        val c = splitmix64((p.toLong << 32) | (j.toLong & 0xffffffffL))
+        val c = splitmix64(((p + planeOffset).toLong << 32) | (j.toLong & 0xffffffffL))
         // map to [-1, 1)
         val coef = (c >> 11).toDouble / (1L << 52).toDouble
         dot += vec.getFloat(j) * coef
@@ -252,5 +254,96 @@ object HashImpls {
       p += 1
     }
     bucket
+  }
+
+  // ---- portable (md5-based) hash variants ----------------------------
+  //
+  // The xxhash/splitmix kernels above are the production fast path. The
+  // `*Portable` variants swap the element hash for the first 60 bits of
+  // md5, which any SQL engine can reproduce —
+  // DuckDB: CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) — so the
+  // driver's oracle can recompute signatures exactly instead of only
+  // spot-checking. Same algorithms, same selection logic; only the
+  // element hash differs.
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits (15 hex chars) of md5(s), as a non-negative long. */
+  def md5Hash60(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var first7 = 0L
+    var i = 0
+    while (i < 7) { first7 = (first7 << 8) | (h(i) & 0xffL); i += 1 }
+    (first7 << 4) | ((h(7) & 0xffL) >>> 4)
+  }
+
+  /** [[simhash]] with the portable 60-bit md5 token hash. */
+  def simhashPortable(tokens: ArrayData): Long = {
+    val acc = new Array[Int](60)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = md5Hash60(tokens.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 60) { if (acc(b) > 0) r |= (1L << b); b += 1 }
+    r
+  }
+
+  /** [[winnow]] with the portable md5 k-gram hash. Grams are taken over
+    * characters (not bytes) so a SQL `substr` produces the same grams;
+    * selected values are identical to a window-min over the gram-hash
+    * sequence, which is how the oracle mirrors it. */
+  def winnowPortable(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (n <= k)
+      return new GenericArrayData(Array(md5Hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hashes(i) = md5Hash60(s.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var min = hashes(0)
+      i = 1
+      while (i < m) { if (hashes(i) <= min) min = hashes(i); i += 1 }
+      selected.add(min)
+    } else {
+      var start = 0
+      while (start + w <= m) {
+        var minIdx = start
+        i = start + 1
+        while (i < start + w) {
+          if (hashes(i) <= hashes(minIdx)) minIdx = i
+          i += 1
+        }
+        selected.add(hashes(minIdx))
+        start += 1
+      }
+    }
+    val out = new Array[Long](selected.size())
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
   }
 }

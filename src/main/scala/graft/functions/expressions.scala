@@ -26,28 +26,36 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
-/** array<string> tokens → 64-bit SimHash. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+/** array<string> tokens → SimHash (64-bit fast path; `portable` = the
+  * 60-bit md5-hash variant a SQL oracle can recompute exactly). */
+case class SimHash64(child: Expression, portable: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
   override protected def nullSafeEval(input: Any): Any =
-    HashImpls.simhash(input.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.simhash($c)")
+    if (portable) HashImpls.simhashPortable(input.asInstanceOf[ArrayData])
+    else HashImpls.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (portable) "simhashPortable" else "simhash"
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.$fn($c)")
+  }
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
-/** string → array<long> winnowing fingerprint (k-gram size, window w). */
-case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+/** string → array<long> winnowing fingerprint (k-gram size, window w;
+  * `portable` swaps the rolling hash for the md5 gram hash). */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int, portable: Boolean = false)
     extends UnaryExpression {
   require(k > 0 && w > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_fingerprint"
   override protected def nullSafeEval(input: Any): Any =
-    HashImpls.winnow(input.asInstanceOf[UTF8String], k, w)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.winnow($c, $k, $w)")
+    if (portable) HashImpls.winnowPortable(input.asInstanceOf[UTF8String], k, w)
+    else HashImpls.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (portable) "winnowPortable" else "winnow"
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.$fn($c, $k, $w)")
+  }
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
     copy(child = newChild)
 }
@@ -104,16 +112,19 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** array<float> → int LSH bucket from `numPlanes` random hyperplanes. */
-case class HyperplaneBucket(child: Expression, numPlanes: Int)
+/** array<float> → int LSH bucket from `numPlanes` random hyperplanes
+  * (`planeOffset` selects an independent table for OR-amplification). */
+case class HyperplaneBucket(child: Expression, numPlanes: Int, planeOffset: Int = 0)
     extends UnaryExpression {
   require(numPlanes > 0 && numPlanes <= 30)
+  require(planeOffset >= 0)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_hyperplane_bucket"
   override protected def nullSafeEval(input: Any): Any =
-    HashImpls.hyperplaneBucket(input.asInstanceOf[ArrayData], numPlanes)
+    HashImpls.hyperplaneBucket(input.asInstanceOf[ArrayData], numPlanes, planeOffset)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.hyperplaneBucket($c, $numPlanes)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpls.hyperplaneBucket($c, $numPlanes, $planeOffset)")
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.F
 
@@ -25,33 +24,17 @@ object Ann {
     * naive window-over-all-scores shuffles |corpus| × |queries| rows,
     * which is fatal at 100 TB.) */
   def annBruteforce(embeddings: DataFrame, k: Int = 5, stride: Int = 50): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val scored = embeddings.crossJoin(broadcast(querySet(embeddings, stride)))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), F.cosine(col("q_vec"), col("embedding")).as("cos"))
-      .as[(Long, Long, Double)]
-    // Heap max = WORST kept candidate (lowest cos, then highest vec_id),
-    // so it sits at the head and is evicted when a better one arrives.
-    implicit val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-      def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-      }
-    }
-    val partial = scored.mapPartitions { it =>
-      val heaps = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-      it.foreach { case (q, v, c) =>
-        val h = heaps.getOrElseUpdate(q, scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
-        if (h.size < k) h.enqueue((c, v))
-        else if (ord.lt((c, v), h.head)) { h.dequeue(); h.enqueue((c, v)) }
-      }
-      heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (c, v) => (q, v, c) } }
-    }.toDF("q_id", "vec_id", "cos")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    partial.select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 4).as("cosine"), row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    // graft_topk keeps a k-sized heap per group with map-side partial
+    // aggregation — only partitions x queries x k rows shuffle, and the
+    // whole pipeline stays inside Tungsten (no Dataset ser/deser hop).
+    scored.groupBy(col("q_id"))
+      .agg(F.topk(col("cos"), col("vec_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 4).as("cosine"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -73,7 +56,7 @@ object Ann {
       .agg(F.topk(col("cos"), col("vec_id"), k).as("nn"))
       .select(col("q_id"), posexplode(col("nn")))
       .select(col("q_id"), col("col.id").as("neighbor_id"),
-        round(col("col.score"), 4).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+        round(col("col.score"), 4).as("cosine"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 }

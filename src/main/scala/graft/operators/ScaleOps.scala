@@ -104,11 +104,19 @@ object ScaleOps {
 
   /** Sketch-based distinct: HyperLogLog++ approximate counts next to
     * exact ones. At 100 TB the approx pass is one scan with tiny fixed
-    * state; rsd controls the memory/accuracy trade. */
+    * state; rsd controls the memory/accuracy trade. Output carries the
+    * exact counts plus within-tolerance booleans (|approx-exact|/exact
+    * <= 3*rsd) so an exact-SQL oracle can gate the sketch: the oracle
+    * emits the same exact counts and literal TRUE. */
   def approxDistinct(lineitem: DataFrame, rsd: Double = 0.02): DataFrame =
     lineitem.agg(
-      approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
+      approx_count_distinct(col("l_partkey"), rsd).as("ap"),
       countDistinct(col("l_partkey")).as("exact_parts"),
-      approx_count_distinct(col("l_suppkey"), rsd).as("approx_supps"),
+      approx_count_distinct(col("l_suppkey"), rsd).as("asu"),
       countDistinct(col("l_suppkey")).as("exact_supps"))
+    .select(col("exact_parts"), col("exact_supps"),
+      (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts")
+        <= lit(3 * rsd)).as("parts_within_tol"),
+      (abs(col("asu") - col("exact_supps")).cast("double") / col("exact_supps")
+        <= lit(3 * rsd)).as("supps_within_tol"))
 }

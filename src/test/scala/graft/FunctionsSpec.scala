@@ -108,3 +108,25 @@ class DedupParamSpec extends AnyFunSuite {
     }
   }
 }
+
+class EmbeddingDedupSpec extends AnyFunSuite {
+  test("planted near-duplicate vectors are found by multi-table hyperplane LSH") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val base = (0 until 20).map(_ => vec())
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      Seq(0, 3, 7).map(i => (100L + i, jitter(base(i))))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Dedup.dedupEmbedding(df).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    Seq(0, 3, 7).foreach { i =>
+      assert(out(100L + i) == i.toLong, s"planted dup of $i missed")
+      assert(out(i.toLong) == 100L + i || out(i.toLong) < 100L)
+    }
+    assert(out(1L) == -1L, "unrelated vector flagged as dup")
+  }
+}

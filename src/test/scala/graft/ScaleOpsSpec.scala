@@ -45,10 +45,9 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("approx distinct lands within the configured error of exact") {
     val r = ScaleOps.approxDistinct(Tables.lineitem(spark, TestSpark.sf)).head()
-    val (ap, ep) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
-    val (as_, es) = (r.getLong(2).toDouble, r.getLong(3).toDouble)
-    assert(math.abs(ap - ep) / ep < 0.1, s"parts: approx $ap vs exact $ep")
-    assert(math.abs(as_ - es) / es < 0.1, s"supps: approx $as_ vs exact $es")
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getBoolean(2), "parts sketch outside 3*rsd tolerance")
+    assert(r.getBoolean(3), "supps sketch outside 3*rsd tolerance")
   }
 
   test("events can be consumed as a file stream (readStream over the testdata layout)") {
@@ -150,23 +149,22 @@ class DupClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
 }
 
 class MinhashFastPathSpec extends org.scalatest.funsuite.AnyFunSuite {
-  test("hashed-shingle fast path finds the same duplicate partners as the string path") {
+  test("hashed-shingle fast path finds the same verified pairs as the string path") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, TestSpark.sf)
     val slow = graft.operators.Dedup.dedupMinhashLsh(docs)
-      .select(col("doc_id"), col("dup_partner")).collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      .select(col("a_id"), col("b_id"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val fast = graft.operators.Dedup.dedupMinhashLshFast(docs)
-      .select(col("doc_id"), col("dup_partner")).collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      .select(col("a_id"), col("b_id"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical hash-free verify semantics → identical pair sets and
+    // identical exact-jaccard values (both are checked against the same
+    // DuckDB all-pairs oracle by the driver)
     assert(slow.keySet == fast.keySet)
-    val disagree = slow.keys.filter(k => slow(k) != fast(k))
-    // different hash families → borderline candidates may differ, but the
-    // planted near-identical dups must agree
-    val hardDups = slow.filter(_._2 >= 0).keySet
-    assert(disagree.size <= hardDups.size / 5, s"disagreements: ${disagree.take(10)}")
-    assert(fast.count(_._2 >= 0) >= slow.count(_._2 >= 0) / 2)
+    val disagree = slow.keys.filter(k => math.abs(slow(k) - fast(k)) > 1e-9)
+    assert(disagree.isEmpty, s"jaccard mismatch on: ${disagree.take(10)}")
   }
 }
 
