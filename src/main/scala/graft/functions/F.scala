@@ -32,6 +32,10 @@ object F {
   def shingleHashes(text: Column, k: Int = 3): Column =
     Shims.column(ShingleHashes(Shims.expression(text), k))
 
+  /** Word k-gram shingle strings (codegen'd single pass). */
+  def shingleStrings(text: Column, k: Int = 3): Column =
+    Shims.column(ShingleStrings(Shims.expression(text), k))
+
   /** MinHash signature over precomputed element hashes. */
   def minhashHashed(hashes: Column, numPerm: Int = 128): Column =
     Shims.column(MinHashFromHashes(Shims.expression(hashes), numPerm))

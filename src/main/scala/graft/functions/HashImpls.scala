@@ -174,6 +174,39 @@ object HashImpls {
     new GenericArrayData(out)
   }
 
+  /** Word k-gram shingle STRINGS in one codegen'd pass — semantically
+    * identical to the builtin pipeline
+    * `transform(sequence(...), i -> concat_ws(" ", slice(split(trim(
+    * lower(text)), "\\s+"), i+1, k)))` (short docs fall back to the
+    * whole normalized text), but ~10x faster: Spark's higher-order
+    * array functions evaluate their lambda interpreted per element,
+    * outside WholeStageCodegen. */
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  def shingleStrings(text: UTF8String, k: Int): ArrayData = {
+    // limit -1 keeps trailing empty tokens, matching Spark's split()
+    val toks = wsPattern.split(text.toLowerCase.trim.toString, -1)
+    val n = toks.length
+    if (n < k) {
+      return new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    }
+    val out = new Array[Any](n - k + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash over precomputed 64-bit element hashes (pairs with
     * [[shingleHashes]]; skips string hashing entirely). */
   def minhashFromHashes(hashes: ArrayData, numPerm: Int): ArrayData = {

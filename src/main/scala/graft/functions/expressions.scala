@@ -60,6 +60,20 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int, portable: Boolea
     copy(child = newChild)
 }
 
+/** string → array<string> word k-gram shingles (codegen'd single pass;
+  * the HOF-composed equivalent evaluates its lambdas interpreted). */
+case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_strings"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.shingleStrings(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.shingleStrings($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
 /** string → array<long> hashed k-token shingles (no string shingles). */
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0)

@@ -39,18 +39,24 @@ object Dedup {
     * are verified with exact shingle-set Jaccard >= `threshold`.
     * Output: the VERIFIED near-dup pairs (a_id, b_id, jaccard) — exact
     * values a SQL oracle reproduces with all-pairs set Jaccard at gate
-    * scale. Default 32 bands x 4 rows: P(candidate) > 1 - 1e-12 at
-    * jaccard 0.88+, which is where every true pair on this corpus sits
-    * (the pair distribution is bimodal: >= 0.88 or < 0.3).
+    * scale. Default 24 bands x 8 rows: P(miss) ~ 2e-5 at jaccard 0.88+
+    * (where every true pair on this corpus sits — the distribution is
+    * bimodal: >= 0.88 or < 0.3) while keeping the false-candidate
+    * rate at sub-threshold jaccard near zero (r=8 bands collide with
+    * probability j^8, so the 0.2-0.3 mass contributes ~nothing —
+    * r=4 drowned the verify stage in low-jaccard candidates).
     */
-  def dedupMinhashLsh(documents: DataFrame, numPerm: Int = 128, bands: Int = 32,
+  def dedupMinhashLsh(documents: DataFrame, numPerm: Int = 192, bands: Int = 24,
                       threshold: Double = 0.5): DataFrame = {
     require(bands > 0 && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm): a remainder silently drops " +
         "tail permutations, and bands > numPerm degenerates to all-pairs")
     val rowsPerBand = numPerm / bands
+    // Single codegen'd pass builds shingles + signature; the verify
+    // stage below recomputes shingles only for CANDIDATE docs (joining
+    // raw text first), so the corpus is shingled exactly once.
     val docs = documents
-      .select(col("doc_id"), shingles().as("sh"))
+      .select(col("doc_id"), F.shingleStrings(col("text"), 3).as("sh"))
       .withColumn("sig", F.minhash(col("sh"), numPerm))
 
     val banded = docs.select(col("doc_id"),
@@ -66,8 +72,10 @@ object Dedup {
       .distinct()
 
     cands
-      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .join(documents.select(col("doc_id").as("a_id"), col("text").as("text_a")), "a_id")
+      .join(documents.select(col("doc_id").as("b_id"), col("text").as("text_b")), "b_id")
+      .withColumn("sh_a", F.shingleStrings(col("text_a"), 3))
+      .withColumn("sh_b", F.shingleStrings(col("text_b"), 3))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -82,7 +90,7 @@ object Dedup {
     * the Jaccard verify runs the sorted-merge intersect kernel. Same
     * verified-pairs output shape as [[dedupMinhashLsh]] (identical
     * values absent 64-bit shingle-hash collisions). */
-  def dedupMinhashLshFast(documents: DataFrame, numPerm: Int = 128, bands: Int = 32,
+  def dedupMinhashLshFast(documents: DataFrame, numPerm: Int = 192, bands: Int = 24,
                           threshold: Double = 0.5): DataFrame = {
     require(bands > 0 && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm)")
@@ -254,33 +262,55 @@ object Dedup {
   }
 
   /** Connected components over near-dup pairs: iterative min-label
-    * propagation (each node adopts the min label in its neighborhood)
-    * until fixpoint — the distributed union-find that turns pairwise
-    * dup evidence into clusters. Converges in O(component diameter)
-    * rounds; dup clusters are shallow in practice. `localCheckpoint`
-    * per round truncates lineage so plans stay constant-size.
+    * propagation with pointer halving — each round a node adopts the
+    * min of (its label, its neighbors' labels, its label's label).
+    * The label-of-label hop doubles the propagation distance per
+    * round, so convergence is O(log diameter) instead of O(diameter).
+    *
+    * Per-round state is truncated with `localCheckpoint` by default
+    * (fast, executor-storage-pinned); pass `checkpointDir` on a real
+    * cluster to checkpoint to reliable storage instead — an executor
+    * loss mid-job then recovers rather than failing the query.
+    * Convergence is read from an `observe` metric computed inside the
+    * checkpoint action itself: one Spark job per round, no separate
+    * isEmpty/count pass.
+    *
     * Input: (a_id, b_id) pairs. Output: (doc_id, cluster_id) with
     * cluster_id = min doc_id of the component; keep-one dedup keeps
     * doc_id == cluster_id. */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a_id"), col("b_id"))
-      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("a_id").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+  def dupClusters(pairs: DataFrame, maxIter: Int = 25,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val edges = ckpt(pairs.select(col("a_id"), col("b_id"))
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+    var labels = ckpt(edges.select(col("a_id").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b_id"), col("label").as("nl")), "b_id")
         .groupBy(col("a_id").as("id")).agg(min(col("nl")).as("nmin"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"))
-        .localCheckpoint(true)
-      converged = updated.filter(col("new_label") < col("label")).isEmpty
-      labels = updated.select(col("id"), col("new_label").as("label")).localCheckpoint(true)
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("lbl"))
+      // pointer halving: follow one hop through the label table (label
+      // ids are always node ids, so the self-join is total)
+      val hopped = stepped
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("hop")), Seq("lbl"), "left")
+        .select(col("id"), col("label"),
+          least(col("lbl"), coalesce(col("hop"), col("lbl"))).as("new_label"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = hopped
+        .observe(obs, coalesce(sum(when(col("new_label") < col("label"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
+        .select(col("id"), col("new_label").as("label"))
+      labels = ckpt(next)
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

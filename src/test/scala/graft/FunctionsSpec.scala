@@ -130,3 +130,24 @@ class EmbeddingDedupSpec extends AnyFunSuite {
     assert(out(1L) == -1L, "unrelated vector flagged as dup")
   }
 }
+
+class ShingleStringsSpec extends AnyFunSuite {
+  test("codegen shingle strings match the builtin HOF pipeline exactly") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, TestSpark.sf).select("doc_id", "text")
+    val edge = spark.createDataFrame(Seq(
+      (9001L, ""), (9002L, "one"), (9003L, "one two"), (9004L, "  padded  "),
+      (9005L, "tab\tsep\nnewline end\t"), (9006L, "UPPER Case MiX"))).toDF("doc_id", "text")
+    val docs = base.unionAll(edge)
+    val tokens = split(trim(lower(col("text"))), "\\s+")
+    val builtin = when(size(tokens) >= 3,
+      transform(sequence(lit(0), size(tokens) - 3),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", tokens)))
+    val diff = docs.select(col("doc_id"), builtin.as("a"),
+        graft.functions.F.shingleStrings(col("text"), 3).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(diff.isEmpty, s"mismatch: ${diff.take(3).mkString(",")}")
+  }
+}
