@@ -64,6 +64,7 @@ object SparkEntry {
     "sink_rows_batch" -> ((s, d) => SinkOps.rowsBatch(Tables.events(s, d))),
     "sink_stream_offsets" -> ((s, d) => SinkOps.streamOffsets(Tables.events(s, d))),
     "serialize_json" -> ((s, d) => SinkOps.serializeJson(Tables.events(s, d))),
+    "serialize_proto" -> ((s, d) => SinkOps.serializeProto(Tables.events(s, d))),
     "stream_window_agg" -> ((s, d) => graft.streaming.Streams.windowAgg(Tables.events(s, d))),
     "stream_session" -> ((s, d) => graft.streaming.Streams.sessionize(Tables.events(s, d))),
     "stream_interval_join" -> ((s, d) => graft.streaming.Streams.intervalJoinCounts(Tables.events(s, d))),
@@ -389,6 +390,18 @@ object SparkEntry {
         | to_json(struct_pack(event_id := event_id, event_type := event_type, user_id := user_id)) AS payload,
         | strlen(to_json(struct_pack(event_id := event_id, event_type := event_type, user_id := user_id))) AS payload_bytes
         |FROM events ORDER BY event_id""".stripMargin,
+    "serialize_proto" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, strlen(event_type) AS sl,
+        |    CAST((length(format('{:b}', event_id)) + 6) // 7 AS BIGINT) AS vl_id,
+        |    CAST((length(format('{:b}', user_id)) + 6) // 7 AS BIGINT) AS vl_uid,
+        |    CAST((length(format('{:b}', strlen(event_type))) + 6) // 7 AS BIGINT) AS vl_sl
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  (1 + vl_id) + (1 + vl_sl + sl) + (1 + vl_uid) AS payload_bytes,
+        |  TRUE AS roundtrip_ok
+        |FROM v ORDER BY event_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value

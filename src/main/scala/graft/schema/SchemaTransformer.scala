@@ -9,8 +9,8 @@ import org.apache.spark.sql.types._
   * REQUIRED ⇄ nullability.
   */
 object BqType extends Enumeration {
-  val BOOL, BYTES, DATE, DATETIME, DOUBLE, INT64, NUMERIC, BIGNUMERIC,
-      JSON, STRING, STRUCT, TIME, TIMESTAMP = Value
+  val BOOL, BYTES, DATE, DATETIME, DOUBLE, GEOGRAPHY, INT64, INTERVAL,
+      NUMERIC, BIGNUMERIC, JSON, STRING, STRUCT, TIME, TIMESTAMP = Value
 }
 
 object BqMode extends Enumeration {
@@ -57,6 +57,9 @@ object SchemaTransformer {
     case ByteType | ShortType | IntegerType | LongType => BqType.INT64
     case StringType => BqType.STRING
     case VariantType => BqType.JSON
+    // reference type map carries INTERVAL (SchemaTransformer.java:35);
+    // both Spark interval flavors funnel into the single BQ INTERVAL
+    case _: DayTimeIntervalType | _: YearMonthIntervalType => BqType.INTERVAL
     case other => throw new IllegalArgumentException(s"No BigQuery mapping for $other")
   }
 
@@ -74,7 +77,9 @@ object SchemaTransformer {
       case BqType.INT64 => LongType
       case BqType.NUMERIC | BqType.BIGNUMERIC =>
         DecimalType(f.precision.getOrElse(38), f.scale.getOrElse(9))
-      case BqType.JSON | BqType.STRING | BqType.TIME => StringType
+      // GEOGRAPHY travels as WKT text in Spark (no native geo type)
+      case BqType.JSON | BqType.STRING | BqType.TIME | BqType.GEOGRAPHY => StringType
+      case BqType.INTERVAL => DayTimeIntervalType()
       case BqType.STRUCT => StructType(f.fields.map(toSparkField))
     }
     f.mode match {

@@ -97,3 +97,107 @@ class SchemaToolsSpec extends AnyFunSuite {
     assert(spark.table("graft_v4").count() == 1)
   }
 }
+
+class ProtoDescriptorSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.Row
+  import graft.schema._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("score", DoubleType),
+    StructField("ok", BooleanType),
+    StructField("payload", BinaryType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("counts", ArrayType(LongType)),
+    StructField("born", DateType),
+    StructField("seen", TimestampType),
+    StructField("address", StructType(Seq(
+      StructField("city", StringType),
+      StructField("zip", LongType))))))
+
+  test("descriptor derivation: numbered fields, wire types, nested message") {
+    val d = ProtoDescriptor.fromStruct(schema)
+    assert(d.fields.map(_.number) == (1 to 10))
+    assert(d.fields.head.wireType == ProtoWireType.Varint)        // INT64
+    assert(d.fields(1).wireType == ProtoWireType.LengthDelimited) // STRING
+    assert(d.fields(2).wireType == ProtoWireType.Fixed64)         // DOUBLE
+    assert(d.fields(5).repeated && d.fields(6).repeated)
+    assert(d.fields(9).nested.exists(_.fields.map(_.name) == Seq("city", "zip")))
+    assert(d.toProtoText.contains("repeated string tags = 6;"))
+  }
+
+  test("wire round-trip: StructType -> descriptor -> encode -> decode -> equal rows") {
+    val ser = new ProtoRowSerializer(schema)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      Row(1L, "alice", 2.5, true, Array[Byte](1, 2, 3), Seq("a", "b"), Seq(7L, -9L),
+        java.sql.Date.valueOf("2024-03-01"), ts("2024-03-01 10:30:00.123456"),
+        Row("vilnius", 10001L)),
+      Row(-2L, "bobé 中文", -0.0, false, Array.empty[Byte], Seq.empty[String],
+        Seq(Long.MinValue, Long.MaxValue), null, null, null),
+      Row(3L, null, null, null, null, null, null, null, null, Row(null, 5L)))
+    rows.foreach { r =>
+      val bytes = ser.serialize(r)
+      val back = ser.deserialize(bytes)
+      (0 until schema.length).foreach { i =>
+        val (a, b) = (r.get(i), back.get(i))
+        (a, b) match {
+          case (x: Array[Byte], y: Array[Byte]) => assert(x.toSeq == y.toSeq)
+          case (null, y) => assert(y == null, s"field $i: $y")
+          case (x: Seq[_], y) if x.isEmpty =>
+            // proto wire format cannot distinguish empty repeated from
+            // absent: zero elements decode as null
+            assert(y == null, s"field $i: $y")
+          case (x: Seq[_], y: Seq[_]) => assert(x == y, s"field $i")
+          case (x, y) => assert(x == y, s"field $i: $x vs $y")
+        }
+      }
+    }
+  }
+
+  test("varint edge values survive (negatives are 10-byte, proto-style)") {
+    val s = StructType(Seq(StructField("v", LongType)))
+    val ser = new ProtoRowSerializer(s)
+    Seq(0L, 1L, -1L, 127L, 128L, Long.MaxValue, Long.MinValue).foreach { v =>
+      assert(ser.deserialize(ser.serialize(Row(v))).getLong(0) == v, s"v=$v")
+    }
+    val negBytes = ser.serialize(Row(-1L))
+    assert(negBytes.length == 1 + 10, "proto int64 -1 must take 10 varint bytes")
+  }
+
+  test("schema type map covers GEOGRAPHY and INTERVAL") {
+    import org.apache.spark.sql.types._
+    val bq = BqTableSchema(Seq(
+      BqField("geo", BqType.GEOGRAPHY),
+      BqField("iv", BqType.INTERVAL)))
+    val st = SchemaTransformer.toSpark(bq)
+    assert(st.fields(0).dataType == StringType)
+    assert(st.fields(1).dataType.isInstanceOf[DayTimeIntervalType])
+    assert(SchemaTransformer.toBq(StructType(Seq(
+      StructField("iv", DayTimeIntervalType())))).fields.head.bqType == BqType.INTERVAL)
+  }
+
+  test("schema JSON round-trips through the model and StructType") {
+    val json =
+      """[
+        | {"name": "id", "type": "INTEGER", "mode": "REQUIRED"},
+        | {"name": "name", "type": "STRING"},
+        | {"name": "geo", "type": "GEOGRAPHY"},
+        | {"name": "addr", "type": "RECORD", "mode": "REPEATED", "fields": [
+        |   {"name": "city", "type": "STRING"},
+        |   {"name": "zip", "type": "INT64", "mode": "NULLABLE"}
+        | ]}
+        |]""".stripMargin
+    val bq = BqSchemaJson.parse(json)
+    assert(bq.fields.map(_.bqType) ==
+      Seq(BqType.INT64, BqType.STRING, BqType.GEOGRAPHY, BqType.STRUCT))
+    assert(bq.fields(3).mode == graft.schema.BqMode.REPEATED)
+    // model -> StructType -> model -> JSON -> model fixpoint
+    val st = SchemaTransformer.toSpark(bq)
+    assert(st.fields(3).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    val bq2 = BqSchemaJson.parse(BqSchemaJson.render(bq))
+    assert(bq2 == bq)
+  }
+}
