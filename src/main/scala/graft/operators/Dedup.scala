@@ -234,26 +234,30 @@ object Dedup {
   def dedupFingerprint(documents: DataFrame, minShared: Int = 3,
                        overlap: Double = 0.5, maxDocFreq: Int = 20,
                        portable: Boolean = false): DataFrame = {
-    val docs = documents.select(col("doc_id"),
-      F.fingerprint(col("text"), 20, 4, portable).as("fp"))
-    val exploded = docs.select(col("doc_id"), explode(col("fp")).as("f"))
+    // One winnowing pass over the corpus; downstream stages reuse the
+    // exploded (doc_id, gram, set-size) rows instead of re-fingerprinting.
+    val exploded = documents.select(col("doc_id"),
+        F.fingerprint(col("text"), 20, 4, portable).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("nfp"), explode(col("fp")).as("f"))
     // Stop-fingerprint removal (standard winnowing-index practice): a
     // gram shared by more than maxDocFreq docs is boilerplate and would
     // blow the bucket join quadratically; true near-dups still share
     // plenty of rare grams. Bounds pairs at maxDocFreq^2/2 per bucket.
-    val rare = exploded.groupBy(col("f"))
-      .agg(count(lit(1)).as("df"))
+    // Doc frequency comes from a window count over the same shuffle the
+    // self-join needs (vs a separate aggregate + join: one fingerprint
+    // pass and one exchange instead of two of each).
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+    val inverted = exploded
+      .withColumn("df", count(lit(1)).over(byGram))
       .filter(col("df") <= maxDocFreq)
-      .select(col("f"))
-    val inverted = exploded.join(rare, "f")
+      .drop("df")
     val cands = inverted.as("x").join(inverted.as("y"),
         col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("x.nfp")).as("na"), first(col("y.nfp")).as("nb"))
       .filter(col("shared") >= minShared)
     cands
-      .join(docs.select(col("doc_id").as("a_id"), size(col("fp")).as("na")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), size(col("fp")).as("nb")), "b_id")
       .withColumn("overlap_ratio",
         round(col("shared").cast("double") / least(col("na"), col("nb")), 4))
       .filter(col("overlap_ratio") >= overlap)

@@ -17,11 +17,16 @@ object ScaleOps {
     * partition at real scale; parameterized here. */
   def writeBucketed(spark: SparkSession, sfDir: String, buckets: Int = 8): Unit = {
     // Reuse a bucketed copy this session already wrote for the same
-    // source (bench/verify call per query; bucketing is a one-time cost).
-    if (spark.catalog.tableExists("graft_lineitem_bucketed") &&
-        spark.catalog.tableExists("graft_orders_bucketed") &&
-        spark.table("graft_lineitem_bucketed").count() ==
-          graft.Tables.lineitem(spark, sfDir).count()) {
+    // source (bench/verify call per query; bucketing is a one-time
+    // cost). Validity check reads table properties only — no scan, no
+    // driver-blocking count (a full count per call defeats the point
+    // of caching at 100 TB).
+    val sourceTag = s"$sfDir#$buckets"
+    def tagged(t: String): Boolean =
+      spark.catalog.tableExists(t) &&
+        spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+          .exists(r => r.getString(0) == "graft.source" && r.getString(1) == sourceTag)
+    if (tagged("graft_lineitem_bucketed") && tagged("graft_orders_bucketed")) {
       return
     }
     // In-memory catalogs don't know about tables a previous session left
@@ -42,6 +47,8 @@ object ScaleOps {
     graft.Tables.orders(spark, sfDir).write.mode("overwrite")
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_orders_bucketed")
+    spark.sql(s"ALTER TABLE graft_lineitem_bucketed SET TBLPROPERTIES ('graft.source'='$sourceTag')")
+    spark.sql(s"ALTER TABLE graft_orders_bucketed SET TBLPROPERTIES ('graft.source'='$sourceTag')")
   }
 
   /** The q4 join over the bucketed tables: same result, no Exchange in

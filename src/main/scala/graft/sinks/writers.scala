@@ -79,6 +79,63 @@ class AtLeastOnceWriter[A](append: Seq[A] => Unit, sizeOf: A => Long,
   }
 }
 
+/** One stream's transport: appends batches, closeable. The pluggable
+  * seam a real gRPC stream writer would implement. */
+trait BatchAppender[A] extends AutoCloseable {
+  def append(rows: Seq[A]): Unit
+}
+
+/** Pooled per-stream writer registry — the analog of the reference's
+  * writer pool behind ClientProvider.getWriter (client/
+  * BigQueryStreamWriter.java, JsonStreamWriter.java): one live writer
+  * per stream name, created lazily, reused across appends, dropped and
+  * rebuilt on writer-closed failures, all closed on shutdown. Gauges
+  * mirror the pooled-writer metrics the reference exposes. */
+class WriterPool[W <: AutoCloseable](create: String => W) extends AutoCloseable {
+  private val writers = new java.util.concurrent.ConcurrentHashMap[String, W]()
+  private val created = new java.util.concurrent.atomic.AtomicLong()
+  private val recreations = new java.util.concurrent.atomic.AtomicLong()
+
+  def get(stream: String): W =
+    writers.computeIfAbsent(stream, s => { created.incrementAndGet(); create(s) })
+
+  /** Drop and close `stream`'s writer; the next get() builds a fresh
+    * one — the pool-side half of RetryPolicy.RecreateWriter. */
+  def recreate(stream: String): W = {
+    val old = writers.remove(stream)
+    if (old != null) { try old.close() catch { case NonFatal(_) => () } }
+    recreations.incrementAndGet()
+    get(stream)
+  }
+
+  def size: Int = writers.size()
+  def createdCount: Long = created.get()
+  def recreatedCount: Long = recreations.get()
+
+  override def close(): Unit = {
+    writers.values().forEach(w => try w.close() catch { case NonFatal(_) => () })
+    writers.clear()
+  }
+}
+
+/** Routes keyed batches to pooled per-stream writers with the full
+  * retry ladder: transient failures retry in place, writer-closed
+  * failures recreate the stream's writer through the pool and retry
+  * (reference: BigQueryDefaultSinkWriter status switch + getWriter). */
+class PooledStreamAppender[A](newWriter: String => BatchAppender[A],
+                              maxRetries: Int = 3,
+                              val metrics: SinkMetrics = new SinkMetrics)
+    extends AutoCloseable {
+  val pool = new WriterPool[BatchAppender[A]](newWriter)
+
+  def append(stream: String, rows: Seq[A]): Unit =
+    RetryPolicy.withRetries(maxRetries, metrics)(
+      () => pool.get(stream).append(rows),
+      onRecreate = () => pool.recreate(stream))
+
+  override def close(): Unit = pool.close()
+}
+
 /** Exactly-once micro-batch sink: the Spark re-expression of the
   * reference's BUFFERED-stream + commit-on-checkpoint protocol
   * (sink/buffered/BigQueryBufferedSinkWriter.java +

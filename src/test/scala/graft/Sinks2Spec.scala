@@ -230,3 +230,46 @@ class AsyncGaugesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(w.bufferedRequests == 0)
   }
 }
+
+class WriterPoolSpec extends AnyFunSuite {
+  import graft.sinks._
+
+  private class FlakyAppender(stream: String, sunk: java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[Int])],
+                              failFirst: Boolean) extends BatchAppender[Int] {
+    private var poisoned = failFirst
+    var closed = false
+    override def append(rows: Seq[Int]): Unit = {
+      if (poisoned) { poisoned = false; throw RetryPolicy.WriterClosedException(s"$stream closed") }
+      sunk.add(stream -> rows)
+    }
+    override def close(): Unit = closed = true
+  }
+
+  test("pool reuses one writer per stream and closes all on shutdown") {
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[Int])]()
+    val made = scala.collection.mutable.Buffer.empty[FlakyAppender]
+    val app = new PooledStreamAppender[Int](s => {
+      val w = new FlakyAppender(s, sunk, failFirst = false); made += w; w
+    })
+    app.append("s1", Seq(1)); app.append("s2", Seq(2)); app.append("s1", Seq(3))
+    assert(app.pool.size == 2 && app.pool.createdCount == 2)
+    app.close()
+    assert(made.forall(_.closed) && app.pool.size == 0)
+    assert(sunk.size() == 3)
+  }
+
+  test("writer-closed failures recreate through the pool and the batch is retried") {
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[Int])]()
+    var first = true
+    val app = new PooledStreamAppender[Int](s => {
+      val failFirst = first && s == "hot"; first = false
+      new FlakyAppender(s, sunk, failFirst)
+    })
+    app.append("hot", Seq(7, 8))
+    assert(app.pool.recreatedCount == 1)
+    assert(app.pool.createdCount == 2) // original + recreated
+    assert(sunk.peek() == ("hot" -> Seq(7, 8)))
+    assert(app.metrics.appendRetries == 1)
+    app.close()
+  }
+}
