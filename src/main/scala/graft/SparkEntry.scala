@@ -58,7 +58,7 @@ object SparkEntry {
     "dedup_ngram_composed" -> ((s, d) => Dedup.dedupNgramJaccardComposed(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(Tables.embeddings(s, d))),
     "ann_bruteforce" -> ((s, d) => Ann.annBruteforce(Tables.embeddings(s, d))),
-    "ann_lsh" -> ((s, d) => Ann.annLsh(Tables.embeddings(s, d))),
+    "ann_lsh" -> ((s, d) => Ann.annLsh(Tables.embeddings(s, d), portable = true)),
     "sink_batch_assign" -> ((s, d) => SinkOps.batchAssign(Tables.events(s, d))),
     "sink_batch_bytes" -> ((s, d) => SinkOps.batchBytes(Tables.events(s, d))),
     "sink_rows_batch" -> ((s, d) => SinkOps.rowsBatch(Tables.events(s, d))),
@@ -515,6 +515,33 @@ object SparkEntry {
         |s AS (
         |  SELECT q.q_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS cos
         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
+        |), r AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM s
+        |)
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "ann_lsh" ->
+      """WITH coef AS (
+        |  SELECT p.p, j.j,
+        |    (CAST(('0x' || substr(md5(p.p || ':' || j.j), 1, 15)) AS BIGINT)
+        |      - 576460752303423488) / 576460752303423488.0 AS c
+        |  FROM range(0, 6) p(p), range(0, 64) j(j)
+        |), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, c.p, sum(e.v[c.j + 1] * c.c) AS dot
+        |  FROM e, coef c GROUP BY e.vec_id, c.p
+        |), bkt AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+        |  FROM dots GROUP BY vec_id
+        |), q AS (
+        |  SELECT e.vec_id AS q_id, e.v AS qv, b.bucket
+        |  FROM e JOIN bkt b USING (vec_id) WHERE e.vec_id % 50 = 0
+        |), c2 AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN bkt b USING (vec_id)),
+        |s AS (
+        |  SELECT q.q_id, c2.vec_id AS neighbor_id, list_cosine_similarity(q.qv, c2.v) AS cos
+        |  FROM c2 JOIN q ON c2.bucket = q.bucket AND c2.vec_id <> q.q_id
         |), r AS (
         |  SELECT q_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank

@@ -51,6 +51,7 @@ object F {
       .toAggregateExpression())
 
   /** Random-hyperplane LSH bucket id of an array<float> column. */
-  def hyperplaneBucket(vec: Column, numPlanes: Int = 12, planeOffset: Int = 0): Column =
-    Shims.column(HyperplaneBucket(Shims.expression(vec), numPlanes, planeOffset))
+  def hyperplaneBucket(vec: Column, numPlanes: Int = 12, planeOffset: Int = 0,
+                       portable: Boolean = false): Column =
+    Shims.column(HyperplaneBucket(Shims.expression(vec), numPlanes, planeOffset, portable))
 }

@@ -289,6 +289,38 @@ object HashImpls {
     bucket
   }
 
+  /** [[hyperplaneBucket]] with md5-derived plane coefficients a SQL
+    * engine can recompute exactly: coef(p, j) = (md5_60("p:j") - 2^59)
+    * / 2^59 — integer arithmetic plus a power-of-two division, both
+    * exact in IEEE doubles. (The sign of the dot product is then
+    * engine-independent up to last-ulp summation-order noise, which
+    * only matters for dots within ~1e-15 of zero.) */
+  private val portableCoefCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Double]()
+
+  private def portableCoef(plane: Int, j: Int): Double =
+    portableCoefCache.computeIfAbsent((plane.toLong << 32) | j.toLong, key => {
+      val h = md5Hash60(s"$plane:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (h - (1L << 59)).toDouble / (1L << 59).toDouble
+    })
+
+  def hyperplaneBucketPortable(vec: ArrayData, numPlanes: Int, planeOffset: Int): Int = {
+    val n = vec.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += vec.getFloat(j).toDouble * portableCoef(p + planeOffset, j)
+        j += 1
+      }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
   // ---- portable (md5-based) hash variants ----------------------------
   //
   // The xxhash/splitmix kernels above are the production fast path. The

@@ -127,18 +127,23 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 /** array<float> → int LSH bucket from `numPlanes` random hyperplanes
-  * (`planeOffset` selects an independent table for OR-amplification). */
-case class HyperplaneBucket(child: Expression, numPlanes: Int, planeOffset: Int = 0)
+  * (`planeOffset` selects an independent table for OR-amplification;
+  * `portable` uses md5-derived plane coefficients reproducible in SQL). */
+case class HyperplaneBucket(child: Expression, numPlanes: Int, planeOffset: Int = 0,
+                            portable: Boolean = false)
     extends UnaryExpression {
   require(numPlanes > 0 && numPlanes <= 30)
   require(planeOffset >= 0)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_hyperplane_bucket"
   override protected def nullSafeEval(input: Any): Any =
-    HashImpls.hyperplaneBucket(input.asInstanceOf[ArrayData], numPlanes, planeOffset)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (portable) HashImpls.hyperplaneBucketPortable(input.asInstanceOf[ArrayData], numPlanes, planeOffset)
+    else HashImpls.hyperplaneBucket(input.asInstanceOf[ArrayData], numPlanes, planeOffset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (portable) "hyperplaneBucketPortable" else "hyperplaneBucket"
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.HashImpls.hyperplaneBucket($c, $numPlanes, $planeOffset)")
+      c => s"graft.functions.HashImpls.$fn($c, $numPlanes, $planeOffset)")
+  }
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
 }

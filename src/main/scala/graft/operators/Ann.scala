@@ -40,13 +40,16 @@ object Ann {
 
   /** LSH-bucketed ANN: corpus and queries hash to hyperplane buckets;
     * each query ranks only its own bucket. Recall trades off with
-    * numPlanes; same output shape as the exact baseline. */
+    * numPlanes; same output shape as the exact baseline. `portable`
+    * uses md5-derived plane coefficients so a SQL oracle can rebuild
+    * the buckets and gate the bucketed result exactly (the splitmix
+    * fast path stays the production default). */
   def annLsh(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
-             numPlanes: Int = 6): DataFrame = {
+             numPlanes: Int = 6, portable: Boolean = false): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), col("embedding"),
-      F.hyperplaneBucket(col("embedding"), numPlanes).as("bucket"))
+      F.hyperplaneBucket(col("embedding"), numPlanes, 0, portable).as("bucket"))
     val queries = querySet(embeddings, stride)
-      .withColumn("bucket", F.hyperplaneBucket(col("q_vec"), numPlanes))
+      .withColumn("bucket", F.hyperplaneBucket(col("q_vec"), numPlanes, 0, portable))
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", F.cosine(col("q_vec"), col("embedding")))
