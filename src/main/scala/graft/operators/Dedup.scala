@@ -34,8 +34,8 @@ object Dedup {
 
   /** MinHash + banded LSH near-dup detection.
     *
-    * numPerm=128 signature, `bands` bands of 128/bands rows hashed to a
-    * band key; docs sharing any band key become candidates; candidates
+    * numPerm-wide signature, `bands` bands of numPerm/bands rows hashed
+    * to a band key; docs sharing any band key become candidates; these
     * are verified with exact shingle-set Jaccard >= `threshold`.
     * Output: the VERIFIED near-dup pairs (a_id, b_id, jaccard) — exact
     * values a SQL oracle reproduces with all-pairs set Jaccard at gate
