@@ -39,8 +39,9 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB DECODER: stands in for image/audio decode. Deterministic over
-    * the bytes; a real codec replaces only this function. */
+  /** STUB DECODER: stands in for compressed-codec decode (JPEG/MP3/
+    * H.264 need codec libraries this environment lacks). Deterministic
+    * over the bytes; [[decodeAny]] prefers the REAL parsers below. */
   private def decodeStub(content: Array[Byte]): (Double, Int) = {
     var sum = 0L
     var i = 0
@@ -50,6 +51,20 @@ object Multimodal {
     (mean, frames)
   }
 
+  /** Decode dispatch: REAL parsers for self-contained formats — 16-bit
+    * PCM WAV and binary PPM ([[Codecs]], pure byte parsing) — with the
+    * stub as fallback for anything else. Valid media yields true
+    * sample/pixel statistics; synthetic payloads degrade to the stub,
+    * so both travel the same plumbing. */
+  private[operators] def decodeAny(mediaType: String, content: Array[Byte]): (Double, Int) =
+    (mediaType match {
+      case "audio" => Codecs.decodeWav(content)
+        .map(w => (w.meanAbsAmplitude, math.max(1, w.nSamples / 1024)))
+      case "image" => Codecs.decodePpm(content)
+        .map(p => ((p.meanR + p.meanG + p.meanB) / 3.0, 1))
+      case _ => None
+    }).getOrElse(decodeStub(content))
+
   /** Feature extraction in partition batches; no shuffle — scales with
     * input partitioning alone. `mean_byte` is raw (unrounded); query-
     * layer consumers round it for display/compare. */
@@ -57,7 +72,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (mean, frames) = decodeStub(r.content)
+        val (mean, frames) = decodeAny(r.media_type, r.content)
         MediaFeatures(r.doc_id, r.media_type, r.content.length.toLong,
           mean, r.width, r.height, if (r.media_type == "video") frames else 1)
       }

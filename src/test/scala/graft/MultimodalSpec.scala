@@ -41,3 +41,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.doc_id).toSet.subsetOf(videoIds))
   }
 }
+
+class CodecsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.Codecs
+
+  test("wav: encode -> decode round-trips header fields and amplitude stats") {
+    val samples = Array[Short](0, 1000, -1000, 2000, -2000, 30000, -30000, 0)
+    val bytes = Codecs.encodeWav(samples, sampleRate = 16000, channels = 1)
+    val info = Codecs.decodeWav(bytes).get
+    assert(info.channels == 1 && info.sampleRate == 16000 && info.bitsPerSample == 16)
+    assert(info.nSamples == 8)
+    assert(info.meanAbsAmplitude == samples.map(s => math.abs(s.toLong)).sum.toDouble / 8)
+  }
+
+  test("wav: garbage and truncated input decode to None, not garbage stats") {
+    assert(Codecs.decodeWav("this is not audio at all, just text".getBytes).isEmpty)
+    val ok = Codecs.encodeWav(Array[Short](1, 2, 3))
+    assert(Codecs.decodeWav(ok.take(30)).isEmpty)
+  }
+
+  test("ppm: encode -> decode round-trips dimensions and channel means") {
+    val w = 4; val h = 2
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      (i % 3 match { case 0 => 200; case 1 => 100; case _ => 50 }).toByte
+    }
+    val info = Codecs.decodePpm(Codecs.encodePpm(w, h, rgb)).get
+    assert(info.width == 4 && info.height == 2)
+    assert(info.meanR == 200.0 && info.meanG == 100.0 && info.meanB == 50.0)
+  }
+
+  test("ppm: comments in header are skipped; truncated pixels rejected") {
+    val rgb = Array.fill(3 * 3)(7.toByte)
+    val withComment = ("P6\n# a comment\n3 1\n255\n").getBytes ++ rgb
+    val info = Codecs.decodePpm(withComment).get
+    assert(info.width == 3 && info.height == 1 && info.meanR == 7.0)
+    assert(Codecs.decodePpm(Codecs.encodePpm(3, 1, rgb).dropRight(2)).isEmpty)
+  }
+
+  test("real media decodes through the Spark feature pipeline; text falls back to stub") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    val wav = Codecs.encodeWav(Array[Short](100, -100, 100, -100))
+    val ppm = Codecs.encodePpm(2, 2, Array.fill(12)(10.toByte))
+    val rows = Seq(
+      MediaRow(1L, "audio", wav, 0, 0),
+      MediaRow(2L, "image", ppm, 2, 2),
+      MediaRow(3L, "audio", "plain text payload".getBytes, 0, 0))
+    val feats = graft.operators.Multimodal.extractFeatures(rows.toDS())
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).mean_byte == 100.0)           // true mean |amplitude|
+    assert(feats(2L).mean_byte == 10.0)            // true mean pixel value
+    assert(feats(3L).mean_byte > 0 && feats(3L).mean_byte < 256) // stub path
+  }
+}
