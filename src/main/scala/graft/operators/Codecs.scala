@@ -95,8 +95,9 @@ object Codecs {
     out
   }
 
-  /** Parses a binary P6 PPM; None if malformed or truncated. */
-  def decodePpm(bytes: Array[Byte]): Option[PpmInfo] = {
+  /** Parses the P6 header; Some((width, height, pixelDataOffset)) when
+    * well-formed with a complete pixel payload. */
+  private def parseP6Header(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes.length < 11 || bytes(0) != 'P' || bytes(1) != '6') return None
     var pos = 2
     def skipWs(): Unit = {
@@ -120,17 +121,44 @@ object Codecs {
     val w = readInt(); val h = readInt(); val maxVal = readInt()
     if (w <= 0 || h <= 0 || maxVal != 255 || pos >= bytes.length) return None
     pos += 1 // single whitespace after maxval
-    val need = w * h * 3
-    if (bytes.length - pos < need) return None
-    var (sr, sg, sb) = (0L, 0L, 0L)
-    var i = 0
-    while (i < need) {
-      sr += bytes(pos + i) & 0xff
-      sg += bytes(pos + i + 1) & 0xff
-      sb += bytes(pos + i + 2) & 0xff
-      i += 3
-    }
-    val n = (w * h).toDouble
-    Some(PpmInfo(w, h, sr / n, sg / n, sb / n))
+    if (bytes.length - pos < w * h * 3) return None
+    Some((w, h, pos))
   }
+
+  /** Parses a binary P6 PPM; None if malformed or truncated. */
+  def decodePpm(bytes: Array[Byte]): Option[PpmInfo] = parseP6Header(bytes).map {
+    case (w, h, pos) =>
+      val need = w * h * 3
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < need) {
+        sr += bytes(pos + i) & 0xff
+        sg += bytes(pos + i + 1) & 0xff
+        sb += bytes(pos + i + 2) & 0xff
+        i += 3
+      }
+      val n = (w * h).toDouble
+      PpmInfo(w, h, sr / n, sg / n, sb / n)
+  }
+
+  /** REAL image resize: nearest-neighbor resample of a binary P6 PPM
+    * (the honest pixel-level operation, not a byte truncation). */
+  def resizePpm(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
+    parseP6Header(bytes).map { case (w, h, pos) =>
+      val out = new Array[Byte](newW * newH * 3)
+      var y = 0
+      while (y < newH) {
+        val sy = y * h / newH
+        var x = 0
+        while (x < newW) {
+          val sx = x * w / newW
+          val src = pos + (sy * w + sx) * 3
+          val dst = (y * newW + x) * 3
+          out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encodePpm(newW, newH, out)
+    }
 }

@@ -79,14 +79,18 @@ object Multimodal {
     }
   }
 
-  /** Resize: metadata-true, payload-stubbed (truncate/zero-pad to the
-    * implied byte budget — a real resampler replaces the body). */
+  /** Resize: REAL nearest-neighbor resample for images whose payload
+    * parses as binary PPM ([[Codecs.resizePpm]]); metadata-true byte-
+    * budget stub for payloads that need an external codec. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val budget = w * h / 64 + 1
-        val out = java.util.Arrays.copyOf(r.content, budget)
+        val resized = if (r.media_type == "image") Codecs.resizePpm(r.content, w, h) else None
+        val out = resized.getOrElse {
+          val budget = w * h / 64 + 1
+          java.util.Arrays.copyOf(r.content, budget)
+        }
         r.copy(content = out, width = w, height = h)
       }
     }

@@ -40,5 +40,11 @@ object Shims {
       "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_bucket",
       args => HyperplaneBucket(args(0), intArg(args(1), "numPlanes")), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_strings",
+      args => ShingleStrings(args(0), intArg(args(1), "k")), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      args => ShingleHashes(args(0), intArg(args(1), "k")), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_hashes",
+      args => MinHashFromHashes(args(0), intArg(args(1), "numPerm")), "built-in")
   }
 }

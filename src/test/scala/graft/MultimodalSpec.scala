@@ -95,3 +95,43 @@ class CodecsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(feats(3L).mean_byte > 0 && feats(3L).mean_byte < 256) // stub path
   }
 }
+
+class PpmResizeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.Codecs
+
+  test("nearest-neighbor resize picks true source pixels") {
+    // 4x4 image, four solid 2x2 quadrants: R G / B W
+    def px(r: Int, g: Int, b: Int) = Array(r.toByte, g.toByte, b.toByte)
+    val quads = Array(px(255, 0, 0), px(0, 255, 0), px(0, 0, 255), px(255, 255, 255))
+    val rgb = new Array[Byte](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val q = (y / 2) * 2 + (x / 2)
+      System.arraycopy(quads(q), 0, rgb, (y * 4 + x) * 3, 3)
+    }
+    val small = Codecs.resizePpm(Codecs.encodePpm(4, 4, rgb), 2, 2).get
+    val info = Codecs.decodePpm(small).get
+    assert(info.width == 2 && info.height == 2)
+    // each output pixel samples one quadrant → means average the four colors
+    assert(info.meanR == (255 + 0 + 0 + 255) / 4.0)
+    assert(info.meanG == (0 + 255 + 0 + 255) / 4.0)
+    assert(info.meanB == (0 + 0 + 255 + 255) / 4.0)
+    // upscale keeps solid quadrant structure
+    val big = Codecs.resizePpm(small, 4, 4).get
+    assert(Codecs.decodePpm(big).get.meanR == info.meanR)
+  }
+
+  test("resize through the Spark pipeline: real resample for ppm, stub for text") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRow
+    val ppm = Codecs.encodePpm(4, 4, Array.fill(48)(9.toByte))
+    val rows = Seq(
+      MediaRow(1L, "image", ppm, 4, 4),
+      MediaRow(2L, "audio", "not an image".getBytes, 0, 0))
+    val out = Multimodal.resize(rows.toDS(), 2, 2).collect().map(r => r.doc_id -> r).toMap
+    val backInfo = Codecs.decodePpm(out(1L).content).get
+    assert(backInfo.width == 2 && backInfo.height == 2 && backInfo.meanR == 9.0)
+    assert(out(2L).width == 2 && out(2L).height == 2) // stub path: metadata true
+  }
+}
