@@ -73,6 +73,8 @@ object SparkEntry {
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
     "scale_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(Tables.lineitem(s, d))),
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
+    "scale_partition_prune" -> ((s, d) =>
+      ScaleOps.partitionPrunedScan(s, ScaleOps.writePartitionedLayout(s, d))),
     "q17_cube" -> ((s, d) => Relational.q17Cube(Tables.orders(s, d))),
     "q18_percentiles" -> ((s, d) => Relational.q18Percentiles(Tables.lineitem(s, d))),
     "q18b_percentiles_approx" -> ((s, d) => Relational.q18bPercentilesApprox(Tables.lineitem(s, d))),
@@ -503,6 +505,12 @@ object SparkEntry {
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "scale_partition_prune" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12'
+        |GROUP BY 1 ORDER BY o_month""".stripMargin,
     "scale_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         | count(DISTINCT l_suppkey) AS exact_supps,
