@@ -82,6 +82,8 @@ object SparkEntry {
     "q22_upsert" -> ((s, d) => Relational.q22Upsert(Tables.orders(s, d))),
     "q21_json_extract" -> ((s, d) => Relational.q21JsonExtract(Tables.events(s, d))),
     "q19_stats" -> ((s, d) => Relational.q19Stats(Tables.lineitem(s, d))),
+    "q23_supplier_rank" -> ((s, d) => Relational.q23SupplierRank(
+      Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "text_ngram_freq" -> ((s, d) => TextOps.ngramFreq(Tables.documents(s, d))),
     "dedup_fingerprint" -> ((s, d) => Dedup.dedupFingerprint(Tables.documents(s, d), portable = true)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
@@ -493,6 +495,19 @@ object SparkEntry {
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
         | round(skewness(l_discount) + 1e-9, 4) AS skew_disc
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q23_supplier_rank" ->
+      """WITH bysupp AS (
+        |  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |   count(*) AS n_items
+        |  FROM lineitem GROUP BY l_suppkey
+        |)
+        |SELECT n_name, rnk, s_suppkey, s_name, revenue, n_items FROM (
+        |  SELECT n_name, s_suppkey, s_name, revenue, n_items,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey ASC) AS rnk
+        |  FROM bysupp
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |) WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
     "text_ngram_freq" ->
       """SELECT token, count(*) AS freq FROM (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

@@ -248,6 +248,31 @@ object Relational {
         col("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Per-nation supplier leaderboard: fact aggregated to supplier
+    * grain first (map-side partial agg shrinks 6M lineitems to 10k
+    * suppliers BEFORE any join), then broadcast-joined to the supplier
+    * and nation dims, ranked per nation, top 3 kept. The
+    * aggregate-then-join order is the 100 TB-critical choice — joining
+    * first would carry nation names through the fact shuffle. */
+  def q23SupplierRank(lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySupp = lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("revenue").desc, col("s_suppkey").asc)
+    bySupp
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("n_name"), col("rnk"), col("s_suppkey"), col("s_name"),
+        col("revenue"), col("n_items"))
+      .orderBy(col("n_name"), col("rnk"))
+  }
+
   /** Statistical aggregates battery (moments, correlation). */
   def q19Stats(lineitem: DataFrame): DataFrame =
     lineitem
