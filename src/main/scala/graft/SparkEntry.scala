@@ -105,9 +105,9 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        | CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+        | CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
         | round(avg(l_quantity), 4) AS avg_qty,
         | round(avg(l_extendedprice), 4) AS avg_price,
         | round(avg(l_discount), 4) AS avg_disc,
@@ -121,7 +121,7 @@ object SparkEntry {
         |  AND l_discount >= 0.05 AND l_quantity < 24.0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q3_join_broadcast" ->
-      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      """SELECT n_name, CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue, count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -129,7 +129,7 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q4_join_shuffle" ->
       """SELECT o_orderpriority,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -176,10 +176,10 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q12_time_series" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        | CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue, count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
     "q13_union" ->
-      """SELECT bucket, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      """SELECT bucket, count(*) AS n, CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         |FROM (
         |  SELECT 'hi' AS bucket, o_totalprice FROM orders WHERE o_totalprice > 100000.0
         |  UNION ALL
@@ -444,7 +444,7 @@ object SparkEntry {
     "q17_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,
-        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+        | CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q18_percentiles" ->
@@ -462,7 +462,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q20_outer_join" ->
       """WITH stats AS (
-        |  SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |  SELECT o_custkey, count(*) AS cnt, CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         |  FROM orders GROUP BY o_custkey
         |)
         |SELECT c_custkey, c_mktsegment,
@@ -472,7 +472,8 @@ object SparkEntry {
     "q22_upsert" ->
       """WITH updates AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |   round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate, o_orderpriority
+        |   round(round(o_totalprice * 100) * 1.1) / 100.0 AS o_totalprice,
+        |   o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 97 = 0
         |), merged AS (
         |  SELECT o_orderstatus, o_totalprice FROM orders
@@ -480,7 +481,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderstatus, o_totalprice FROM updates
         |)
-        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q21_json_extract" ->
       """SELECT event_type, count(*) AS n,
@@ -497,7 +498,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q23_supplier_rank" ->
       """WITH bysupp AS (
-        |  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  SELECT l_suppkey, CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
         |   count(*) AS n_items
         |  FROM lineitem GROUP BY l_suppkey
         |)
@@ -516,13 +517,13 @@ object SparkEntry {
         |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
     "scale_bucketed_join" ->
       """SELECT o_orderpriority,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "scale_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
-        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        | CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue, count(*) AS n_orders
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12'
         |GROUP BY 1 ORDER BY o_month""".stripMargin,

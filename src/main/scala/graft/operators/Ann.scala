@@ -38,6 +38,55 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path next to
+    * LSH: a coarse quantizer (k-means centroids, trained on the corpus
+    * with a fixed seed) partitions vectors into `nlist` inverted
+    * lists; each query probes only its `nprobe` nearest centroids and
+    * ranks those lists with the bounded-heap top-k aggregate. Corpus
+    * work per query drops from |corpus| to ~|corpus| * nprobe / nlist;
+    * at 100 TB the lists are the partitioning key, so a probe touches
+    * only its lists' partitions. Recall depends on how well the
+    * corpus clusters — see the spec's planted-cluster assertion. */
+  def annIvf(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+             nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    val withVec = embeddings.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(7L).setMaxIter(iters)
+      .setFeaturesCol("features").fit(withVec)
+    val corpus = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
+
+    // per-query probe set: nprobe nearest centroids (centroids are tiny
+    // and driver-resident by construction — this is quantizer metadata,
+    // not data-path state)
+    val centers = model.clusterCenters.map(_.toArray)
+    val probeUdf = udf { (q: Seq[Float]) =>
+      centers.zipWithIndex.map { case (c, i) =>
+        var dot = 0.0; var nq = 0.0; var nc = 0.0
+        var j = 0
+        while (j < q.length) {
+          val x = q(j).toDouble; val y = c(j)
+          dot += x * y; nq += x * x; nc += y * y; j += 1
+        }
+        (i, if (nq == 0 || nc == 0) 0.0 else dot / math.sqrt(nq * nc))
+      }.sortBy(-_._2).take(nprobe).map(_._1)
+    }
+    val queries = querySet(embeddings, stride)
+      .withColumn("list_id", explode(probeUdf(col("q_vec"))))
+
+    corpus.join(broadcast(queries), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", F.cosine(col("q_vec"), col("embedding")))
+      .groupBy(col("q_id"))
+      .agg(F.topk(col("cos"), col("vec_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 4).as("cosine"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: corpus and queries hash to hyperplane buckets;
     * each query ranks only its own bucket. Recall trades off with
     * numPlanes; same output shape as the exact baseline. `portable`

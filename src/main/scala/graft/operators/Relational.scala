@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Exact "money sum": sums integer cents, then divides once. Double
+    * summation of 10^10-scale totals drifts by last-ulp amounts that
+    * depend on partition order and can cross 2-dp rounding boundaries
+    * between engines; integer sums are exact and order-free. */
+  private[operators] def moneySum(c: Column): Column =
+    sum(round(c * 100, 0).cast("long")) / 100.0
+
+
   private def disc(c: Column): Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
   /** TPC-H Q1 pricing summary. Partial agg on 2 low-cardinality keys —
@@ -28,9 +36,9 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(disc(col("l_extendedprice"))), 2).as("sum_disc_price"),
-        round(sum(disc(col("l_extendedprice")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(disc(col("l_extendedprice"))).as("sum_disc_price"),
+        moneySum(disc(col("l_extendedprice")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -57,7 +65,7 @@ object Relational {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy(col("n_name"))
 
   /** Fact-fact shuffle join on the orderkey; AQE coalesces/skew-splits
@@ -66,7 +74,7 @@ object Relational {
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(round(sum(disc(col("l_extendedprice"))), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(moneySum(disc(col("l_extendedprice"))).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
 
   /** Global top-k: orderBy+limit → TakeOrderedAndProject — per-partition
@@ -145,7 +153,7 @@ object Relational {
   def q12TimeSeries(orders: DataFrame): DataFrame =
     orders
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy(col("month"))
 
   /** Union-all of two branches + reaggregation. */
@@ -156,7 +164,7 @@ object Relational {
       .select(lit("lo").as("bucket"), col("o_totalprice"))
     hi.unionAll(lo)
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
       .orderBy(col("bucket"))
   }
 
@@ -204,7 +212,7 @@ object Relational {
   def q17Cube(orders: DataFrame): DataFrame =
     orders
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -259,7 +267,7 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val bySupp = lineitem
       .groupBy(col("l_suppkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"), count(lit(1)).as("n_items"))
     val w = Window.partitionBy(col("n_name"))
       .orderBy(col("revenue").desc, col("s_suppkey").asc)
@@ -291,13 +299,23 @@ object Relational {
     * Updates here are a deterministic derivation (10% price bump on
     * keys divisible by 97) so the oracle can reproduce them. */
   def q22Upsert(orders: DataFrame): DataFrame = {
+    // Update arithmetic in explicit integer cents: round(x * 1.1, 2)
+    // diverges across engines (decimal-string rounding vs a second
+    // float rounding of x*100); round(cents * 1.1) is one deterministic
+    // float op on identical inputs.
     val updates = orders.filter(col("o_orderkey") % 97 === 0)
-      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      .withColumn("o_totalprice",
+        round(round(col("o_totalprice") * 100, 0) * 1.1, 0) / 100.0)
     val merged = orders.join(updates.select(col("o_orderkey").as("u_key")),
         col("o_orderkey") === col("u_key"), "left_anti")
       .unionAll(updates)
+    // Sum exact integer cents, not doubles: at 10^10-scale totals the
+    // last-ulp drift of order-dependent double summation crosses 2-dp
+    // rounding boundaries (observed at sf0.1); integer sums are exact
+    // and engine-independent.
     merged.groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("total"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -305,7 +323,7 @@ object Relational {
     * (zero-order customers surface with n_orders = 0). */
   def q20OuterJoin(customer: DataFrame, orders: DataFrame): DataFrame = {
     val stats = orders.groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("total"))
     customer.join(stats, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_mktsegment"),
         coalesce(col("cnt"), lit(0L)).as("n_orders"),

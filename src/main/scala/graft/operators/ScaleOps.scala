@@ -57,7 +57,7 @@ object ScaleOps {
     spark.table("graft_lineitem_bucketed")
       .join(spark.table("graft_orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(Relational.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
 
@@ -145,7 +145,7 @@ object ScaleOps {
     spark.read.parquet(layoutDir)
       .filter(col("o_month") >= fromMonth && col("o_month") <= toMonth)
       .groupBy(col("o_month"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(Relational.moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy(col("o_month"))
 
   /** Sketch-based distinct: HyperLogLog++ approximate counts next to

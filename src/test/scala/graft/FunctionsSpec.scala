@@ -151,3 +151,31 @@ class ShingleStringsSpec extends AnyFunSuite {
     assert(diff.isEmpty, s"mismatch: ${diff.take(3).mkString(",")}")
   }
 }
+
+class AnnIvfSpec extends AnyFunSuite {
+  test("IVF probes recover neighbors on a clustered corpus") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 4 well-separated clusters x 50 vectors (unit-ish gaussians around
+    // distant centers) — the corpus shape IVF is built for
+    val centers = Array.tabulate(4)(c => Array.tabulate(64)(j =>
+      if (j % 4 == c) 10f else 0f))
+    val rows = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, centers(c).map(x => x + 0.5f * rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val ivf = graft.operators.Ann.annIvf(df, k = 5, stride = 10, nlist = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = graft.operators.Ann.annBruteforce(df, k = 5, stride = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.keySet == exact.keySet)
+    // same-cluster neighbors dominate; probing the right lists must
+    // recover nearly all of the exact top-5
+    val recalls = exact.map { case (q, nn) => (ivf(q) & nn).size.toDouble / nn.size }
+    assert(recalls.sum / recalls.size >= 0.9, s"mean recall ${recalls.sum / recalls.size}")
+  }
+}
