@@ -289,3 +289,41 @@ class GraftRecordSpec extends AnyFunSuite {
     assert(batches(1).data.map(_.id) == Seq(2L))
   }
 }
+
+class KeyedSinkSpec extends AnyFunSuite {
+  test("keyed at-least-once routes every row to its key's stream via pooled writers") {
+    val spark = TestSpark.spark
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-keyed").toString
+    // per-stream transport: appends land in one file per stream
+    val newWriter: String => graft.sinks.BatchAppender[Array[Byte]] = { stream =>
+      new graft.sinks.BatchAppender[Array[Byte]] {
+        private val f = java.nio.file.Paths.get(sinkDir)
+          .resolve(stream.replaceAll("[^a-zA-Z0-9_]", "_") + ".jsonl")
+        override def append(rowsB: Seq[Array[Byte]]): Unit =
+          java.nio.file.Files.write(f,
+            rowsB.map(new String(_, "UTF-8")).mkString("", "\n", "\n").getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+        override def close(): Unit = ()
+      }
+    }
+    val df = Tables.events(spark, TestSpark.sf).selectExpr("event_id", "event_type", "user_id")
+    val totals = graft.sinks.GraftSink.writeKeyedAtLeastOnce(
+      df, "event_type", graft.sinks.TableRef("p", "d", "events"),
+      graft.sinks.WriterSettings(maxBatchCount = 64), newWriter)
+    assert(totals.rows == 1000)
+    import scala.jdk.CollectionConverters._
+    val byStream = java.nio.file.Files.list(java.nio.file.Paths.get(sinkDir)).iterator().asScala
+      .map(p => p.getFileName.toString -> java.nio.file.Files.readAllLines(p).size).toMap
+    assert(byStream.values.sum == 1000)
+    // one stream file per distinct event_type key
+    val nTypes = df.select("event_type").distinct().count()
+    assert(byStream.size == nTypes, s"streams: ${byStream.keys}")
+    // every row carries its stream's key
+    byStream.keys.foreach { f =>
+      val key = f.stripSuffix("_jsonl").stripSuffix(".jsonl").split("_streams_").last
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(sinkDir).resolve(f)).asScala
+      assert(lines.forall(_.contains(s""""event_type":"$key"""")), s"stream $f mixed keys")
+    }
+  }
+}
