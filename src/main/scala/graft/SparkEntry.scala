@@ -404,8 +404,7 @@ object SparkEntry {
         |  FROM events
         |)
         |SELECT event_id,
-        |  (1 + vl_id) + (1 + vl_sl + sl) + (1 + vl_uid) AS payload_bytes,
-        |  TRUE AS roundtrip_ok
+        |  (1 + vl_id) + (1 + vl_sl + sl) + (1 + vl_uid) AS payload_bytes
         |FROM v ORDER BY event_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

@@ -36,6 +36,11 @@ object F {
   def shingleStrings(text: Column, k: Int = 3): Column =
     Shims.column(ShingleStrings(Shims.expression(text), k))
 
+  /** Protobuf wire encoding of a struct column (descriptor derived
+    * from the struct type; codegen'd). */
+  def protoEncode(struct: Column): Column =
+    Shims.column(ProtoEncode(Shims.expression(struct)))
+
   /** MinHash signature over precomputed element hashes. */
   def minhashHashed(hashes: Column, numPerm: Int = 128): Column =
     Shims.column(MinHashFromHashes(Shims.expression(hashes), numPerm))

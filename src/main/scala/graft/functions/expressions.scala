@@ -100,6 +100,25 @@ case class MinHashFromHashes(child: Expression, numPerm: Int) extends UnaryExpre
     copy(child = newChild)
 }
 
+/** struct → binary: protobuf wire encoding under the struct-derived
+  * descriptor — serialization inside WholeStageCodegen, no external
+  * Row materialization (the UDF formulation deserializes every row). */
+case class ProtoEncode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_proto_encode"
+  @transient private lazy val encoder =
+    new graft.schema.ProtoInternalRowEncoder(child.dataType.asInstanceOf[StructType])
+  override protected def nullSafeEval(input: Any): Any =
+    encoder.encode(input.asInstanceOf[InternalRow])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("protoEncoder", encoder,
+      classOf[graft.schema.ProtoInternalRowEncoder].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ProtoEncode =
+    copy(child = newChild)
+}
+
 /** (array<long> sorted, array<long> sorted) → intersection size. */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -83,29 +83,17 @@ object SinkOps {
       .withColumn("payload_bytes", octet_length(col("payload")).cast("long"))
       .orderBy(col("event_id"))
 
-  /** Rows through the schema-driven protobuf wire encoder
-    * ([[graft.schema.ProtoRowSerializer]] — the descriptor chain of
-    * client/BigQueryProtoClientProvider.java:49): emits the encoded
-    * payload size plus a round-trip check bit. Wire sizes are pure
-    * arithmetic over the field values (varint widths + string bytes),
-    * which is what the SQL oracle recomputes. */
-  def serializeProto(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("event_type", StringType),
-      StructField("user_id", LongType)))
-    val ser = new graft.schema.ProtoRowSerializer(schema)
-    val enc = udf { (eventId: Long, eventType: String, userId: Long) =>
-      val row = org.apache.spark.sql.Row(eventId, eventType, userId)
-      val bytes = ser.serialize(row)
-      val back = ser.deserialize(bytes)
-      (bytes.length.toLong, back == row)
-    }
-    events
-      .withColumn("enc", enc(col("event_id"), col("event_type"), col("user_id")))
-      .select(col("event_id"), col("enc._1").as("payload_bytes"),
-        col("enc._2").as("roundtrip_ok"))
+  /** Rows through the schema-driven protobuf wire encoder (the
+    * descriptor chain of client/BigQueryProtoClientProvider.java:49),
+    * as a codegen expression — serialization runs inside
+    * WholeStageCodegen on InternalRows. Wire sizes are pure arithmetic
+    * over the field values (varint widths + utf8 lengths), which is
+    * what the SQL oracle recomputes; decode-equivalence with the
+    * external-Row serializer is spec-asserted. */
+  def serializeProto(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+        graft.functions.F.protoEncode(
+          struct(col("event_id"), col("event_type"), col("user_id"))).as("payload"))
+      .select(col("event_id"), octet_length(col("payload")).cast("long").as("payload_bytes"))
       .orderBy(col("event_id"))
-  }
 }

@@ -87,6 +87,90 @@ object ProtoDescriptor {
     fromBq(SchemaTransformer.toBq(schema), name)
 }
 
+/** Encodes Catalyst InternalRows into protobuf wire bytes — the
+  * zero-conversion engine-side twin of [[ProtoRowSerializer]] (same
+  * descriptor, same wire bytes), used by the `graft_proto_encode`
+  * codegen expression so serialization runs inside WholeStageCodegen
+  * with no external-Row materialization. */
+class ProtoInternalRowEncoder(schema: StructType) extends Serializable {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private val descriptor = ProtoDescriptor.fromStruct(schema)
+
+  def encode(row: InternalRow): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeMessage(out, row, schema, descriptor)
+    out.toByteArray
+  }
+
+  private def writeMessage(out: java.io.ByteArrayOutputStream, row: InternalRow,
+                           st: StructType, d: ProtoMessageDescriptor): Unit = {
+    var i = 0
+    while (i < d.fields.length) {
+      if (!row.isNullAt(i)) {
+        val f = d.fields(i)
+        st.fields(i).dataType match {
+          case ArrayType(elem, _) =>
+            val arr = row.getArray(i)
+            var j = 0
+            while (j < arr.numElements()) {
+              writeOne(out, f, elem, arr.get(j, elem))
+              j += 1
+            }
+          case dt => writeOne(out, f, dt, row.get(i, dt))
+        }
+      }
+      i += 1
+    }
+  }
+
+  private def writeOne(out: java.io.ByteArrayOutputStream, f: ProtoFieldDescriptor,
+                       dt: DataType, v: Any): Unit = {
+    writeVarint(out, (f.number.toLong << 3) | f.wireType.id.toLong)
+    f.wireType match {
+      case ProtoWireType.Varint =>
+        val value = v match {
+          case b: Boolean => if (b) 1L else 0L
+          case l: Long => l
+          case i: Int => i.toLong
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+        }
+        writeVarint(out, value)
+      case ProtoWireType.Fixed64 =>
+        val bits = v match {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case fl: Float => java.lang.Double.doubleToLongBits(fl.toDouble)
+        }
+        var k = 0
+        var b = bits
+        while (k < 8) { out.write((b & 0xff).toInt); b >>>= 8; k += 1 }
+      case ProtoWireType.LengthDelimited =>
+        val bytes = (dt, v) match {
+          case (BinaryType, b: Array[Byte]) => b
+          case (s: StructType, r: InternalRow) =>
+            val inner = new java.io.ByteArrayOutputStream()
+            writeMessage(inner, r, s, f.nested.get)
+            inner.toByteArray
+          case (_, u: org.apache.spark.unsafe.types.UTF8String) => u.getBytes
+          case (_, other) => String.valueOf(other)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        writeVarint(out, bytes.length.toLong)
+        out.write(bytes)
+    }
+  }
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+}
+
 /** Encodes Spark Rows into protobuf wire bytes under a descriptor
   * derived from the row schema, and decodes them back. */
 class ProtoRowSerializer(schema: StructType) extends graft.sinks.RowValueSerializer[Row] {

@@ -46,5 +46,7 @@ object Shims {
       args => ShingleHashes(args(0), intArg(args(1), "k")), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_hashes",
       args => MinHashFromHashes(args(0), intArg(args(1), "numPerm")), "built-in")
+    reg.createOrReplaceTempFunction("graft_proto_encode",
+      args => ProtoEncode(args(0)), "built-in")
   }
 }

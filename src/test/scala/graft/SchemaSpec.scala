@@ -201,3 +201,28 @@ class ProtoDescriptorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(bq2 == bq)
   }
 }
+
+class ProtoEncodeExprSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("codegen proto expression emits the same wire bytes as the Row serializer") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("event_type"), col("user_id")).limit(200)
+    val viaExpr = df.select(col("event_id"),
+        graft.functions.F.protoEncode(
+          struct(col("event_id"), col("event_type"), col("user_id"))).as("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("user_id", LongType)))
+    val ser = new graft.schema.ProtoRowSerializer(schema)
+    df.collect().foreach { r =>
+      val external = ser.serialize(org.apache.spark.sql.Row(r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(viaExpr(r.getLong(0)) == external.toSeq, s"event ${r.getLong(0)}")
+      // and the wire bytes decode back to the original values
+      val back = ser.deserialize(external)
+      assert(back.getLong(0) == r.getLong(0) && back.getString(1) == r.getString(1))
+    }
+  }
+}
