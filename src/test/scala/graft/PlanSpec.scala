@@ -55,3 +55,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 }
+
+class CodegenCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("new expressions stay inside whole-stage codegen spans") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val sh = docs.select(graft.functions.F.shingleStrings(col("text"), 3).as("sh"))
+    sh.collect()
+    assert(sh.queryExecution.executedPlan.toString.contains("*("), "shingleStrings outside codegen")
+    val pe = Tables.events(spark, TestSpark.sf).select(
+      graft.functions.F.protoEncode(struct(col("event_id"), col("event_type"))).as("p"))
+    pe.collect()
+    assert(pe.queryExecution.executedPlan.toString.contains("*("), "protoEncode outside codegen")
+  }
+}
