@@ -180,10 +180,15 @@ class ExactlyOnceParquetSink(basePath: String) extends Serializable {
     true
   }
 
-  /** All committed data, for reads (uncommitted epochs invisible). */
+  /** All committed data, for reads (uncommitted epochs invisible).
+    * One multi-path scan, not a union per epoch: a long-lived stream
+    * accumulates thousands of epochs and a union chain that deep is a
+    * plan-size problem before it is a data problem. */
   def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val epochs = committedEpochs().toSeq.sorted
-    val dfs = epochs.map(e => spark.read.parquet(s"$basePath/epoch=$e"))
-    if (dfs.isEmpty) spark.emptyDataFrame else dfs.reduce(_ unionAll _)
+    if (epochs.isEmpty) spark.emptyDataFrame
+    else spark.read.option("basePath", basePath)
+      .parquet(epochs.map(e => s"$basePath/epoch=$e"): _*)
+      .drop("epoch")
   }
 }
