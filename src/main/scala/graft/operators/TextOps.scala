@@ -142,6 +142,21 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The language-ID decision expression, shared by the batch op and
+    * the streaming pipeline. */
+  private[operators] def langPredCol: Column = {
+    val en = stopHits(EN_STOPS)
+    val de = stopHits(DE_STOPS)
+    val fr = stopHits(FR_STOPS)
+    val es = stopHits(ES_STOPS)
+    val zh = octet_length(col("text")) - length(col("text"))
+    when(zh > 0, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
   /** Stopword-profile language ID. `nonascii` doubles as a CJK signal
     * (octet_length > char length) without regex-dialect hazards. */
   def textLangid(documents: DataFrame): DataFrame = {
@@ -150,15 +165,33 @@ object TextOps {
     val fr = stopHits(FR_STOPS)
     val es = stopHits(ES_STOPS)
     val zh = octet_length(col("text")) - length(col("text"))
-    val pred = when(zh > 0, "zh")
-      .when(en >= de && en >= fr && en >= es, "en")
-      .when(de >= fr && de >= es, "de")
-      .when(fr >= es, "fr")
-      .otherwise("es")
     documents.select(
       col("doc_id"), col("lang"),
       en.cast("long").as("en_score"), de.cast("long").as("de_score"), fr.cast("long").as("fr_score"), es.cast("long").as("es_score"),
-      zh.cast("long").as("zh_score"), pred.as("lang_pred"))
+      zh.cast("long").as("zh_score"), langPredCol.as("lang_pred"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Streaming face of the curation pipeline: the same per-document
+    * stages — exact dedup, quality gate, language ID, deterministic
+    * split — running on a document stream. Everything is stateless
+    * per-row EXCEPT the dedup, whose state is bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` on the content hash keeps a
+    * digest only as long as a duplicate could still arrive). Emits one
+    * curated record per surviving document in append mode; rollups
+    * happen downstream. Requires a `ts` event-time column. */
+  def curationStream(docs: DataFrame, lateness: String = "10 minutes",
+                     minQuality: Double = 0.5): DataFrame = {
+    val split = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100
+    docs
+      .withWatermark("ts", lateness)
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_hash")
+      .withColumn("quality_score", rawQualityScore)
+      .filter(col("quality_score") >= minQuality)
+      .select(col("doc_id"), col("ts"),
+        langPredCol.as("lang_pred"),
+        when(split < 10, "val").when(split < 20, "test").otherwise("train").as("split"),
+        round(col("quality_score") + lit(1e-9), 4).as("quality_score"))
   }
 }

@@ -116,3 +116,34 @@ class IntervalJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamingCurationSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("curation pipeline runs on a stream: dedup, quality gate, langid, split") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = graft.operators.TextOps.curationStream(docs, "10 minutes", minQuality = 0.5)
+      .writeStream.format("memory").queryName("cur").outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val good = "the cat sat on the mat and the dog is in the house of a friend " * 5
+      val german = "der hund und die katze das haus ist ein garten und der baum " * 5
+      mem.addData(
+        (t, 1L, good),
+        (t, 2L, good),            // exact duplicate -> dropped
+        (t, 3L, "!!! ??? ;;; ,,,"), // junk -> quality-gated
+        (t, 4L, german))
+      q.processAllAvailable()
+      // duplicate arriving in a later micro-batch, still inside watermark
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 5L, good))
+      q.processAllAvailable()
+      val rows = spark.table("cur").collect()
+        .map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+      assert(rows.keySet == Set(1L, 4L), s"got ${rows.keySet}")
+      assert(rows(1L)._1 == "en" && rows(4L)._1 == "de")
+      assert(Set("train", "val", "test").contains(rows(1L)._2))
+    } finally q.stop()
+  }
+}
