@@ -327,3 +327,42 @@ class KeyedSinkSpec extends AnyFunSuite {
     }
   }
 }
+
+class TimeoutClampSpec extends AnyFunSuite {
+  test("a key whose batch anchor lags the watermark flushes instead of crashing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.TimedRecord
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TimedRecord]
+    val q = graft.streaming.Streams.timeoutBatcher(mem.toDS(), maxCount = 10,
+        maxBytes = 10000, timeoutMs = 400)
+      .writeStream.format("memory").queryName("tclamp").outputMode("append").start()
+    try {
+      val t0 = 1000000L
+      mem.addData(TimedRecord("slow", "r", 10, t0)) // pending batch, timeout armed t0+400
+      q.processAllAvailable()
+      // hot keys race the watermark far past slow's deadline
+      mem.addData(TimedRecord("hot", "r", 10, t0 + 100000))
+      q.processAllAvailable()
+      // slow receives another record while its anchor+timeout is far
+      // behind the watermark: pre-clamp this threw
+      // IllegalArgumentException inside setTimeoutTimestamp and killed
+      // the whole query
+      mem.addData(TimedRecord("slow", "r", 10, t0 + 100001))
+      q.processAllAvailable()
+      // advance watermark again so the clamped timeout fires
+      mem.addData(TimedRecord("tick", "r", 1, t0 + 300000))
+      q.processAllAvailable()
+      mem.addData(TimedRecord("tick", "r", 1, t0 + 400000))
+      q.processAllAvailable()
+      val fired = spark.table("tclamp").as[graft.streaming.FiredBatch].collect()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      // both slow records flush through timeout firings — none lost,
+      // no crash (the first may fire before the second arrives)
+      val slow = fired.filter(_.key == "slow")
+      assert(slow.forall(_.reason == "timeout") && slow.map(_.n).sum == 2,
+        s"got: ${fired.mkString(", ")}")
+    } finally q.stop()
+  }
+}
