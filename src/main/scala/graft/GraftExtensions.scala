@@ -41,5 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => TopKByScore(args(0), args(1), intArg(args(2), "k")).toAggregateExpression())
     inject("graft_hyperplane_bucket", "graft_hyperplane_bucket(vec, planes) - LSH bucket",
       args => HyperplaneBucket(args(0), intArg(args(1), "numPlanes")))
+    inject("graft_shingle_strings", "graft_shingle_strings(text, k) - word k-gram shingles",
+      args => ShingleStrings(args(0), intArg(args(1), "k")))
+    inject("graft_shingle_hashes", "graft_shingle_hashes(text, k) - hashed word k-gram shingles",
+      args => ShingleHashes(args(0), intArg(args(1), "k")))
+    inject("graft_minhash_hashes", "graft_minhash_hashes(hashes, numPerm) - MinHash over element hashes",
+      args => MinHashFromHashes(args(0), intArg(args(1), "numPerm")))
+    inject("graft_proto_encode", "graft_proto_encode(struct) - protobuf wire encoding",
+      args => ProtoEncode(args(0)))
   }
 }

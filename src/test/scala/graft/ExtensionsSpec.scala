@@ -26,6 +26,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(fp.nonEmpty)
       val si = s.sql("SELECT graft_sorted_intersect(array(1L,2L,5L), array(2L,5L,9L)) AS i").head().getInt(0)
       assert(si == 2)
+      val sh = s.sql("SELECT graft_shingle_strings('a b c d', 3) AS s").head().getSeq[String](0)
+      assert(sh == Seq("a b c", "b c d"))
+      val shh = s.sql("SELECT size(graft_shingle_hashes('a b c d', 3)) AS n").head().getInt(0)
+      assert(shh == 2)
+      val mhh = s.sql("SELECT size(graft_minhash_hashes(array(1L, 2L), 8)) AS n").head().getInt(0)
+      assert(mhh == 8)
+      val pe = s.sql("SELECT graft_proto_encode(named_struct('id', 5L, 'name', 'x')) AS p")
+        .head().getAs[Array[Byte]](0)
+      assert(pe.length == 1 + 1 + 1 + 1 + 1) // tag+varint(5), tag+len+'x'
+      val hb = s.sql("SELECT graft_hyperplane_bucket(array(1.0f, 0.5f), 4) AS b").head().getInt(0)
+      assert(hb >= 0 && hb < 16)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
