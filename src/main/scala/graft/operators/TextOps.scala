@@ -87,16 +87,17 @@ object TextOps {
     * final rollup). */
   def curationPipeline(documents: DataFrame, minQuality: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val quality = documents.select(col("doc_id"), rawQualityScore.as("quality_score"))
-    val lang = textLangid(documents).select(col("doc_id"), col("lang_pred"))
     val keepW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val split = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100
+    // quality and language are per-row expressions — computed as
+    // columns in the same pass, never joined back by key (a join per
+    // derived column is two extra shuffles the plan doesn't need)
     documents
       .withColumn("copy_rank", row_number().over(keepW))
       .withColumn("split_bucket", split)
       .filter(col("copy_rank") === 1)
-      .join(quality, "doc_id")
-      .join(lang, "doc_id")
+      .withColumn("quality_score", rawQualityScore)
+      .withColumn("lang_pred", langPredCol)
       .filter(col("quality_score") >= minQuality)
       .withColumn("split",
         when(col("split_bucket") < 10, "val")
