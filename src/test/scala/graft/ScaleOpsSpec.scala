@@ -270,3 +270,27 @@ class PartitionLayoutSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(pruned == direct)
   }
 }
+
+class DynamicPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("joining a filtered dim against the partitioned layout triggers dynamic partition pruning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = graft.operators.ScaleOps.writePartitionedLayout(spark, TestSpark.sf)
+    val facts = spark.read.parquet(dir)
+    // dim must be a real (file-backed) relation with a residual filter:
+    // the partition set is only known at RUNTIME, after the dim scan
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("1995-02", "febr"), ("1995-07", "july"), ("1996-03", "skip"))
+      .toDF("o_month", "label").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("label") =!= "skip")
+    val joined = facts.join(dim, Seq("o_month"))
+      .groupBy(col("o_month")).agg(count(lit(1)).as("n"))
+    val rows = joined.collect()
+    assert(rows.length == 2)
+    val p = joined.queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n${p.take(800)}")
+  }
+}
