@@ -75,6 +75,8 @@ object SparkEntry {
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
     "scale_partition_prune" -> ((s, d) =>
       ScaleOps.partitionPrunedScan(s, ScaleOps.writePartitionedLayout(s, d))),
+    "scale_zorder_box" -> ((s, d) =>
+      ScaleOps.zorderBoxScan(s, ScaleOps.writeZorderLayout(s, d))),
     "q17_cube" -> ((s, d) => Relational.q17Cube(Tables.orders(s, d))),
     "q18_percentiles" -> ((s, d) => Relational.q18Percentiles(Tables.lineitem(s, d))),
     "q18b_percentiles_approx" -> ((s, d) => Relational.q18bPercentilesApprox(Tables.lineitem(s, d))),
@@ -526,6 +528,13 @@ object SparkEntry {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12'
         |GROUP BY 1 ORDER BY o_month""".stripMargin,
+    "scale_zorder_box" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+        |FROM orders
+        |WHERE o_custkey >= 1000 AND o_custkey < 2000
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "scale_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         | count(DISTINCT l_suppkey) AS exact_supps,

@@ -41,6 +41,10 @@ object F {
   def protoEncode(struct: Column): Column =
     Shims.column(ProtoEncode(Shims.expression(struct)))
 
+  /** Morton/Z-order interleave of two long columns' low `bits` bits. */
+  def zorder2(a: Column, b: Column, bits: Int = 16): Column =
+    Shims.column(ZOrder2(Shims.expression(a), Shims.expression(b), bits))
+
   /** MinHash signature over precomputed element hashes. */
   def minhashHashed(hashes: Column, numPerm: Int = 128): Column =
     Shims.column(MinHashFromHashes(Shims.expression(hashes), numPerm))

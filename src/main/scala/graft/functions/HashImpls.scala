@@ -321,6 +321,22 @@ object HashImpls {
     bucket
   }
 
+  /** Morton/Z-order interleave of the low `bits` bits of two
+    * non-negative keys: sorting by this key keeps BOTH dimensions'
+    * ranges tight within every file/row group, so min/max statistics
+    * prune scans filtered on either dimension (the multi-dimensional
+    * data-layout lever; one-dimensional sort only tightens one). */
+  def zorder2(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >>> i) & 1L) << (2 * i)
+      z |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   // ---- portable (md5-based) hash variants ----------------------------
   //
   // The xxhash/splitmix kernels above are the production fast path. The

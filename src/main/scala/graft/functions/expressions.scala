@@ -100,6 +100,21 @@ case class MinHashFromHashes(child: Expression, numPerm: Int) extends UnaryExpre
     copy(child = newChild)
 }
 
+/** (long, long) → long Morton/Z-order interleave of the low `bits`
+  * bits (write-time clustering key for two-dimensional layouts). */
+case class ZOrder2(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits > 0 && bits <= 31)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder2"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpls.zorder2($a, $b, $bits)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+    copy(left = l, right = r)
+}
+
 /** struct → binary: protobuf wire encoding under the struct-derived
   * descriptor — serialization inside WholeStageCodegen, no external
   * Row materialization (the UDF formulation deserializes every row). */

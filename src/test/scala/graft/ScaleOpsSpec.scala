@@ -294,3 +294,48 @@ class DynamicPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"no dynamic partition pruning in plan:\n${p.take(800)}")
   }
 }
+
+class ZorderLayoutSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("zorder2 interleaves bits correctly") {
+    import graft.functions.HashImpls
+    assert(HashImpls.zorder2(0L, 0L, 16) == 0L)
+    assert(HashImpls.zorder2(1L, 0L, 16) == 1L)   // a -> even bits
+    assert(HashImpls.zorder2(0L, 1L, 16) == 2L)   // b -> odd bits
+    assert(HashImpls.zorder2(3L, 3L, 16) == 15L)  // 0b1111
+    assert(HashImpls.zorder2(0xffffL, 0L, 16) == 0x55555555L)
+  }
+
+  test("z-ordered files are range-bounded in BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val dir = graft.operators.ScaleOps.writeZorderLayout(spark, TestSpark.sf)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files.size >= 4, s"expected multiple files, got ${files.size}")
+    def spans(path: String): (Long, Long, Long, Long) = {
+      val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long")
+      val r = spark.read.parquet(path)
+        .agg(min("o_custkey"), max("o_custkey"), min(day), max(day)).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val (c0, c1, d0, d1) = spans(dir)
+    val custSpan = (c1 - c0).toDouble
+    val dateSpan = (d1 - d0).toDouble
+    // area covered by each file, as a fraction of the whole domain:
+    // a z-ordered split into n files covers ~1/n of the 2-D area per
+    // file; a 1-D sort would cover ~1/n x FULL-OTHER-DIMENSION instead
+    val areas = files.map { f =>
+      val (fc0, fc1, fd0, fd1) = spans(f)
+      val ca = (fc1 - fc0).toDouble / custSpan
+      val da = (fd1 - fd0).toDouble / dateSpan
+      (ca * da, ca, da)
+    }
+    val meanArea = areas.map(_._1).sum / areas.size
+    assert(meanArea < 0.5, s"files not 2-D bounded: mean area $meanArea, areas=$areas")
+    // and no dimension is systematically full-range across all files
+    assert(areas.exists(_._2 < 0.9) && areas.exists(_._3 < 0.9),
+      s"one dimension unbounded everywhere: $areas")
+  }
+}
