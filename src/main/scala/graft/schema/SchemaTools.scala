@@ -24,6 +24,15 @@ class SchemaTools(spark: SparkSession) {
     spark.sql(s"CREATE TABLE $table ($ddl) USING parquet")
   }
 
+  /** Creates a table straight from a BigQuery-style schema JSON
+    * document (the artifact a `bq` user already has) — JSON →
+    * BqTableSchema → StructType → DDL. */
+  def createTableFromJson(table: String, schemaJson: String): StructType = {
+    val st = SchemaTransformer.toSpark(BqSchemaJson.parse(schemaJson))
+    createTable(table, st)
+    st
+  }
+
   def dropTable(table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")
 

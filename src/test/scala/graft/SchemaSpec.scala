@@ -226,3 +226,21 @@ class ProtoEncodeExprSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class SchemaJsonDdlSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("a BigQuery schema JSON document creates a usable Spark table") {
+    val spark = TestSpark.spark
+    val tools = new graft.schema.SchemaTools(spark)
+    tools.dropTable("graft_from_json")
+    val st = tools.createTableFromJson("graft_from_json",
+      """[
+        | {"name": "id", "type": "INTEGER", "mode": "REQUIRED"},
+        | {"name": "name", "type": "STRING"},
+        | {"name": "score", "type": "FLOAT64"}
+        |]""".stripMargin)
+    assert(st.fieldNames.toSeq == Seq("id", "name", "score"))
+    spark.sql("INSERT INTO graft_from_json VALUES (1, 'x', 2.5)")
+    assert(spark.table("graft_from_json").count() == 1)
+    tools.dropTable("graft_from_json")
+  }
+}
