@@ -42,6 +42,7 @@ case class WriterSettings(streamsPerRegion: Int = 1,
                           maxBufferedRequests: Int = 10,
                           maxBatchCount: Long = 100,
                           maxBatchBytes: Long = 1024 * 1024,
+                          maxRecordBytes: Long = 9L * 1024 * 1024,
                           batchTimeout: Duration = Duration.ofSeconds(1),
                           resetTimerOnNewRecord: Boolean = false,
                           retry: WriterRetrySettings = WriterRetrySettings()) {
@@ -49,21 +50,37 @@ case class WriterSettings(streamsPerRegion: Int = 1,
   def withMaxBuffered(n: Int): WriterSettings = copy(maxBufferedRequests = n)
   def withBatch(count: Long, bytes: Long): WriterSettings =
     copy(maxBatchCount = count, maxBatchBytes = bytes)
+  def withMaxRecordBytes(n: Long): WriterSettings = copy(maxRecordBytes = n)
   def withRetry(r: WriterRetrySettings): WriterSettings = copy(retry = r)
 }
+
+/** A record exceeding maxRecordBytes — no batch split can help, so it
+  * is rejected per-record, exactly like AsyncSinkBase's
+  * maxRecordSizeInBytes check. */
+final case class RecordTooLargeException(size: Long, limit: Long)
+  extends RuntimeException(s"record of $size bytes exceeds maxRecordBytes=$limit")
 
 /** sink/async/AsyncBigQuerySinkWriter.java analog: bounded buffered
   * appender with an in-flight permit cap and rate-limited submission.
   * Synchronous harness-friendly: `submit` enqueues, `flush` drains with
   * at most maxInFlightRequests concurrent transport calls. */
 class AsyncBatchWriter[A](transport: Seq[A] => Unit, settings: WriterSettings,
-                          val metrics: SinkMetrics = new SinkMetrics) {
+                          val metrics: SinkMetrics = new SinkMetrics,
+                          sizeOf: A => Long = (_: A) => 0L) {
   private val buffer = new java.util.concurrent.LinkedBlockingQueue[Seq[A]](settings.maxBufferedRequests)
   private val inFlight = new java.util.concurrent.Semaphore(settings.maxInFlightRequests)
   private val pool = java.util.concurrent.Executors.newCachedThreadPool()
 
-  /** Blocks when maxBufferedRequests is reached (backpressure). */
-  def submit(batch: Seq[A]): Unit = buffer.put(batch)
+  /** Blocks when maxBufferedRequests is reached (backpressure).
+    * Oversized records are rejected before buffering — splitting can
+    * never shrink a single record below the API limit. */
+  def submit(batch: Seq[A]): Unit = {
+    batch.foreach { r =>
+      val sz = sizeOf(r)
+      if (sz > settings.maxRecordBytes) throw RecordTooLargeException(sz, settings.maxRecordBytes)
+    }
+    buffer.put(batch)
+  }
 
   /** Gauges mirroring AsyncBigQueryStreamMetrics.java. */
   def bufferedRequests: Int = buffer.size()

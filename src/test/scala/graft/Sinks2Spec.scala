@@ -366,3 +366,16 @@ class TimeoutClampSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class MaxRecordSizeSpec extends AnyFunSuite {
+  test("oversized records are rejected per-record before buffering") {
+    val w = new AsyncBatchWriter[String](_ => (),
+      WriterSettings().withMaxRecordBytes(10), sizeOf = s => s.length.toLong)
+    w.submit(Seq("small"))
+    val e = intercept[RecordTooLargeException] {
+      w.submit(Seq("ok", "a record far larger than ten bytes"))
+    }
+    assert(e.size > 10 && e.limit == 10)
+    w.close()
+  }
+}
