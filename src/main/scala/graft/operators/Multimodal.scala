@@ -111,6 +111,28 @@ object Multimodal {
     }
   }
 
+  /** REAL audio framing: "audio" rows whose payload parses as 16-bit
+    * PCM WAV are cut into `windowSamples`-sized sample windows (the
+    * feature-extraction frames an ASR/audio pipeline consumes); frame
+    * offsets/sizes are in SAMPLES of the actual data chunk, not fake
+    * byte strides. Non-WAV audio payloads yield no frames. */
+  def audioFrames(media: Dataset[MediaRow], windowSamples: Int = 1024,
+                  stride: Int = 1): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Codecs.decodeWav(r.content).toSeq.flatMap { wav =>
+          val n = (wav.nSamples + windowSamples - 1) / windowSamples
+          (0 until n by stride).map { i =>
+            val off = i.toLong * windowSamples
+            val len = math.min(windowSamples.toLong, wav.nSamples - off).toInt.max(0)
+            Frame(r.doc_id, i, off, len)
+          }
+        }
+      }
+    }
+  }
+
   /** Query-shaped summary (every column SQL-recomputable: byte stats
     * from the utf-8 payload, md5 metadata, stub frame arithmetic). */
   def mmFeatures(documents: DataFrame): DataFrame = {

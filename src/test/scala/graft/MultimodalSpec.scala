@@ -135,3 +135,23 @@ class PpmResizeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(2L).width == 2 && out(2L).height == 2) // stub path: metadata true
   }
 }
+
+class AudioFramesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("wav payloads frame into real sample windows; non-wav audio yields none") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    import graft.operators.Multimodal.MediaRow
+    val wav = Codecs.encodeWav(Array.tabulate(2500)(i => (i % 100).toShort))
+    val rows = Seq(
+      MediaRow(1L, "audio", wav, 0, 0),
+      MediaRow(2L, "audio", "not audio".getBytes, 0, 0),
+      MediaRow(3L, "video", wav, 0, 0)) // wrong type -> not framed here
+    val frames = Multimodal.audioFrames(rows.toDS(), windowSamples = 1024)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(frames.map(_.doc_id).distinct.toSeq == Seq(1L))
+    assert(frames.length == 3) // 2500 samples -> 1024 + 1024 + 452
+    assert(frames(0).offset == 0 && frames(0).n_bytes == 1024)
+    assert(frames(2).offset == 2048 && frames(2).n_bytes == 452)
+  }
+}
