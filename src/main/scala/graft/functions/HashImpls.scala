@@ -352,15 +352,20 @@ object HashImpls {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** First 60 bits (15 hex chars) of md5(s), as a non-negative long. */
-  def md5Hash60(bytes: Array[Byte]): Long = {
-    val d = md5Local.get()
-    d.reset()
-    val h = d.digest(bytes)
+  /** First 60 bits (15 hex chars) of an md5 digest, as a non-negative
+    * long. */
+  private def pack60(h: Array[Byte]): Long = {
     var first7 = 0L
     var i = 0
     while (i < 7) { first7 = (first7 << 8) | (h(i) & 0xffL); i += 1 }
     (first7 << 4) | ((h(7) & 0xffL) >>> 4)
+  }
+
+  /** First 60 bits (15 hex chars) of md5(s), as a non-negative long. */
+  def md5Hash60(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    pack60(d.digest(bytes))
   }
 
   /** [[simhash]] with the portable 60-bit md5 token hash. */
@@ -397,10 +402,45 @@ object HashImpls {
       return new GenericArrayData(Array(md5Hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
     val m = n - k + 1
     val hashes = new Array[Long](m)
+    // Hot loop: encode the doc to UTF-8 ONCE and digest each k-char
+    // gram straight out of the shared buffer via a char→byte offset
+    // table, reusing one 16-byte digest output — zero per-gram
+    // allocations (the naive substring(i,i+k).getBytes made two per
+    // character position, the hottest allocation site in the repo).
+    // Identical md5 inputs because each BMP char encodes independently;
+    // a surrogate pair could be SPLIT by a gram boundary (changing the
+    // encoded bytes), so any surrogate falls back to per-gram encoding.
+    val all = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val offs = new Array[Int](n + 1)
+    var hasSurrogate = false
+    var ci = 0
+    var bi = 0
+    while (ci < n && !hasSurrogate) {
+      offs(ci) = bi
+      val c = s.charAt(ci)
+      if (c < 0x80) bi += 1
+      else if (c < 0x800) bi += 2
+      else if (Character.isSurrogate(c)) hasSurrogate = true
+      else bi += 3
+      ci += 1
+    }
+    offs(n) = all.length
     var i = 0
-    while (i < m) {
-      hashes(i) = md5Hash60(s.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      i += 1
+    if (hasSurrogate) {
+      while (i < m) {
+        hashes(i) = md5Hash60(s.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
+    } else {
+      val d = md5Local.get()
+      val digestBuf = new Array[Byte](16)
+      while (i < m) {
+        d.reset()
+        d.update(all, offs(i), offs(i + k) - offs(i))
+        d.digest(digestBuf, 0, 16)
+        hashes(i) = pack60(digestBuf)
+        i += 1
+      }
     }
     val selected = new java.util.TreeSet[java.lang.Long]()
     if (m <= w) {

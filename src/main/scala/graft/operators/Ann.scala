@@ -58,23 +58,23 @@ object Ann {
     val corpus = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
 
-    // per-query probe set: nprobe nearest centroids (centroids are tiny
-    // and driver-resident by construction — this is quantizer metadata,
-    // not data-path state)
-    val centers = model.clusterCenters.map(_.toArray)
-    val probeUdf = udf { (q: Seq[Float]) =>
-      centers.zipWithIndex.map { case (c, i) =>
-        var dot = 0.0; var nq = 0.0; var nc = 0.0
-        var j = 0
-        while (j < q.length) {
-          val x = q(j).toDouble; val y = c(j)
-          dot += x * y; nq += x * x; nc += y * y; j += 1
-        }
-        (i, if (nq == 0 || nc == 0) 0.0 else dot / math.sqrt(nq * nc))
-      }.sortBy(-_._2).take(nprobe).map(_._1)
-    }
-    val queries = querySet(embeddings, stride)
-      .withColumn("list_id", explode(probeUdf(col("q_vec"))))
+    // per-query probe set: nprobe nearest centroids. The centroids are
+    // tiny driver-resident quantizer metadata, re-expressed as a
+    // broadcast DataFrame so probe selection runs through the codegen
+    // F.cosine + bounded-heap graft_topk kernels instead of a UDF
+    // (ties → lowest list_id, matching k-means index order).
+    import spark.implicits._
+    val centersDf = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("list_id", "c_vec")
+    val probes = querySet(embeddings, stride)
+      .crossJoin(broadcast(centersDf))
+      .select(col("q_id"), col("list_id"), F.cosine(col("q_vec"), col("c_vec")).as("ccos"))
+      .groupBy(col("q_id"))
+      .agg(F.topk(col("ccos"), col("list_id").cast("long"), nprobe).as("pl"))
+      .select(col("q_id"), explode(col("pl.id")).as("lid"))
+      .select(col("q_id"), col("lid").cast("int").as("list_id"))
+    val queries = querySet(embeddings, stride).join(probes, "q_id")
 
     corpus.join(broadcast(queries), Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -17,6 +17,16 @@ object Dedup {
 
   private[operators] val tokens: Column = split(trim(lower(col("text"))), "\\s+")
 
+  /** Materialize a signature/index table once before it is used on both
+    * sides of a self-join. Without this, Catalyst duplicates the whole
+    * signature subtree into each join branch (the codegen shingle/
+    * minhash/winnow pass runs twice — confirmed the 2.5-8.6x regression
+    * in round 2's bench). At 100 TB the equivalent is writing the
+    * signature table to storage before the candidate join; locally
+    * MEMORY_AND_DISK caching is the same design at session scope. */
+  private[operators] def materialized(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Word 3-gram shingles (falls back to whole text when too short). */
   private[operators] def shingles(k: Int = 3): Column =
     when(size(tokens) >= k,
@@ -52,12 +62,14 @@ object Dedup {
       s"bands ($bands) must divide numPerm ($numPerm): a remainder silently drops " +
         "tail permutations, and bands > numPerm degenerates to all-pairs")
     val rowsPerBand = numPerm / bands
-    // Single codegen'd pass builds shingles + signature; the verify
-    // stage below recomputes shingles only for CANDIDATE docs (joining
-    // raw text first), so the corpus is shingled exactly once.
-    val docs = documents
-      .select(col("doc_id"), F.shingleStrings(col("text"), 3).as("sh"))
-      .withColumn("sig", F.minhash(col("sh"), numPerm))
+    // Single codegen'd pass builds shingles + signature, materialized
+    // once so the band self-join reads the cached signature table on
+    // both sides; the verify stage below recomputes shingles only for
+    // CANDIDATE docs (joining raw text first), so the corpus is
+    // shingled exactly once.
+    val docs = materialized(documents
+      .select(col("doc_id"),
+        F.minhash(F.shingleStrings(col("text"), 3), numPerm).as("sig")))
 
     val banded = docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -95,10 +107,13 @@ object Dedup {
     require(bands > 0 && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm)")
     val rowsPerBand = numPerm / bands
-    val docs = documents
+    // Materialized signature table: banding reads `sig` and the verify
+    // joins read `shh` from the same cached pass — the corpus is
+    // shingle-hashed exactly once.
+    val docs = materialized(documents
       .select(col("doc_id"),
         sort_array(array_distinct(F.shingleHashes(col("text"), 3))).as("shh"))
-      .withColumn("sig", F.minhashHashed(col("shh"), numPerm))
+      .withColumn("sig", F.minhashHashed(col("shh"), numPerm)))
 
     val banded = docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -133,7 +148,8 @@ object Dedup {
                    portable: Boolean = false): DataFrame = {
     val bandBits = if (portable) 15 else 16
     val bandMask = (1L << bandBits) - 1
-    val docs = documents.select(col("doc_id"), F.simhash(tokens, portable).as("sim"))
+    val docs =
+      materialized(documents.select(col("doc_id"), F.simhash(tokens, portable).as("sim")))
     val banded = docs.select(col("doc_id"), col("sim"),
         posexplode(array((0 to 3).map(b =>
           shiftrightunsigned(col("sim"), b * bandBits).bitwiseAND(lit(bandMask))): _*)))
@@ -169,11 +185,15 @@ object Dedup {
     require(bands > 0 && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm)")
     val rowsPerBand = numPerm / bands
-    val docs = documents.select((Seq(col("doc_id")) ++ blockKeys.map(col) ++ Seq(
+    // Materialized signature table (token strings pruned away: only the
+    // id, block keys, hashed token set and minhash signature persist);
+    // banding and both verify joins read from this single cached pass.
+    val docs = materialized(documents.select((Seq(col("doc_id")) ++ blockKeys.map(col) ++ Seq(
         array_distinct(tokens).as("tok_set"),
         sort_array(array_distinct(transform(array_distinct(tokens),
           t => xxhash64(t)))).as("tok_hashes"))): _*)
       .withColumn("sig", F.minhash(col("tok_set"), numPerm))
+      .drop("tok_set"))
     val banded = docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64((blockKeys.map(col) :+
@@ -207,10 +227,10 @@ object Dedup {
     * is cheaper than signatures; block sizes grow with corpus, so the
     * banded [[dedupNgramJaccard]] is the default scale path. */
   def dedupNgramJaccardBlocked(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val docs = documents.select(col("doc_id"), col("lang"), col("source"),
+    val docs = materialized(documents.select(col("doc_id"), col("lang"), col("source"),
         (col("n_chars") / 100).cast("int").as("len_bucket"),
         sort_array(array_distinct(transform(array_distinct(tokens),
-          t => xxhash64(t)))).as("tok_hashes"))
+          t => xxhash64(t)))).as("tok_hashes")))
     val inter = F.sortedIntersect(col("x.tok_hashes"), col("y.tok_hashes"))
     docs.as("x").join(docs.as("y"),
         col("x.lang") === col("y.lang") &&
@@ -247,10 +267,12 @@ object Dedup {
     // self-join needs (vs a separate aggregate + join: one fingerprint
     // pass and one exchange instead of two of each).
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
-    val inverted = exploded
+    // Materialized inverted index: the winnowing pass + df-cap window
+    // run once; both sides of the bucket self-join read the cache.
+    val inverted = materialized(exploded
       .withColumn("df", count(lit(1)).over(byGram))
       .filter(col("df") <= maxDocFreq)
-      .drop("df")
+      .drop("df"))
     val cands = inverted.as("x").join(inverted.as("y"),
         col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -347,10 +369,12 @@ object Dedup {
   def dedupEmbedding(embeddings: DataFrame, numPlanes: Int = 6,
                      threshold: Double = 0.95, numTables: Int = 8): DataFrame = {
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
-    val banded = vecs.select(col("vec_id"),
+    // Materialized bucket table: the numTables hyperplane projections
+    // run once; both sides of the bucket self-join read the cache.
+    val banded = materialized(vecs.select(col("vec_id"),
         posexplode(array((0 until numTables).map(t =>
           F.hyperplaneBucket(col("embedding"), numPlanes, t * numPlanes)): _*)))
-      .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
+      .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket")))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.table_id") === col("y.table_id") &&
         col("x.bucket") === col("y.bucket") &&

@@ -49,6 +49,32 @@ class HashImplsSpec extends AnyFunSuite {
     assert(fp("").isEmpty && fp("ab").size == 1)
   }
 
+  test("winnowPortable: shared-buffer gram hashing equals per-substring md5") {
+    // naive reference: md5-hash every k-char substring independently,
+    // then window-min selection — exactly the documented semantics the
+    // DuckDB oracle mirrors
+    def naive(s: String, k: Int, w: Int): Set[Long] = {
+      val n = s.length
+      if (n == 0) Set.empty
+      else if (n <= k) Set(HashImpls.md5Hash60(s.getBytes("UTF-8")))
+      else {
+        val hs = (0 to n - k).map(i => HashImpls.md5Hash60(s.substring(i, i + k).getBytes("UTF-8")))
+        if (hs.length <= w) Set(hs.min)
+        else (0 to hs.length - w).map(st => hs.slice(st, st + w).min).toSet
+      }
+    }
+    def fast(s: String, k: Int, w: Int): Set[Long] =
+      HashImpls.winnowPortable(UTF8String.fromString(s), k, w).toLongArray().toSet
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld with some ümläuts and 中文 text mixed in",
+      "emoji 😀 forces the surrogate fallback path here",
+      "short", "", "ab",
+      "aaaaaaaaaaaaaaaaaaaaaaaa")
+    for (s <- cases; (k, w) <- Seq((8, 4), (4, 20), (20, 4)))
+      assert(fast(s, k, w) == naive(s, k, w), s"mismatch for '$s' k=$k w=$w")
+  }
+
   test("cosine: orthogonal/parallel/empty vectors") {
     def v(fs: Float*) = new GenericArrayData(fs.toArray[Any])
     assert(HashImpls.cosine(v(1f, 0f), v(0f, 1f)) == 0.0)
