@@ -69,6 +69,7 @@ object SparkEntry {
     "stream_session" -> ((s, d) => graft.streaming.Streams.sessionize(Tables.events(s, d))),
     "stream_interval_join" -> ((s, d) => graft.streaming.Streams.intervalJoinCounts(Tables.events(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(Tables.documents(s, d))),
+    "mm_decode" -> ((s, d) => Multimodal.mmDecode(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
     "scale_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(Tables.lineitem(s, d))),
@@ -769,6 +770,42 @@ object SparkEntry {
         |  CAST(32 + (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'h'), 1, 4)) AS BIGINT) % 8) * 16 AS INT) AS height,
         |  CAST(CASE WHEN d.doc_id % 3 = 2 THEN d.nb // 64 + 1 ELSE 1 END AS INT) AS n_frames
         |FROM d LEFT JOIN mb USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "mm_decode" ->
+      // regenerates the closed-form WAV samples / PPM pixels and
+      // recomputes the decoded statistics arithmetically — a stub
+      // (whole-file byte mean) would hash-mismatch every row
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |a AS (
+        |  SELECT d.doc_id, 200 + (d.doc_id % 5) * 100 AS n
+        |  FROM ids d WHERE d.doc_id % 2 = 1
+        |), asum AS (
+        |  SELECT a.doc_id, a.n, sum(abs((a.doc_id * 31 + t.i * 17) % 2001 - 1000)) AS s
+        |  FROM a, LATERAL unnest(range(0, a.n)) AS t(i)
+        |  GROUP BY a.doc_id, a.n
+        |), audio AS (
+        |  SELECT doc_id, 'audio' AS media_type, CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+        |    round(CAST(s AS DOUBLE) / n, 4) AS mean_decoded,
+        |    CAST(0 AS INT) AS width, CAST(0 AS INT) AS height, CAST(1 AS INT) AS n_frames
+        |  FROM asum
+        |), im AS (
+        |  SELECT d.doc_id, 16 + (d.doc_id % 4) * 8 AS w, 16 + (d.doc_id % 3) * 8 AS h
+        |  FROM ids d WHERE d.doc_id % 2 = 0
+        |), isum AS (
+        |  SELECT im.doc_id, im.w, im.h,
+        |    sum(CASE WHEN t.j % 3 = 0 THEN (im.doc_id * 7 + t.j * 13) % 256 ELSE 0 END) AS sr,
+        |    sum(CASE WHEN t.j % 3 = 1 THEN (im.doc_id * 7 + t.j * 13) % 256 ELSE 0 END) AS sg,
+        |    sum(CASE WHEN t.j % 3 = 2 THEN (im.doc_id * 7 + t.j * 13) % 256 ELSE 0 END) AS sb
+        |  FROM im, LATERAL unnest(range(0, 3 * im.w * im.h)) AS t(j)
+        |  GROUP BY im.doc_id, im.w, im.h
+        |), image AS (
+        |  SELECT doc_id, 'image' AS media_type,
+        |    CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h AS BIGINT) AS n_bytes,
+        |    round((CAST(sr AS DOUBLE) / (w * h) + CAST(sg AS DOUBLE) / (w * h)
+        |           + CAST(sb AS DOUBLE) / (w * h)) / 3.0, 4) AS mean_decoded,
+        |    CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(1 AS INT) AS n_frames
+        |  FROM isum
+        |)
+        |SELECT * FROM audio UNION ALL SELECT * FROM image ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH d AS (SELECT doc_id, strlen(text) AS nb FROM documents WHERE doc_id % 3 = 2),
         |f AS (

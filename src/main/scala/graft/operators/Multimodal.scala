@@ -141,4 +141,55 @@ object Multimodal {
       .withColumn("mean_byte", round(col("mean_byte"), 4))
       .orderBy(col("doc_id"))
   }
+
+  /** Media table whose payloads are REAL encoded files: odd doc_ids
+    * carry a 16-bit PCM RIFF/WAVE payload, even doc_ids a binary P6
+    * PPM, both generated by [[Codecs]]' encoders with closed-form
+    * sample/pixel values in (doc_id, index) — so a SQL oracle can
+    * regenerate every sample arithmetically and recompute the decoded
+    * statistics without any codec. */
+  def mediaTableEncoded(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        if (id % 2 == 1) {
+          val n = 200 + (id % 5).toInt * 100
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = (((id * 31 + i.toLong * 17) % 2001) - 1000).toShort
+            i += 1
+          }
+          MediaRow(id, "audio", Codecs.encodeWav(samples), 0, 0)
+        } else {
+          val w = 16 + (id % 4).toInt * 8
+          val h = 16 + (id % 3).toInt * 8
+          val rgb = new Array[Byte](w * h * 3)
+          var j = 0
+          while (j < rgb.length) {
+            rgb(j) = ((id * 7 + j.toLong * 13) % 256).toByte
+            j += 1
+          }
+          MediaRow(id, "image", Codecs.encodePpm(w, h, rgb), w, h)
+        }
+      }
+    }
+  }
+
+  /** mm_decode query: the [[extractFeatures]] pipeline over real
+    * encoded payloads, so [[decodeAny]] takes the
+    * [[Codecs.decodeWav]]/[[Codecs.decodePpm]] branch (not the stub) in
+    * a CORRECTNESS-gated query path. `mean_decoded` is the decoded
+    * mean |amplitude| (audio) / channel-mean pixel value (image) —
+    * values only a true byte-level parse of the RIFF/P6 payload
+    * produces; the oracle recomputes them from the closed-form
+    * generator and would hash-mismatch on any stub fallback. */
+  def mmDecode(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    extractFeatures(mediaTableEncoded(documents)).toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        round(col("mean_byte"), 4).as("mean_decoded"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -32,6 +32,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.forall(x => x.width == 64 && x.height == 64 && x.content.length == 64 * 64 / 64 + 1))
   }
 
+  test("mm_decode takes the REAL codec branch: every payload parses, stats match decoders") {
+    import graft.operators.Codecs
+    val enc = Multimodal.mediaTableEncoded(Tables.documents(spark, TestSpark.sf)).collect()
+    assert(enc.length == 500)
+    // every payload is a well-formed WAV/PPM — decodeAny cannot fall
+    // through to the stub for any row
+    enc.foreach { r =>
+      if (r.media_type == "audio") assert(Codecs.decodeWav(r.content).isDefined, s"doc ${r.doc_id}")
+      else assert(Codecs.decodePpm(r.content).isDefined, s"doc ${r.doc_id}")
+    }
+    // the query's mean_decoded equals the direct decoder output (true
+    // amplitude/pixel stats), NOT the stub's whole-file byte mean
+    val out = Multimodal.mmDecode(Tables.documents(spark, TestSpark.sf))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    enc.foreach { r =>
+      val q = out(r.doc_id)
+      val expected = if (r.media_type == "audio")
+        Codecs.decodeWav(r.content).get.meanAbsAmplitude
+      else {
+        val p = Codecs.decodePpm(r.content).get
+        (p.meanR + p.meanG + p.meanB) / 3.0
+      }
+      assert(math.abs(q.getDouble(3) - expected) < 5e-5, s"doc ${r.doc_id}")
+      // the stub's whole-file byte mean includes the 13-byte header
+      // (image, shifts the mean ~0.2-1.1) / reads amplitudes as raw
+      // bytes (audio, ~127 vs ~500) — either way measurably different
+      val stubMean = r.content.map(_ & 0xff).map(_.toLong).sum.toDouble / r.content.length
+      assert(math.abs(q.getDouble(3) - stubMean) > 0.05, s"doc ${r.doc_id} looks like the stub")
+      assert(q.getLong(2) == r.content.length.toLong)
+    }
+  }
+
   test("frameSample emits strided frames for video rows only") {
     val frames = Multimodal.frameSample(media, stride = 4).collect()
     assert(frames.nonEmpty)
