@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10x-corpus scaling probe (SURVEY §8c): replicates the documents
+  * table 10x — each copy perturbed by one appended token, so every
+  * original becomes a 10-way near-dup family at shingle-jaccard ~0.97 —
+  * and times the dedup family at ~1000x the true-pair volume of the 1x
+  * corpus. Not part of the driver gate; run manually:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Probe"
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val big = (0 until 10).map { c =>
+      docs.select((col("doc_id") * 10 + c).as("doc_id"),
+        concat(col("text"), lit(s" copytoken$c")).as("text"))
+    }.reduce(_ unionAll _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = big.count()
+
+    def timed(name: String)(action: => Long): (String, Double, Long) = {
+      spark.sharedState.cacheManager.clearCache()
+      big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      val t0 = System.nanoTime()
+      val rows = action
+      (name, (System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val minhash = timed("dedup_minhash_fast_10x") {
+      graft.operators.Dedup.dedupMinhashLshFast(big).count()
+    }
+    val fingerprint = timed("dedup_fingerprint_10x") {
+      graft.operators.Dedup.dedupFingerprint(big).count()
+    }
+    val clusters = timed("dup_clusters_10x") {
+      val pairs = graft.operators.Dedup.dedupMinhashLshFast(big)
+        .select(col("a_id"), col("b_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup.dupClusters(pairs).count()
+      println(f"""{"stage":"dup_clusters_only","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      n
+    }
+
+    val all = Seq(minhash, fingerprint, clusters)
+    val qs = all.map { case (k, s, r) => f""""$k":{"sec":$s%.2f,"rows":$r}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"probe":"10x","docs":$nDocs,"results":$qs}""")
+    spark.stop()
+  }
+}

@@ -222,27 +222,71 @@ object Dedup {
   def dedupNgramJaccardComposed(documents: DataFrame, threshold: Double = 0.8): DataFrame =
     dedupNgramJaccard(documents, threshold, blockKeys = Seq("lang", "source"))
 
-  /** Attribute-blocked variant (classic record-linkage blocking on
-    * (lang, source, length)) — kept for corpora where metadata blocking
-    * is cheaper than signatures; block sizes grow with corpus, so the
-    * banded [[dedupNgramJaccard]] is the default scale path. */
-  def dedupNgramJaccardBlocked(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+  /** Candidate stage of [[dedupNgramJaccardBlocked]], exposed for the
+    * oversized-block spec: returns (materialized doc table, candidate
+    * pairs). Blocks at or under `maxBlockSize` contribute every
+    * within-block pair (exact); larger blocks switch to banded MinHash
+    * LSH *within the block* (block keys folded into the band hash), so
+    * a hot (lang, source, len_bucket) block generates O(collisions)
+    * candidates instead of O(block²). */
+  private[graft] def blockedCandidates(documents: DataFrame, maxBlockSize: Int,
+      numPerm: Int, bands: Int): (DataFrame, DataFrame) = {
+    require(bands > 0 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    val rowsPerBand = numPerm / bands
+    val byBlock = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"), col("len_bucket"))
     val docs = materialized(documents.select(col("doc_id"), col("lang"), col("source"),
         (col("n_chars") / 100).cast("int").as("len_bucket"),
         sort_array(array_distinct(transform(array_distinct(tokens),
-          t => xxhash64(t)))).as("tok_hashes")))
-    val inter = F.sortedIntersect(col("x.tok_hashes"), col("y.tok_hashes"))
-    docs.as("x").join(docs.as("y"),
+          t => xxhash64(t)))).as("tok_hashes"))
+      .withColumn("block_n", count(lit(1)).over(byBlock)))
+    val small = docs.filter(col("block_n") <= maxBlockSize)
+    val candsSmall = small.as("x").join(small.as("y"),
         col("x.lang") === col("y.lang") &&
         col("x.source") === col("y.source") &&
         col("x.len_bucket") === col("y.len_bucket") &&
         col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val cands = if (maxBlockSize == Int.MaxValue) candsSmall else {
+      val big = docs.filter(col("block_n") > maxBlockSize)
+        .withColumn("sig", F.minhashHashed(col("tok_hashes"), numPerm))
+      val banded = big.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(col("lang"), col("source"), col("len_bucket"),
+              slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+        .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
+      val candsBig = banded.as("x").join(banded.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      candsSmall.unionAll(candsBig)
+    }
+    (docs, cands)
+  }
+
+  /** Attribute-blocked variant (classic record-linkage blocking on
+    * (lang, source, length)) — kept for corpora where metadata blocking
+    * is cheaper than signatures; block sizes grow with corpus, so the
+    * banded [[dedupNgramJaccard]] is the default scale path. The
+    * optional `maxBlockSize` guards the hot-block case: oversized
+    * blocks band within the block instead of forming all pairs
+    * (default off → output byte-identical to exact all-pairs blocking,
+    * which is what the oracle mirrors). */
+  def dedupNgramJaccardBlocked(documents: DataFrame, threshold: Double = 0.8,
+                               maxBlockSize: Int = Int.MaxValue,
+                               numPerm: Int = 128, bands: Int = 32): DataFrame = {
+    val (docs, cands) = blockedCandidates(documents, maxBlockSize, numPerm, bands)
+    val inter = F.sortedIntersect(col("h_a"), col("h_b"))
+    cands
+      .join(docs.select(col("doc_id").as("a_id"), col("tok_hashes").as("h_a")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("tok_hashes").as("h_b")), "b_id")
       .withColumn("jaccard",
-        inter.cast("double") /
-          (size(col("x.tok_hashes")) + size(col("y.tok_hashes")) - inter))
+        inter.cast("double") / (size(col("h_a")) + size(col("h_b")) - inter))
       .filter(col("jaccard") >= threshold)
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
 

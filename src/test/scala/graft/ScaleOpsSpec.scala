@@ -138,6 +138,32 @@ class DupClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
     (10L to 19L).foreach(i => assert(got(i) == 10L, s"node $i"))
   }
 
+  test("pointer halving converges on a deep chain (diameter >> maxIter) " +
+    "and checkpointDir truncates lineage") {
+    import spark.implicits._
+    // a 300-node path graph: plain label propagation needs 299 rounds,
+    // far beyond maxIter=25 — only the O(log diameter) pointer-halving
+    // hop can converge here (log2(300) ~ 9 rounds)
+    val n = 300L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val labels = graft.operators.Dedup.dupClusters(pairs, maxIter = 25,
+      checkpointDir = Some(ckptDir))
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == n)
+    (1L to n).foreach(i => assert(got(i) == 1L, s"node $i"))
+    // reliable-checkpoint lineage truncation: the result's plan reads
+    // the checkpointed RDD instead of carrying 9+ rounds of join trees
+    val planNodes = labels.queryExecution.optimizedPlan.collect { case p => p }
+    assert(planNodes.size <= 6, s"plan has ${planNodes.size} nodes — lineage not truncated?")
+    assert(labels.queryExecution.optimizedPlan.find(
+      _.getClass.getSimpleName == "LogicalRDD").isDefined, "expected a checkpointed RDD scan")
+    // and the checkpoint actually landed in the reliable dir
+    def anyFile(d: java.io.File): Boolean =
+      d.isFile || Option(d.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(ckptDir)), "checkpoint dir is empty")
+  }
+
   test("cluster summary keeps one representative per near-dup group") {
     import org.apache.spark.sql.functions._
     val clusters = graft.operators.Dedup.dedupClusters(Tables.documents(spark, TestSpark.sf))
@@ -145,6 +171,38 @@ class DupClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows.nonEmpty) // the corpus has planted dups
     assert(rows.forall(r => r.getLong(1) >= 2)) // clusters are real groups
     assert(rows.forall(r => r.getLong(0) == r.getLong(2))) // keep = min = cluster id
+  }
+}
+
+class BlockCapSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("oversized blocks band within the block instead of all pairs; recall preserved") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // one hot block: 60 docs share (lang, source, len_bucket), mutually
+    // dissimilar except a planted near-dup (19/20 shared tokens)
+    val base = (0 until 60).map { i =>
+      val toks = (0 until 20).map(t => s"w${i}x$t").mkString(" ")
+      (i.toLong, "en", "web", 150L, toks)
+    }
+    val dupText = base(7)._5.split(" ").dropRight(1).mkString(" ") + " extra"
+    val docs = (base.updated(8, (8L, "en", "web", 150L, dupText)) ++
+      Seq((100L, "de", "web", 150L, "kleine block eins"),
+          (101L, "de", "web", 150L, "kleine block zwei")))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val uncapped = Dedup.blockedCandidates(docs, Int.MaxValue, 128, 32)._2.count()
+    val capped = Dedup.blockedCandidates(docs, 10, 128, 32)._2.count()
+    assert(uncapped >= 60L * 59 / 2, s"uncapped should be quadratic, got $uncapped")
+    assert(capped < 60, s"capped candidates should be band-bounded, got $capped")
+    // the planted high-jaccard pair survives the cap, and the final
+    // output matches the exact all-pairs result on this corpus
+    val exact = Dedup.dedupNgramJaccardBlocked(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val bounded = Dedup.dedupNgramJaccardBlocked(docs, maxBlockSize = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact == Set((7L, 8L)))
+    assert(bounded == exact)
   }
 }
 
