@@ -28,9 +28,11 @@ object F {
   def cosine(a: Column, b: Column): Column =
     Shims.column(CosineSim(Shims.expression(a), Shims.expression(b)))
 
-  /** Hashed k-token shingles straight from a string column. */
-  def shingleHashes(text: Column, k: Int = 3): Column =
-    Shims.column(ShingleHashes(Shims.expression(text), k))
+  /** Hashed k-token shingles straight from a string column.
+    * `sortedDistinct` fuses `sort_array(array_distinct(...))` into the
+    * kernel pass. */
+  def shingleHashes(text: Column, k: Int = 3, sortedDistinct: Boolean = false): Column =
+    Shims.column(ShingleHashes(Shims.expression(text), k, sortedDistinct))
 
   /** Word k-gram shingle strings (codegen'd single pass). */
   def shingleStrings(text: Column, k: Int = 3): Column =

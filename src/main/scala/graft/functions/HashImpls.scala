@@ -135,10 +135,32 @@ object HashImpls {
     * token/shingle strings ever materialize (the allocation-free fast
     * path under MinHash at corpus scale). Combiner = order-sensitive
     * splitmix chain, matching logical k-gram semantics. */
-  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+  def shingleHashes(text: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(shingleHashesRaw(text, k))
+
+  /** [[shingleHashes]] with the distinct+sort folded into the kernel —
+    * equivalent to `sort_array(array_distinct(shingleHashes(...)))` but
+    * without two extra ArrayData passes (signed ascending order, same
+    * as Spark's BIGINT sort, which [[sortedIntersectCount]] requires). */
+  def shingleHashesSorted(text: UTF8String, k: Int): ArrayData = {
+    val out = shingleHashesRaw(text, k)
+    java.util.Arrays.sort(out)
+    var w = 0
+    var i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  private def shingleHashesRaw(text: UTF8String, k: Int): Array[Long] = {
     val bytes = text.getBytes
     val n = bytes.length
-    val tokenHashes = new java.util.ArrayList[java.lang.Long]()
+    // primitive growable buffer — no per-token Long boxing
+    var tokenHashes = new Array[Long](math.max(16, n / 6))
+    var m = 0
     var i = 0
     var h = 0xcbf29ce484222325L // FNV offset as running token hash
     var inTok = false
@@ -146,7 +168,14 @@ object HashImpls {
       val c = if (i < n) bytes(i) else ' '.toByte
       val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\r'
       if (isWs) {
-        if (inTok) { tokenHashes.add(splitmix64(h)); h = 0xcbf29ce484222325L; inTok = false }
+        if (inTok) {
+          if (m == tokenHashes.length)
+            tokenHashes = java.util.Arrays.copyOf(tokenHashes, m * 2)
+          tokenHashes(m) = splitmix64(h)
+          m += 1
+          h = 0xcbf29ce484222325L
+          inTok = false
+        }
       } else {
         val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
         h = (h ^ (lc & 0xffL)) * 0x100000001b3L // FNV-1a step
@@ -154,24 +183,23 @@ object HashImpls {
       }
       i += 1
     }
-    val m = tokenHashes.size()
-    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (m == 0) return Array.emptyLongArray
     if (m < k) {
       var acc = 0L
       var j = 0
-      while (j < m) { acc = splitmix64(acc ^ tokenHashes.get(j)); j += 1 }
-      return new GenericArrayData(Array(acc))
+      while (j < m) { acc = splitmix64(acc ^ tokenHashes(j)); j += 1 }
+      return Array(acc)
     }
     val out = new Array[Long](m - k + 1)
     var s0 = 0
     while (s0 <= m - k) {
       var acc = 0L
       var j = 0
-      while (j < k) { acc = splitmix64(acc ^ tokenHashes.get(s0 + j)); j += 1 }
+      while (j < k) { acc = splitmix64(acc ^ tokenHashes(s0 + j)); j += 1 }
       out(s0) = acc
       s0 += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
   /** Word k-gram shingle STRINGS in one codegen'd pass — semantically

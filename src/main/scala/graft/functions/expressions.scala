@@ -74,15 +74,20 @@ case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** string → array<long> hashed k-token shingles (no string shingles). */
-case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+/** string → array<long> hashed k-token shingles (no string shingles).
+  * `sortedDistinct` folds `sort_array(array_distinct(...))` into the
+  * same kernel pass (what the set-similarity verify kernel consumes). */
+case class ShingleHashes(child: Expression, k: Int,
+                         sortedDistinct: Boolean = false) extends UnaryExpression {
   require(k > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
+  private def fn = if (sortedDistinct) "shingleHashesSorted" else "shingleHashes"
   override protected def nullSafeEval(input: Any): Any =
-    HashImpls.shingleHashes(input.asInstanceOf[UTF8String], k)
+    if (sortedDistinct) HashImpls.shingleHashesSorted(input.asInstanceOf[UTF8String], k)
+    else HashImpls.shingleHashes(input.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.shingleHashes($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.$fn($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }

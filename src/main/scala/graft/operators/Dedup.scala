@@ -25,7 +25,8 @@ object Dedup {
     * signature table to storage before the candidate join; locally
     * MEMORY_AND_DISK caching is the same design at session scope. */
   private[operators] def materialized(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (sys.env.get("GRAFT_NO_MATERIALIZE").contains("true")) df
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Word 3-gram shingles (falls back to whole text when too short). */
   private[operators] def shingles(k: Int = 3): Column =
@@ -112,7 +113,7 @@ object Dedup {
     // shingle-hashed exactly once.
     val docs = materialized(documents
       .select(col("doc_id"),
-        sort_array(array_distinct(F.shingleHashes(col("text"), 3))).as("shh"))
+        F.shingleHashes(col("text"), 3, sortedDistinct = true).as("shh"))
       .withColumn("sig", F.minhashHashed(col("shh"), numPerm)))
 
     val banded = docs.select(col("doc_id"),
