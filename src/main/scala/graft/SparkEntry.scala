@@ -70,6 +70,7 @@ object SparkEntry {
     "stream_interval_join" -> ((s, d) => graft.streaming.Streams.intervalJoinCounts(Tables.events(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(Tables.documents(s, d))),
     "mm_decode" -> ((s, d) => Multimodal.mmDecode(Tables.documents(s, d))),
+    "mm_png" -> ((s, d) => Multimodal.mmPng(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
     "scale_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(Tables.lineitem(s, d))),
@@ -806,6 +807,29 @@ object SparkEntry {
         |  FROM isum
         |)
         |SELECT * FROM audio UNION ALL SELECT * FROM image ORDER BY doc_id""".stripMargin,
+    "mm_png" ->
+      // PNG is lossless: decoded pixels == the closed-form generator
+      // rgb[j] = (doc_id*11 + j*29) % 256, so the oracle recomputes the
+      // per-channel means arithmetically. Any decode defect (chunk
+      // walk, CRC, inflate, unfiltering) shifts a mean and hash-fails.
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |im AS (
+        |  SELECT doc_id, 12 + (doc_id % 5) * 4 AS w, 12 + (doc_id % 7) * 4 AS h
+        |  FROM ids
+        |), s AS (
+        |  SELECT im.doc_id, im.w, im.h,
+        |    sum(CASE WHEN t.j % 3 = 0 THEN (im.doc_id * 11 + t.j * 29) % 256 ELSE 0 END) AS sr,
+        |    sum(CASE WHEN t.j % 3 = 1 THEN (im.doc_id * 11 + t.j * 29) % 256 ELSE 0 END) AS sg,
+        |    sum(CASE WHEN t.j % 3 = 2 THEN (im.doc_id * 11 + t.j * 29) % 256 ELSE 0 END) AS sb
+        |  FROM im, LATERAL unnest(range(0, 3 * im.w * im.h)) AS t(j)
+        |  GROUP BY im.doc_id, im.w, im.h
+        |)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  round(CAST(sr AS DOUBLE) / (w * h), 4) AS mean_r,
+        |  round(CAST(sg AS DOUBLE) / (w * h), 4) AS mean_g,
+        |  round(CAST(sb AS DOUBLE) / (w * h), 4) AS mean_b,
+        |  CAST(3 * w * h AS BIGINT) AS decoded_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH d AS (SELECT doc_id, strlen(text) AS nb FROM documents WHERE doc_id % 3 = 2),
         |f AS (

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * batches via `mapPartitions` over typed Datasets (the JVM analog of
   * `mapInPandas` batch UDFs).
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/
-  * audio codecs in this environment); everything around it — schema,
+  * Decode is REAL for WAV (PCM chunk walk), PPM (P6 parse), and PNG
+  * (zlib inflate + scanline unfiltering, [[Codecs]]); a clearly-marked
+  * deterministic stub stands in only for formats needing external
+  * codec libraries (JPEG/MP3/H.264). Everything around it — schema,
   * batching, partitioning, feature/resize/frame-sample signatures — is
   * the real Spark plumbing a production codec would drop into.
   */
@@ -51,16 +53,16 @@ object Multimodal {
     (mean, frames)
   }
 
-  /** Decode dispatch: REAL parsers for self-contained formats — 16-bit
-    * PCM WAV and binary PPM ([[Codecs]], pure byte parsing) — with the
-    * stub as fallback for anything else. Valid media yields true
-    * sample/pixel statistics; synthetic payloads degrade to the stub,
-    * so both travel the same plumbing. */
+  /** Decode dispatch: REAL parsers — 16-bit PCM WAV, binary PPM, and
+    * zlib-compressed PNG ([[Codecs]]) — with the stub as fallback for
+    * anything else (JPEG/MP3/H.264 still need external codecs). Valid
+    * media yields true sample/pixel statistics; synthetic payloads
+    * degrade to the stub, so both travel the same plumbing. */
   private[operators] def decodeAny(mediaType: String, content: Array[Byte]): (Double, Int) =
     (mediaType match {
       case "audio" => Codecs.decodeWav(content)
         .map(w => (w.meanAbsAmplitude, math.max(1, w.nSamples / 1024)))
-      case "image" => Codecs.decodePpm(content)
+      case "image" => Codecs.decodePpm(content).orElse(Codecs.decodePng(content))
         .map(p => ((p.meanR + p.meanG + p.meanB) / 3.0, 1))
       case _ => None
     }).getOrElse(decodeStub(content))
@@ -174,6 +176,51 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Media table of real PNG payloads: every doc_id carries an 8-bit
+    * RGB image with closed-form pixel values in (doc_id, byte index),
+    * run through [[Codecs.encodePng]] — adaptive scanline filtering +
+    * zlib DEFLATE, a genuinely compressed format. Lossless round-trip
+    * means the oracle recomputes decoded stats from the generator. */
+  def mediaTablePng(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 12 + (id % 5).toInt * 4
+        val h = 12 + (id % 7).toInt * 4
+        val rgb = new Array[Byte](w * h * 3)
+        var j = 0
+        while (j < rgb.length) {
+          rgb(j) = ((id * 11 + j.toLong * 29) % 256).toByte
+          j += 1
+        }
+        MediaRow(id, "image", Codecs.encodePng(w, h, rgb), w, h)
+      }
+    }
+  }
+
+  /** mm_png query: decode real zlib-compressed PNGs
+    * ([[Codecs.decodePng]] — CRC-verified chunk walk, inflate, full
+    * unfiltering) and report per-channel pixel means. The oracle
+    * regenerates the pixels arithmetically; any decode error fails the
+    * query loudly rather than degrading to a stub. */
+  def mmPng(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    mediaTablePng(documents).mapPartitions { rows =>
+      rows.map { r =>
+        val p = Codecs.decodePng(r.content)
+          .getOrElse(sys.error(s"PNG decode failed for doc ${r.doc_id}"))
+        (r.doc_id, p.width, p.height, p.meanR, p.meanG, p.meanB,
+          p.width.toLong * p.height * 3)
+      }
+    }.toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "decoded_bytes")
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"),
+        col("decoded_bytes"))
+      .orderBy(col("doc_id"))
   }
 
   /** mm_decode query: the [[extractFeatures]] pipeline over real

@@ -168,6 +168,87 @@ class PpmResizeSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class PngCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.{Codecs, Multimodal}
+
+  // content shapes that drive the adaptive filter heuristic differently
+  private def gradient(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((i / 3) % 256).toByte)
+  private def flat(w: Int, h: Int): Array[Byte] = Array.fill(w * h * 3)(77.toByte)
+  private def noise(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((i * 2654435761L >>> 13) % 256).toByte)
+
+  test("png: lossless round-trip over flat/gradient/noise content") {
+    for ((rgb, w, h) <- Seq((flat(16, 9), 16, 9), (gradient(23, 7), 23, 7),
+                            (noise(5, 31), 5, 31), (noise(1, 1), 1, 1))) {
+      val (dw, dh, px) = Codecs.decodePngPixels(Codecs.encodePng(w, h, rgb)).get
+      assert(dw == w && dh == h)
+      assert(px.toSeq == rgb.toSeq, s"pixels differ for ${w}x$h")
+    }
+  }
+
+  test("png: every filter type (None/Sub/Up/Average/Paeth) unfilters exactly") {
+    val rgb = noise(13, 11)
+    for (ft <- 0 to 4) {
+      val bytes = Codecs.encodePng(13, 11, rgb, forceFilter = ft)
+      val (_, _, px) = Codecs.decodePngPixels(bytes).get
+      assert(px.toSeq == rgb.toSeq, s"filter $ft broke the round trip")
+    }
+  }
+
+  test("png: deflate genuinely compresses filterable content") {
+    val w = 64; val h = 64
+    val bytes = Codecs.encodePng(w, h, gradient(w, h))
+    assert(bytes.length < w * h * 3 / 4, s"no real compression: ${bytes.length}")
+    assert(Codecs.decodePngPixels(bytes).get._3.toSeq == gradient(w, h).toSeq)
+  }
+
+  test("png: garbage, truncation, and CRC corruption all decode to None") {
+    assert(Codecs.decodePng("definitely not a png".getBytes).isEmpty)
+    val ok = Codecs.encodePng(8, 8, noise(8, 8))
+    assert(Codecs.decodePng(ok.take(ok.length - 20)).isEmpty) // truncated
+    val corrupt = ok.clone()
+    corrupt(40) = (corrupt(40) ^ 0x55).toByte // inside IDAT data → CRC mismatch
+    assert(Codecs.decodePng(corrupt).isEmpty)
+  }
+
+  test("mm_png decodes real compressed payloads; means match the generator") {
+    val docs = Tables.documents(TestSpark.spark, TestSpark.sf)
+    val enc = Multimodal.mediaTablePng(docs).collect()
+    assert(enc.length == 500)
+    enc.foreach { r =>
+      assert(Codecs.decodePng(r.content).isDefined, s"doc ${r.doc_id}")
+      // the payload really is compressed + filtered, not raw pixels
+      assert(!r.content.slice(8, r.content.length).containsSlice(
+        Array.tabulate(32)(j => ((r.doc_id * 11 + j * 29) % 256).toByte)))
+    }
+    val out = Multimodal.mmPng(docs).collect().map(r => r.getLong(0) -> r).toMap
+    enc.foreach { r =>
+      val q = out(r.doc_id)
+      val w = 12 + (r.doc_id % 5).toInt * 4
+      val h = 12 + (r.doc_id % 7).toInt * 4
+      val sums = new Array[Long](3)
+      var j = 0
+      while (j < 3 * w * h) { sums(j % 3) += (r.doc_id * 11 + j.toLong * 29) % 256; j += 1 }
+      assert(q.getInt(1) == w && q.getInt(2) == h)
+      assert(math.abs(q.getDouble(3) - sums(0).toDouble / (w * h)) < 5e-5, s"doc ${r.doc_id}")
+      assert(math.abs(q.getDouble(4) - sums(1).toDouble / (w * h)) < 5e-5)
+      assert(math.abs(q.getDouble(5) - sums(2).toDouble / (w * h)) < 5e-5)
+      assert(q.getLong(6) == 3L * w * h)
+    }
+  }
+
+  test("png payloads route through decodeAny's image branch in the pipeline") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    val rgb = flat(6, 6)
+    val rows = Seq(MediaRow(1L, "image", Codecs.encodePng(6, 6, rgb), 6, 6))
+    val f = Multimodal.extractFeatures(rows.toDS()).collect().head
+    assert(f.mean_byte == 77.0) // true pixel mean, not the stub byte mean
+  }
+}
+
 class AudioFramesSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("wav payloads frame into real sample windows; non-wav audio yields none") {
     val spark = TestSpark.spark
