@@ -71,6 +71,7 @@ object SparkEntry {
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(Tables.documents(s, d))),
     "mm_decode" -> ((s, d) => Multimodal.mmDecode(Tables.documents(s, d))),
     "mm_png" -> ((s, d) => Multimodal.mmPng(Tables.documents(s, d))),
+    "mm_mulaw" -> ((s, d) => Multimodal.mmMulaw(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
     "scale_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(Tables.lineitem(s, d))),
@@ -807,6 +808,24 @@ object SparkEntry {
         |  FROM isum
         |)
         |SELECT * FROM audio UNION ALL SELECT * FROM image ORDER BY doc_id""".stripMargin,
+    "mm_mulaw" ->
+      // G.711 mu-law expansion is closed-form: for transmitted code c,
+      // u = 255 - c, |sample| = ((u%16)*8 + 132) << ((u//16)%8) - 132.
+      // The oracle recomputes the decoded amplitude stats from the
+      // code generator (doc_id*13 + i*7) % 256 arithmetically.
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |a AS (SELECT doc_id, 300 + (doc_id % 7) * 50 AS n FROM ids),
+        |m AS (
+        |  SELECT a.doc_id, a.n,
+        |    sum((((255 - ((a.doc_id * 13 + t.i * 7) % 256)) % 16) * 8 + 132)
+        |        * CAST(power(2, ((255 - ((a.doc_id * 13 + t.i * 7) % 256)) // 16) % 8) AS BIGINT)
+        |        - 132) AS s
+        |  FROM a, LATERAL unnest(range(0, a.n)) AS t(i)
+        |  GROUP BY a.doc_id, a.n
+        |)
+        |SELECT doc_id, CAST(44 + n AS BIGINT) AS n_bytes, CAST(n AS BIGINT) AS n_samples,
+        |  round(CAST(s AS DOUBLE) / n, 4) AS mean_decoded
+        |FROM m ORDER BY doc_id""".stripMargin,
     "mm_png" ->
       // PNG is lossless: decoded pixels == the closed-form generator
       // rgb[j] = (doc_id*11 + j*29) % 256, so the oracle recomputes the

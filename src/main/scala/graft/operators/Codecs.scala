@@ -36,8 +36,65 @@ object Codecs {
     bb.array()
   }
 
-  /** Parses a RIFF/WAVE header + PCM data chunk; None if the bytes are
-    * not a well-formed 16-bit PCM WAV. */
+  // ---- G.711 μ-law (ITU-T telephony companding, WAV format 7) --------
+
+  private val MuLawBias = 0x84 // 132
+  private val MuLawClip = 32635
+
+  /** Encodes one 16-bit linear PCM sample to an 8-bit μ-law code
+    * (ITU-T G.711: sign + 3-bit segment + 4-bit mantissa, transmitted
+    * one's-complemented). */
+  def muLawEncodeSample(sample: Int): Int = {
+    val sign = if (sample < 0) 0x80 else 0
+    var mag = math.min(math.abs(sample), MuLawClip) + MuLawBias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (mag & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (mag >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | mant) & 0xff
+  }
+
+  /** Decodes one 8-bit μ-law code back to a 16-bit linear sample —
+    * closed-form: ((mant·8 + 132) << exp) − 132, sign from the top bit. */
+  def muLawDecodeSample(code: Int): Int = {
+    val u = ~code & 0xff
+    val exp = (u >> 4) & 0x07
+    val mant = u & 0x0f
+    val mag = (((mant << 3) + MuLawBias) << exp) - MuLawBias
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Emits a RIFF/WAVE file in format 7 (μ-law, 8 bits per sample):
+    * each 16-bit input sample is G.711-companded to one byte — a real
+    * 2:1 compressed audio format. */
+  def encodeWavMuLaw(samples: Array[Short], sampleRate: Int = 8000,
+                     channels: Int = 1): Array[Byte] =
+    encodeWavMuLawCodes(samples.map(s => muLawEncodeSample(s.toInt).toByte),
+      sampleRate, channels)
+
+  /** Format-7 WAV whose data bytes ARE the given μ-law codes (no
+    * companding step — lets a SQL oracle own the exact code values). */
+  def encodeWavMuLawCodes(codes: Array[Byte], sampleRate: Int = 8000,
+                          channels: Int = 1): Array[Byte] = {
+    val dataLen = codes.length
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+    bb.putShort(7) // μ-law
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels) // byte rate: 1 byte/sample
+    bb.putShort(channels.toShort)    // block align
+    bb.putShort(8)                   // bits per sample
+    bb.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataLen)
+    bb.put(codes)
+    bb.array()
+  }
+
+  /** Parses a RIFF/WAVE header + data chunk; supports format 1 (16-bit
+    * linear PCM) and format 7 (8-bit G.711 μ-law, decoded to linear
+    * before the amplitude stats). None for anything else. */
   def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
     if (bytes.length < 44) return None
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -49,6 +106,7 @@ object Codecs {
     var channels = 0
     var sampleRate = 0
     var bits = 0
+    var format = 0
     // walk chunks until the data chunk
     while (bb.remaining() >= 8) {
       val id = new Array[Byte](4); bb.get(id)
@@ -57,19 +115,24 @@ object Codecs {
         case "fmt " =>
           if (size < 16 || bb.remaining() < size) return None
           val fmtStart = bb.position()
-          val audioFormat = bb.getShort
+          format = bb.getShort
           channels = bb.getShort
           sampleRate = bb.getInt
           bb.getInt; bb.getShort
           bits = bb.getShort
-          if (audioFormat != 1 || bits != 16) return None // PCM 16-bit only
+          val ok = (format == 1 && bits == 16) || (format == 7 && bits == 8)
+          if (!ok) return None // 16-bit PCM or 8-bit μ-law only
           bb.position(fmtStart + size)
         case "data" =>
           if (bb.remaining() < size || channels == 0) return None
-          val n = size / 2
           var sum = 0L
           var i = 0
-          while (i < n) { sum += math.abs(bb.getShort.toLong); i += 1 }
+          val n = if (format == 7) size else size / 2
+          if (format == 7) {
+            while (i < n) { sum += math.abs(muLawDecodeSample(bb.get() & 0xff)); i += 1 }
+          } else {
+            while (i < n) { sum += math.abs(bb.getShort.toLong); i += 1 }
+          }
           val mean = if (n == 0) 0.0 else sum.toDouble / n
           return Some(WavInfo(channels, sampleRate, bits, n, mean))
         case _ =>

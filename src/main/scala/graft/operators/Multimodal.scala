@@ -223,6 +223,43 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Media table of format-7 (G.711 μ-law) WAV payloads — a real
+    * compressed telephony codec. Code bytes are closed-form in
+    * (doc_id, index); μ-law decode is itself closed-form
+    * (((mant·8+132)<<exp)−132), so the oracle recomputes the decoded
+    * amplitude stats without any codec. */
+  def mediaTableMuLaw(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = 300 + (id % 7).toInt * 50
+        val codes = new Array[Byte](n)
+        var i = 0
+        while (i < n) { codes(i) = ((id * 13 + i.toLong * 7) % 256).toByte; i += 1 }
+        MediaRow(id, "audio", Codecs.encodeWavMuLawCodes(codes), 0, 0)
+      }
+    }
+  }
+
+  /** mm_mulaw query: decode compressed G.711 audio through the real
+    * [[Codecs.decodeWav]] format-7 branch (companded byte → 16-bit
+    * linear sample) and report amplitude stats the oracle recomputes
+    * from the μ-law expansion formula. A decoder that read the codes
+    * as raw bytes (mean ~127) instead of expanding them (mean ~8000)
+    * hash-fails every row. */
+  def mmMulaw(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    mediaTableMuLaw(documents).mapPartitions { rows =>
+      rows.map { r =>
+        val w = Codecs.decodeWav(r.content)
+          .getOrElse(sys.error(s"mu-law decode failed for doc ${r.doc_id}"))
+        (r.doc_id, r.content.length.toLong, w.nSamples.toLong, w.meanAbsAmplitude)
+      }
+    }.toDF("doc_id", "n_bytes", "n_samples", "mean_decoded")
+      .withColumn("mean_decoded", round(col("mean_decoded"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** mm_decode query: the [[extractFeatures]] pipeline over real
     * encoded payloads, so [[decodeAny]] takes the
     * [[Codecs.decodeWav]]/[[Codecs.decodePpm]] branch (not the stub) in

@@ -249,6 +249,77 @@ class PngCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class MuLawCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.{Codecs, Multimodal}
+
+  test("mu-law: G.711 invariants — silence, max, code-exact re-encode") {
+    assert(Codecs.muLawEncodeSample(0) == 0xff)    // mu-law silence
+    assert(Codecs.muLawDecodeSample(0xff) == 0)
+    assert(Codecs.muLawDecodeSample(0x80) == 32124)  // max positive magnitude
+    assert(Codecs.muLawDecodeSample(0x00) == -32124)
+    // every code round-trips decode -> encode exactly, except 0x7F
+    // (negative zero decodes to 0, which re-encodes as positive 0xFF)
+    for (c <- 0 to 255 if c != 0x7f)
+      assert(Codecs.muLawEncodeSample(Codecs.muLawDecodeSample(c)) == c, s"code $c")
+    assert(Codecs.muLawEncodeSample(Codecs.muLawDecodeSample(0x7f)) == 0xff)
+  }
+
+  test("mu-law: companding error bounded by the segment quantization step") {
+    var s = -32768
+    while (s <= 32767) {
+      val dec = Codecs.muLawDecodeSample(Codecs.muLawEncodeSample(s))
+      val clamped = math.max(-32635, math.min(32635, s))
+      val u = ~Codecs.muLawEncodeSample(s) & 0xff
+      val halfStep = 1 << ((u >> 4) & 7) << 2 // 2^(exp+2) = half the segment step
+      assert(math.abs(dec - clamped) <= halfStep, s"sample $s -> $dec")
+      s += 7
+    }
+  }
+
+  test("mu-law wav: 2:1 compressed payload decodes to true amplitude stats") {
+    val samples = Array.tabulate(1000)(i => ((i * 53) % 8000 - 4000).toShort)
+    val bytes = Codecs.encodeWavMuLaw(samples, sampleRate = 8000)
+    assert(bytes.length == 44 + samples.length) // 1 byte/sample vs 2 for PCM
+    val info = Codecs.decodeWav(bytes).get
+    assert(info.bitsPerSample == 8 && info.nSamples == 1000)
+    val expected = samples.map(s =>
+      math.abs(Codecs.muLawDecodeSample(Codecs.muLawEncodeSample(s.toInt))).toLong).sum / 1000.0
+    assert(math.abs(info.meanAbsAmplitude - expected) < 1e-9)
+  }
+
+  test("mm_mulaw query matches the closed-form G.711 expansion") {
+    val docs = Tables.documents(TestSpark.spark, TestSpark.sf)
+    val out = Multimodal.mmMulaw(docs).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val n = 300 + (id % 7).toInt * 50
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val u = 255 - ((id * 13 + i.toLong * 7) % 256).toInt
+        sum += (((u % 16) * 8 + 132) << ((u / 16) % 8)) - 132
+        i += 1
+      }
+      assert(r.getLong(1) == 44L + n && r.getLong(2) == n.toLong)
+      assert(math.abs(r.getDouble(3) - sum.toDouble / n) < 5e-5, s"doc $id")
+      // raw byte mean would be ~127.5; expanded amplitudes are ~8000
+      assert(r.getDouble(3) > 1000, s"doc $id decoded like raw bytes")
+    }
+  }
+
+  test("mu-law payloads route through the pipeline's real audio branch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    val samples = Array.fill(100)(1000.toShort)
+    val rows = Seq(MediaRow(1L, "audio", Codecs.encodeWavMuLaw(samples), 0, 0))
+    val f = Multimodal.extractFeatures(rows.toDS()).collect().head
+    val dec = math.abs(Codecs.muLawDecodeSample(Codecs.muLawEncodeSample(1000)))
+    assert(f.mean_byte == dec.toDouble) // expanded amplitude, not code bytes
+  }
+}
+
 class AudioFramesSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("wav payloads frame into real sample windows; non-wav audio yields none") {
     val spark = TestSpark.spark
