@@ -72,6 +72,7 @@ object SparkEntry {
     "mm_decode" -> ((s, d) => Multimodal.mmDecode(Tables.documents(s, d))),
     "mm_png" -> ((s, d) => Multimodal.mmPng(Tables.documents(s, d))),
     "mm_mulaw" -> ((s, d) => Multimodal.mmMulaw(Tables.documents(s, d))),
+    "mm_jpeg" -> ((s, d) => Multimodal.mmJpeg(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
     "scale_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(Tables.lineitem(s, d))),
@@ -808,6 +809,27 @@ object SparkEntry {
         |  FROM isum
         |)
         |SELECT * FROM audio UNION ALL SELECT * FROM image ORDER BY doc_id""".stripMargin,
+    "mm_jpeg" ->
+      // The tile images are constructed to survive lossy JPEG exactly
+      // (solid 8x8 tiles, even offsets from 128: DC divides Q00=16 and
+      // ACs vanish), so the decoded mean equals the mean of the
+      // closed-form tile values 18 + ((doc_id*5 + b*11) % 12) * 20
+      // over the (w/8)*(h/8) blocks.
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |im AS (
+        |  SELECT doc_id, 8 * (2 + doc_id % 3) AS w, 8 * (2 + doc_id % 4) AS h
+        |  FROM ids
+        |), s AS (
+        |  SELECT im.doc_id, im.w, im.h,
+        |    sum(18 + ((im.doc_id * 5 + t.b * 11) % 12) * 20) AS sg,
+        |    count(*) AS nb
+        |  FROM im, LATERAL unnest(range(0, (im.w // 8) * (im.h // 8))) AS t(b)
+        |  GROUP BY im.doc_id, im.w, im.h
+        |)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  round(CAST(sg AS DOUBLE) / nb, 4) AS mean_gray,
+        |  CAST(w * h AS BIGINT) AS decoded_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
     "mm_mulaw" ->
       // G.711 mu-law expansion is closed-form: for transmitted code c,
       // u = 255 - c, |sample| = ((u%16)*8 + 132) << ((u//16)%8) - 132.

@@ -64,6 +64,7 @@ object Multimodal {
         .map(w => (w.meanAbsAmplitude, math.max(1, w.nSamples / 1024)))
       case "image" => Codecs.decodePpm(content).orElse(Codecs.decodePng(content))
         .map(p => ((p.meanR + p.meanG + p.meanB) / 3.0, 1))
+        .orElse(Jpeg.decodeJpegGray(content).map(j => (j.meanGray, 1)))
       case _ => None
     }).getOrElse(decodeStub(content))
 
@@ -257,6 +258,53 @@ object Multimodal {
       }
     }.toDF("doc_id", "n_bytes", "n_samples", "mean_decoded")
       .withColumn("mean_decoded", round(col("mean_decoded"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Media table of real baseline JPEG payloads: each doc_id carries a
+    * grayscale image of solid 8x8 tiles whose values sit at even
+    * offsets from 128 — the one image family the lossy pipeline
+    * reconstructs EXACTLY (DC 8·(g−128) divides Q00=16, all ACs
+    * vanish), proven in JpegCodecSpec. Tile values are closed-form in
+    * (doc_id, block index). */
+  def mediaTableJpeg(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 8 * (2 + (id % 3).toInt)
+        val h = 8 * (2 + (id % 4).toInt)
+        val bw = w / 8
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val b = (y / 8) * bw + (x / 8)
+            px(y * w + x) = (18 + ((id * 5 + b.toLong * 11) % 12) * 20).toByte
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(id, "image", Jpeg.encodeJpegGray(w, h, px), w, h)
+      }
+    }
+  }
+
+  /** mm_jpeg query: decode real baseline JPEGs ([[Jpeg]] — marker
+    * parse, Annex-K Huffman entropy decode, dequant, IDCT) and report
+    * the decoded mean gray. The tile construction makes the lossy
+    * codec exact, so the oracle recomputes the mean from the tile
+    * generator; any Huffman/DCT/quant/marker defect hash-fails. */
+  def mmJpeg(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    mediaTableJpeg(documents).mapPartitions { rows =>
+      rows.map { r =>
+        val j = Jpeg.decodeJpegGray(r.content)
+          .getOrElse(sys.error(s"JPEG decode failed for doc ${r.doc_id}"))
+        (r.doc_id, j.width, j.height, j.meanGray, j.width.toLong * j.height)
+      }
+    }.toDF("doc_id", "width", "height", "mean_gray", "decoded_bytes")
+      .withColumn("mean_gray", round(col("mean_gray"), 4))
       .orderBy(col("doc_id"))
   }
 

@@ -320,6 +320,95 @@ class MuLawCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class JpegCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.Jpeg
+
+  /** Solid 8x8 tiles at even offsets from 128: DC = 8*(g-128) divides
+    * the Q00=16 quantizer exactly and all ACs vanish, so the lossy
+    * pipeline reconstructs these EXACTLY (the property mm_jpeg's
+    * arithmetic oracle relies on). */
+  private def tiles(w: Int, h: Int, tileVal: (Int, Int) => Int): Array[Byte] = {
+    val px = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      px(y * w + x) = tileVal(x / 8, y / 8).toByte
+    px
+  }
+
+  test("jpeg: solid even-offset tiles survive the full pipeline exactly") {
+    val w = 32; val h = 24
+    val img = tiles(w, h, (bx, by) => 18 + ((bx * 5 + by * 7) % 12) * 20)
+    val bytes = Jpeg.encodeJpegGray(w, h, img)
+    val (dw, dh, px) = Jpeg.decodeJpegGrayPixels(bytes).get
+    assert(dw == w && dh == h)
+    assert(px.toSeq == img.toSeq) // bit-exact through huffman+DCT+quant
+  }
+
+  test("jpeg: smooth gradients round-trip within tight error bounds") {
+    val w = 40; val h = 32
+    val img = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (20 + x * 3 + y * 2).toByte // pure plane, max 20+117+62=199: no wrap edges
+    }
+    val (_, _, px) = Jpeg.decodeJpegGrayPixels(Jpeg.encodeJpegGray(w, h, img)).get
+    val errs = img.indices.map(i => math.abs((px(i) & 0xff) - (img(i) & 0xff)))
+    assert(errs.max <= 12, s"max err ${errs.max}")
+    assert(errs.sum.toDouble / errs.size <= 3.0, s"mean err ${errs.sum.toDouble / errs.size}")
+  }
+
+  test("jpeg: entropy coding genuinely compresses") {
+    val w = 64; val h = 64
+    val img = Array.tabulate(w * h)(i => (((i % w) * 2) % 256).toByte)
+    val bytes = Jpeg.encodeJpegGray(w, h, img)
+    assert(bytes.length < w * h / 2, s"no real compression: ${bytes.length}")
+  }
+
+  test("jpeg: garbage and truncation decode to None") {
+    assert(Jpeg.decodeJpegGray("not a jpeg".getBytes).isEmpty)
+    val ok = Jpeg.encodeJpegGray(16, 16, Array.fill(256)(100.toByte))
+    assert(Jpeg.decodeJpegGray(ok.take(20)).isEmpty)       // header cut
+    assert(Jpeg.decodeJpegGray(ok.take(ok.length - 30)).isEmpty) // scan cut
+  }
+
+  test("mm_jpeg decodes real baseline JPEGs; means match the tile generator") {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(TestSpark.spark, TestSpark.sf)
+    val enc = Multimodal.mediaTableJpeg(docs).collect()
+    assert(enc.length == 500)
+    enc.foreach { r =>
+      assert((r.content(0) & 0xff) == 0xff && (r.content(1) & 0xff) == 0xd8, "not a JPEG")
+      assert(Jpeg.decodeJpegGray(r.content).isDefined, s"doc ${r.doc_id}")
+    }
+    val out = Multimodal.mmJpeg(docs).collect().map(r => r.getLong(0) -> r).toMap
+    enc.foreach { r =>
+      val id = r.doc_id
+      val nb = (r.width / 8) * (r.height / 8)
+      val mean = (0 until nb).map(b => 18 + ((id * 5 + b.toLong * 11) % 12) * 20).sum.toDouble / nb
+      val q = out(id)
+      assert(q.getInt(1) == r.width && q.getInt(2) == r.height)
+      assert(math.abs(q.getDouble(3) - mean) < 5e-5, s"doc $id")
+    }
+  }
+
+  test("jpeg payloads route through decodeAny's image branch in the pipeline") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRow
+    val img = Array.fill(16 * 16)(58.toByte) // even offset from 128: exact
+    val rows = Seq(MediaRow(1L, "image", Jpeg.encodeJpegGray(16, 16, img), 16, 16))
+    val f = Multimodal.extractFeatures(rows.toDS()).collect().head
+    assert(f.mean_byte == 58.0) // decoded gray mean, not the stub byte mean
+  }
+
+  test("jpeg: non-multiple-of-8 dimensions pad and crop correctly") {
+    val w = 13; val h = 11
+    val img = tiles(w, h, (bx, by) => if ((bx + by) % 2 == 0) 58 else 198)
+    val (dw, dh, px) = Jpeg.decodeJpegGrayPixels(Jpeg.encodeJpegGray(w, h, img)).get
+    assert(dw == 13 && dh == 11 && px.length == 13 * 11)
+    assert(px.toSeq == img.toSeq) // edge-replicated padding keeps tiles solid
+  }
+}
+
 class AudioFramesSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("wav payloads frame into real sample windows; non-wav audio yields none") {
     val spark = TestSpark.spark
