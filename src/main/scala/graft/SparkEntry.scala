@@ -73,6 +73,7 @@ object SparkEntry {
     "mm_png" -> ((s, d) => Multimodal.mmPng(Tables.documents(s, d))),
     "mm_mulaw" -> ((s, d) => Multimodal.mmMulaw(Tables.documents(s, d))),
     "mm_jpeg" -> ((s, d) => Multimodal.mmJpeg(Tables.documents(s, d))),
+    "mm_video" -> ((s, d) => Multimodal.mmVideo(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
     "scale_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(Tables.lineitem(s, d))),
@@ -830,6 +831,26 @@ object SparkEntry {
         |  round(CAST(sg AS DOUBLE) / nb, 4) AS mean_gray,
         |  CAST(w * h AS BIGINT) AS decoded_bytes
         |FROM s ORDER BY doc_id""".stripMargin,
+    "mm_video" ->
+      // every MJPEG frame is an exact-survival tile image (16x16, four
+      // 8x8 blocks), so per-frame decoded means equal the average of
+      // the four closed-form tile values and the oracle recomputes
+      // frame count + means from the (doc_id, frame, block) generator.
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |v AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM ids),
+        |fm AS (
+        |  SELECT v.doc_id, v.nf, t.f,
+        |    avg(18 + ((v.doc_id * 5 + t.f * 13 + b.b * 11) % 12) * 20) AS fmean
+        |  FROM v, LATERAL unnest(range(0, v.nf)) AS t(f),
+        |       LATERAL unnest(range(0, 4)) AS b(b)
+        |  GROUP BY v.doc_id, v.nf, t.f
+        |)
+        |SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(nf AS INT) AS n_frames,
+        |  round(avg(fmean), 4) AS mean_gray,
+        |  round(max(CASE WHEN f = 0 THEN fmean END), 4) AS first_frame_mean,
+        |  round(max(CASE WHEN f = nf - 1 THEN fmean END), 4) AS last_frame_mean
+        |FROM fm GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin,
     "mm_mulaw" ->
       // G.711 mu-law expansion is closed-form: for transmitted code c,
       // u = 255 - c, |sample| = ((u%16)*8 + 132) << ((u//16)%8) - 132.

@@ -428,4 +428,90 @@ object Codecs {
       val n = (w * h).toDouble
       PpmInfo(w, h, sr / n, sg / n, sb / n)
   }
+
+  // ---- AVI / MJPEG (RIFF container, one JPEG per frame) --------------
+  //
+  // Motion-JPEG in the classic AVI RIFF layout: hdrl list (avih +
+  // strl/strh/strf) followed by a movi list of '00dc' chunks, each a
+  // complete baseline JPEG. A real VIDEO container + codec path: the
+  // container walk is RIFF (like WAV), per-frame decode is [[Jpeg]].
+
+  case class AviInfo(width: Int, height: Int, nFrames: Int,
+                     frameMeans: Array[Double])
+
+  /** Emits a minimal AVI/MJPEG file from pre-encoded JPEG frames. */
+  def encodeAviMjpeg(width: Int, height: Int,
+                     frames: Seq[Array[Byte]], fps: Int = 10): Array[Byte] = {
+    def fourcc(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
+    def u32(v: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) 1 else 0 // RIFF chunks are word-aligned
+      fourcc(id) ++ u32(data.length) ++ data ++ Array.fill[Byte](pad)(0)
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      fourcc("LIST") ++ u32(body.length + 4) ++ fourcc(typ) ++ body
+
+    val avih = chunk("avih", u32(1000000 / fps) ++ u32(0) ++ u32(0) ++ u32(0x10) ++
+      u32(frames.length) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(width) ++ u32(height) ++
+      Array.fill[Byte](16)(0))
+    val strh = chunk("strh", fourcc("vids") ++ fourcc("MJPG") ++ u32(0) ++ u32(0) ++
+      u32(0) ++ u32(1) ++ u32(fps) ++ u32(0) ++ u32(frames.length) ++ u32(0) ++
+      u32(0) ++ u32(0) ++ Array.fill[Byte](8)(0))
+    // BITMAPINFOHEADER
+    val strf = chunk("strf", u32(40) ++ u32(width) ++ u32(height) ++
+      Array[Byte](1, 0, 24, 0) ++ fourcc("MJPG") ++ u32(width * height * 3) ++
+      Array.fill[Byte](16)(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ u32(body.length) ++ body
+  }
+
+  /** Walks an AVI/MJPEG file and decodes every '00dc' frame through
+    * the [[Jpeg]] decoder; None if the container is malformed or any
+    * frame fails to decode. */
+  def decodeAviMjpeg(bytes: Array[Byte]): Option[AviInfo] = {
+    if (bytes.length < 12) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val riff = new Array[Byte](4); bb.get(riff)
+    if (new String(riff, StandardCharsets.US_ASCII) != "RIFF") return None
+    bb.getInt // riff size
+    val avi = new Array[Byte](4); bb.get(avi)
+    if (new String(avi, StandardCharsets.US_ASCII) != "AVI ") return None
+    var w = 0; var h = 0
+    val means = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def walk(end: Int): Boolean = {
+      while (bb.position() + 8 <= end) {
+        val id = new Array[Byte](4); bb.get(id)
+        val size = bb.getInt
+        val idStr = new String(id, StandardCharsets.US_ASCII)
+        if (size < 0 || bb.position() + size > end) return false
+        val next = bb.position() + size + (size % 2) // word-aligned
+        idStr match {
+          case "LIST" =>
+            val typ = new Array[Byte](4); bb.get(typ) // list type, then recurse
+            if (!walk(bb.position() + size - 4)) return false
+          case "avih" =>
+            if (size < 40) return false
+            val p = bb.position()
+            w = bb.getInt(p + 32); h = bb.getInt(p + 36)
+          case "00dc" =>
+            val frame = new Array[Byte](size); bb.get(frame)
+            Jpeg.decodeJpegGray(frame) match {
+              case Some(j) =>
+                if (j.width != w || j.height != h) return false
+                means += j.meanGray
+              case None => return false
+            }
+          case _ => ()
+        }
+        if (next > end) return false
+        bb.position(next)
+      }
+      true
+    }
+    if (!walk(bytes.length) || w <= 0 || h <= 0 || means.isEmpty) None
+    else Some(AviInfo(w, h, means.length, means.toArray))
+  }
 }

@@ -65,6 +65,8 @@ object Multimodal {
       case "image" => Codecs.decodePpm(content).orElse(Codecs.decodePng(content))
         .map(p => ((p.meanR + p.meanG + p.meanB) / 3.0, 1))
         .orElse(Jpeg.decodeJpegGray(content).map(j => (j.meanGray, 1)))
+      case "video" => Codecs.decodeAviMjpeg(content)
+        .map(a => (a.frameMeans.sum / a.nFrames, a.nFrames))
       case _ => None
     }).getOrElse(decodeStub(content))
 
@@ -305,6 +307,59 @@ object Multimodal {
       }
     }.toDF("doc_id", "width", "height", "mean_gray", "decoded_bytes")
       .withColumn("mean_gray", round(col("mean_gray"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Media table of real AVI/MJPEG video payloads: each doc_id carries
+    * 3 + (id % 4) JPEG frames of 16x16 solid tiles (the exact-survival
+    * family, varying per frame), in a proper RIFF/AVI container. */
+  def mediaTableVideo(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 16; val h = 16
+        val nf = 3 + (id % 4).toInt
+        val frames = (0 until nf).map { f =>
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val b = (y / 8) * 2 + (x / 8)
+              px(y * w + x) =
+                (18 + ((id * 5 + f.toLong * 13 + b.toLong * 11) % 12) * 20).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Jpeg.encodeJpegGray(w, h, px)
+        }
+        MediaRow(id, "video", Codecs.encodeAviMjpeg(w, h, frames), w, h)
+      }
+    }
+  }
+
+  /** mm_video query: walk a real AVI container, decode every MJPEG
+    * frame through [[Jpeg]], report frame count and mean gray across
+    * frames. The tile family makes every frame's decode exact, so the
+    * oracle recomputes the means from the (doc_id, frame, block)
+    * generator; a fake byte-stride "frame" count hash-fails. */
+  def mmVideo(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    mediaTableVideo(documents).mapPartitions { rows =>
+      rows.map { r =>
+        val a = Codecs.decodeAviMjpeg(r.content)
+          .getOrElse(sys.error(s"AVI decode failed for doc ${r.doc_id}"))
+        (r.doc_id, a.width, a.height, a.nFrames,
+          a.frameMeans.sum / a.nFrames,
+          a.frameMeans.head, a.frameMeans.last)
+      }
+    }.toDF("doc_id", "width", "height", "n_frames", "mean_gray",
+        "first_frame_mean", "last_frame_mean")
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        round(col("mean_gray"), 4).as("mean_gray"),
+        round(col("first_frame_mean"), 4).as("first_frame_mean"),
+        round(col("last_frame_mean"), 4).as("last_frame_mean"))
       .orderBy(col("doc_id"))
   }
 

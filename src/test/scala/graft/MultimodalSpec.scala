@@ -409,6 +409,65 @@ class JpegCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class AviMjpegSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.{Codecs, Jpeg, Multimodal}
+
+  private def tileFrame(v: Int): Array[Byte] =
+    Jpeg.encodeJpegGray(16, 16, Array.fill(256)(v.toByte))
+
+  test("avi/mjpeg: container round-trips frame count, dims, per-frame means") {
+    val frames = Seq(tileFrame(58), tileFrame(98), tileFrame(198))
+    val avi = Codecs.encodeAviMjpeg(16, 16, frames)
+    val info = Codecs.decodeAviMjpeg(avi).get
+    assert(info.width == 16 && info.height == 16 && info.nFrames == 3)
+    assert(info.frameMeans.toSeq == Seq(58.0, 98.0, 198.0)) // exact tiles
+  }
+
+  test("avi/mjpeg: garbage, truncation, and a corrupt frame reject") {
+    assert(Codecs.decodeAviMjpeg("RIFFnope".getBytes).isEmpty)
+    val avi = Codecs.encodeAviMjpeg(16, 16, Seq(tileFrame(58)))
+    assert(Codecs.decodeAviMjpeg(avi.take(avi.length - 40)).isEmpty)
+    // stomp the embedded frame's SOI marker: frame decode fails and the
+    // container walk must propagate the rejection (JPEG has no CRC, so
+    // flipping an unused Huffman-table byte would NOT be detectable)
+    val frameStart = avi.indexOfSlice("00dc".getBytes) + 8
+    val bad = avi.clone()
+    bad(frameStart) = 0x00
+    assert(Codecs.decodeAviMjpeg(bad).isEmpty)
+  }
+
+  test("mm_video decodes real AVI/MJPEG; frame stats match the generator") {
+    val docs = Tables.documents(TestSpark.spark, TestSpark.sf)
+    val out = Multimodal.mmVideo(docs).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val nf = 3 + (id % 4).toInt
+      def fmean(f: Int): Double =
+        (0 until 4).map(b => 18 + ((id * 5 + f.toLong * 13 + b.toLong * 11) % 12) * 20)
+          .sum / 4.0
+      assert(r.getInt(3) == nf, s"doc $id frame count")
+      val mean = (0 until nf).map(fmean).sum / nf
+      assert(math.abs(r.getDouble(4) - mean) < 5e-5, s"doc $id")
+      assert(math.abs(r.getDouble(5) - fmean(0)) < 5e-5)
+      assert(math.abs(r.getDouble(6) - fmean(nf - 1)) < 5e-5)
+    }
+  }
+
+  test("video payloads take the real AVI branch in the feature pipeline") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    val avi = Codecs.encodeAviMjpeg(16, 16, Seq(tileFrame(58), tileFrame(98)))
+    val rows = Seq(
+      MediaRow(1L, "video", avi, 16, 16),
+      MediaRow(2L, "video", "not a video at all".getBytes, 0, 0))
+    val f = Multimodal.extractFeatures(rows.toDS()).collect().map(x => x.doc_id -> x).toMap
+    assert(f(1L).mean_byte == 78.0 && f(1L).n_frames == 2) // real decode: (58+98)/2
+    assert(f(2L).n_frames == "not a video at all".length / 64 + 1) // stub fallback
+  }
+}
+
 class AudioFramesSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("wav payloads frame into real sample windows; non-wav audio yields none") {
     val spark = TestSpark.spark
