@@ -204,25 +204,38 @@ object Codecs {
       PpmInfo(w, h, sr / n, sg / n, sb / n)
   }
 
+  /** Nearest-neighbor resample of `ch`-channel interleaved pixels
+    * starting at `off` (shared by the PPM/PNG/JPEG resize paths). */
+  private[operators] def nnResample(src: Array[Byte], off: Int, w: Int, h: Int,
+                                    ch: Int, newW: Int, newH: Int): Array[Byte] = {
+    val out = new Array[Byte](newW * newH * ch)
+    var y = 0
+    while (y < newH) {
+      val sy = y * h / newH
+      var x = 0
+      while (x < newW) {
+        val sp = off + (sy * w + x * w / newW) * ch
+        val dp = (y * newW + x) * ch
+        var c = 0
+        while (c < ch) { out(dp + c) = src(sp + c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** REAL image resize: nearest-neighbor resample of a binary P6 PPM
     * (the honest pixel-level operation, not a byte truncation). */
   def resizePpm(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
     parseP6Header(bytes).map { case (w, h, pos) =>
-      val out = new Array[Byte](newW * newH * 3)
-      var y = 0
-      while (y < newH) {
-        val sy = y * h / newH
-        var x = 0
-        while (x < newW) {
-          val sx = x * w / newW
-          val src = pos + (sy * w + sx) * 3
-          val dst = (y * newW + x) * 3
-          out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
-          x += 1
-        }
-        y += 1
-      }
-      encodePpm(newW, newH, out)
+      encodePpm(newW, newH, nnResample(bytes, pos, w, h, 3, newW, newH))
+    }
+
+  /** Decode → nearest-neighbor resample → re-encode for PNG. */
+  def resizePng(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
+    decodePngPixels(bytes).map { case (w, h, px) =>
+      encodePng(newW, newH, nnResample(px, 0, w, h, 3, newW, newH))
     }
 
   // ---- PNG (8-bit RGB truecolor, zlib via java.util.zip) -------------

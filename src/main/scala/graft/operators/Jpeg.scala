@@ -449,6 +449,13 @@ object Jpeg {
     Some((w, h, px))
   }
 
+  /** Decode → nearest-neighbor resample → re-encode (lossy, as any
+    * real JPEG resize is). */
+  def resizeJpegGray(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
+    decodeJpegGrayPixels(bytes).map { case (w, h, px) =>
+      encodeJpegGray(newW, newH, Codecs.nnResample(px, 0, w, h, 1, newW, newH))
+    }
+
   /** Mean-gray summary of a decoded JPEG. */
   def decodeJpegGray(bytes: Array[Byte]): Option[JpegInfo] =
     decodeJpegGrayPixels(bytes).map { case (w, h, px) =>

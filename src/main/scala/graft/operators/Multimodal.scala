@@ -84,14 +84,20 @@ object Multimodal {
     }
   }
 
-  /** Resize: REAL nearest-neighbor resample for images whose payload
-    * parses as binary PPM ([[Codecs.resizePpm]]); metadata-true byte-
-    * budget stub for payloads that need an external codec. */
+  /** Resize: REAL nearest-neighbor resample for every image format the
+    * codecs handle — PPM (raw), PNG (decode→resample→re-deflate), JPEG
+    * (decode→resample→re-encode, lossy like any real JPEG resize);
+    * metadata-true byte-budget stub only for foreign payloads. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val resized = if (r.media_type == "image") Codecs.resizePpm(r.content, w, h) else None
+        val resized =
+          if (r.media_type == "image")
+            Codecs.resizePpm(r.content, w, h)
+              .orElse(Codecs.resizePng(r.content, w, h))
+              .orElse(Jpeg.resizeJpegGray(r.content, w, h))
+          else None
         val out = resized.getOrElse {
           val budget = w * h / 64 + 1
           java.util.Arrays.copyOf(r.content, budget)

@@ -152,6 +152,25 @@ class PpmResizeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Codecs.decodePpm(big).get.meanR == info.meanR)
   }
 
+  test("png and jpeg resize: decode -> resample -> re-encode") {
+    import graft.operators.Jpeg
+    // PNG: 4x4 quadrants (lossless format: resampled pixels exact)
+    def px3(r: Int, g: Int, b: Int) = Array(r.toByte, g.toByte, b.toByte)
+    val quads = Array(px3(255, 0, 0), px3(0, 255, 0), px3(0, 0, 255), px3(255, 255, 255))
+    val rgb = new Array[Byte](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4)
+      System.arraycopy(quads((y / 2) * 2 + (x / 2)), 0, rgb, (y * 4 + x) * 3, 3)
+    val smallPng = Codecs.resizePng(Codecs.encodePng(4, 4, rgb), 2, 2).get
+    val (w2, h2, p2) = Codecs.decodePngPixels(smallPng).get
+    assert(w2 == 2 && h2 == 2)
+    assert(p2.toSeq == (quads(0) ++ quads(1) ++ quads(2) ++ quads(3)).toSeq)
+    // JPEG: solid exact-survival tiles stay exact through resize
+    val gray = Array.fill(16 * 16)(58.toByte)
+    val smallJpg = Jpeg.resizeJpegGray(Jpeg.encodeJpegGray(16, 16, gray), 8, 8).get
+    val (jw, jh, jp) = Jpeg.decodeJpegGrayPixels(smallJpg).get
+    assert(jw == 8 && jh == 8 && jp.forall(_ == 58.toByte))
+  }
+
   test("resize through the Spark pipeline: real resample for ppm, stub for text") {
     val spark = TestSpark.spark
     import spark.implicits._
