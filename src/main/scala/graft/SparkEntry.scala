@@ -72,6 +72,7 @@ object SparkEntry {
     "mm_decode" -> ((s, d) => Multimodal.mmDecode(Tables.documents(s, d))),
     "mm_png" -> ((s, d) => Multimodal.mmPng(Tables.documents(s, d))),
     "mm_mulaw" -> ((s, d) => Multimodal.mmMulaw(Tables.documents(s, d))),
+    "mm_alaw" -> ((s, d) => Multimodal.mmAlaw(Tables.documents(s, d))),
     "mm_jpeg" -> ((s, d) => Multimodal.mmJpeg(Tables.documents(s, d))),
     "mm_video" -> ((s, d) => Multimodal.mmVideo(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
@@ -831,6 +832,24 @@ object SparkEntry {
         |  round(CAST(sg AS DOUBLE) / nb, 4) AS mean_gray,
         |  CAST(w * h AS BIGINT) AS decoded_bytes
         |FROM s ORDER BY doc_id""".stripMargin,
+    "mm_alaw" ->
+      // A-law expansion: a = c XOR 85; exp 0 -> mant*16+8, else
+      // (mant*16+264) << (exp-1). Codes are (doc_id*17 + i*11) % 256.
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |a AS (SELECT doc_id, 250 + (doc_id % 5) * 60 AS n FROM ids),
+        |m AS (
+        |  SELECT a.doc_id, a.n,
+        |    sum(CASE WHEN ((xor(((a.doc_id * 17 + t.i * 11) % 256), 85)) // 16) % 8 = 0
+        |        THEN (xor(((a.doc_id * 17 + t.i * 11) % 256), 85) % 16) * 16 + 8
+        |        ELSE ((xor(((a.doc_id * 17 + t.i * 11) % 256), 85) % 16) * 16 + 264)
+        |             * CAST(power(2, ((xor(((a.doc_id * 17 + t.i * 11) % 256), 85)) // 16) % 8 - 1) AS BIGINT)
+        |        END) AS s
+        |  FROM a, LATERAL unnest(range(0, a.n)) AS t(i)
+        |  GROUP BY a.doc_id, a.n
+        |)
+        |SELECT doc_id, CAST(44 + n AS BIGINT) AS n_bytes, CAST(n AS BIGINT) AS n_samples,
+        |  round(CAST(s AS DOUBLE) / n, 4) AS mean_decoded
+        |FROM m ORDER BY doc_id""".stripMargin,
     "mm_video" ->
       // every MJPEG frame is an exact-survival tile image (16x16, four
       // 8x8 blocks), so per-frame decoded means equal the average of

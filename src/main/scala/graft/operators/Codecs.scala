@@ -64,6 +64,34 @@ object Codecs {
     if ((u & 0x80) != 0) -mag else mag
   }
 
+  // ---- G.711 A-law (the European companding variant, WAV format 6) --
+
+  /** Encodes one 16-bit linear sample to an 8-bit A-law code (ITU-T
+    * G.711: sign + segment + mantissa, transmitted XOR 0x55). */
+  def aLawEncodeSample(sample: Int): Int = {
+    val sign = if (sample >= 0) 0x80 else 0
+    var mag = math.min(math.abs(sample), 32767)
+    val code =
+      if (mag < 256) (mag >> 4)
+      else {
+        var exp = 7
+        var mask = 0x4000
+        while (exp > 1 && (mag & mask) == 0) { exp -= 1; mask >>= 1 }
+        (exp << 4) | ((mag >> (exp + 3)) & 0x0f)
+      }
+    (sign | code) ^ 0x55
+  }
+
+  /** Decodes one 8-bit A-law code back to a 16-bit linear sample —
+    * closed-form: exp=0 → mant·16+8, else (mant·16+264)<<(exp−1). */
+  def aLawDecodeSample(code: Int): Int = {
+    val a = code ^ 0x55
+    val exp = (a >> 4) & 0x07
+    val mant = a & 0x0f
+    val mag = if (exp == 0) (mant << 4) + 8 else ((mant << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
   /** Emits a RIFF/WAVE file in format 7 (μ-law, 8 bits per sample):
     * each 16-bit input sample is G.711-companded to one byte — a real
     * 2:1 compressed audio format. */
@@ -72,16 +100,16 @@ object Codecs {
     encodeWavMuLawCodes(samples.map(s => muLawEncodeSample(s.toInt).toByte),
       sampleRate, channels)
 
-  /** Format-7 WAV whose data bytes ARE the given μ-law codes (no
+  /** Format-6/7 WAV whose data bytes ARE the given companded codes (no
     * companding step — lets a SQL oracle own the exact code values). */
-  def encodeWavMuLawCodes(codes: Array[Byte], sampleRate: Int = 8000,
-                          channels: Int = 1): Array[Byte] = {
+  private def encodeWavCompanded(fmt: Int, codes: Array[Byte], sampleRate: Int,
+                                 channels: Int): Array[Byte] = {
     val dataLen = codes.length
     val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataLen)
     bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
     bb.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
-    bb.putShort(7) // μ-law
+    bb.putShort(fmt.toShort)         // 6 = A-law, 7 = μ-law
     bb.putShort(channels.toShort)
     bb.putInt(sampleRate)
     bb.putInt(sampleRate * channels) // byte rate: 1 byte/sample
@@ -92,9 +120,25 @@ object Codecs {
     bb.array()
   }
 
+  def encodeWavMuLawCodes(codes: Array[Byte], sampleRate: Int = 8000,
+                          channels: Int = 1): Array[Byte] =
+    encodeWavCompanded(7, codes, sampleRate, channels)
+
+  /** Format-6 (A-law) RIFF/WAVE from 16-bit samples. */
+  def encodeWavALaw(samples: Array[Short], sampleRate: Int = 8000,
+                    channels: Int = 1): Array[Byte] =
+    encodeWavCompanded(6,
+      samples.map(s => aLawEncodeSample(s.toInt).toByte), sampleRate, channels)
+
+  /** Format-6 (A-law) RIFF/WAVE from raw code bytes. */
+  def encodeWavALawCodes(codes: Array[Byte], sampleRate: Int = 8000,
+                         channels: Int = 1): Array[Byte] =
+    encodeWavCompanded(6, codes, sampleRate, channels)
+
   /** Parses a RIFF/WAVE header + data chunk; supports format 1 (16-bit
-    * linear PCM) and format 7 (8-bit G.711 μ-law, decoded to linear
-    * before the amplitude stats). None for anything else. */
+    * linear PCM), format 6 (8-bit G.711 A-law), and format 7 (8-bit
+    * G.711 μ-law) — companded bytes are expanded to linear before the
+    * amplitude stats. None for anything else. */
   def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
     if (bytes.length < 44) return None
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -120,18 +164,22 @@ object Codecs {
           sampleRate = bb.getInt
           bb.getInt; bb.getShort
           bits = bb.getShort
-          val ok = (format == 1 && bits == 16) || (format == 7 && bits == 8)
-          if (!ok) return None // 16-bit PCM or 8-bit μ-law only
+          val ok = (format == 1 && bits == 16) ||
+            ((format == 6 || format == 7) && bits == 8)
+          if (!ok) return None // 16-bit PCM or 8-bit A-law/μ-law only
           bb.position(fmtStart + size)
         case "data" =>
           if (bb.remaining() < size || channels == 0) return None
           var sum = 0L
           var i = 0
-          val n = if (format == 7) size else size / 2
-          if (format == 7) {
-            while (i < n) { sum += math.abs(muLawDecodeSample(bb.get() & 0xff)); i += 1 }
-          } else {
-            while (i < n) { sum += math.abs(bb.getShort.toLong); i += 1 }
+          val n = if (format == 1) size / 2 else size
+          format match {
+            case 7 =>
+              while (i < n) { sum += math.abs(muLawDecodeSample(bb.get() & 0xff)); i += 1 }
+            case 6 =>
+              while (i < n) { sum += math.abs(aLawDecodeSample(bb.get() & 0xff)); i += 1 }
+            case _ =>
+              while (i < n) { sum += math.abs(bb.getShort.toLong); i += 1 }
           }
           val mean = if (n == 0) 0.0 else sum.toDouble / n
           return Some(WavInfo(channels, sampleRate, bits, n, mean))

@@ -269,6 +269,38 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** A-law sibling of [[mediaTableMuLaw]] (WAV format 6, ITU G.711
+    * European companding): code bytes closed-form in (doc_id, index). */
+  def mediaTableALaw(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = 250 + (id % 5).toInt * 60
+        val codes = new Array[Byte](n)
+        var i = 0
+        while (i < n) { codes(i) = ((id * 17 + i.toLong * 11) % 256).toByte; i += 1 }
+        MediaRow(id, "audio", Codecs.encodeWavALawCodes(codes), 0, 0)
+      }
+    }
+  }
+
+  /** mm_alaw query: decode format-6 (A-law) audio through the real
+    * [[Codecs.decodeWav]] branch; the oracle recomputes amplitudes via
+    * the A-law expansion (exp=0 → mant·16+8, else (mant·16+264)
+    * <<(exp−1)). */
+  def mmAlaw(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    mediaTableALaw(documents).mapPartitions { rows =>
+      rows.map { r =>
+        val w = Codecs.decodeWav(r.content)
+          .getOrElse(sys.error(s"a-law decode failed for doc ${r.doc_id}"))
+        (r.doc_id, r.content.length.toLong, w.nSamples.toLong, w.meanAbsAmplitude)
+      }
+    }.toDF("doc_id", "n_bytes", "n_samples", "mean_decoded")
+      .withColumn("mean_decoded", round(col("mean_decoded"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Media table of real baseline JPEG payloads: each doc_id carries a
     * grayscale image of solid 8x8 tiles whose values sit at even
     * offsets from 128 — the one image family the lossy pipeline

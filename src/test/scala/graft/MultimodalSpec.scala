@@ -339,6 +339,63 @@ class MuLawCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class ALawCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.{Codecs, Multimodal}
+
+  test("a-law: G.711 invariants — range, every code re-encodes exactly") {
+    val decoded = (0 to 255).map(Codecs.aLawDecodeSample)
+    assert(decoded.map(math.abs).min == 8)      // A-law has no zero: quiet code is +/-8
+    assert(decoded.map(math.abs).max == 32256)  // segment-7 ceiling
+    for (c <- 0 to 255)
+      assert(Codecs.aLawEncodeSample(Codecs.aLawDecodeSample(c)) == c, s"code $c")
+  }
+
+  test("a-law: companding error bounded by the segment quantization step") {
+    var s = -32768
+    while (s <= 32767) {
+      val dec = Codecs.aLawDecodeSample(Codecs.aLawEncodeSample(s))
+      val clamped = math.max(-32767, math.min(32767, s))
+      val a = Codecs.aLawEncodeSample(s) ^ 0x55
+      val exp = (a >> 4) & 7
+      val halfStep = math.max(8, 1 << (exp + 2))
+      assert(math.abs(dec - clamped) <= halfStep, s"sample $s -> $dec")
+      s += 11
+    }
+  }
+
+  test("a-law wav: format-6 payload decodes through decodeWav") {
+    val samples = Array.tabulate(800)(i => ((i * 37) % 6000 - 3000).toShort)
+    val bytes = Codecs.encodeWavALaw(samples)
+    assert(bytes.length == 44 + samples.length) // 2:1 vs PCM
+    val info = Codecs.decodeWav(bytes).get
+    assert(info.bitsPerSample == 8 && info.nSamples == 800)
+    val expected = samples.map(s =>
+      math.abs(Codecs.aLawDecodeSample(Codecs.aLawEncodeSample(s.toInt))).toLong).sum / 800.0
+    assert(math.abs(info.meanAbsAmplitude - expected) < 1e-9)
+  }
+
+  test("mm_alaw query matches the closed-form A-law expansion") {
+    val docs = Tables.documents(TestSpark.spark, TestSpark.sf)
+    val out = Multimodal.mmAlaw(docs).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val n = 250 + (id % 5).toInt * 60
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val a = ((id * 17 + i.toLong * 11) % 256).toInt ^ 0x55
+        val exp = (a >> 4) & 7
+        val mant = a & 0xf
+        sum += (if (exp == 0) mant * 16 + 8 else (mant * 16 + 264) << (exp - 1))
+        i += 1
+      }
+      assert(r.getLong(1) == 44L + n && r.getLong(2) == n.toLong)
+      assert(math.abs(r.getDouble(3) - sum.toDouble / n) < 5e-5, s"doc $id")
+    }
+  }
+}
+
 class JpegCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
   import graft.operators.Jpeg
 
