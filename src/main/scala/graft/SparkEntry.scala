@@ -74,6 +74,7 @@ object SparkEntry {
     "mm_mulaw" -> ((s, d) => Multimodal.mmMulaw(Tables.documents(s, d))),
     "mm_alaw" -> ((s, d) => Multimodal.mmAlaw(Tables.documents(s, d))),
     "mm_jpeg" -> ((s, d) => Multimodal.mmJpeg(Tables.documents(s, d))),
+    "mm_gif" -> ((s, d) => Multimodal.mmGif(Tables.documents(s, d))),
     "mm_video" -> ((s, d) => Multimodal.mmVideo(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
@@ -811,6 +812,24 @@ object SparkEntry {
         |  FROM isum
         |)
         |SELECT * FROM audio UNION ALL SELECT * FROM image ORDER BY doc_id""".stripMargin,
+    "mm_gif" ->
+      // GIF is lossless (LZW + grayscale palette), so decoded pixels
+      // equal the generator (doc_id*19 + p*23) % 256 and the oracle
+      // recomputes the mean arithmetically.
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |im AS (
+        |  SELECT doc_id, 10 + (doc_id % 6) * 5 AS w, 10 + (doc_id % 5) * 6 AS h
+        |  FROM ids
+        |), s AS (
+        |  SELECT im.doc_id, im.w, im.h,
+        |    sum((im.doc_id * 19 + t.p * 23) % 256) AS sg
+        |  FROM im, LATERAL unnest(range(0, im.w * im.h)) AS t(p)
+        |  GROUP BY im.doc_id, im.w, im.h
+        |)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  round(CAST(sg AS DOUBLE) / (w * h), 4) AS mean_gray,
+        |  CAST(w * h AS BIGINT) AS decoded_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
     "mm_jpeg" ->
       // The tile images are constructed to survive lossy JPEG exactly
       // (solid 8x8 tiles, even offsets from 128: DC divides Q00=16 and

@@ -65,6 +65,7 @@ object Multimodal {
       case "image" => Codecs.decodePpm(content).orElse(Codecs.decodePng(content))
         .map(p => ((p.meanR + p.meanG + p.meanB) / 3.0, 1))
         .orElse(Jpeg.decodeJpegGray(content).map(j => (j.meanGray, 1)))
+        .orElse(Gif.decodeGif(content).map(g => ((g.meanR + g.meanG + g.meanB) / 3.0, 1)))
       case "video" => Codecs.decodeAviMjpeg(content)
         .map(a => (a.frameMeans.sum / a.nFrames, a.nFrames))
       case _ => None
@@ -298,6 +299,43 @@ object Multimodal {
       }
     }.toDF("doc_id", "n_bytes", "n_samples", "mean_decoded")
       .withColumn("mean_decoded", round(col("mean_decoded"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Media table of real GIF87a payloads: grayscale-palette images
+    * whose pixel indices are closed-form in (doc_id, pixel index),
+    * LZW-compressed by [[Gif.encodeGifGray]]. */
+  def mediaTableGif(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 10 + (id % 6).toInt * 5
+        val h = 10 + (id % 5).toInt * 6
+        val px = new Array[Byte](w * h)
+        var p = 0
+        while (p < px.length) { px(p) = ((id * 19 + p.toLong * 23) % 256).toByte; p += 1 }
+        MediaRow(id, "image", Gif.encodeGifGray(w, h, px), w, h)
+      }
+    }
+  }
+
+  /** mm_gif query: decode real LZW-compressed GIFs ([[Gif]] — hand-
+    * rolled variable-width LZW, palette mapping, sub-block walk) and
+    * report channel means. GIF is lossless, so the oracle recomputes
+    * the means from the pixel generator; any LZW/palette/framing
+    * defect hash-fails. */
+  def mmGif(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    mediaTableGif(documents).mapPartitions { rows =>
+      rows.map { r =>
+        val g = Gif.decodeGif(r.content)
+          .getOrElse(sys.error(s"GIF decode failed for doc ${r.doc_id}"))
+        // grayscale palette: all three channel means are identical, so
+        // report meanR directly (avoids an ulp of (3m)/3 float drift)
+        (r.doc_id, g.width, g.height, g.meanR, g.width.toLong * g.height)
+      }
+    }.toDF("doc_id", "width", "height", "mean_gray", "decoded_bytes")
+      .withColumn("mean_gray", round(col("mean_gray"), 4))
       .orderBy(col("doc_id"))
   }
 

@@ -396,6 +396,78 @@ class ALawCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class GifCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.{Gif, Multimodal}
+
+  test("gif: lossless LZW round-trip over flat/gradient/noise content") {
+    val cases = Seq(
+      (16, 9, Array.fill(16 * 9)(77.toByte)),
+      (23, 7, Array.tabulate(23 * 7)(i => (i % 256).toByte)),
+      (31, 11, Array.tabulate(31 * 11)(i => ((i * 2654435761L >>> 11) % 256).toByte)),
+      (1, 1, Array[Byte](42)))
+    for ((w, h, px) <- cases) {
+      val (dw, dh, rgb) = Gif.decodeGifPixels(Gif.encodeGifGray(w, h, px)).get
+      assert(dw == w && dh == h)
+      // grayscale palette: every channel equals the source index
+      for (i <- px.indices; c <- 0 to 2)
+        assert(rgb(i * 3 + c) == px(i), s"pixel $i ch $c in ${w}x$h")
+    }
+  }
+
+  test("gif: dictionary overflow forces a mid-stream LZW clear and survives") {
+    // >4096 distinct-pattern pixels grows the dictionary past 12-bit
+    // capacity: the encoder must emit CLEAR and reset, the decoder must
+    // follow; a width/reset bug scrambles everything after the reset
+    val w = 100; val h = 60
+    val px = Array.tabulate(w * h)(i => ((i * 2654435761L >>> 13) % 256).toByte)
+    val bytes = Gif.encodeGifGray(w, h, px)
+    val (_, _, rgb) = Gif.decodeGifPixels(bytes).get
+    for (i <- px.indices) assert(rgb(i * 3) == px(i), s"pixel $i after dict reset")
+  }
+
+  test("gif: LZW genuinely compresses repetitive content") {
+    val w = 64; val h = 64
+    val px = Array.tabulate(w * h)(i => (((i % w) / 8) * 32).toByte)
+    val bytes = Gif.encodeGifGray(w, h, px)
+    assert(bytes.length - 768 - 13 < w * h / 4, s"no real compression: ${bytes.length}")
+  }
+
+  test("gif: garbage and truncation decode to None") {
+    assert(Gif.decodeGif("GIF87a but not really".getBytes).isEmpty)
+    assert(Gif.decodeGif("something else".getBytes).isEmpty)
+    val ok = Gif.encodeGifGray(20, 20, Array.tabulate(400)(i => (i % 251).toByte))
+    assert(Gif.decodeGif(ok.take(ok.length - 15)).isEmpty)
+    assert(Gif.decodeGif(ok.take(300)).isEmpty)
+  }
+
+  test("mm_gif decodes real LZW payloads; means match the generator") {
+    val docs = Tables.documents(TestSpark.spark, TestSpark.sf)
+    val out = Multimodal.mmGif(docs).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val w = 10 + (id % 6).toInt * 5
+      val h = 10 + (id % 5).toInt * 6
+      var sum = 0L
+      var p = 0
+      while (p < w * h) { sum += (id * 19 + p.toLong * 23) % 256; p += 1 }
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(math.abs(r.getDouble(3) - sum.toDouble / (w * h)) < 5e-5, s"doc $id")
+      assert(r.getLong(4) == w.toLong * h)
+    }
+  }
+
+  test("gif payloads route through decodeAny's image branch in the pipeline") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    val px = Array.fill(12 * 12)(99.toByte)
+    val rows = Seq(MediaRow(1L, "image", Gif.encodeGifGray(12, 12, px), 12, 12))
+    val f = Multimodal.extractFeatures(rows.toDS()).collect().head
+    assert(f.mean_byte == 99.0) // decoded palette value, not the stub byte mean
+  }
+}
+
 class JpegCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
   import graft.operators.Jpeg
 
