@@ -132,20 +132,30 @@ object Jpeg {
   }
   private def cNorm(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
 
-  /** Forward 8x8 DCT-II of a level-shifted block (row-major). */
+  /** Forward 8x8 DCT-II of a level-shifted block (row-major),
+    * separable: a row pass then a column pass (4x fewer multiplies
+    * than the direct double sum). */
   private def fdct(in: Array[Double], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64) // tmp(y,u) = sum_x in(y,x) cos(x,u)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += in(y * 8 + x) * CosTab(x * 8 + u); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
     var v = 0
     while (v < 8) {
       var u = 0
       while (u < 8) {
         var s = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          val cy = CosTab(y * 8 + v)
-          while (x < 8) { s += in(y * 8 + x) * CosTab(x * 8 + u) * cy; x += 1 }
-          y += 1
-        }
+        var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + u) * CosTab(yy * 8 + v); yy += 1 }
         out(v * 8 + u) = 0.25 * cNorm(u) * cNorm(v) * s
         u += 1
       }
@@ -153,20 +163,28 @@ object Jpeg {
     }
   }
 
-  /** Inverse 8x8 DCT (T.81 A.3.3). */
+  /** Inverse 8x8 DCT (T.81 A.3.3), separable like [[fdct]]. */
   private def idct(in: Array[Double], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64) // tmp(v,x) = sum_u c(u) in(v,u) cos(x,u)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += cNorm(u) * in(v * 8 + u) * CosTab(x * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
         var s = 0.0
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          val cv = cNorm(v) * CosTab(y * 8 + v)
-          while (u < 8) { s += cNorm(u) * in(v * 8 + u) * CosTab(x * 8 + u) * cv; u += 1 }
-          v += 1
-        }
+        var vv = 0
+        while (vv < 8) { s += cNorm(vv) * tmp(vv * 8 + x) * CosTab(y * 8 + vv); vv += 1 }
         out(y * 8 + x) = 0.25 * s
         x += 1
       }
