@@ -358,17 +358,25 @@ object Dedup {
 
     val edges = ckpt(pairs.select(col("a_id"), col("b_id"))
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
-    var labels = ckpt(edges.select(col("a_id").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // Initialize each node to min(id, min neighbor): the same shuffle a
+    // distinct() would cost, but it fuses the whole first propagation
+    // round into initialization — one fewer join-round to convergence.
+    var labels = ckpt(edges.groupBy(col("a_id").as("id"))
+      .agg(least(col("a_id"), min(col("b_id"))).as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b_id"), col("label").as("nl")), "b_id")
         .groupBy(col("a_id").as("id")).agg(min(col("nl")).as("nmin"))
+      // Persisted: the pointer-halving self-join below reads `stepped`
+      // on both sides — without the cache the neighbor-min join+agg
+      // subtree would execute twice per round (the same duplicated-
+      // subtree defect the LSH signature tables had).
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer halving: follow one hop through the label table (label
       // ids are always node ids, so the self-join is total)
       val hopped = stepped
@@ -381,6 +389,7 @@ object Dedup {
           .otherwise(0L)), lit(0L)).as("changed"))
         .select(col("id"), col("new_label").as("label"))
       labels = ckpt(next)
+      stepped.unpersist(false) // next is checkpointed; round state is done
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }
