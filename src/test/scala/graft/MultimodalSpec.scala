@@ -616,6 +616,40 @@ class AviMjpegSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class StreamingDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("codec decode composes with Structured Streaming micro-batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Codecs, Gif, Jpeg, Multimodal}
+    import graft.operators.Multimodal.MediaRow
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[MediaRow]
+    // extractFeatures is a mapPartitions pipeline — stateless, so the
+    // same code path runs unchanged inside a streaming query
+    val q = Multimodal.extractFeatures(mem.toDS())
+      .writeStream.format("memory").queryName("stream_decode")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        MediaRow(1L, "audio", Codecs.encodeWav(Array[Short](500, -500, 500, -500)), 0, 0),
+        MediaRow(2L, "image", Jpeg.encodeJpegGray(16, 16, Array.fill(256)(58.toByte)), 16, 16))
+      q.processAllAvailable()
+      mem.addData( // second micro-batch: different codecs
+        MediaRow(3L, "image", Gif.encodeGifGray(10, 10, Array.fill(100)(99.toByte)), 10, 10),
+        MediaRow(4L, "audio", Codecs.encodeWavMuLaw(Array.fill(64)(1000.toShort)), 0, 0))
+      q.processAllAvailable()
+      val out = spark.table("stream_decode").collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(out(1L) == 500.0)  // PCM amplitude
+      assert(out(2L) == 58.0)   // JPEG decoded gray
+      assert(out(3L) == 99.0)   // GIF decoded palette value
+      val muDec = math.abs(Codecs.muLawDecodeSample(Codecs.muLawEncodeSample(1000)))
+      assert(out(4L) == muDec.toDouble)
+    } finally q.stop()
+  }
+}
+
 class AudioFramesSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("wav payloads frame into real sample windows; non-wav audio yields none") {
     val spark = TestSpark.spark
