@@ -155,6 +155,7 @@ object Codecs {
     while (bb.remaining() >= 8) {
       val id = new Array[Byte](4); bb.get(id)
       val size = bb.getInt
+      if (size < 0) return None // corrupted chunk length
       new String(id, StandardCharsets.US_ASCII) match {
         case "fmt " =>
           if (size < 16 || bb.remaining() < size) return None
@@ -410,7 +411,8 @@ object Codecs {
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend && bb.remaining() >= 12) {
       val len = bb.getInt
-      if (len < 0 || bb.remaining() < len + 8) return None
+      // len > bytes.length also catches the crafted len+8 Int overflow
+      if (len < 0 || len > bytes.length || bb.remaining() < len + 8) return None
       val typB = new Array[Byte](4); bb.get(typB)
       val typ = new String(typB, StandardCharsets.US_ASCII)
       val data = new Array[Byte](len); bb.get(data)
@@ -542,7 +544,8 @@ object Codecs {
     if (new String(avi, StandardCharsets.US_ASCII) != "AVI ") return None
     var w = 0; var h = 0
     val means = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def walk(end: Int): Boolean = {
+    def walk(end: Int, depth: Int): Boolean = {
+      if (depth > 8) return false // real AVIs nest 2-3 deep; reject crafted bombs
       while (bb.position() + 8 <= end) {
         val id = new Array[Byte](4); bb.get(id)
         val size = bb.getInt
@@ -551,8 +554,9 @@ object Codecs {
         val next = bb.position() + size + (size % 2) // word-aligned
         idStr match {
           case "LIST" =>
+            if (size < 4) return false // list payload starts with a 4-byte type
             val typ = new Array[Byte](4); bb.get(typ) // list type, then recurse
-            if (!walk(bb.position() + size - 4)) return false
+            if (!walk(bb.position() + size - 4, depth + 1)) return false
           case "avih" =>
             if (size < 40) return false
             val p = bb.position()
@@ -572,7 +576,7 @@ object Codecs {
       }
       true
     }
-    if (!walk(bytes.length) || w <= 0 || h <= 0 || means.isEmpty) None
+    if (!walk(bytes.length, 0) || w <= 0 || h <= 0 || means.isEmpty) None
     else Some(AviInfo(w, h, means.length, means.toArray))
   }
 }

@@ -344,8 +344,15 @@ object Jpeg {
 
   /** Decodes a baseline grayscale JPEG produced by any conforming
     * encoder of that flavor (single component, baseline sequential,
-    * one DC + one AC table, no restart markers) to exact pixels. */
-  def decodeJpegGrayPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    * one DC + one AC table, no restart markers) to exact pixels.
+    * Total: malformed input yields None, never an exception — segment
+    * lengths in crafted files can point reads past the buffer, so the
+    * byte-parsing core is wrapped against index overruns. */
+  def decodeJpegGrayPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try decodeUnsafe(bytes)
+    catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  private def decodeUnsafe(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
     var pos = 2
     var w = 0; var h = 0

@@ -616,6 +616,43 @@ class AviMjpegSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class DecoderFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.{Codecs, Gif, Jpeg}
+
+  /** Every decoder must be TOTAL: corrupt/truncated bytes yield None
+    * (or a decoded value for undetectable flips), never an exception.
+    * Seeded, so failures reproduce. */
+  test("decoders never throw on randomly corrupted or truncated payloads") {
+    val rnd = new scala.util.Random(0x5eed)
+    val valid: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
+      ("wav", Codecs.encodeWav(Array.tabulate(300)(i => (i * 7 % 2000 - 1000).toShort)),
+        Codecs.decodeWav(_)),
+      ("mulaw", Codecs.encodeWavMuLaw(Array.fill(200)(500.toShort)), Codecs.decodeWav(_)),
+      ("alaw", Codecs.encodeWavALaw(Array.fill(200)(500.toShort)), Codecs.decodeWav(_)),
+      ("ppm", Codecs.encodePpm(9, 7, Array.tabulate(189)(i => (i % 256).toByte)),
+        Codecs.decodePpm(_)),
+      ("png", Codecs.encodePng(13, 9, Array.tabulate(351)(i => (i % 256).toByte)),
+        Codecs.decodePng(_)),
+      ("gif", Gif.encodeGifGray(15, 11, Array.tabulate(165)(i => (i % 256).toByte)),
+        Gif.decodeGif(_)),
+      ("jpeg", Jpeg.encodeJpegGray(24, 16, Array.tabulate(384)(i => (i % 256).toByte)),
+        Jpeg.decodeJpegGray(_)),
+      ("avi", Codecs.encodeAviMjpeg(16, 16,
+        Seq(Jpeg.encodeJpegGray(16, 16, Array.fill(256)(58.toByte)))), Codecs.decodeAviMjpeg(_)))
+    for ((name, payload, decode) <- valid; trial <- 0 until 300) {
+      val bytes = payload.clone()
+      if (trial % 3 == 2) { // truncate at a random point
+        val cut = 1 + rnd.nextInt(bytes.length - 1)
+        decode(java.util.Arrays.copyOf(bytes, cut)) // must not throw
+      } else { // flip 1-4 random bytes
+        for (_ <- 0 to rnd.nextInt(4))
+          bytes(rnd.nextInt(bytes.length)) = rnd.nextInt(256).toByte
+        decode(bytes) // must not throw
+      }
+    }
+  }
+}
+
 class StreamingDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("codec decode composes with Structured Streaming micro-batches") {
     val spark = TestSpark.spark
