@@ -75,6 +75,7 @@ object SparkEntry {
     "mm_alaw" -> ((s, d) => Multimodal.mmAlaw(Tables.documents(s, d))),
     "mm_jpeg" -> ((s, d) => Multimodal.mmJpeg(Tables.documents(s, d))),
     "mm_gif" -> ((s, d) => Multimodal.mmGif(Tables.documents(s, d))),
+    "text_span_dedup" -> ((s, d) => TextOps.spanDedup(Tables.documents(s, d))),
     "mm_video" -> ((s, d) => Multimodal.mmVideo(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
@@ -812,6 +813,30 @@ object SparkEntry {
         |  FROM isum
         |)
         |SELECT * FROM audio UNION ALL SELECT * FROM image ORDER BY doc_id""".stripMargin,
+    "text_span_dedup" ->
+      // mirrors shingleStrings semantics: lowercase+trim, whitespace
+      // tokens, k=10 spans joined by one space; docs shorter than k
+      // tokens contribute their whole text as one span
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents
+        |), sp AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks, ' ') AS span
+        |  FROM t WHERE len(toks) < 10
+        |  UNION ALL
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+9], ' ') AS span
+        |  FROM t, LATERAL unnest(range(1, len(toks) - 8)) AS u(i)
+        |  WHERE len(toks) >= 10
+        |), df AS (
+        |  SELECT span, count(*) AS span_df FROM sp GROUP BY span
+        |), agg AS (
+        |  SELECT sp.doc_id, count(*) AS n_spans,
+        |    sum(CASE WHEN df.span_df >= 2 THEN 1 ELSE 0 END) AS dup_spans
+        |  FROM sp JOIN df USING (span) GROUP BY sp.doc_id
+        |)
+        |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+        |  CAST(dup_spans AS BIGINT) AS dup_spans,
+        |  round(CAST(dup_spans AS DOUBLE) / n_spans, 4) AS dup_fraction
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "mm_gif" ->
       // GIF is lossless (LZW + grayscale palette), so decoded pixels
       // equal the generator (doc_id*19 + p*23) % 256 and the oracle

@@ -195,4 +195,29 @@ object TextOps {
         when(split < 10, "val").when(split < 20, "test").otherwise("train").as("split"),
         round(col("quality_score") + lit(1e-9), 4).as("quality_score"))
   }
+
+  /** Exact-span dedup signal (the Lee et al. "Deduplicating Training
+    * Data" exact-substring family, at k-token span granularity): for
+    * each doc, how many of its distinct k-token spans appear in at
+    * least one OTHER document. High dup_fraction = templated/copied
+    * text, the C4-style removal candidate.
+    *
+    * Scale shape: distinct spans per doc → groupBy span COUNT (the
+    * inverted span index; map-side combinable, and hot boilerplate
+    * spans are merely counted — no doc-pair join exists, so unlike the
+    * similarity kernels this needs no df-cap) → one shuffle join back
+    * on span. Linear in corpus spans. */
+  def spanDedup(documents: DataFrame, k: Int = 10): DataFrame = {
+    val docSpans = documents.select(col("doc_id"),
+      explode(array_distinct(graft.functions.F.shingleStrings(col("text"), k))).as("span"))
+    // spans are distinct within a doc, so count(*) = distinct-doc count
+    val spanDf = docSpans.groupBy(col("span")).agg(count(lit(1)).as("span_df"))
+    docSpans.join(spanDf, "span")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_fraction",
+        round(col("dup_spans").cast("double") / col("n_spans"), 4))
+      .orderBy(col("doc_id"))
+  }
 }

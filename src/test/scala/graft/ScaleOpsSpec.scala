@@ -271,6 +271,25 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
   }
 
+  test("exact-span dedup flags shared k-token spans, not unique text") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val boiler = "one two three four five six seven eight nine ten" // one 10-token span
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma"),   // shares the boilerplate span with doc 2
+      (2L, s"$boiler delta epsilon zeta"),
+      (3L, "completely different words with no overlap across anything here"),
+      (4L, "short doc")).toDF("doc_id", "text") // < k tokens: whole text is the span
+    val out = graft.operators.TextOps.spanDedup(docs, k = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1/2: 4 spans each (13 tokens), exactly one shared (the pure
+    // boilerplate window); sliding windows that mix boilerplate with
+    // doc-specific tail tokens differ between the docs
+    assert(out(1L) == ((4L, 1L, 0.25)) && out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
+
   test("repetition signals spot a degenerate document") {
     val spark = TestSpark.spark
     import spark.implicits._
