@@ -32,16 +32,25 @@ object Probe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = big.count()
 
+    // best-of-2 per stage: single cold samples on this box vary
+    // ±15-25%, which is larger than the persist-arm deltas being
+    // measured — one sample per arm cannot support an on/off verdict
     def timed(name: String)(action: => Long): (String, Double, Long) = {
-      spark.sharedState.cacheManager.clearCache()
-      big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-      val t0 = System.nanoTime()
-      val rows = action
-      (name, (System.nanoTime() - t0) / 1e9, rows)
+      val runs = (1 to 2).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        val t0 = System.nanoTime()
+        val rows = action
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (name, runs.map(_._1).min, runs.head._2)
     }
 
     val minhash = timed("dedup_minhash_fast_10x") {
       graft.operators.Dedup.dedupMinhashLshFast(big).count()
+    }
+    val simhash = timed("dedup_simhash_10x") {
+      graft.operators.Dedup.dedupSimhash(big).count()
     }
     val fingerprint = timed("dedup_fingerprint_10x") {
       graft.operators.Dedup.dedupFingerprint(big).count()
@@ -57,7 +66,7 @@ object Probe {
       n
     }
 
-    val all = Seq(minhash, fingerprint, clusters)
+    val all = Seq(minhash, simhash, fingerprint, clusters)
     val qs = all.map { case (k, s, r) => f""""$k":{"sec":$s%.2f,"rows":$r}""" }
       .mkString("{", ",", "}")
     println(s"""{"probe":"10x","docs":$nDocs,"results":$qs}""")

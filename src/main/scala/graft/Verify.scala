@@ -22,7 +22,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators persist() signature tables internally — drop them so
-      // cached blocks don't accumulate across the 61 query dumps
+      // cached blocks don't accumulate across the per-query dumps
       spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -61,6 +61,13 @@ object F {
     Shims.column(TopKByScore(Shims.expression(score), Shims.expression(id), k)
       .toAggregateExpression())
 
+  /** Bounded collect aggregate: array<struct<id,aux>> of at most `cap`
+    * of the group's pairs (complete when the group fits the cap —
+    * O(cap) state per group at every aggregation stage). */
+  def collectCapped(id: Column, aux: Column, cap: Int): Column =
+    Shims.column(CollectCapped(Shims.expression(id), Shims.expression(aux), cap)
+      .toAggregateExpression())
+
   /** Random-hyperplane LSH bucket id of an array<float> column. */
   def hyperplaneBucket(vec: Column, numPlanes: Int = 12, planeOffset: Int = 0,
                        portable: Boolean = false): Column =

@@ -73,6 +73,59 @@ object HashImpls {
     r
   }
 
+  /** Winnowing selection over a gram-hash sequence: rightmost-min per
+    * window of w (unsigned order), distinct sorted survivors. Monotonic
+    * index deque → O(m) total instead of O(m·w) rescans, and a value is
+    * appended only when the window minimum's INDEX moves (the classic
+    * winnowing dedup — adjacent windows usually re-select the same
+    * gram), so the final sort+dedup touches ~2m/(w+1) longs with zero
+    * boxing; the TreeSet-per-window formulation this replaces boxed
+    * every insert. Unsigned comparison matches signed for the
+    * non-negative 60-bit portable hashes, so both kernels share it. */
+  private def winnowSelect(hashes: Array[Long], w: Int): Array[Long] = {
+    val m = hashes.length
+    if (m <= w) {
+      var min = hashes(0)
+      var i = 1
+      while (i < m) {
+        if (java.lang.Long.compareUnsigned(hashes(i), min) <= 0) min = hashes(i)
+        i += 1
+      }
+      return Array(min)
+    }
+    val sel = new Array[Long](m)
+    var selN = 0
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    var last = -1
+    var i = 0
+    while (i < m) {
+      // pop >= from the back so the NEWEST index survives ties
+      // (rightmost-min, matching the `<=` window scan this replaces)
+      while (tail > head &&
+        java.lang.Long.compareUnsigned(hashes(dq(tail - 1)), hashes(i)) >= 0) tail -= 1
+      dq(tail) = i
+      tail += 1
+      val start = i - w + 1
+      if (start >= 0) {
+        while (dq(head) < start) head += 1
+        val mi = dq(head)
+        if (mi != last) { sel(selN) = hashes(mi); selN += 1; last = mi }
+      }
+      i += 1
+    }
+    val out = java.util.Arrays.copyOf(sel, selN)
+    java.util.Arrays.sort(out)
+    var wr = 0
+    i = 0
+    while (i < out.length) {
+      if (wr == 0 || out(i) != out(wr - 1)) { out(wr) = out(i); wr += 1 }
+      i += 1
+    }
+    if (wr == out.length) out else java.util.Arrays.copyOf(out, wr)
+  }
+
   /** Winnowing document fingerprint (Schleimer et al., MOSS): k-gram
     * rolling polynomial hashes, rightmost-min per window of w, distinct
     * sorted selection. Robust to insertions/reorderings, output size
@@ -103,30 +156,7 @@ object HashImpls {
       hashes(i) = splitmix64(h)
       i += 1
     }
-    val selected = new java.util.TreeSet[java.lang.Long]()
-    if (m <= w) {
-      var min = hashes(0)
-      i = 1
-      while (i < m) { if (java.lang.Long.compareUnsigned(hashes(i), min) <= 0) min = hashes(i); i += 1 }
-      selected.add(min)
-    } else {
-      var start = 0
-      while (start + w <= m) {
-        var minIdx = start
-        i = start + 1
-        while (i < start + w) {
-          if (java.lang.Long.compareUnsigned(hashes(i), hashes(minIdx)) <= 0) minIdx = i
-          i += 1
-        }
-        selected.add(hashes(minIdx))
-        start += 1
-      }
-    }
-    val out = new Array[Long](selected.size())
-    val it = selected.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(winnowSelect(hashes, w))
   }
 
   /** Hashed k-token shingles straight from UTF-8 bytes: lowercases
@@ -380,6 +410,66 @@ object HashImpls {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  // RFC 1321 round constants K[i] = floor(abs(sin(i+1)) * 2^32) and
+  // per-round rotate amounts — the public MD5 definition, generated
+  // rather than typed so there is nothing to mistranscribe.
+  private val md5K: Array[Int] =
+    Array.tabulate(64)(i => (Math.abs(Math.sin(i + 1.0)) * 4294967296.0).toLong.toInt)
+  private val md5S: Array[Int] = Array(
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
+
+  private val md5Scratch = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](16)
+  }
+
+  /** md5 of a message that fits one padded block (len <= 55 bytes),
+    * returning the first 60 bits — bit-identical to
+    * `pack60(MessageDigest md5)` for those inputs. One compression
+    * function call on a caller-owned Int[16] scratch block: none of the
+    * engine reset/update/digest machinery the JDK path pays per call,
+    * which is what makes the per-gram portable kernels viable (winnowing
+    * hashes every character position of the corpus). */
+  def md5Block60(buf: Array[Byte], off: Int, len: Int, scratch: Array[Int]): Long = {
+    val m = scratch
+    java.util.Arrays.fill(m, 0)
+    var i = 0
+    while (i < len) { m(i >> 2) |= (buf(off + i) & 0xff) << ((i & 3) << 3); i += 1 }
+    m(len >> 2) |= 0x80 << ((len & 3) << 3)
+    m(14) = len << 3 // message bit length; len <= 55 so the high word is 0
+    var a = 0x67452301
+    var b = 0xefcdab89
+    var c = 0x98badcfe
+    var d = 0x10325476
+    i = 0
+    while (i < 64) {
+      var f = 0
+      var g = 0
+      if (i < 16) { f = (b & c) | (~b & d); g = i }
+      else if (i < 32) { f = (d & b) | (~d & c); g = (5 * i + 1) & 15 }
+      else if (i < 48) { f = b ^ c ^ d; g = (3 * i + 5) & 15 }
+      else { f = c ^ (b | ~d); g = (7 * i) & 15 }
+      val tmp = d
+      d = c
+      c = b
+      b = b + Integer.rotateLeft(a + f + md5K(i) + m(g), md5S(i))
+      a = tmp
+      i += 1
+    }
+    // Digest bytes 0..3 are (a + IV_a) little-endian, 4..7 are
+    // (b + IV_b); pack60 chains the first 7 bytes big-endian and
+    // appends the top nibble of byte 7. c/d never reach the output.
+    val ra = a + 0x67452301
+    val rb = b + 0xefcdab89
+    val first7 =
+      ((ra & 0xffL) << 48) | (((ra >>> 8) & 0xffL) << 40) |
+        (((ra >>> 16) & 0xffL) << 32) | (((ra >>> 24) & 0xffL) << 24) |
+        ((rb & 0xffL) << 16) | (((rb >>> 8) & 0xffL) << 8) | ((rb >>> 16) & 0xffL)
+    (first7 << 4) | (((rb >>> 24) & 0xffL) >>> 4)
+  }
+
   /** First 60 bits (15 hex chars) of an md5 digest, as a non-negative
     * long. */
   private def pack60(h: Array[Byte]): Long = {
@@ -389,12 +479,16 @@ object HashImpls {
     (first7 << 4) | ((h(7) & 0xffL) >>> 4)
   }
 
-  /** First 60 bits (15 hex chars) of md5(s), as a non-negative long. */
-  def md5Hash60(bytes: Array[Byte]): Long = {
-    val d = md5Local.get()
-    d.reset()
-    pack60(d.digest(bytes))
-  }
+  /** First 60 bits (15 hex chars) of md5(s), as a non-negative long.
+    * Single-block fast path for messages <= 55 bytes (token/gram scale);
+    * the JDK engine handles the multi-block tail. */
+  def md5Hash60(bytes: Array[Byte]): Long =
+    if (bytes.length <= 55) md5Block60(bytes, 0, bytes.length, md5Scratch.get())
+    else {
+      val d = md5Local.get()
+      d.reset()
+      pack60(d.digest(bytes))
+    }
 
   /** [[simhash]] with the portable 60-bit md5 token hash. */
   def simhashPortable(tokens: ArrayData): Long = {
@@ -460,39 +554,24 @@ object HashImpls {
         i += 1
       }
     } else {
+      // Single-block md5 per gram (k chars encode to <= 3k bytes; the
+      // rare gram over 55 bytes falls back to the JDK engine). Identical
+      // 60-bit outputs, none of the per-call engine overhead.
+      val scratch = md5Scratch.get()
       val d = md5Local.get()
       val digestBuf = new Array[Byte](16)
       while (i < m) {
-        d.reset()
-        d.update(all, offs(i), offs(i + k) - offs(i))
-        d.digest(digestBuf, 0, 16)
-        hashes(i) = pack60(digestBuf)
+        val glen = offs(i + k) - offs(i)
+        if (glen <= 55) hashes(i) = md5Block60(all, offs(i), glen, scratch)
+        else {
+          d.reset()
+          d.update(all, offs(i), glen)
+          d.digest(digestBuf, 0, 16)
+          hashes(i) = pack60(digestBuf)
+        }
         i += 1
       }
     }
-    val selected = new java.util.TreeSet[java.lang.Long]()
-    if (m <= w) {
-      var min = hashes(0)
-      i = 1
-      while (i < m) { if (hashes(i) <= min) min = hashes(i); i += 1 }
-      selected.add(min)
-    } else {
-      var start = 0
-      while (start + w <= m) {
-        var minIdx = start
-        i = start + 1
-        while (i < start + w) {
-          if (hashes(i) <= hashes(minIdx)) minIdx = i
-          i += 1
-        }
-        selected.add(hashes(minIdx))
-        start += 1
-      }
-    }
-    val out = new Array[Long](selected.size())
-    val it = selected.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(winnowSelect(hashes, w))
   }
 }

@@ -4,11 +4,11 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
 /** Real decoders for self-contained media formats — pure byte parsing,
-  * no codec libraries. These replace the deterministic stub in
-  * [[Multimodal]] for formats whose layout is fully specified by their
-  * header: WAV/PCM audio and PPM (P6) images. Compressed formats
-  * (JPEG/MP3/H.264) stay behind the stub until a codec dependency is
-  * available; the call sites are identical either way.
+  * no codec libraries: WAV/PCM + G.711 μ-law/A-law audio, PPM (P6) and
+  * PNG images, and the AVI/MJPEG container walk (per-frame JPEG via
+  * [[Jpeg]]; GIF87a lives in [[Gif]]). These replace the deterministic
+  * stub in [[Multimodal]] for every format the pipeline emits; only
+  * foreign MP3/H.264 bitstreams still fall through to the stub.
   */
 object Codecs {
 
@@ -429,6 +429,10 @@ object Codecs {
           // only the flavor we emit: 8-bit truecolor, non-interlaced
           if (w <= 0 || h <= 0 || depth != 8 || color != 2 ||
               comp != 0 || filt != 0 || interlace != 0) return None
+          // long arithmetic: IHDR dims reach Int.MaxValue each, so
+          // stride = w*3 and (stride+1)*h overflow Int for crafted
+          // (CRC-valid) headers. 2^24 pixels bounds the buffers.
+          if (w.toLong * h > (1L << 24)) return None
           seenIhdr = true
         case "IDAT" => if (!seenIhdr) return None else idat.write(data)
         case "IEND" => seenIend = true
@@ -550,7 +554,9 @@ object Codecs {
         val id = new Array[Byte](4); bb.get(id)
         val size = bb.getInt
         val idStr = new String(id, StandardCharsets.US_ASCII)
-        if (size < 0 || bb.position() + size > end) return false
+        // long arithmetic: a declared size near Int.MaxValue overflows
+        // position() + size, sliding a crafted chunk past the bound
+        if (size < 0 || bb.position().toLong + size > end) return false
         val next = bb.position() + size + (size % 2) // word-aligned
         idStr match {
           case "LIST" =>

@@ -23,7 +23,21 @@ object Dedup {
     * minhash/winnow pass runs twice — confirmed the 2.5-8.6x regression
     * in round 2's bench). At 100 TB the equivalent is writing the
     * signature table to storage before the candidate join; locally
-    * MEMORY_AND_DISK caching is the same design at session scope. */
+    * MEMORY_AND_DISK caching is the same design at session scope.
+    *
+    * Persist ONLY subtrees that are (a) expensive to build and (b) read
+    * more than once by the plan. A cheap signature read through the
+    * cache costs more than recomputing it inside the parquet scan —
+    * persisting simhash's one-expression signature regressed that query
+    * 6.5x in round 3. Every call site cites which reads it pays for.
+    *
+    * Cache lifecycle is owned by the CALLER: these operators return
+    * lazy DataFrames, so they cannot unpersist behind their own result.
+    * Run-once entry points (Bench/Verify/Explain) clear the session
+    * cache between queries; a library caller looping over corpora
+    * should `spark.sharedState.cacheManager.clearCache()` (or
+    * `catalog.clearCache()`) between runs, else disk-backed blocks
+    * accumulate for the session. */
   private[operators] def materialized(df: DataFrame): DataFrame =
     if (sys.env.get("GRAFT_NO_MATERIALIZE").contains("true")) df
     else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -149,8 +163,11 @@ object Dedup {
                    portable: Boolean = false): DataFrame = {
     val bandBits = if (portable) 15 else 16
     val bandMask = (1L << bandBits) - 1
-    val docs =
-      materialized(documents.select(col("doc_id"), F.simhash(tokens, portable).as("sim")))
+    // NOT materialized: the signature is one codegen expression over the
+    // scan — recomputing it per read is cheaper than five
+    // InMemoryTableScans of columnar cache (persisting it here was
+    // round 3's 6.5x regression).
+    val docs = documents.select(col("doc_id"), F.simhash(tokens, portable).as("sim"))
     val banded = docs.select(col("doc_id"), col("sim"),
         posexplode(array((0 to 3).map(b =>
           shiftrightunsigned(col("sim"), b * bandBits).bitwiseAND(lit(bandMask))): _*)))
@@ -164,8 +181,14 @@ object Dedup {
       .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
-    val partners = cands.select(col("a_id").as("doc_id"), col("b_id").as("partner"))
-      .unionAll(cands.select(col("b_id").as("doc_id"), col("a_id").as("partner")))
+    // Each verified pair flips into BOTH partner rows via one explode —
+    // the band self-join runs once. (The unionAll(cands, flip(cands))
+    // formulation planned the whole join pipeline into each Union
+    // branch: 2x the most expensive stage, at any scale.)
+    val partners = cands.select(explode(array(
+        struct(col("a_id").as("doc_id"), col("b_id").as("partner")),
+        struct(col("b_id").as("doc_id"), col("a_id").as("partner")))).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.partner").as("partner"))
       .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_partner"))
     docs.join(partners, Seq("doc_id"), "left")
       .select(col("doc_id"), col("sim").as("simhash"), col("dup_partner"))
@@ -299,32 +322,37 @@ object Dedup {
   def dedupFingerprint(documents: DataFrame, minShared: Int = 3,
                        overlap: Double = 0.5, maxDocFreq: Int = 20,
                        portable: Boolean = false): DataFrame = {
-    // One winnowing pass over the corpus; downstream stages reuse the
-    // exploded (doc_id, gram, set-size) rows instead of re-fingerprinting.
+    // One winnowing pass over the corpus feeding ONE linear pipeline:
+    // no self-join, no window sort, no persisted intermediate — the
+    // winnow kernel runs exactly once per doc per run.
     val exploded = documents.select(col("doc_id"),
         F.fingerprint(col("text"), 20, 4, portable).as("fp"))
-      .select(col("doc_id"), size(col("fp")).as("nfp"), explode(col("fp")).as("f"))
+      .select(col("doc_id"), size(col("fp")).cast("long").as("nfp"), explode(col("fp")).as("f"))
     // Stop-fingerprint removal (standard winnowing-index practice): a
     // gram shared by more than maxDocFreq docs is boilerplate and would
-    // blow the bucket join quadratically; true near-dups still share
-    // plenty of rare grams. Bounds pairs at maxDocFreq^2/2 per bucket.
-    // Doc frequency comes from a window count over the same shuffle the
-    // self-join needs (vs a separate aggregate + join: one fingerprint
-    // pass and one exchange instead of two of each).
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
-    // Materialized inverted index: the winnowing pass + df-cap window
-    // run once; both sides of the bucket self-join read the cache.
-    val inverted = materialized(exploded
-      .withColumn("df", count(lit(1)).over(byGram))
-      .filter(col("df") <= maxDocFreq)
-      .drop("df"))
-    val cands = inverted.as("x").join(inverted.as("y"),
-        col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    // blow the bucket pair stage quadratically; true near-dups still
+    // share plenty of rare grams. The df-cap rides the SAME groupBy that
+    // builds the posting list: collectCapped keeps maxDocFreq + 1
+    // members at most, so `size <= maxDocFreq` separates complete
+    // buckets from boilerplate while a hot gram costs O(cap) memory at
+    // every aggregation stage (map-side partials included) — no
+    // unbounded hot-key bucket anywhere, which is what survives 100 TB.
+    // size >= 2 also drops singleton grams (most of the index) before
+    // they shuffle anywhere near the pair stage.
+    val buckets = exploded
+      .groupBy(col("f"))
+      .agg(F.collectCapped(col("doc_id"), col("nfp"), maxDocFreq + 1).as("ds"))
+      .filter(size(col("ds")).between(2, maxDocFreq))
+    // In-bucket pair expansion: <= maxDocFreq^2/2 combos per gram.
+    val pairs = buckets
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.id") < col("y.id"))
+    pairs
+      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .agg(count(lit(1)).as("shared"),
-        first(col("x.nfp")).as("na"), first(col("y.nfp")).as("nb"))
+        first(col("x.aux")).as("na"), first(col("y.aux")).as("nb"))
       .filter(col("shared") >= minShared)
-    cands
       .withColumn("overlap_ratio",
         round(col("shared").cast("double") / least(col("na"), col("nb")), 4))
       .filter(col("overlap_ratio") >= overlap)
@@ -356,8 +384,14 @@ object Dedup {
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
 
-    val edges = ckpt(pairs.select(col("a_id"), col("b_id"))
-      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+    // Symmetrize with one explode per pair, not unionAll(pairs, flip):
+    // `pairs` is often a full near-dup pipeline (dedupClusters feeds the
+    // banded-Jaccard output here) and the Union formulation would run
+    // that pipeline twice inside this one checkpoint job.
+    val edges = ckpt(pairs.select(explode(array(
+        struct(col("a_id"), col("b_id")),
+        struct(col("b_id").as("a_id"), col("a_id").as("b_id")))).as("e"))
+      .select(col("e.a_id").as("a_id"), col("e.b_id").as("b_id")))
     // Initialize each node to min(id, min neighbor): the same shuffle a
     // distinct() would cost, but it fuses the whole first propagation
     // round into initialization — one fewer join-round to convergence.
@@ -440,8 +474,13 @@ object Dedup {
       .join(vecs.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
       .withColumn("cos", F.cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
-    val partners = verified.select(col("a_id").as("vec_id"), col("b_id").as("partner"))
-      .unionAll(verified.select(col("b_id").as("vec_id"), col("a_id").as("partner")))
+    // One explode flips each verified pair into both partner rows — the
+    // bucket join + cosine verify pipeline plans (and runs) once, where
+    // unionAll(verified, flip) would duplicate it into each Union branch.
+    val partners = verified.select(explode(array(
+        struct(col("a_id").as("vec_id"), col("b_id").as("partner")),
+        struct(col("b_id").as("vec_id"), col("a_id").as("partner")))).as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.partner").as("partner"))
       .groupBy(col("vec_id")).agg(min(col("partner")).as("dup_partner"))
     vecs.select(col("vec_id"))
       .join(partners, Seq("vec_id"), "left")

@@ -217,6 +217,10 @@ object Gif {
     val ipacked = bytes(pos + 9) & 0xff
     pos += 10
     if (w <= 0 || h <= 0) return None
+    // long arithmetic: u16 dims reach 65535 each, so w*h overflows Int
+    // for crafted headers (negative allocation size downstream). 2^24
+    // pixels (4096x4096) bounds the RGB buffer at 48 MB.
+    if (w.toLong * h > (1L << 24)) return None
     if ((ipacked & 0x40) != 0) return None // interlaced: out of scope
     if ((ipacked & 0x80) != 0) {           // local color table wins
       val n = 1 << ((ipacked & 0x07) + 1)

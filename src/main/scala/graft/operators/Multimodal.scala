@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * batches via `mapPartitions` over typed Datasets (the JVM analog of
   * `mapInPandas` batch UDFs).
   *
-  * Decode is REAL for WAV (PCM chunk walk), PPM (P6 parse), and PNG
-  * (zlib inflate + scanline unfiltering, [[Codecs]]); a clearly-marked
-  * deterministic stub stands in only for formats needing external
-  * codec libraries (JPEG/MP3/H.264). Everything around it — schema,
-  * batching, partitioning, feature/resize/frame-sample signatures — is
-  * the real Spark plumbing a production codec would drop into.
+  * Decode is REAL for WAV/G.711 audio (PCM chunk walk, [[Codecs]]),
+  * PPM/PNG/baseline-JPEG/GIF87a images ([[Codecs]], [[Jpeg]], [[Gif]])
+  * and AVI/MJPEG video; a clearly-marked deterministic stub stands in
+  * only for foreign compressed bitstreams (MP3/H.264). Everything
+  * around it — schema, batching, partitioning, feature/resize/
+  * frame-sample signatures — is the real Spark plumbing a production
+  * codec would drop into.
   */
 object Multimodal {
 
@@ -41,8 +42,8 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB DECODER: stands in for compressed-codec decode (JPEG/MP3/
-    * H.264 need codec libraries this environment lacks). Deterministic
+  /** STUB DECODER: stands in for foreign compressed bitstreams only
+    * (MP3/H.264 — see the SURVEY §2d-43 priority argument). Deterministic
     * over the bytes; [[decodeAny]] prefers the REAL parsers below. */
   private def decodeStub(content: Array[Byte]): (Double, Int) = {
     var sum = 0L
@@ -53,11 +54,12 @@ object Multimodal {
     (mean, frames)
   }
 
-  /** Decode dispatch: REAL parsers — 16-bit PCM WAV, binary PPM, and
-    * zlib-compressed PNG ([[Codecs]]) — with the stub as fallback for
-    * anything else (JPEG/MP3/H.264 still need external codecs). Valid
-    * media yields true sample/pixel statistics; synthetic payloads
-    * degrade to the stub, so both travel the same plumbing. */
+  /** Decode dispatch: REAL parsers — PCM/G.711 WAV, binary PPM, PNG,
+    * baseline JPEG, GIF87a and AVI/MJPEG ([[Codecs]]/[[Jpeg]]/[[Gif]])
+    * — with the stub as fallback only for foreign bitstreams
+    * (MP3/H.264). Valid media yields true sample/pixel statistics;
+    * synthetic payloads degrade to the stub, so both travel the same
+    * plumbing. */
   private[operators] def decodeAny(mediaType: String, content: Array[Byte]): (Double, Int) =
     (mediaType match {
       case "audio" => Codecs.decodeWav(content)

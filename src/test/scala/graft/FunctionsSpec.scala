@@ -75,6 +75,34 @@ class HashImplsSpec extends AnyFunSuite {
       assert(fast(s, k, w) == naive(s, k, w), s"mismatch for '$s' k=$k w=$w")
   }
 
+  test("md5Block60: single-block compression matches the JDK digest bit-for-bit") {
+    // reference: first 15 hex chars of the full md5, as a long — the
+    // exact DuckDB-oracle formulation the portable kernels promise
+    def ref(bytes: Array[Byte]): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val rnd = new scala.util.Random(0x5eed)
+    val scratch = new Array[Int](16)
+    for (len <- 0 to 55; _ <- 1 to 4) {
+      val msg = new Array[Byte](len)
+      rnd.nextBytes(msg)
+      assert(HashImpls.md5Block60(msg, 0, len, scratch) == ref(msg), s"len=$len")
+    }
+    // offset reads must hash only [off, off+len)
+    val buf = new Array[Byte](80)
+    rnd.nextBytes(buf)
+    assert(HashImpls.md5Block60(buf, 13, 20, scratch) ==
+      ref(java.util.Arrays.copyOfRange(buf, 13, 33)))
+    // md5Hash60 dispatch: long inputs take the JDK path, same contract
+    val long = new Array[Byte](200)
+    rnd.nextBytes(long)
+    assert(HashImpls.md5Hash60(long) == ref(long))
+    assert(HashImpls.md5Hash60(java.util.Arrays.copyOf(buf, 55)) ==
+      ref(java.util.Arrays.copyOf(buf, 55)))
+  }
+
   test("cosine: orthogonal/parallel/empty vectors") {
     def v(fs: Float*) = new GenericArrayData(fs.toArray[Any])
     assert(HashImpls.cosine(v(1f, 0f), v(0f, 1f)) == 0.0)

@@ -653,6 +653,52 @@ class DecoderFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class CraftedDimensionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.{Codecs, Gif}
+
+  /** Random flips rarely land Int-overflowing dimensions, so these are
+    * crafted: headers that PARSE cleanly but declare w*h (or a chunk
+    * size) past Int range must be rejected, not thrown on — at 100 TB a
+    * single adversarial payload must not fail the job. */
+  test("gif: 65535x65535 descriptor is rejected, not a negative allocation") {
+    val g = Gif.encodeGifGray(15, 11, Array.tabulate(165)(i => (i % 256).toByte))
+    // image descriptor offset computed structurally (scanning for 0x2c
+    // finds gray-palette bytes first): header(6) + screen descriptor(7)
+    // + global color table, sized from the packed field at byte 10
+    val pos = 13 + (if ((g(10) & 0x80) != 0) 3 * (1 << ((g(10) & 0x07) + 1)) else 0)
+    assert((g(pos) & 0xff) == 0x2c)
+    for (i <- 5 to 8) g(pos + i) = 0xff.toByte // w = h = 65535
+    assert(Gif.decodeGif(g).isEmpty) // and no NegativeArraySizeException
+  }
+
+  test("png: CRC-valid IHDR with Int.MaxValue dims is rejected before allocation") {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII"))
+      crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(Int.MaxValue).putInt(Int.MaxValue) // w, h: pass the <=0 check
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", Array[Byte](1, 2, 3)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Codecs.decodePng(png).isEmpty) // not a ~6 GB stride allocation
+  }
+
+  test("avi: chunk size near Int.MaxValue fails the bound, not the allocator") {
+    val bb = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(24).put("AVI ".getBytes("US-ASCII"))
+    bb.put("00dc".getBytes("US-ASCII")).putInt(0x7ffffff0) // position+size overflows Int
+    assert(Codecs.decodeAviMjpeg(bb.array()).isEmpty) // no OOM/BufferUnderflow
+  }
+}
+
 class StreamingDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("codec decode composes with Structured Streaming micro-batches") {
     val spark = TestSpark.spark

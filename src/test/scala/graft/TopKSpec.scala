@@ -45,6 +45,30 @@ class TopKSpec extends AnyFunSuite {
     assert(viaAgg.map(_.toSeq) == viaWindow.map(_.toSeq))
   }
 
+  test("collectCapped: complete under the cap, exactly cap beyond it, capped merges") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // groups: g=0 has 3 members, g=1 has 5 (== cap), g=2 has 40 (> cap)
+    val rows = (0 until 3).map(i => (0L, i.toLong, 100L + i)) ++
+      (0 until 5).map(i => (1L, 10L + i, 200L + i)) ++
+      (0 until 40).map(i => (2L, 20L + i, 300L + i))
+    val df = rows.toDF("g", "id", "aux").repartition(8) // force partial merges
+    val out = df.groupBy($"g").agg(F.collectCapped($"id", $"aux", 5).as("ds"))
+      .select($"g", size($"ds").as("n"), $"ds").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getInt(1) == 3)
+    assert(out(1L).getInt(1) == 5)
+    assert(out(2L).getInt(1) == 5) // capped, proving the group exceeded it
+    // groups at or under the cap collect COMPLETELY (set equality)
+    val g0 = out(0L).getSeq[org.apache.spark.sql.Row](2).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g0 == Set((0L, 100L), (1L, 101L), (2L, 102L)))
+    val g1 = out(1L).getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0)).toSet
+    assert(g1 == (10L until 15L).toSet)
+    // over-cap members are a subset of the group (no invented values)
+    val g2 = out(2L).getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0)).toSet
+    assert(g2.subsetOf((20L until 60L).toSet) && g2.size == 5)
+  }
+
   test("graft_topk is callable from SQL") {
     val spark = TestSpark.spark
     F.register(spark)
