@@ -208,8 +208,13 @@ object TextOps {
     * similarity kernels this needs no df-cap) → one shuffle join back
     * on span. Linear in corpus spans. */
   def spanDedup(documents: DataFrame, k: Int = 10): DataFrame = {
+    // spans travel as 64-bit shingle hashes, not k-token strings: the
+    // output consumes only equality structure (counts), so hashing cuts
+    // the two span shuffles ~8x in bytes and skips all string
+    // allocation (collision risk 2^-64 per pair — at corpus scale a
+    // collision perturbs one span count, not a pair join)
     val docSpans = documents.select(col("doc_id"),
-      explode(array_distinct(graft.functions.F.shingleStrings(col("text"), k))).as("span"))
+      explode(graft.functions.F.shingleHashes(col("text"), k, sortedDistinct = true)).as("span"))
     // spans are distinct within a doc, so count(*) = distinct-doc count
     val spanDf = docSpans.groupBy(col("span")).agg(count(lit(1)).as("span_df"))
     docSpans.join(spanDf, "span")
