@@ -76,6 +76,8 @@ object SparkEntry {
     "mm_jpeg" -> ((s, d) => Multimodal.mmJpeg(Tables.documents(s, d))),
     "mm_gif" -> ((s, d) => Multimodal.mmGif(Tables.documents(s, d))),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(Tables.documents(s, d))),
+    "pipeline_pack" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
+    "pipeline_decontaminate" -> ((s, d) => TextOps.decontaminate(Tables.documents(s, d))),
     "mm_video" -> ((s, d) => Multimodal.mmVideo(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
@@ -837,6 +839,55 @@ object SparkEntry {
         |  CAST(dup_spans AS BIGINT) AS dup_spans,
         |  round(CAST(dup_spans AS DOUBLE) / n_spans, 4) AS dup_fraction
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "pipeline_pack" ->
+      // mirrors the Batcher greedy semantics (same recursive-CTE shape
+      // as sink_batch_bytes): a doc joins its pack, and the pack closes
+      // when accumulated tokens reach the 1024 budget; 8 shard domains
+      // pack independently in doc_id order
+      """WITH RECURSIVE o AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), r AS (
+        |  SELECT shard, doc_id, rn, n_tokens,
+        |         CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc,
+        |         CASE WHEN n_tokens >= 1024 THEN 1 ELSE 0 END AS fired
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.doc_id, o.rn, o.n_tokens,
+        |         CASE WHEN r.fired = 1 THEN r.pack_id + 1 ELSE r.pack_id END,
+        |         CASE WHEN r.fired = 1 THEN o.n_tokens ELSE r.acc + o.n_tokens END,
+        |         CASE WHEN (CASE WHEN r.fired = 1 THEN o.n_tokens ELSE r.acc + o.n_tokens END) >= 1024 THEN 1 ELSE 0 END
+        |  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
+        |)
+        |SELECT shard, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / 1024, 4) AS fill_ratio
+        |FROM r GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    "pipeline_decontaminate" ->
+      // 13-token spans, same span semantics as text_span_dedup (docs
+      // shorter than k contribute their whole text as one span);
+      // benchmark set = doc_id % 97 = 0, excluded from the output
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents
+        |), sp AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks, ' ') AS span
+        |  FROM t WHERE len(toks) < 13
+        |  UNION ALL
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS span
+        |  FROM t, LATERAL unnest(range(1, len(toks) - 11)) AS u(i)
+        |  WHERE len(toks) >= 13
+        |), b AS (
+        |  SELECT DISTINCT span FROM sp WHERE doc_id % 97 = 0
+        |), tr AS (
+        |  SELECT doc_id, span FROM sp WHERE doc_id % 97 <> 0
+        |)
+        |SELECT tr.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN b.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
+        |  round(CAST(sum(CASE WHEN b.span IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS contamination
+        |FROM tr LEFT JOIN b ON tr.span = b.span
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "mm_gif" ->
       // GIF is lossless (LZW + grayscale palette), so decoded pixels
       // equal the generator (doc_id*19 + p*23) % 256 and the oracle

@@ -225,4 +225,67 @@ object TextOps {
         round(col("dup_spans").cast("double") / col("n_spans"), 4))
       .orderBy(col("doc_id"))
   }
+
+  /** Sequence packing: greedily packs documents into training
+    * sequences of ~`budgetTokens` whitespace tokens (the pretraining
+    * batch-assembly step that follows curation — GPT/T5-style
+    * pipelines pack short documents together so context windows aren't
+    * padding). Reuses the sink batcher's greedy kernel
+    * ([[graft.sinks.Batcher.assignBatches]], reference semantics of
+    * process/BatchTrigger.java: the document that crosses the budget
+    * CLOSES the pack it joined, so fill_ratio can slightly exceed 1
+    * and a doc longer than the budget occupies a pack alone —
+    * production would truncate/split upstream at curation).
+    *
+    * Scale shape: docs hash into `shards` independent packing domains
+    * (one shuffle on the shard key, then a single ordered pass per
+    * shard — O(1) state, no driver involvement); shard count scales
+    * with the cluster, pack determinism holds within a shard by
+    * doc_id order. Output is one row per PACK (bounded by corpus
+    * tokens / budget). */
+  def packSequences(documents: DataFrame, budgetTokens: Long = 1024,
+                    shards: Int = 8): DataFrame = {
+    val sized = documents.select(col("doc_id"),
+      pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+      size(tokens).cast("long").as("n_tokens"))
+    graft.sinks.Batcher
+      .assignBatches(sized, "shard", "doc_id", "n_tokens",
+        maxCount = Long.MaxValue, maxBytes = budgetTokens)
+      .groupBy(col("shard"), col("batch_id").as("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"))
+      .withColumn("fill_ratio",
+        round(col("pack_tokens").cast("double") / budgetTokens, 4))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  /** Benchmark decontamination (GPT-3 appendix-C style): flags
+    * training documents sharing any k-token span (k=13 is the
+    * canonical n-gram) with a held-out benchmark set — here the docs
+    * with `doc_id % benchMod == 0` stand in for the benchmark corpus.
+    * Output: every NON-benchmark doc with its span count, contaminated
+    * span count, and contamination fraction.
+    *
+    * Scale shape: the benchmark side is fixed-size and TINY relative
+    * to a 100 TB corpus, so its distinct span hashes BROADCAST — the
+    * corpus streams through a broadcast hash join with no shuffle
+    * except the final per-doc count (map-side combinable). Spans
+    * travel as 64-bit shingle hashes (same argument as [[spanDedup]]:
+    * the output consumes only equality structure). */
+  def decontaminate(documents: DataFrame, k: Int = 13,
+                    benchMod: Int = 97): DataFrame = {
+    val spans = documents.select(col("doc_id"),
+      explode(graft.functions.F.shingleHashes(col("text"), k, sortedDistinct = true)).as("span"))
+    val benchSpans = spans.filter(pmod(col("doc_id"), lit(benchMod.toLong)) === 0)
+      .select(col("span")).distinct()
+      .withColumn("hit", lit(1L))
+    spans.filter(pmod(col("doc_id"), lit(benchMod.toLong)) =!= 0)
+      .join(broadcast(benchSpans), Seq("span"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0L))).as("contaminated"))
+      .withColumn("contamination",
+        round(col("contaminated").cast("double") / col("n_spans"), 4))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -290,6 +290,41 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(4L) == ((1L, 0L, 0.0)))
   }
 
+  test("sequence packing is greedy within a shard and pack-complete") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // one shard (ids all ≡ 0 mod 8), budget 10 tokens: docs of 4, 4,
+    // 3, 11, 2 tokens → greedy packs [4+4+3=11 fires], [11 fires
+    // alone], [2 tail]
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(0L -> words(4), 8L -> words(4), 16L -> words(3),
+      24L -> words(11), 32L -> words(2)).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.packSequences(docs, budgetTokens = 10, shards = 8)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(0L -> ((3L, 11L)), 1L -> ((1L, 11L)), 2L -> ((1L, 2L))))
+    // every doc lands in exactly one pack
+    assert(out.values.map(_._1).sum == 5L)
+  }
+
+  test("decontamination flags train docs sharing a 13-gram with the benchmark set") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val bench13 = (1 to 13).map(i => s"b$i").mkString(" ") // exactly one 13-token span
+    val docs = Seq(
+      (0L, bench13),                                   // benchmark doc (0 % 97 == 0)
+      (1L, s"intro words here $bench13 trailing tail"), // contaminated
+      (2L, "totally clean document with its own distinct long text body")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.decontaminate(docs, k = 13, benchMod = 97)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(0L)) // benchmark docs excluded from the output
+    assert(out(1L)._2 == 1L)  // exactly the one pure benchmark window matches
+    assert(out(2L) == ((1L, 0L))) // < 13 tokens → whole-text span, clean
+    // broadcast side: the plan must not shuffle the benchmark join
+    val plan = graft.operators.TextOps.decontaminate(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("repetition signals spot a degenerate document") {
     val spark = TestSpark.spark
     import spark.implicits._
