@@ -33,6 +33,31 @@ class BatcherSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("greedy kernel invariants hold on randomized inputs (seeded)") {
+    val rnd = new scala.util.Random(0xba7c4)
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(60)
+      val sizes = Vector.fill(n)(1L + rnd.nextInt(120))
+      val maxCount = 1L + rnd.nextInt(8)
+      val maxBytes = 50L + rnd.nextInt(300)
+      val ids = Batcher.greedyAssign(sizes.iterator, maxCount, maxBytes).toVector
+      // ids start at 0 and step by at most 1 (no skipped batches)
+      assert(ids.head == 0L)
+      ids.sliding(2).foreach { case Seq(a, b) => assert(b == a || b == a + 1); case _ => }
+      // every batch except possibly the last fired: it hit the count
+      // limit or its bytes reached maxBytes (via its closing element)
+      val grouped = sizes.zip(ids).groupBy(_._2).toSeq.sortBy(_._1)
+      grouped.dropRight(1).foreach { case (_, members) =>
+        assert(members.size >= maxCount || members.map(_._1).sum >= maxBytes)
+      }
+      // no batch exceeds the limits BEFORE its closing element joined
+      grouped.foreach { case (_, members) =>
+        assert(members.size - 1 < maxCount &&
+          members.dropRight(1).map(_._1).sum < maxBytes)
+      }
+    }
+  }
+
   test("assignBatches respects byte limit per key") {
     val batches = SinkOps.rowsBatchBytes(Tables.events(spark, TestSpark.sf))
     // greedy fire-on-cross: bytes may only exceed maxBytes via the final

@@ -69,6 +69,29 @@ class TopKSpec extends AnyFunSuite {
     assert(g2.subsetOf((20L until 60L).toSet) && g2.size == 5)
   }
 
+  test("CappedBuffer: randomized add/merge trees keep size = min(cap, total) and members a subset (seeded)") {
+    val rnd = new scala.util.Random(0xcab5eed)
+    for (_ <- 1 to 100) {
+      val cap = 1 + rnd.nextInt(12)
+      val nBufs = 1 + rnd.nextInt(6)
+      val inputs = Vector.fill(nBufs)(Vector.fill(rnd.nextInt(20))(rnd.nextLong()))
+      val bufs = inputs.map { vs =>
+        val b = new graft.functions.CappedBuffer(cap)
+        vs.foreach(v => b.add(v, v + 1))
+        b
+      }
+      // fold in random order, mimicking partial-aggregate merges
+      val merged = rnd.shuffle(bufs).reduceLeft { (a, b) => a.mergeFrom(b); a }
+      val total = inputs.map(_.size).sum
+      assert(merged.size == math.min(cap, total))
+      val all = inputs.flatten.toSet
+      (0 until merged.size).foreach { i =>
+        assert(all.contains(merged.ids(i)))
+        assert(merged.aux(i) == merged.ids(i) + 1) // (id, aux) pairs stay intact
+      }
+    }
+  }
+
   test("graft_topk is callable from SQL") {
     val spark = TestSpark.spark
     F.register(spark)
