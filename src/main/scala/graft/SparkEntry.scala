@@ -77,6 +77,7 @@ object SparkEntry {
     "mm_gif" -> ((s, d) => Multimodal.mmGif(Tables.documents(s, d))),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(Tables.documents(s, d))),
     "pipeline_pack" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
+    "text_unigram_lp" -> ((s, d) => TextOps.textUnigramLp(Tables.documents(s, d))),
     "pipeline_decontaminate" -> ((s, d) => TextOps.decontaminate(Tables.documents(s, d))),
     "mm_video" -> ((s, d) => Multimodal.mmVideo(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
@@ -839,6 +840,21 @@ object SparkEntry {
         |  CAST(dup_spans AS BIGINT) AS dup_spans,
         |  round(CAST(dup_spans AS DOUBLE) / n_spans, 4) AS dup_fraction
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "text_unigram_lp" ->
+      // unigram LM proxy: ln of exact integer ratios, averaged per doc
+      // then rounded — tokens mirror the kernel's whitespace split
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), f AS (
+        |  SELECT tok, count(*) AS tf FROM tk GROUP BY tok
+        |), n AS (
+        |  SELECT count(*) AS n_total FROM tk
+        |)
+        |SELECT tk.doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln(CAST(f.tf AS DOUBLE) / n.n_total)), 4) AS avg_neg_logprob
+        |FROM tk JOIN f USING (tok) CROSS JOIN n
+        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
     "pipeline_pack" ->
       // mirrors the Batcher greedy semantics (same recursive-CTE shape
       // as sink_batch_bytes): a doc joins its pack, and the pack closes

@@ -226,6 +226,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram log-probability quality signal (the KenLM-perplexity
+    * proxy pipelines use before a real LM is available): score each
+    * doc by the mean negative log corpus-probability of its tokens.
+    * Rare-token-dense docs (mojibake, codes, exotic boilerplate) score
+    * high; fluent text scores low. Two linear passes: corpus term
+    * frequencies (map-side-combinable groupBy on 64-bit token hashes),
+    * then a shuffle join back — the same inverted-index shape as
+    * [[spanDedup]], linear in corpus tokens. The corpus token total
+    * rides a 1-row broadcast. */
+  def textUnigramLp(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(graft.functions.F.shingleHashes(col("text"), 1)).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("tf").cast("double") / col("n_total"))), 4)
+          .as("avg_neg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing: greedily packs documents into training
     * sequences of ~`budgetTokens` whitespace tokens (the pretraining
     * batch-assembly step that follows curation — GPT/T5-style
@@ -287,5 +310,29 @@ object TextOps {
       .withColumn("contamination",
         round(col("contaminated").cast("double") / col("n_spans"), 4))
       .orderBy(col("doc_id"))
+  }
+
+  /** Streaming face of [[decontaminate]]: drops contaminated documents
+    * AT INGEST, before they ever land in the training corpus. The
+    * benchmark's distinct span hashes collapse into one array row on
+    * the STATIC side, broadcast into every micro-batch; each streamed
+    * doc is then a row-local `array_intersect` — no shuffle, no
+    * watermark, zero streaming state. Same fixed-size-benchmark
+    * argument as the batch op: the span set must fit an executor,
+    * which a held-out eval suite always does. */
+  def decontaminateStream(docs: DataFrame, benchmarkDocs: DataFrame,
+                          k: Int = 13): DataFrame = {
+    // static side: distinct benchmark span hashes, collapsed to ONE
+    // array row and cross-joined (broadcast, 1 row) into the stream —
+    // row-local set intersection, zero streaming state
+    val benchArr = benchmarkDocs
+      .select(explode(graft.functions.F.shingleHashes(col("text"), k, sortedDistinct = true)).as("span"))
+      .agg(collect_set(col("span")).as("bench_spans"))
+    docs.crossJoin(broadcast(benchArr))
+      .withColumn("spans", graft.functions.F.shingleHashes(col("text"), k, sortedDistinct = true))
+      .withColumn("contaminated_spans",
+        size(array_intersect(col("spans"), col("bench_spans"))).cast("long"))
+      .filter(col("contaminated_spans") === 0L)
+      .drop("spans", "bench_spans")
   }
 }

@@ -325,6 +325,23 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("unigram logprob ranks rare-token docs above fluent ones") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val common = "the cat sat on the mat"
+    val docs = Seq(
+      (1L, s"$common $common $common"),      // all high-frequency tokens
+      (2L, s"$common zxqv9 wmbbt7 kjprr2")) // three singletons mixed in
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textUnigramLp(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) > out(1L))
+    // closed form for doc 1: every token appears 3x (or 6x for 'the')
+    // in a 24-token corpus — all probabilities > 1/24, so the mean
+    // -ln p sits below ln(24)
+    assert(out(1L) < math.log(24.0))
+  }
+
   test("repetition signals spot a degenerate document") {
     val spark = TestSpark.spark
     import spark.implicits._

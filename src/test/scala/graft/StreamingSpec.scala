@@ -117,6 +117,29 @@ class IntervalJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class StreamingDecontaminateSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("ingest-time decontamination drops docs sharing a 13-gram with the static benchmark") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val bench13 = (1 to 13).map(i => s"b$i").mkString(" ")
+    val benchmark = Seq(0L -> bench13).toDF("doc_id", "text")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), benchmark)
+      .writeStream.format("memory").queryName("decon").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, s"leading words $bench13 and a tail"), // contaminated -> dropped
+        (2L, "a perfectly clean training document with original content"),
+        (3L, (1 to 20).map(i => s"c$i").mkString(" "))) // clean, > k tokens
+      q.processAllAvailable()
+      val kept = spark.table("decon").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 3L), s"got $kept")
+    } finally q.stop()
+  }
+}
+
 class StreamingCurationSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("curation pipeline runs on a stream: dedup, quality gate, langid, split") {
     val spark = TestSpark.spark
