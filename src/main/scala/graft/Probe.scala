@@ -52,6 +52,15 @@ object Probe {
     val simhash = timed("dedup_simhash_10x") {
       graft.operators.Dedup.dedupSimhash(big).count()
     }
+    val spanDedup = timed("text_span_dedup_10x") {
+      graft.operators.TextOps.spanDedup(big).count()
+    }
+    val decontaminate = timed("pipeline_decontaminate_10x") {
+      graft.operators.TextOps.decontaminate(big).count()
+    }
+    val unigram = timed("text_unigram_lp_10x") {
+      graft.operators.TextOps.textUnigramLp(big).count()
+    }
     val fingerprint = timed("dedup_fingerprint_10x") {
       graft.operators.Dedup.dedupFingerprint(big).count()
     }
@@ -66,7 +75,7 @@ object Probe {
       n
     }
 
-    val all = Seq(minhash, simhash, fingerprint, clusters)
+    val all = Seq(minhash, simhash, spanDedup, decontaminate, unigram, fingerprint, clusters)
     val qs = all.map { case (k, s, r) => f""""$k":{"sec":$s%.2f,"rows":$r}""" }
       .mkString("{", ",", "}")
     println(s"""{"probe":"10x","docs":$nDocs,"results":$qs}""")
