@@ -78,6 +78,7 @@ object SparkEntry {
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(Tables.documents(s, d))),
     "pipeline_pack" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "text_unigram_lp" -> ((s, d) => TextOps.textUnigramLp(Tables.documents(s, d))),
+    "ann_ivf_sampled" -> ((s, d) => Ann.annIvfSampled(Tables.embeddings(s, d))),
     "pipeline_decontaminate" -> ((s, d) => TextOps.decontaminate(Tables.documents(s, d))),
     "mm_video" -> ((s, d) => Multimodal.mmVideo(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
@@ -558,6 +559,48 @@ object SparkEntry {
         |s AS (
         |  SELECT q.q_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS cos
         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
+        |), r AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM s
+        |)
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "ann_ivf_sampled" ->
+      // the full IVF pipeline rebuilt in SQL: sampled centroids (16
+      // smallest portable md5 hashes of vec_id, list ids in vec_id
+      // order), argmax-cosine list assignment, 4 probed lists per
+      // query, exact cosine rank within probed lists
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hs AS (
+        |  SELECT vec_id,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM e
+        |), sel AS (SELECT vec_id FROM hs ORDER BY h, vec_id LIMIT 16),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS list_id, e.v AS cv
+        |  FROM sel s JOIN e ON e.vec_id = s.vec_id
+        |), ac AS (
+        |  SELECT e.vec_id, c.list_id, list_cosine_similarity(e.v, c.cv) AS ccos
+        |  FROM e CROSS JOIN cent c
+        |), asgn AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT vec_id, list_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id ASC) AS rn
+        |    FROM ac) WHERE rn = 1
+        |), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |qp AS (
+        |  SELECT q_id, list_id FROM (
+        |    SELECT q.q_id, c.list_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.list_id ASC) AS rn
+        |    FROM q CROSS JOIN cent c) WHERE rn <= 4
+        |), s AS (
+        |  SELECT q.q_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS cos
+        |  FROM q JOIN qp USING (q_id)
+        |  JOIN asgn a ON a.list_id = qp.list_id
+        |  JOIN e ON e.vec_id = a.vec_id
+        |  WHERE e.vec_id <> q.q_id
         |), r AS (
         |  SELECT q_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank

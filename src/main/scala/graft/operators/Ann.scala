@@ -87,6 +87,58 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF with a DETERMINISTIC sampled coarse quantizer — the
+    * oracle-gradable face of [[annIvf]]: instead of trained k-means
+    * centroids (whose Lloyd iterations no SQL engine reproduces), the
+    * `nlist` centroids are the corpus vectors with the smallest
+    * portable md5 hash of their vec_id (random-sample initialization
+    * IS a standard coarse quantizer; skipping Lloyd trades some list
+    * balance for exact reproducibility). Everything downstream is the
+    * real IVF machinery — argmax-cosine list assignment, nprobe
+    * nearest lists per query, bounded-heap top-k within probed lists —
+    * and a DuckDB oracle rebuilds centroids, assignment, probes and
+    * ranking bit-for-bit. Same scale shape as [[annIvf]]: centroid
+    * selection is one TakeOrdered pass, assignment is a broadcast
+    * cross of nlist tiny rows, per-query work ~ corpus * nprobe /
+    * nlist. */
+  def annIvfSampled(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+                    nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val h = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
+    // 16-row window: runs on the driver-side collected limit result
+    val centW = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val cents = embeddings.select(col("vec_id"), col("embedding"), h.as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nlist)
+      .select((row_number().over(centW) - 1).cast("long").as("list_id"),
+        col("embedding").as("c_vec"))
+    // inverted lists: argmax cosine to a centroid (ties → lowest
+    // list_id, graft_topk's tie order); one broadcast cross of nlist
+    // rows, no shuffle of the corpus
+    val assigned = embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("list_id"),
+        F.cosine(col("embedding"), col("c_vec")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(F.topk(col("ccos"), col("list_id"), 1).as("top"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("top"), 1).getField("id").as("list_id"))
+    val probes = querySet(embeddings, stride).crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_vec"), col("list_id"),
+        F.cosine(col("q_vec"), col("c_vec")).as("ccos"))
+      .groupBy(col("q_id"))
+      .agg(F.topk(col("ccos"), col("list_id"), nprobe).as("pl"),
+        first(col("q_vec")).as("q_vec"))
+      .select(col("q_id"), col("q_vec"), explode(col("pl.id")).as("list_id"))
+    assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", F.cosine(col("q_vec"), col("embedding")))
+      .groupBy(col("q_id"))
+      .agg(F.topk(col("cos"), col("vec_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 4).as("cosine"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: corpus and queries hash to hyperplane buckets;
     * each query ranks only its own bucket. Recall trades off with
     * numPlanes; same output shape as the exact baseline. `portable`

@@ -232,4 +232,29 @@ class AnnIvfSpec extends AnyFunSuite {
     val recalls = exact.map { case (q, nn) => (ivf(q) & nn).size.toDouble / nn.size }
     assert(recalls.sum / recalls.size >= 0.9, s"mean recall ${recalls.sum / recalls.size}")
   }
+
+  test("sampled-quantizer IVF recovers neighbors on the same clustered corpus") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.tabulate(4)(c => Array.tabulate(64)(j =>
+      if (j % 4 == c) 10f else 0f))
+    val rows = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, centers(c).map(x => x + 0.5f * rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // more lists than true clusters: sampled centroids land in every
+    // cluster w.h.p., and probing half the lists spans the query's
+    // cluster even when several sampled centroids share it
+    val ivf = graft.operators.Ann.annIvfSampled(df, k = 5, stride = 10, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = graft.operators.Ann.annBruteforce(df, k = 5, stride = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.keySet == exact.keySet)
+    val recalls = exact.map { case (q, nn) => (ivf.getOrElse(q, Set.empty[Long]) & nn).size.toDouble / nn.size }
+    assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
+  }
 }
