@@ -79,6 +79,7 @@ object SparkEntry {
     "pipeline_pack" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "text_unigram_lp" -> ((s, d) => TextOps.textUnigramLp(Tables.documents(s, d))),
     "ann_ivf_sampled" -> ((s, d) => Ann.annIvfSampled(Tables.embeddings(s, d))),
+    "pipeline_assembly" -> ((s, d) => TextOps.assemblyPipeline(Tables.documents(s, d))),
     "pipeline_decontaminate" -> ((s, d) => TextOps.decontaminate(Tables.documents(s, d))),
     "mm_video" -> ((s, d) => Multimodal.mmVideo(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
@@ -883,6 +884,63 @@ object SparkEntry {
         |  CAST(dup_spans AS BIGINT) AS dup_spans,
         |  round(CAST(dup_spans AS DOUBLE) / n_spans, 4) AS dup_fraction
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "pipeline_assembly" ->
+      // the assembly line composed from the already-proven pieces:
+      // decontaminate (13-token spans, bench = doc_id % 97 = 0) ->
+      // exact dedup (first doc per md5(text)) -> quality gate (the
+      // curation score) -> greedy 1024-token packing (recursive CTE)
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, text, string_split(trim(lower(text)), ' ') AS stoks FROM documents
+        |), sp AS (
+        |  SELECT DISTINCT doc_id, array_to_string(stoks, ' ') AS span
+        |  FROM t WHERE len(stoks) < 13
+        |  UNION ALL
+        |  SELECT DISTINCT doc_id, array_to_string(stoks[i:i+12], ' ') AS span
+        |  FROM t, LATERAL unnest(range(1, len(stoks) - 11)) AS u(i)
+        |  WHERE len(stoks) >= 13
+        |), b AS (
+        |  SELECT DISTINCT span FROM sp WHERE doc_id % 97 = 0
+        |), dirty AS (
+        |  SELECT DISTINCT sp.doc_id FROM sp JOIN b USING (span) WHERE sp.doc_id % 97 <> 0
+        |), clean AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        |), d AS (
+        |  SELECT dd.doc_id, dd.text,
+        |    row_number() OVER (PARTITION BY md5(dd.text) ORDER BY dd.doc_id) AS copy_rank
+        |  FROM documents dd JOIN clean USING (doc_id)
+        |), qd AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, copy_rank,
+        |      regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |        / length(text) AS punct_ratio
+        |    FROM d)
+        |  WHERE copy_rank = 1
+        |    AND least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5
+        |      + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.3
+        |      + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 >= 0.5
+        |), o AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM qd
+        |), r AS (
+        |  SELECT shard, doc_id, rn, n_tokens,
+        |         CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc,
+        |         CASE WHEN n_tokens >= 1024 THEN 1 ELSE 0 END AS fired
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.doc_id, o.rn, o.n_tokens,
+        |         CASE WHEN r.fired = 1 THEN r.pack_id + 1 ELSE r.pack_id END,
+        |         CASE WHEN r.fired = 1 THEN o.n_tokens ELSE r.acc + o.n_tokens END,
+        |         CASE WHEN (CASE WHEN r.fired = 1 THEN o.n_tokens ELSE r.acc + o.n_tokens END) >= 1024 THEN 1 ELSE 0 END
+        |  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
+        |)
+        |SELECT shard, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / 1024, 4) AS fill_ratio
+        |FROM r GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
     "text_unigram_lp" ->
       // unigram LM proxy: ln of exact integer ratios, averaged per doc
       // then rounded — tokens mirror the kernel's whitespace split

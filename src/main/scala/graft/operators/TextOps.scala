@@ -312,6 +312,32 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The complete training-data assembly line as ONE DataFrame
+    * program — the flagship composition: benchmark decontamination
+    * ([[decontaminate]]) → exact dedup (keep the first doc per content
+    * hash) → quality gate ([[curationPipeline]]'s score) → greedy
+    * sequence packing ([[packSequences]]). Output is one row per
+    * training pack. Every stage reuses the operator the rest of the
+    * suite already oracle-proves; the composed plan keeps each
+    * stage's scale shape (broadcast benchmark join, hash-partitioned
+    * dedup window, per-row quality expressions, one shard shuffle for
+    * packing). */
+  def assemblyPipeline(documents: DataFrame, budgetTokens: Long = 1024,
+                       shards: Int = 8, k: Int = 13, benchMod: Int = 97,
+                       minQuality: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = decontaminate(documents, k, benchMod)
+      .filter(col("contaminated") === 0L).select(col("doc_id"))
+    val keepW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val survivors = documents.join(clean, "doc_id")
+      .withColumn("copy_rank", row_number().over(keepW))
+      .filter(col("copy_rank") === 1)
+      .withColumn("quality_score", rawQualityScore)
+      .filter(col("quality_score") >= minQuality)
+      .select(col("doc_id"), col("text"))
+    packSequences(survivors, budgetTokens, shards)
+  }
+
   /** Streaming face of [[decontaminate]]: drops contaminated documents
     * AT INGEST, before they ever land in the training corpus. The
     * benchmark's distinct span hashes collapse into one array row on

@@ -325,6 +325,28 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("assembly pipeline composes decontaminate, dedup, quality gate and packing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val bench13 = (1 to 13).map(i => s"b$i").mkString(" ")
+    val good = "the cat sat on the mat and the dog is in the house of a friend " * 4
+    val docs = Seq(
+      (0L, bench13),                     // benchmark doc (0 % 97 == 0): excluded
+      (8L, s"prefix words $bench13 tail"), // contaminated: dropped
+      (16L, good),                       // kept
+      (24L, good),                       // exact duplicate: dropped
+      (32L, "!!! ??? ;;; ,,,"),          // junk: quality-gated
+      (40L, good + "extra unique tail")) // kept
+      .toDF("doc_id", "text")
+    val packs = graft.operators.TextOps
+      .assemblyPipeline(docs, budgetTokens = 1024, shards = 8)
+      .collect()
+    // survivors 16 and 40 hash to shard 0, pack together under budget
+    assert(packs.length == 1)
+    val row = packs.head
+    assert(row.getLong(0) == 0L && row.getLong(1) == 0L && row.getLong(2) == 2L)
+  }
+
   test("unigram logprob ranks rare-token docs above fluent ones") {
     val spark = TestSpark.spark
     import spark.implicits._
