@@ -80,6 +80,7 @@ object SparkEntry {
     "text_unigram_lp" -> ((s, d) => TextOps.textUnigramLp(Tables.documents(s, d))),
     "ann_ivf_sampled" -> ((s, d) => Ann.annIvfSampled(Tables.embeddings(s, d))),
     "pipeline_assembly" -> ((s, d) => TextOps.assemblyPipeline(Tables.documents(s, d))),
+    "embedding_cluster_hist" -> ((s, d) => Ann.embeddingClusterHist(Tables.embeddings(s, d))),
     "pipeline_decontaminate" -> ((s, d) => TextOps.decontaminate(Tables.documents(s, d))),
     "mm_video" -> ((s, d) => Multimodal.mmVideo(Tables.documents(s, d))),
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
@@ -567,6 +568,30 @@ object SparkEntry {
         |)
         |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rank
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "embedding_cluster_hist" ->
+      // same sampled-quantizer assignment CTE as ann_ivf_sampled,
+      // aggregated to the per-list histogram (integer-only output)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hs AS (
+        |  SELECT vec_id,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM e
+        |), sel AS (SELECT vec_id FROM hs ORDER BY h, vec_id LIMIT 16),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS list_id, e.v AS cv
+        |  FROM sel s JOIN e ON e.vec_id = s.vec_id
+        |), ac AS (
+        |  SELECT e.vec_id, c.list_id, list_cosine_similarity(e.v, c.cv) AS ccos
+        |  FROM e CROSS JOIN cent c
+        |), asgn AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT vec_id, list_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id ASC) AS rn
+        |    FROM ac) WHERE rn = 1
+        |)
+        |SELECT list_id, count(*) AS n_vecs,
+        |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+        |FROM asgn GROUP BY list_id ORDER BY list_id""".stripMargin,
     "ann_ivf_sampled" ->
       // the full IVF pipeline rebuilt in SQL: sampled centroids (16
       // smallest portable md5 hashes of vec_id, list ids in vec_id

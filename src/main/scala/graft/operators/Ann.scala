@@ -101,19 +101,24 @@ object Ann {
     * selection is one TakeOrdered pass, assignment is a broadcast
     * cross of nlist tiny rows, per-query work ~ corpus * nprobe /
     * nlist. */
-  def annIvfSampled(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
-                    nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** Sampled coarse quantizer (see [[annIvfSampled]]): the `nlist`
+    * centroids are the corpus vectors with the smallest portable
+    * md5(vec_id) hashes, list ids in vec_id order. */
+  private[operators] def sampledCentroids(embeddings: DataFrame, nlist: Int): DataFrame = {
     val h = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
-    // 16-row window: runs on the driver-side collected limit result
+    // nlist-row window: runs on the TakeOrdered limit result
     val centW = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    val cents = embeddings.select(col("vec_id"), col("embedding"), h.as("h"))
+    embeddings.select(col("vec_id"), col("embedding"), h.as("h"))
       .orderBy(col("h"), col("vec_id")).limit(nlist)
       .select((row_number().over(centW) - 1).cast("long").as("list_id"),
         col("embedding").as("c_vec"))
-    // inverted lists: argmax cosine to a centroid (ties → lowest
-    // list_id, graft_topk's tie order); one broadcast cross of nlist
-    // rows, no shuffle of the corpus
-    val assigned = embeddings.crossJoin(broadcast(cents))
+  }
+
+  /** Inverted-list assignment against [[sampledCentroids]]: argmax
+    * cosine (ties → lowest list_id, graft_topk's tie order); one
+    * broadcast cross of nlist rows, no shuffle of the corpus. */
+  private[operators] def sampledAssignments(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("list_id"),
         F.cosine(col("embedding"), col("c_vec")).as("ccos"))
       .groupBy(col("vec_id"))
@@ -121,6 +126,11 @@ object Ann {
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"),
         element_at(col("top"), 1).getField("id").as("list_id"))
+
+  def annIvfSampled(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+                    nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = sampledCentroids(embeddings, nlist)
+    val assigned = sampledAssignments(embeddings, cents)
     val probes = querySet(embeddings, stride).crossJoin(broadcast(cents))
       .select(col("q_id"), col("q_vec"), col("list_id"),
         F.cosine(col("q_vec"), col("c_vec")).as("ccos"))
@@ -137,6 +147,22 @@ object Ann {
       .select(col("q_id"), col("col.id").as("neighbor_id"),
         round(col("col.score"), 4).as("cosine"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Corpus topic-balance histogram over the sampled-quantizer lists
+    * (the coverage check a cluster-balanced sampler runs before
+    * drawing training data): vectors per inverted list plus the id
+    * span. Integer-only output over the oracle-proven assignment —
+    * the list sizes ARE the balance signal, and a skewed histogram is
+    * the cue to re-quantize or sample per-list. Scale: the assignment
+    * is a broadcast cross (no corpus shuffle); the histogram is one
+    * map-side-combinable groupBy of nlist groups. */
+  def embeddingClusterHist(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
+    val assigned = sampledAssignments(embeddings, sampledCentroids(embeddings, nlist))
+    assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .orderBy(col("list_id"))
   }
 
   /** LSH-bucketed ANN: corpus and queries hash to hyperplane buckets;

@@ -257,4 +257,24 @@ class AnnIvfSpec extends AnyFunSuite {
     val recalls = exact.map { case (q, nn) => (ivf.getOrElse(q, Set.empty[Long]) & nn).size.toDouble / nn.size }
     assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
   }
+
+  test("cluster histogram partitions the corpus and separates planted clusters") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.tabulate(4)(c => Array.tabulate(64)(j =>
+      if (j % 4 == c) 10f else 0f))
+    val rows = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, centers(c).map(x => x + 0.5f * rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val hist = graft.operators.Ann.embeddingClusterHist(df, nlist = 4).collect()
+    // a partition: every vector lands in exactly one list
+    assert(hist.map(_.getLong(1)).sum == 200L)
+    // well-separated planted clusters: no list mixes them, so each
+    // nonempty list holds a multiple of one cluster's members — and
+    // with 4 sampled centroids at least 2 distinct clusters separate
+    assert(hist.length >= 2 && hist.length <= 4)
+  }
 }
