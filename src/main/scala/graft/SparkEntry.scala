@@ -77,6 +77,7 @@ object SparkEntry {
     "mm_gif" -> ((s, d) => Multimodal.mmGif(Tables.documents(s, d))),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(Tables.documents(s, d))),
     "pipeline_pack" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
+    "pipeline_pack_split" -> ((s, d) => TextOps.packSequencesSplit(Tables.documents(s, d))),
     "text_unigram_lp" -> ((s, d) => TextOps.textUnigramLp(Tables.documents(s, d))),
     "ann_ivf_sampled" -> ((s, d) => Ann.annIvfSampled(Tables.embeddings(s, d))),
     "pipeline_assembly" -> ((s, d) => TextOps.assemblyPipeline(Tables.documents(s, d))),
@@ -1006,6 +1007,38 @@ object SparkEntry {
         |SELECT shard, pack_id, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
         |  round(CAST(sum(n_tokens) AS DOUBLE) / 1024, 4) AS fill_ratio
+        |FROM r GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    "pipeline_pack_split" ->
+      // oversized docs split into ceil(n/1024) chunks (all but the
+      // last exactly 1024 tokens), then the same greedy recursive CTE
+      // packs chunks in (doc_id, chunk_idx) order per shard
+      """WITH RECURSIVE sz AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+        |  FROM documents
+        |), ch AS (
+        |  SELECT doc_id, shard, c.ci AS chunk_idx,
+        |         least(1024, n_tokens - c.ci * 1024) AS chunk_tokens
+        |  FROM sz, LATERAL unnest(range(0, (n_tokens - 1) // 1024 + 1)) AS c(ci)
+        |), o AS (
+        |  SELECT shard, chunk_tokens,
+        |         row_number() OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch
+        |), r AS (
+        |  SELECT shard, rn, chunk_tokens,
+        |         CAST(0 AS BIGINT) AS pack_id, chunk_tokens AS acc,
+        |         CASE WHEN chunk_tokens >= 1024 THEN 1 ELSE 0 END AS fired
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.chunk_tokens,
+        |         CASE WHEN r.fired = 1 THEN r.pack_id + 1 ELSE r.pack_id END,
+        |         CASE WHEN r.fired = 1 THEN o.chunk_tokens ELSE r.acc + o.chunk_tokens END,
+        |         CASE WHEN (CASE WHEN r.fired = 1 THEN o.chunk_tokens ELSE r.acc + o.chunk_tokens END) >= 1024 THEN 1 ELSE 0 END
+        |  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
+        |)
+        |SELECT shard, pack_id, count(*) AS n_chunks,
+        |  CAST(sum(chunk_tokens) AS BIGINT) AS pack_tokens,
+        |  round(CAST(sum(chunk_tokens) AS DOUBLE) / 1024, 4) AS fill_ratio
         |FROM r GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
     "pipeline_decontaminate" ->
       // 13-token spans, same span semantics as text_span_dedup (docs

@@ -226,6 +226,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** [[packSequences]] with oversized-document SPLITTING — the full
+    * production packing semantic: a doc longer than the budget first
+    * splits into ceil(n/budget) chunks (all but the last exactly
+    * budget tokens), and the greedy pass packs CHUNKS in (doc_id,
+    * chunk_idx) order. Every pack therefore closes at exactly >=
+    * budget except each shard's tail — no pack is dominated by one
+    * runaway doc. Chunk expansion is a per-row explode (no shuffle);
+    * the rest is the same one-shard-shuffle greedy kernel. */
+  def packSequencesSplit(documents: DataFrame, budgetTokens: Long = 1024,
+                         shards: Int = 8): DataFrame = {
+    val sized = documents.select(col("doc_id"),
+      pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+      size(tokens).cast("long").as("n_tokens"))
+    val chunks = sized
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        explode(sequence(lit(0L),
+          floor((col("n_tokens") - 1) / budgetTokens).cast("long"))).as("chunk_idx"))
+      .withColumn("chunk_tokens",
+        least(lit(budgetTokens), col("n_tokens") - col("chunk_idx") * budgetTokens))
+      // order key: chunks of a doc stay adjacent in doc order (2^20
+      // chunks/doc headroom = 1G tokens per doc at the default budget)
+      .withColumn("ord", col("doc_id") * lit(1L << 20) + col("chunk_idx"))
+    graft.sinks.Batcher
+      .assignBatches(chunks, "shard", "ord", "chunk_tokens",
+        maxCount = Long.MaxValue, maxBytes = budgetTokens)
+      .groupBy(col("shard"), col("batch_id").as("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("pack_tokens"))
+      .withColumn("fill_ratio",
+        round(col("pack_tokens").cast("double") / budgetTokens, 4))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
   /** Unigram log-probability quality signal (the KenLM-perplexity
     * proxy pipelines use before a real LM is available): score each
     * doc by the mean negative log corpus-probability of its tokens.

@@ -306,6 +306,22 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.values.map(_._1).sum == 5L)
   }
 
+  test("split packing chunks oversized docs so no pack is dominated by one doc") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // one shard; budget 10: the 27-token doc splits into 10+10+7, so
+    // packs close at exactly 10 until the tail
+    val docs = Seq(0L -> words(4), 8L -> words(27), 16L -> words(5))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.packSequencesSplit(docs, budgetTokens = 10, shards = 8)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // greedy over chunks [4, 10, 10, 7, 5]: [4+10=14 fires][10 fires][7+5=12 tail]
+    assert(out == Map(0L -> ((2L, 14L)), 1L -> ((1L, 10L)), 2L -> ((2L, 12L))))
+    // chunk conservation: total packed tokens == total corpus tokens
+    assert(out.values.map(_._2).sum == 36L)
+  }
+
   test("decontamination flags train docs sharing a 13-gram with the benchmark set") {
     val spark = TestSpark.spark
     import spark.implicits._
