@@ -49,5 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => MinHashFromHashes(args(0), intArg(args(1), "numPerm")))
     inject("graft_proto_encode", "graft_proto_encode(struct) - protobuf wire encoding",
       args => ProtoEncode(args(0)))
+    inject("graft_collect_capped",
+      "graft_collect_capped(id, aux, cap) - at most cap (id,aux) pairs per group",
+      args => CollectCapped(args(0), args(1), intArg(args(2), "cap")).toAggregateExpression())
   }
 }

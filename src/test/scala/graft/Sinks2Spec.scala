@@ -118,6 +118,34 @@ class ExactlyOnceStreamingSpec extends AnyFunSuite {
 }
 
 class TimeoutBatcherSpec extends AnyFunSuite {
+  test("streaming sequence packing composes from the timeout batcher (token sizes)") {
+    // packing on an ingest stream IS byte-greedy batching with token
+    // counts as the size: docs keyed by shard, budget as maxBytes,
+    // event-time timeout flushing each shard's tail pack
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{FiredBatch, TimedRecord}
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val docs = mem.toDS().map { case (docId, text, ts) =>
+      TimedRecord((docId % 2).toString, text, text.trim.split("\\s+").length.toLong, ts)
+    }
+    val q = graft.streaming.Streams
+      .timeoutBatcher(docs, maxCount = Long.MaxValue, maxBytes = 10, timeoutMs = 400)
+      .writeStream.format("memory").queryName("spack").outputMode("append").start()
+    try {
+      val t0 = 1000000L
+      def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+      mem.addData(
+        (0L, words(4), t0), (2L, words(4), t0 + 10), (4L, words(3), t0 + 20), // 4+4+3 >= 10: pack fires
+        (1L, words(11), t0 + 5))                                              // oversized: fires alone
+      q.processAllAvailable()
+      val fired = spark.table("spack").as[FiredBatch].collect()
+      assert(fired.contains(FiredBatch("0", 3, 11, "bytes")))
+      assert(fired.contains(FiredBatch("1", 1, 11, "bytes")))
+    } finally q.stop()
+  }
+
   test("timeout batcher fires on count and bytes inline, partial batches on timeout") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -92,6 +92,18 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_collect_capped is callable from SQL") {
+    val spark = TestSpark.spark
+    F.register(spark)
+    import spark.implicits._
+    Seq((1L, 10L, 100L), (1L, 11L, 101L), (1L, 12L, 102L), (2L, 20L, 200L))
+      .toDF("g", "id", "aux").createOrReplaceTempView("cc_in")
+    val rows = spark.sql(
+      "SELECT g, size(graft_collect_capped(id, aux, 2)) AS n FROM cc_in GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows == Map(1L -> 2, 2L -> 1))
+  }
+
   test("graft_topk is callable from SQL") {
     val spark = TestSpark.spark
     F.register(spark)
