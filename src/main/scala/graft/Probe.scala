@@ -61,6 +61,9 @@ object Probe {
     val unigram = timed("text_unigram_lp_10x") {
       graft.operators.TextOps.textUnigramLp(big).count()
     }
+    val assembly = timed("pipeline_assembly_10x") {
+      graft.operators.TextOps.assemblyPipeline(big).count()
+    }
     val fingerprint = timed("dedup_fingerprint_10x") {
       graft.operators.Dedup.dedupFingerprint(big).count()
     }
@@ -75,7 +78,7 @@ object Probe {
       n
     }
 
-    val all = Seq(minhash, simhash, spanDedup, decontaminate, unigram, fingerprint, clusters)
+    val all = Seq(minhash, simhash, spanDedup, decontaminate, unigram, assembly, fingerprint, clusters)
     val qs = all.map { case (k, s, r) => f""""$k":{"sec":$s%.2f,"rows":$r}""" }
       .mkString("{", ",", "}")
     println(s"""{"probe":"10x","docs":$nDocs,"results":$qs}""")
