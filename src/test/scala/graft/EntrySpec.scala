@@ -16,7 +16,7 @@ class EntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("every queries entry has an oracle (full-coverage invariant, 72/72 as of round 4)") {
+  test("every queries entry has an oracle (full-coverage invariant)") {
     val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(unoracled.isEmpty,
       s"queries without oracles (add SQL or a documented [rows] exception): $unoracled")
