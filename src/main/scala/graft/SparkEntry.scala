@@ -75,6 +75,7 @@ object SparkEntry {
     "mm_alaw" -> ((s, d) => Multimodal.mmAlaw(Tables.documents(s, d))),
     "mm_jpeg" -> ((s, d) => Multimodal.mmJpeg(Tables.documents(s, d))),
     "mm_gif" -> ((s, d) => Multimodal.mmGif(Tables.documents(s, d))),
+    "mm_resize" -> ((s, d) => Multimodal.mmResize(Tables.documents(s, d))),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(Tables.documents(s, d))),
     "pipeline_pack" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "pipeline_pack_split" -> ((s, d) => TextOps.packSequencesSplit(Tables.documents(s, d))),
@@ -1158,6 +1159,33 @@ object SparkEntry {
         |SELECT doc_id, CAST(44 + n AS BIGINT) AS n_bytes, CAST(n AS BIGINT) AS n_samples,
         |  round(CAST(s AS DOUBLE) / n, 4) AS mean_decoded
         |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      // nearest-neighbor resize through the real PNG codec loop
+      // (decode -> resample -> encode -> decode): target pixel (x,y)
+      // maps to source (sx, sy) with sy = (y*h)//h2, sx = (x*w)//w2 —
+      // exactly Codecs.nnResample — so the oracle recomputes the
+      // resized means from the generator without any codec
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |im AS (
+        |  SELECT doc_id, 12 + (doc_id % 5) * 4 AS w, 12 + (doc_id % 7) * 4 AS h,
+        |         8 + (doc_id % 3) * 2 AS w2, 6 + (doc_id % 4) * 2 AS h2
+        |  FROM ids
+        |), px AS (
+        |  SELECT doc_id, w2, h2,
+        |    ((((p.p // w2) * h) // h2) * w + (((p.p % w2) * w) // w2)) * 3 AS base
+        |  FROM im, LATERAL unnest(range(0, w2 * h2)) AS p(p)
+        |), s AS (
+        |  SELECT doc_id, w2, h2,
+        |    sum((doc_id * 11 + (base + 0) * 29) % 256) AS sr,
+        |    sum((doc_id * 11 + (base + 1) * 29) % 256) AS sg,
+        |    sum((doc_id * 11 + (base + 2) * 29) % 256) AS sb
+        |  FROM px GROUP BY doc_id, w2, h2
+        |)
+        |SELECT doc_id, CAST(w2 AS INT) AS width, CAST(h2 AS INT) AS height,
+        |  round(CAST(sr AS DOUBLE) / (w2 * h2), 4) AS mean_r,
+        |  round(CAST(sg AS DOUBLE) / (w2 * h2), 4) AS mean_g,
+        |  round(CAST(sb AS DOUBLE) / (w2 * h2), 4) AS mean_b
+        |FROM s ORDER BY doc_id""".stripMargin,
     "mm_png" ->
       // PNG is lossless: decoded pixels == the closed-form generator
       // rgb[j] = (doc_id*11 + j*29) % 256, so the oracle recomputes the

@@ -235,6 +235,35 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Resize through the REAL codec path: the synthesized PNG is
+    * decoded, nearest-neighbor resampled to a doc-dependent target,
+    * re-encoded, and the RESIZED file decoded again for its channel
+    * means — the full decode→resample→encode→decode loop a production
+    * thumbnail stage runs. The oracle recomputes the nn index map
+    * (sy = (y·h)/h2, sx = (x·w)/w2, integer division — exactly
+    * [[Codecs.nnResample]]) against the closed-form pixel generator,
+    * so any defect in either decode pass, the resampler, or the
+    * encoder shifts a mean and hash-fails. */
+  def mmResize(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    mediaTablePng(documents).mapPartitions { rows =>
+      rows.map { r =>
+        val w2 = 8 + (r.doc_id % 3).toInt * 2
+        val h2 = 6 + (r.doc_id % 4).toInt * 2
+        val resized = Codecs.resizePng(r.content, w2, h2)
+          .getOrElse(sys.error(s"PNG resize failed for doc ${r.doc_id}"))
+        val p = Codecs.decodePng(resized)
+          .getOrElse(sys.error(s"resized-PNG decode failed for doc ${r.doc_id}"))
+        (r.doc_id, p.width, p.height, p.meanR, p.meanG, p.meanB)
+      }
+    }.toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Media table of format-7 (G.711 μ-law) WAV payloads — a real
     * compressed telephony codec. Code bytes are closed-form in
     * (doc_id, index); μ-law decode is itself closed-form
