@@ -80,6 +80,9 @@ object SparkEntry {
     "pipeline_pack" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "pipeline_pack_split" -> ((s, d) => TextOps.packSequencesSplit(Tables.documents(s, d))),
     "text_unigram_lp" -> ((s, d) => TextOps.textUnigramLp(Tables.documents(s, d))),
+    "text_bigram_lp" -> ((s, d) => TextOps.textBigramLp(Tables.documents(s, d))),
+    "text_tfidf" -> ((s, d) => TextOps.textTfidf(Tables.documents(s, d))),
+    "pipeline_mix" -> ((s, d) => TextOps.mixDomains(Tables.documents(s, d))),
     "ann_ivf_sampled" -> ((s, d) => Ann.annIvfSampled(Tables.embeddings(s, d))),
     "pipeline_assembly" -> ((s, d) => TextOps.assemblyPipeline(Tables.documents(s, d))),
     "embedding_cluster_hist" -> ((s, d) => Ann.embeddingClusterHist(Tables.embeddings(s, d))),
@@ -983,6 +986,105 @@ object SparkEntry {
         |  round(avg(-ln(CAST(f.tf AS DOUBLE) / n.n_total)), 4) AS avg_neg_logprob
         |FROM tk JOIN f USING (tok) CROSS JOIN n
         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+    "text_bigram_lp" ->
+      // held-out stupid backoff: train counts on doc_id % 10 <> 0,
+      // score doc_id % 10 = 0; seen: -ln(C(w1w2)/C(w1)); unseen:
+      // -ln(0.4*(C(w2)+1)/(N+V)). The Spark side joins on 64-bit
+      // shingle hashes; the oracle joins the same token pairs as
+      // strings — outputs agree unless a 2^-64 hash collision merges
+      // two counts
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, LATERAL unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2
+        |), tr AS (
+        |  SELECT doc_id, toks FROM t WHERE len(toks) >= 2 AND doc_id % 10 <> 0
+        |), tu AS (
+        |  SELECT tok, count(*) AS uc
+        |  FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY tok
+        |), tb AS (
+        |  SELECT w1, w2, count(*) AS bc FROM bg WHERE doc_id % 10 <> 0 GROUP BY w1, w2
+        |), nv AS (
+        |  SELECT CAST(sum(uc) AS BIGINT) AS n_train, count(*) AS v_train FROM tu
+        |), sc AS (
+        |  SELECT bg.doc_id,
+        |    CASE WHEN tb.bc IS NOT NULL AND u1.uc IS NOT NULL
+        |         THEN -ln(CAST(tb.bc AS DOUBLE) / u1.uc)
+        |         ELSE -ln(0.4 * (COALESCE(u2.uc, 0) + 1) / (nv.n_train + nv.v_train)) END AS s,
+        |    CASE WHEN tb.bc IS NOT NULL AND u1.uc IS NOT NULL THEN 1.0 ELSE 0.0 END AS hit
+        |  FROM bg
+        |  LEFT JOIN tb ON bg.w1 = tb.w1 AND bg.w2 = tb.w2
+        |  LEFT JOIN tu u1 ON bg.w1 = u1.tok
+        |  LEFT JOIN tu u2 ON bg.w2 = u2.tok
+        |  CROSS JOIN nv
+        |  WHERE bg.doc_id % 10 = 0
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(s), 4) AS avg_neg_logprob,
+        |  round(avg(hit), 4) AS seen_frac
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      // top-3 terms per doc by tf*ln(N/df); ranking compares the
+      // ROUNDED score (+1e-9 guard) with term-string tiebreak so the
+      // order is engine-independent (raw doubles would hinge on the
+      // last ulp of ln)
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tk
+        |  WHERE len(term) > 0 GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM dt GROUP BY term
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), j AS (
+        |  SELECT dt.doc_id, dt.term, dt.tf, df.df,
+        |    round(dt.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) + 1e-9, 4) AS tfidf
+        |  FROM dt JOIN df USING (term) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM j
+        |)
+        |SELECT doc_id, rank, term, tf, df, tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "pipeline_mix" ->
+      // temperature mixing: rate_d = tok_d^(-0.3) / max_d(tok_d^(-0.3)),
+      // acceptance = md5 bucket (8 hex chars % 10000) under
+      // round(rate*10000); the -0.3 literal matches the Spark
+      // exponent bit-for-bit (alpha-1 computed in Scala would be
+      // -0.30000000000000004)
+      """WITH sized AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+        |  FROM documents
+        |), dom AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS dom_tokens
+        |  FROM sized GROUP BY source
+        |), mx AS (
+        |  SELECT max(pow(CAST(dom_tokens AS DOUBLE), -0.3)) AS max_r FROM dom
+        |), rates AS (
+        |  SELECT source,
+        |    pow(CAST(dom_tokens AS DOUBLE), -0.3) / mx.max_r AS rate,
+        |    CAST(round(pow(CAST(dom_tokens AS DOUBLE), -0.3) / mx.max_r * 10000) AS BIGINT) AS thresh
+        |  FROM dom CROSS JOIN mx
+        |), tagged AS (
+        |  SELECT s.source, s.n_tokens, r.rate,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT) % 10000 < r.thresh
+        |         THEN 1 ELSE 0 END AS kept
+        |  FROM sized s JOIN rates r USING (source)
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+        |  round(rate + 1e-9, 4) AS target_rate,
+        |  round(CAST(sum(kept) AS DOUBLE) / count(*) + 1e-9, 4) AS achieved_rate
+        |FROM tagged GROUP BY source, rate ORDER BY source""".stripMargin,
     "pipeline_pack" ->
       // mirrors the Batcher greedy semantics (same recursive-CTE shape
       // as sink_batch_bytes): a doc joins its pack, and the pack closes

@@ -371,6 +371,148 @@ object TextOps {
     packSequences(survivors, budgetTokens, shards)
   }
 
+  /** TF-IDF keyword extraction: the top-`topK` terms per document by
+    * tf·ln(N/df) — the classic relevance signal data pipelines use for
+    * topic tagging and boilerplate spotting before any model exists.
+    *
+    * Scale shape: explode → per-(doc, term) counts (map-side
+    * combinable), persisted once and read twice — document frequencies
+    * aggregate FROM it and the scoring join reads it back — the same
+    * build-once/read-twice contract as the dedup signature tables (at
+    * 100 TB this is the materialized doc-term matrix every IR system
+    * stores). The df table is vocabulary-sized; N rides a 1-row
+    * broadcast. Final top-k is a per-doc window over ≤ doc-distinct
+    * terms — never a global sort.
+    *
+    * Determinism note: ranking compares the ROUNDED score (4 digits,
+    * +1e-9 guard) with the term string as tiebreak, so the order is
+    * reproducible across engines — a raw-double ordering would hinge
+    * on the last ulp of `ln` and diverge from the SQL oracle. */
+  def textTfidf(documents: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = Dedup.materialized(
+      documents.select(col("doc_id"), explode(tokens).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val dft = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    dt.join(dft, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")) + lit(1e-9), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Held-out bigram LM scoring with stupid backoff (Brants et al.
+    * 2007): train bigram/unigram counts on the 90% shard, score the
+    * held-out 10% by mean negative log S(w2|w1), where S backs off to
+    * alpha·(C(w2)+1)/(N+V) when the bigram is unseen. The add-one on
+    * the backoff keeps unseen-w2 finite without a third level. This is
+    * the perplexity-proxy quality signal one step up from
+    * [[textUnigramLp]] — held-out scoring means the backoff path
+    * genuinely fires (a corpus scored against its own counts never
+    * backs off, which would make the model pointless).
+    *
+    * Scale shape: tokens and bigrams travel as 64-bit shingle hashes
+    * (positional zip keeps w1/w2/bigram aligned row-locally — no
+    * window, no shuffle to form pairs). Train counts are two map-side
+    * combinable aggs; the unigram table is persisted once and read
+    * twice (w1 and w2 joins). Everything else is linear joins on the
+    * held-out 10%. */
+  def textBigramLp(documents: DataFrame, holdMod: Int = 10,
+                   alpha: Double = 0.4): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      graft.functions.F.shingleHashes(col("text"), 1).as("u"),
+      graft.functions.F.shingleHashes(col("text"), 2).as("b"))
+      .filter(size(col("u")) >= 2)
+    val isHeld = pmod(col("doc_id"), lit(holdMod.toLong)) === 0
+    // bigram i covers tokens i..i+1: align by position, row-locally
+    def pairs(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("u"), posexplode(col("b")).as(Seq("pos", "bh")))
+      .select(col("doc_id"),
+        element_at(col("u"), col("pos") + 1).as("w1"),
+        element_at(col("u"), col("pos") + 2).as("w2"),
+        col("bh"))
+    val train = base.filter(!isHeld)
+    val bigramCounts = pairs(train).groupBy(col("bh")).agg(count(lit(1)).as("bc"))
+    // persisted: built from a full train-corpus explode, read by BOTH
+    // the w1 and w2 joins below (build-once/read-twice contract)
+    val uniCounts = Dedup.materialized(
+      train.select(explode(col("u")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("uc")))
+    val totals = uniCounts.agg(sum(col("uc")).as("n_train"), count(lit(1)).as("v_train"))
+    val seen = col("bc").isNotNull && col("uc1").isNotNull
+    pairs(base.filter(isHeld))
+      .join(bigramCounts, Seq("bh"), "left")
+      .join(uniCounts.select(col("w").as("w1"), col("uc").as("uc1")), Seq("w1"), "left")
+      .join(uniCounts.select(col("w").as("w2"), col("uc").as("uc2")), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("s",
+        when(seen, -log(col("bc").cast("double") / col("uc1")))
+          .otherwise(-log(lit(alpha) * (coalesce(col("uc2"), lit(0L)) + 1) /
+            (col("n_train") + col("v_train")))))
+      .withColumn("hit", when(seen, 1.0).otherwise(0.0))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("s")), 4).as("avg_neg_logprob"),
+        round(avg(col("hit")), 4).as("seen_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-based domain mixture sampling (the multilingual-LM
+    * recipe: sample domain d with probability ∝ p_d^alpha, alpha < 1
+    * upweights rare domains): per-domain acceptance rates
+    * rate_d = tok_d^(alpha−1) / max_d(tok_d^(alpha−1)) — the corpus
+    * total cancels, the largest-rate (smallest) domain keeps
+    * everything, and every other domain downsamples toward the
+    * tempered distribution with minimal discard. Acceptance is a
+    * deterministic md5 bucket per doc against round(rate·10000), so
+    * the sample is reproducible run-to-run and engine-to-engine (no
+    * RNG). Output is the per-domain audit: kept counts/tokens vs
+    * target rate.
+    *
+    * Scale shape: one pass for per-domain token totals (domain-sized
+    * output, tiny), rates join back as a ~#domains-row BROADCAST, keep
+    * decision is a per-row hash — the corpus streams through with one
+    * final map-side-combinable rollup. No corpus-sized intermediate is
+    * persisted; the two passes are two parquet scans by design.
+    * `exponent` = alpha−1 is passed directly so the SQL oracle's
+    * literal matches the JVM double bit-for-bit. */
+  def mixDomains(documents: DataFrame, exponent: Double = -0.3): DataFrame = {
+    val sized = documents.select(col("doc_id"), col("source"),
+      size(tokens).cast("long").as("n_tokens"))
+    val dom = sized.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("dom_tokens"))
+    val maxR = dom.agg(
+      max(pow(col("dom_tokens").cast("double"), lit(exponent))).as("max_r"))
+    val rates = dom.crossJoin(broadcast(maxR))
+      .withColumn("rate",
+        pow(col("dom_tokens").cast("double"), lit(exponent)) / col("max_r"))
+      .withColumn("thresh", round(col("rate") * 10000).cast("long"))
+      .select(col("source"), col("rate"), col("thresh"))
+    val bucket = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8), 16, 10)
+      .cast("long") % 10000
+    sized.join(broadcast(rates), "source")
+      .withColumn("kept", bucket < col("thresh"))
+      .groupBy(col("source"), col("rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("n_tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_docs_kept"),
+        col("n_tokens"), col("n_tokens_kept"),
+        round(col("rate") + lit(1e-9), 4).as("target_rate"),
+        round(col("n_docs_kept").cast("double") / col("n_docs") + lit(1e-9), 4)
+          .as("achieved_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Streaming face of [[decontaminate]]: drops contaminated documents
     * AT INGEST, before they ever land in the training corpus. The
     * benchmark's distinct span hashes collapse into one array row on

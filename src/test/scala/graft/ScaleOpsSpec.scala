@@ -380,6 +380,65 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(1L) < math.log(24.0))
   }
 
+  test("tfidf ranks distinctive terms first and zeroes ubiquitous ones") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry cherry"),
+      (3L, "apple banana cherry")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textTfidf(docs, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(5))).toMap
+    // df: apple 2, banana 3 (=N, idf 0), cherry 2; ln(3/2)=0.4055
+    assert(out((1L, 1)) == (("apple", 0.8109)))
+    assert(out((1L, 2)) == (("banana", 0.0)))
+    assert(out((2L, 1)) == (("cherry", 0.8109)))
+    // doc 3: apple and cherry tie at 0.4055 — term-string tiebreak
+    assert(out((3L, 1)) == (("apple", 0.4055)))
+    assert(out((3L, 2)) == (("cherry", 0.4055)))
+    assert(out((3L, 3)) == (("banana", 0.0)))
+  }
+
+  test("bigram LM scores held-out docs, backing off on unseen bigrams") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // train: docs 1, 2 (doc_id % 10 != 0); held out: doc 10
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b d"),
+      (10L, "a b x")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textBigramLp(docs).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 10L)
+    // (a,b) seen: -ln(C(a,b)/C(a)) = -ln(2/2) = 0
+    // (b,x) unseen, x unseen: -ln(0.4*(0+1)/(N=6 + V=4)) = -ln(0.04)
+    val expect = BigDecimal((0.0 - math.log(0.04)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == expect)
+    assert(out.head.getDouble(3) == 0.5) // one of two bigrams seen
+  }
+
+  test("temperature mixing keeps the smallest domain whole and downsamples the big one") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = ((1 to 100).map(i => (i.toLong, words(10), "big")) ++
+      (101 to 105).map(i => (i.toLong, words(10), "small")))
+      .toDF("doc_id", "text", "source")
+    val mixed = graft.operators.TextOps.mixDomains(docs)
+    val out = mixed.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
+    // small domain: max rate by construction → keeps everything
+    assert(out("small") == ((5L, 5L, 50L, 1.0)))
+    // big domain: rate = (50/1000)^0.3 ≈ 0.4071 — downsampled, not emptied
+    val (nBig, keptBig, keptTokBig, rateBig) = out("big")
+    assert(nBig == 100L && rateBig == 0.4071)
+    assert(keptBig > 0L && keptBig < 100L && keptTokBig == keptBig * 10)
+    // the rates table joins as a broadcast — the corpus side must not shuffle
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("repetition signals spot a degenerate document") {
     val spark = TestSpark.spark
     import spark.implicits._
