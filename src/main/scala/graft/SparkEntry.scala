@@ -83,6 +83,9 @@ object SparkEntry {
     "text_bigram_lp" -> ((s, d) => TextOps.textBigramLp(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(Tables.documents(s, d))),
     "pipeline_mix" -> ((s, d) => TextOps.mixDomains(Tables.documents(s, d))),
+    "pipeline_shuffle" -> ((s, d) => TextOps.shuffleOrder(Tables.documents(s, d))),
+    "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
+    "embedding_diversity" -> ((s, d) => Ann.embeddingDiversity(Tables.embeddings(s, d))),
     "ann_ivf_sampled" -> ((s, d) => Ann.annIvfSampled(Tables.embeddings(s, d))),
     "pipeline_assembly" -> ((s, d) => TextOps.assemblyPipeline(Tables.documents(s, d))),
     "embedding_cluster_hist" -> ((s, d) => Ann.embeddingClusterHist(Tables.embeddings(s, d))),
@@ -313,6 +316,58 @@ object SparkEntry {
         |      WHEN fr_score >= es_score THEN 'fr'
         |      ELSE 'es' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_langid_confusion" ->
+      // the same langid CASE as text_langid, rolled into a gold-vs-
+      // predicted confusion matrix with per-gold-row fractions
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |   strlen(text) - length(text) AS zh_score
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang,
+        |   CASE WHEN zh_score > 0 THEN 'zh'
+        |        WHEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) >= len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein')))
+        |         AND len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) >= len(list_filter(toks, x -> x IN ('le','la','les','et','est','un')))
+        |         AND len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) >= len(list_filter(toks, x -> x IN ('el','la','los','y','es','un'))) THEN 'en'
+        |        WHEN len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) >= len(list_filter(toks, x -> x IN ('le','la','les','et','est','un')))
+        |         AND len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) >= len(list_filter(toks, x -> x IN ('el','la','los','y','es','un'))) THEN 'de'
+        |        WHEN len(list_filter(toks, x -> x IN ('le','la','les','et','est','un'))) >= len(list_filter(toks, x -> x IN ('el','la','los','y','es','un'))) THEN 'fr'
+        |        ELSE 'es' END AS lang_pred
+        |  FROM t
+        |), m AS (
+        |  SELECT lang, lang_pred, count(*) AS n FROM s GROUP BY lang, lang_pred
+        |)
+        |SELECT lang, lang_pred, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) + 1e-9, 4) AS frac
+        |FROM m ORDER BY lang, lang_pred""".stripMargin,
+    "pipeline_shuffle" ->
+      // md5-keyed deterministic permutation; shard = top 16 key bits
+      // scaled by 8 (a fixed uniform range partition), pos = key rank
+      // within the shard
+      """WITH k AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuf') AS key
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST((CAST(('0x' || substr(key, 1, 4)) AS BIGINT) * 8) >> 16 AS INT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY (CAST(('0x' || substr(key, 1, 4)) AS BIGINT) * 8) >> 16
+        |    ORDER BY key) AS INT) AS pos
+        |FROM k
+        |ORDER BY shard, pos""".stripMargin,
+    "embedding_diversity" ->
+      // deterministic md5-ordered sample of 64 vectors, all C(64,2)
+      // pairwise cosines aggregated to one diversity row
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':div') LIMIT 64
+        |), p AS (
+        |  SELECT list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |)
+        |SELECT count(*) AS n_pairs, round(avg(cos), 4) AS mean_cos,
+        |  round(min(cos), 4) AS min_cos, round(max(cos), 4) AS max_cos
+        |FROM p""".stripMargin,
     "text_pii_redact" ->
       """WITH r AS (
         |  SELECT doc_id, length(text) AS orig_len,

@@ -165,6 +165,35 @@ object Ann {
       .orderBy(col("list_id"))
   }
 
+  /** Corpus diversity probe: mean/min/max pairwise cosine over a
+    * deterministic sample — the one-number health check a data-mixing
+    * run reads before and after dedup (mean pairwise similarity
+    * rising toward 1 = the corpus is collapsing to near-duplicates;
+    * diversity-aware selection papers minimize exactly this).
+    *
+    * The sample is the `sampleSize` vectors with the smallest
+    * md5(vec_id) keys — the same deterministic-order trick as the
+    * sampled IVF quantizer, so the SQL oracle rebuilds the identical
+    * sample. Scale: the sample is bounded and picked by
+    * TakeOrdered(limit) — no global sort materializes; the pair
+    * expansion is a broadcast nested-loop over sampleSize rows
+    * (~2k pairs at 64) and one row aggregates out. The corpus is
+    * scanned exactly once regardless of size. */
+  def embeddingDiversity(embeddings: DataFrame, sampleSize: Int = 64): DataFrame = {
+    val sample = embeddings
+      .select(col("vec_id"), col("embedding"),
+        md5(concat(col("vec_id").cast("string"), lit(":div"))).as("k"))
+      .orderBy(col("k")).limit(sampleSize)
+    val a = sample.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = sample.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(F.cosine(col("ea"), col("eb")).as("cos"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("cos")), 4).as("mean_cos"),
+        round(min(col("cos")), 4).as("min_cos"),
+        round(max(col("cos")), 4).as("max_cos"))
+  }
+
   /** LSH-bucketed ANN: corpus and queries hash to hyperplane buckets;
     * each query ranks only its own bucket. Recall trades off with
     * numPlanes; same output shape as the exact baseline. `portable`

@@ -395,6 +395,23 @@ object Dedup {
     // Initialize each node to min(id, min neighbor): the same shuffle a
     // distinct() would cost, but it fuses the whole first propagation
     // round into initialization — one fewer join-round to convergence.
+    // Right-size the iteration's shuffles from the ACTUAL edge count:
+    // every round's joins/aggs inherit spark.sql.shuffle.partitions,
+    // which the session sizes for corpus-scale scans (thousands on a
+    // real cluster) — but round state here is edge-scale, and tiny
+    // rounds spread over many near-empty tasks pay scheduler overhead
+    // per round instead of doing work (measured: the same sf0.1 query
+    // swings 1.5-6 s at 32 partitions purely on task dispatch). One
+    // partition per ~2M edges, clamped to the session setting — the
+    // same rule that picks 32 at sf0.1 picks thousands at 100 TB. The
+    // count is one cheap job over the already-checkpointed edges; the
+    // session conf is restored after the loop (the returned frame is
+    // checkpoint-backed, so downstream planning is unaffected).
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L,
+      math.min(sessionParts.toLong, edges.count() / 2000000L + 1L)).toString
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
     var labels = ckpt(edges.groupBy(col("a_id").as("id"))
       .agg(least(col("a_id"), min(col("b_id"))).as("label")))
     var converged = false
@@ -429,6 +446,7 @@ object Dedup {
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }
 
   /** End-to-end near-dup clustering: verified Jaccard near-dup pairs →

@@ -513,6 +513,52 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Language-ID evaluation: the confusion matrix of [[textLangid]]'s
+    * prediction against the gold `lang` label, with per-gold-row
+    * fractions — the quality gate one runs on the classifier itself
+    * before trusting its routing decisions at corpus scale. One
+    * map-side-combinable groupBy of ≤ |langs|² groups; the per-gold
+    * total is a window over that tiny aggregate, not the corpus. */
+  def langidConfusion(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents.select(col("lang"), langPredCol.as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("gold_total", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("frac",
+        round(col("n").cast("double") / col("gold_total") + lit(1e-9), 4))
+      .select(col("lang"), col("lang_pred"), col("n"), col("frac"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  /** Deterministic training-order shuffle: assigns every document a
+    * pseudo-random position in a sharded global permutation — the
+    * "shuffle the corpus before packing epochs" step, reproducible
+    * across runs and engines because the key is md5(doc_id), not an
+    * RNG. Shards are RANGES of the key space (shard = top 16 key bits
+    * scaled by nShards), so reading shard 0..n−1 in order replays the
+    * full permutation — and within a shard, position is the key rank.
+    *
+    * Scale shape: one hash exchange on the shard id + an in-partition
+    * sort + row_number per shard — a range-partitioned write with
+    * FIXED uniform bounds (the hash is uniform, so no sampling pass is
+    * needed to pick balanced ranges, unlike repartitionByRange). No
+    * global sort, no driver involvement; nShards scales with the
+    * cluster. */
+  def shuffleOrder(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":shuf"))).as("key"))
+      .withColumn("shard",
+        shiftright(conv(substring(col("key"), 1, 4), 16, 10).cast("long") * nShards, 16)
+          .cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("key"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** Streaming face of [[decontaminate]]: drops contaminated documents
     * AT INGEST, before they ever land in the training corpus. The
     * benchmark's distinct span hashes collapse into one array row on

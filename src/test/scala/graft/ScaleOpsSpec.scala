@@ -439,6 +439,56 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("langid confusion matrix rows sum to their gold totals") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is in the house", "en"),   // scores en
+      (2L, "der hund ist ein freund", "de"),   // scores de
+      (3L, "quick brown fox jumps", "de"))     // no stopword hits → en wins ties
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.TextOps.langidConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("en", "en")) == ((1L, 1.0)))
+    assert(out(("de", "de")) == ((1L, 0.5)))
+    assert(out(("de", "en")) == ((1L, 0.5)))
+  }
+
+  test("shuffle order is a permutation: contiguous positions per shard, every doc placed") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val rows = graft.operators.TextOps.shuffleOrder(docs, nShards = 4).collect()
+    assert(rows.map(_.getLong(0)).toSet == (1L to 200L).toSet)
+    val byShard = rows.groupBy(_.getInt(1))
+    byShard.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length)) // dense ranks
+    }
+    assert(byShard.keySet.subsetOf((0 to 3).toSet))
+    // deterministic: a second run yields the identical assignment
+    val again = graft.operators.TextOps.shuffleOrder(docs, nShards = 4).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
+  }
+
+  test("embedding diversity prefers the spread corpus over the collapsed one") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // collapsed: every vector identical → all pairwise cosines 1.0
+    val collapsed = (1L to 40L).map(i => (i, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val c = graft.operators.Ann.embeddingDiversity(collapsed, sampleSize = 16).collect().head
+    assert(c.getLong(0) == 120L) // C(16,2)
+    assert(c.getDouble(1) == 1.0 && c.getDouble(2) == 1.0)
+    // spread: orthogonal axes → off-axis pairs cosine 0
+    val spread = (1L to 40L).map(i =>
+      (i, Array.tabulate(4)(j => if (j == (i % 4).toInt) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val s = graft.operators.Ann.embeddingDiversity(spread, sampleSize = 16).collect().head
+    assert(s.getDouble(1) < c.getDouble(1)) // mean pairwise cosine drops
+    assert(s.getDouble(2) == 0.0)           // orthogonal pairs exist
+  }
+
   test("repetition signals spot a degenerate document") {
     val spark = TestSpark.spark
     import spark.implicits._
