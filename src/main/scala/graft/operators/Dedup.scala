@@ -408,8 +408,12 @@ object Dedup {
     // session conf is restored after the loop (the returned frame is
     // checkpoint-backed, so downstream planning is unaffected).
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L,
+    // -Dgraft.clusters.autosize=false pins the session setting (the
+    // ClustersDelta A/B harness flips this to measure the sizing win)
+    val autosize = !"false".equals(System.getProperty("graft.clusters.autosize"))
+    val loopParts = if (autosize) math.max(1L,
       math.min(sessionParts.toLong, edges.count() / 2000000L + 1L)).toString
+      else sessionParts
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
     var labels = ckpt(edges.groupBy(col("a_id").as("id"))
