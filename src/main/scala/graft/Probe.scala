@@ -64,6 +64,22 @@ object Probe {
     val assembly = timed("pipeline_assembly_10x") {
       graft.operators.TextOps.assemblyPipeline(big).count()
     }
+    val tfidf = timed("text_tfidf_10x") {
+      graft.operators.TextOps.textTfidf(big).count()
+    }
+    val bigram = timed("text_bigram_lp_10x") {
+      graft.operators.TextOps.textBigramLp(big).count()
+    }
+    val mix = timed("pipeline_mix_10x") {
+      // the 10x table has no source column; derive 20 domains the way
+      // the corpus does, from the id
+      graft.operators.TextOps.mixDomains(
+        big.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))))
+        .count()
+    }
+    val shuffleOrd = timed("pipeline_shuffle_10x") {
+      graft.operators.TextOps.shuffleOrder(big).count()
+    }
     val fingerprint = timed("dedup_fingerprint_10x") {
       graft.operators.Dedup.dedupFingerprint(big).count()
     }
@@ -78,7 +94,8 @@ object Probe {
       n
     }
 
-    val all = Seq(minhash, simhash, spanDedup, decontaminate, unigram, assembly, fingerprint, clusters)
+    val all = Seq(minhash, simhash, spanDedup, decontaminate, unigram,
+      assembly, tfidf, bigram, mix, shuffleOrd, fingerprint, clusters)
     val qs = all.map { case (k, s, r) => f""""$k":{"sec":$s%.2f,"rows":$r}""" }
       .mkString("{", ",", "}")
     println(s"""{"probe":"10x","docs":$nDocs,"results":$qs}""")
