@@ -401,27 +401,41 @@ object Dedup {
     // real cluster) — but round state here is edge-scale, and tiny
     // rounds spread over many near-empty tasks pay scheduler overhead
     // per round instead of doing work (measured: the same sf0.1 query
-    // swings 1.5-6 s at 32 partitions purely on task dispatch). One
+    // swings 1.5-6 s at 32 partitions purely on task dispatch;
+    // ClustersDelta pins the win at ~30% with interleaved arms). One
     // partition per ~2M edges, clamped to the session setting — the
     // same rule that picks 32 at sf0.1 picks thousands at 100 TB. The
-    // count is one cheap job over the already-checkpointed edges; the
-    // session conf is restored after the loop (the returned frame is
-    // checkpoint-backed, so downstream planning is unaffected).
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // count is one cheap job over the already-checkpointed edges.
+    //
+    // The smaller width is scoped to a CHILD session (shared context,
+    // cache and checkpoint state; its own SQLConf): no session-global
+    // conf mutation, so concurrent queries and concurrent dupClusters
+    // calls are untouched. Edge rows cross sessions through the
+    // already-checkpointed RDD — nothing upstream recomputes, and the
+    // per-round row conversion is edge-scale (the only case where the
+    // child session engages is when edges are small). A non-numeric
+    // session setting (e.g. AQE-managed "auto" on some runtimes)
+    // simply skips the clamp.
+    val sessionParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(Long.MaxValue)
     // -Dgraft.clusters.autosize=false pins the session setting (the
     // ClustersDelta A/B harness flips this to measure the sizing win)
     val autosize = !"false".equals(System.getProperty("graft.clusters.autosize"))
-    val loopParts = if (autosize) math.max(1L,
-      math.min(sessionParts.toLong, edges.count() / 2000000L + 1L)).toString
-      else sessionParts
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
-    var labels = ckpt(edges.groupBy(col("a_id").as("id"))
+    val target = math.max(1L, math.min(sessionParts, edges.count() / 2000000L + 1L))
+    val loop = if (autosize && target < sessionParts) {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", target.toString)
+      s
+    } else spark
+    def rebind(to: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
+      if (df.sparkSession eq to) df else to.createDataFrame(df.rdd, df.schema)
+    val loopEdges = rebind(loop, edges)
+    var labels = ckpt(loopEdges.groupBy(col("a_id").as("id"))
       .agg(least(col("a_id"), min(col("b_id"))).as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges
+      val nbrMin = loopEdges
         .join(labels.select(col("id").as("b_id"), col("label").as("nl")), "b_id")
         .groupBy(col("a_id").as("id")).agg(min(col("nl")).as("nmin"))
       // Persisted: the pointer-halving self-join below reads `stepped`
@@ -448,9 +462,11 @@ object Dedup {
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // hand the result back in the CALLER's session (via the checkpoint
+    // RDD) so downstream planning keeps the caller's shuffle width
+    rebind(spark, labels)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }
 
   /** End-to-end near-dup clustering: verified Jaccard near-dup pairs →
