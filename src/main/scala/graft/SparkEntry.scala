@@ -86,6 +86,7 @@ object SparkEntry {
     "pipeline_shuffle" -> ((s, d) => TextOps.shuffleOrder(Tables.documents(s, d))),
     "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
     "embedding_diversity" -> ((s, d) => Ann.embeddingDiversity(Tables.embeddings(s, d))),
+    "ann_pq" -> ((s, d) => Ann.annPq(Tables.embeddings(s, d))),
     "ann_ivf_sampled" -> ((s, d) => Ann.annIvfSampled(Tables.embeddings(s, d))),
     "pipeline_assembly" -> ((s, d) => TextOps.assemblyPipeline(Tables.documents(s, d))),
     "embedding_cluster_hist" -> ((s, d) => Ann.embeddingClusterHist(Tables.embeddings(s, d))),
@@ -368,6 +369,49 @@ object SparkEntry {
         |SELECT count(*) AS n_pairs, round(avg(cos), 4) AS mean_cos,
         |  round(min(cos), 4) AS min_cos, round(max(cos), 4) AS max_cos
         |FROM p""".stripMargin,
+    "ann_pq" ->
+      // product quantization end to end: md5-sampled 16-codeword
+      // codebook (index by vec_id order), per-subspace encode by
+      // argmin of the 6dp-ROUNDED distance (ties -> lowest c — both
+      // engines consume only rounded values so ulp-order differences
+      // cannot flip an argmin), ADC = sum of the 4 rounded lookups,
+      // ranked at 4dp with vec_id tiebreak. (x)*(x) not pow: DuckDB's
+      // ^ is pow() and may differ from multiplication in the last ulp
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cb AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+        |  FROM (SELECT vec_id, v FROM e
+        |        ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':pq'), 1, 15)) AS BIGINT), vec_id
+        |        LIMIT 16)
+        |), sd AS (
+        |  SELECT e.vec_id, cb.c, j.j,
+        |    round(sum((e.v[j.j*16 + d.d] - cb.v[j.j*16 + d.d]) * (e.v[j.j*16 + d.d] - cb.v[j.j*16 + d.d])) + 1e-9, 6) AS dist
+        |  FROM e, cb, (SELECT unnest(range(0, 4)) AS j) j, (SELECT unnest(range(1, 17)) AS d) d
+        |  GROUP BY e.vec_id, cb.c, j.j
+        |), codes AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |    FROM sd) WHERE rn = 1
+        |), lut AS (
+        |  SELECT q.vec_id AS q_id, cb.c, j.j,
+        |    round(sum((q.v[j.j*16 + d.d] - cb.v[j.j*16 + d.d]) * (q.v[j.j*16 + d.d] - cb.v[j.j*16 + d.d])) + 1e-9, 6) AS dist
+        |  FROM (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0) q, cb,
+        |       (SELECT unnest(range(0, 4)) AS j) j, (SELECT unnest(range(1, 17)) AS d) d
+        |  GROUP BY q.vec_id, cb.c, j.j
+        |), adc AS (
+        |  SELECT l.q_id, codes.vec_id, round(sum(l.dist) + 1e-9, 4) AS adc
+        |  FROM codes JOIN lut l ON codes.j = l.j AND codes.c = l.c
+        |  WHERE codes.vec_id <> l.q_id
+        |  GROUP BY l.q_id, codes.vec_id
+        |), r AS (
+        |  SELECT q_id, vec_id AS neighbor_id, adc,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+        |  FROM adc
+        |)
+        |SELECT q_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "text_pii_redact" ->
       """WITH r AS (
         |  SELECT doc_id, length(text) AS orig_len,

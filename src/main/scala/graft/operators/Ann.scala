@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.F
 
@@ -163,6 +163,77 @@ object Ann {
       .agg(count(lit(1)).as("n_vecs"),
         min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
       .orderBy(col("list_id"))
+  }
+
+  /** Product-quantization ANN (Jégou et al., the third classic scale
+    * path beside LSH and IVF): embeddings compress to `m` subspace
+    * codes against a `kCode`-codeword codebook per subspace, and
+    * queries rank vectors by ASYMMETRIC distance — a per-query lookup
+    * table of query↔codeword subspace distances, summed over each
+    * vector's codes. At 100 TB this is the memory story: a 64-dim
+    * float vector (256 B) scans as m=4 small codes, and the distance
+    * per candidate is m table lookups instead of a dot product
+    * (production composes this with the IVF lists for pruning; the
+    * ADC scan here covers the whole corpus the way annBruteforce
+    * does, deliberately, so the quantizer is gated end to end).
+    *
+    * Everything is deterministic and oracle-reproducible: the
+    * codebook is a sampled quantizer (the kCode vectors with smallest
+    * md5(vec_id||":pq"), codeword index by vec_id order — same trick
+    * as [[sampledCentroids]]); every subspace distance rounds to 6 dp
+    * at creation (both the encode argmin and the ADC sum consume only
+    * rounded values, so engine ulp differences cannot flip an argmin
+    * or a rank); ADC rounds to 4 dp with vec_id tie-break. Encoding
+    * and scoring are row-local against the broadcast codebook/LUT —
+    * the corpus shuffles only the graft_topk partials. */
+  def annPq(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+            m: Int = 4, kCode: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    // rounded subspace distance ||v_j - w_j||^2 (6 dp, 1e-9 guard)
+    def subDist(v: Column, w: Column, j: Column): Column =
+      round(aggregate(
+        zip_with(slice(v, j * sub + 1, lit(sub)), slice(w, j * sub + 1, lit(sub)),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x) + lit(1e-9), 6)
+
+    val h = conv(substring(md5(concat(col("vec_id").cast("string"), lit(":pq"))), 1, 15), 16, 10)
+      .cast("long")
+    // codebook collapsed to ONE broadcast row: cws[c+1] = codeword c
+    // (array_sort on struct(vec_id, cw) pins collect order)
+    val codebook = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cw"), h.as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(kCode)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("cw")))).as("s"))
+      .select(transform(col("s"), s => s.getField("cw")).as("cws"))
+    val js = sequence(lit(0), lit(m - 1))
+    // encode: per subspace, the index of the min rounded distance
+    // (array_position finds the FIRST minimum — ties to lowest c)
+    val coded = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(codebook))
+      .select(col("vec_id"), transform(js, j => {
+        val dists = transform(col("cws"), cw => subDist(col("v"), cw, j))
+        array_position(dists, array_min(dists)) - 1
+      }).as("codes"))
+    // per-query LUT over the same rounded distances: lut[j+1][c+1]
+    val queries = querySet(embeddings, stride)
+      .select(col("q_id"), col("q_vec").cast("array<double>").as("qv"))
+      .crossJoin(broadcast(codebook))
+      .select(col("q_id"),
+        transform(js, j => transform(col("cws"), cw => subDist(col("qv"), cw, j))).as("lut"))
+    val adc = aggregate(js, lit(0.0), (acc, j) =>
+      acc + element_at(element_at(col("lut"), j + 1),
+        (element_at(col("codes"), j + 1) + 1).cast("int")))
+    coded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(adc + lit(1e-9), 4).as("d"))
+      .groupBy(col("q_id"))
+      .agg(F.topk(-col("d"), col("vec_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("col.id").as("neighbor_id"),
+        round(-col("col.score"), 4).as("adc"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Corpus diversity probe: mean/min/max pairwise cosine over a

@@ -489,6 +489,32 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(s.getDouble(2) == 0.0)           // orthogonal pairs exist
   }
 
+  test("PQ ADC ranking separates far clusters and orders by rounded distance") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // two far groups in different subspaces: A peaks at dim 0, B at
+    // dim 32 (subspaces 0 and 2 of m=4), small within-group jitter
+    def vec(peak: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(d => (if (d == peak) 1.0f else 0.0f) +
+        (if (d == peak + 5) jitter else 0.0f))
+    val rows = (1L to 20L).map(i => (i, vec(0, (i % 3) * 0.01f))) ++
+      (21L to 40L).map(i => (i, vec(32, (i % 3) * 0.01f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Ann.annPq(emb, k = 5, stride = 20).collect()
+    // queries: 20 (group A) and 40 (group B)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(20L, 40L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to 5L)) // dense ranks
+      assert(!rs.map(_.getLong(1)).contains(q))               // self excluded
+      val adcs = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(adcs.toSeq == adcs.sorted.toSeq)                 // ascending ADC
+      val expectGroup = if (q == 20L) (1L to 19L) else (21L to 39L)
+      assert(rs.map(_.getLong(1)).forall(expectGroup.contains(_)),
+        s"query $q retrieved cross-cluster: ${rs.map(_.getLong(1)).toSeq}")
+    }
+  }
+
   test("repetition signals spot a degenerate document") {
     val spark = TestSpark.spark
     import spark.implicits._
