@@ -87,6 +87,7 @@ object SparkEntry {
     "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
     "embedding_diversity" -> ((s, d) => Ann.embeddingDiversity(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => Ann.annPq(Tables.embeddings(s, d))),
+    "ann_ivf_pq" -> ((s, d) => Ann.annIvfPq(Tables.embeddings(s, d))),
     "ann_ivf_sampled" -> ((s, d) => Ann.annIvfSampled(Tables.embeddings(s, d))),
     "pipeline_assembly" -> ((s, d) => TextOps.assemblyPipeline(Tables.documents(s, d))),
     "embedding_cluster_hist" -> ((s, d) => Ann.embeddingClusterHist(Tables.embeddings(s, d))),
@@ -404,6 +405,68 @@ object SparkEntry {
         |  SELECT l.q_id, codes.vec_id, round(sum(l.dist) + 1e-9, 4) AS adc
         |  FROM codes JOIN lut l ON codes.j = l.j AND codes.c = l.c
         |  WHERE codes.vec_id <> l.q_id
+        |  GROUP BY l.q_id, codes.vec_id
+        |), r AS (
+        |  SELECT q_id, vec_id AS neighbor_id, adc,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+        |  FROM adc
+        |)
+        |SELECT q_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "ann_ivf_pq" ->
+      // FAISS-style IVFPQ composition: the ann_ivf_sampled centroid/
+      // assignment/probe CTEs prune to 4 lists per query, the ann_pq
+      // codebook/codes/LUT CTEs score only those lists' vectors by
+      // summed rounded subspace distances
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hs AS (
+        |  SELECT vec_id,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM e
+        |), sel AS (SELECT vec_id FROM hs ORDER BY h, vec_id LIMIT 16),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS list_id, e.v AS cv
+        |  FROM sel s JOIN e ON e.vec_id = s.vec_id
+        |), asgn AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT e.vec_id, c.list_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.list_id ASC) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1
+        |), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |qp AS (
+        |  SELECT q_id, list_id FROM (
+        |    SELECT q.q_id, c.list_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.list_id ASC) AS rn
+        |    FROM q CROSS JOIN cent c) WHERE rn <= 4
+        |), cb AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+        |  FROM (SELECT vec_id, v FROM e
+        |        ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':pq'), 1, 15)) AS BIGINT), vec_id
+        |        LIMIT 16)
+        |), sd AS (
+        |  SELECT e.vec_id, cb.c, j.j,
+        |    round(sum((e.v[j.j*16 + d.d] - cb.v[j.j*16 + d.d]) * (e.v[j.j*16 + d.d] - cb.v[j.j*16 + d.d])) + 1e-9, 6) AS dist
+        |  FROM e, cb, (SELECT unnest(range(0, 4)) AS j) j, (SELECT unnest(range(1, 17)) AS d) d
+        |  GROUP BY e.vec_id, cb.c, j.j
+        |), codes AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |    FROM sd) WHERE rn = 1
+        |), lut AS (
+        |  SELECT q.q_id, cb.c, j.j,
+        |    round(sum((q.qv[j.j*16 + d.d] - cb.v[j.j*16 + d.d]) * (q.qv[j.j*16 + d.d] - cb.v[j.j*16 + d.d])) + 1e-9, 6) AS dist
+        |  FROM q, cb, (SELECT unnest(range(0, 4)) AS j) j, (SELECT unnest(range(1, 17)) AS d) d
+        |  GROUP BY q.q_id, cb.c, j.j
+        |), adc AS (
+        |  SELECT l.q_id, codes.vec_id, round(sum(l.dist) + 1e-9, 4) AS adc
+        |  FROM qp
+        |  JOIN asgn a ON a.list_id = qp.list_id
+        |  JOIN codes ON codes.vec_id = a.vec_id
+        |  JOIN lut l ON l.q_id = qp.q_id AND l.j = codes.j AND l.c = codes.c
+        |  WHERE a.vec_id <> qp.q_id
         |  GROUP BY l.q_id, codes.vec_id
         |), r AS (
         |  SELECT q_id, vec_id AS neighbor_id, adc,

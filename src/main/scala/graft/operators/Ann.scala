@@ -186,46 +186,59 @@ object Ann {
     * or a rank); ADC rounds to 4 dp with vec_id tie-break. Encoding
     * and scoring are row-local against the broadcast codebook/LUT —
     * the corpus shuffles only the graft_topk partials. */
-  def annPq(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
-            m: Int = 4, kCode: Int = 16, dim: Int = 64): DataFrame = {
-    require(dim % m == 0, s"dim $dim must split into $m subspaces")
-    val sub = dim / m
-    // rounded subspace distance ||v_j - w_j||^2 (6 dp, 1e-9 guard)
-    def subDist(v: Column, w: Column, j: Column): Column =
-      round(aggregate(
-        zip_with(slice(v, j * sub + 1, lit(sub)), slice(w, j * sub + 1, lit(sub)),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x) + lit(1e-9), 6)
+  /** Rounded subspace distance ||v_j − w_j||² (6 dp, 1e-9 guard): both
+    * the encode argmin and the ADC sum consume only these rounded
+    * values, so engine ulp differences cannot flip a decision. */
+  private def pqSubDist(v: Column, w: Column, j: Column, sub: Int): Column =
+    round(aggregate(
+      zip_with(slice(v, j * sub + 1, lit(sub)), slice(w, j * sub + 1, lit(sub)),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x) + lit(1e-9), 6)
 
+  /** The PQ codebook collapsed to ONE broadcast row: cws[c+1] =
+    * codeword c — the kCode vectors with smallest md5(vec_id||":pq"),
+    * indexed in vec_id order (array_sort on struct pins the collect
+    * order). */
+  private def pqCodebook(embeddings: DataFrame, kCode: Int): DataFrame = {
     val h = conv(substring(md5(concat(col("vec_id").cast("string"), lit(":pq"))), 1, 15), 16, 10)
       .cast("long")
-    // codebook collapsed to ONE broadcast row: cws[c+1] = codeword c
-    // (array_sort on struct(vec_id, cw) pins collect order)
-    val codebook = embeddings
+    embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("cw"), h.as("h"))
       .orderBy(col("h"), col("vec_id")).limit(kCode)
       .agg(array_sort(collect_list(struct(col("vec_id"), col("cw")))).as("s"))
       .select(transform(col("s"), s => s.getField("cw")).as("cws"))
-    val js = sequence(lit(0), lit(m - 1))
-    // encode: per subspace, the index of the min rounded distance
-    // (array_position finds the FIRST minimum — ties to lowest c)
-    val coded = embeddings
+  }
+
+  /** Row-local PQ encode against the broadcast codebook: per subspace,
+    * the index of the min rounded distance (array_position finds the
+    * FIRST minimum — ties to lowest c). */
+  private def pqCodes(embeddings: DataFrame, codebook: DataFrame,
+                      m: Int, sub: Int): DataFrame =
+    embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .crossJoin(broadcast(codebook))
-      .select(col("vec_id"), transform(js, j => {
-        val dists = transform(col("cws"), cw => subDist(col("v"), cw, j))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(m - 1)), j => {
+        val dists = transform(col("cws"), cw => pqSubDist(col("v"), cw, j, sub))
         array_position(dists, array_min(dists)) - 1
       }).as("codes"))
-    // per-query LUT over the same rounded distances: lut[j+1][c+1]
-    val queries = querySet(embeddings, stride)
+
+  /** Per-query ADC lookup table over the same rounded distances:
+    * lut[j+1][c+1] = ||q_j − cw_{j,c}||². */
+  private def pqLut(queries: DataFrame, codebook: DataFrame,
+                    m: Int, sub: Int): DataFrame =
+    queries
       .select(col("q_id"), col("q_vec").cast("array<double>").as("qv"))
       .crossJoin(broadcast(codebook))
-      .select(col("q_id"),
-        transform(js, j => transform(col("cws"), cw => subDist(col("qv"), cw, j))).as("lut"))
-    val adc = aggregate(js, lit(0.0), (acc, j) =>
+      .select(col("q_id"), transform(sequence(lit(0), lit(m - 1)),
+        j => transform(col("cws"), cw => pqSubDist(col("qv"), cw, j, sub))).as("lut"))
+
+  /** ADC score = Σ_j lut[j][codes_j], then rounded top-k (lowest adc,
+    * vec_id tie-break) via the bounded-heap aggregate on −adc. */
+  private def pqRank(scored: DataFrame, m: Int, k: Int): DataFrame = {
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
       acc + element_at(element_at(col("lut"), j + 1),
         (element_at(col("codes"), j + 1) + 1).cast("int")))
-    coded.crossJoin(broadcast(queries))
+    scored
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), round(adc + lit(1e-9), 4).as("d"))
       .groupBy(col("q_id"))
@@ -234,6 +247,48 @@ object Ann {
       .select(col("q_id"), col("col.id").as("neighbor_id"),
         round(-col("col.score"), 4).as("adc"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annPq(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+            m: Int = 4, kCode: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val codebook = pqCodebook(embeddings, kCode)
+    val coded = pqCodes(embeddings, codebook, m, sub)
+    val luts = pqLut(querySet(embeddings, stride), codebook, m, sub)
+    pqRank(coded.crossJoin(broadcast(luts)), m, k)
+  }
+
+  /** IVF-PQ — the production composition the PQ and IVF docs both
+    * point at (FAISS's IVFPQ index): the sampled coarse quantizer
+    * prunes each query to its `nprobe` inverted lists, and PQ
+    * asymmetric distance ranks only those lists' vectors. Per-query
+    * work drops from |corpus| ADC lookups to ~|corpus|·nprobe/nlist,
+    * on top of PQ's memory compression — this is the shape that scans
+    * a 100 TB corpus: lists are the partitioning key, codes are the
+    * payload, the codebook and per-query LUTs broadcast. Both halves
+    * are already oracle-gated alone (38c, 38f); here the COMPOSITION
+    * is oracle-gated end to end. */
+  def annIvfPq(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+               nlist: Int = 16, nprobe: Int = 4,
+               m: Int = 4, kCode: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val cents = sampledCentroids(embeddings, nlist)
+    val assigned = sampledAssignments(embeddings, cents)
+      .select(col("vec_id"), col("list_id"))
+    val probes = querySet(embeddings, stride).crossJoin(broadcast(cents))
+      .select(col("q_id"), col("list_id"), F.cosine(col("q_vec"), col("c_vec")).as("ccos"))
+      .groupBy(col("q_id"))
+      .agg(F.topk(col("ccos"), col("list_id"), nprobe).as("pl"))
+      .select(col("q_id"), explode(col("pl.id")).as("list_id"))
+    val codebook = pqCodebook(embeddings, kCode)
+    val coded = pqCodes(embeddings, codebook, m, sub)
+    val luts = pqLut(querySet(embeddings, stride), codebook, m, sub)
+    // each vector lives in exactly one list, so (q_id, vec_id) pairs
+    // stay unique after the probe join
+    val qside = luts.join(probes, "q_id")
+    pqRank(coded.join(assigned, "vec_id").join(broadcast(qside), "list_id"), m, k)
   }
 
   /** Corpus diversity probe: mean/min/max pairwise cosine over a

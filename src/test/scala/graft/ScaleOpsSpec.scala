@@ -515,6 +515,28 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("IVF-PQ composition prunes to probed lists and keeps cluster purity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def vec(peak: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(d => (if (d == peak) 1.0f else 0.0f) +
+        (if (d == peak + 5) jitter else 0.0f))
+    val rows = (1L to 20L).map(i => (i, vec(0, (i % 3) * 0.01f))) ++
+      (21L to 40L).map(i => (i, vec(32, (i % 3) * 0.01f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Ann.annIvfPq(emb, k = 5, stride = 20).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(20L, 40L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.nonEmpty && rs.length <= 5)
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length)) // dense ranks
+      assert(!rs.map(_.getLong(1)).contains(q))
+      val expectGroup = if (q == 20L) (1L to 19L) else (21L to 39L)
+      assert(rs.map(_.getLong(1)).forall(expectGroup.contains(_)),
+        s"query $q retrieved cross-cluster: ${rs.map(_.getLong(1)).toSeq}")
+    }
+  }
+
   test("repetition signals spot a degenerate document") {
     val spark = TestSpark.spark
     import spark.implicits._
