@@ -85,6 +85,7 @@ object SparkEntry {
     "pipeline_mix" -> ((s, d) => TextOps.mixDomains(Tables.documents(s, d))),
     "pipeline_shuffle" -> ((s, d) => TextOps.shuffleOrder(Tables.documents(s, d))),
     "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
+    "text_quality_lr" -> ((s, d) => TextOps.textQualityLr(Tables.documents(s, d))),
     "embedding_diversity" -> ((s, d) => Ann.embeddingDiversity(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => Ann.annPq(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => Ann.annIvfPq(Tables.embeddings(s, d))),
@@ -342,6 +343,31 @@ object SparkEntry {
         |SELECT lang, lang_pred, n,
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) + 1e-9, 4) AS frac
         |FROM m ORDER BY lang, lang_pred""".stripMargin,
+    "text_quality_lr" ->
+      // fixed-weight logistic scoring over the same per-row features
+      // as text_quality; p rounds at 4dp BEFORE the keep threshold so
+      // the decision is engine-independent
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |   regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |   length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |   length(regexp_replace(text, '\s+', '', 'g')) AS n_nonws
+        |  FROM documents
+        |), z AS (
+        |  SELECT doc_id,
+        |   -1.5
+        |   + least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 2.0
+        |   + (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks)) * 4.0
+        |   + (CAST(n_punct AS DOUBLE) / n_chars) * (-6.0)
+        |   + ((CAST(n_nonws AS DOUBLE) / len(toks)) / 10.0) * 1.0 AS logit
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, round(logit + 1e-9, 4) AS logit_r,
+        |    round(1.0 / (1.0 + exp(-logit)) + 1e-9, 4) AS p_keep
+        |  FROM z
+        |)
+        |SELECT doc_id, logit_r AS logit, p_keep, p_keep >= 0.5 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "pipeline_shuffle" ->
       // md5-keyed deterministic permutation; shard = top 16 key bits
       // scaled by 8 (a fixed uniform range partition), pos = key rank

@@ -513,6 +513,34 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Logistic quality scoring — the trained-classifier face of
+    * [[textQuality]]'s heuristic composite (the fastText-style quality
+    * filter pipelines run once labels exist; the weights here are
+    * fixed stand-ins for trained ones, wired so the whole
+    * features → logit → sigmoid → threshold path is oracle-gated).
+    * All features are per-row expressions: the corpus streams through
+    * with NO shuffle at all — the cheapest possible scale shape, and
+    * exactly how a scoring pass over 100 TB should look (the trailing
+    * orderBy is oracle-only). Probabilities round at 4 dp before the
+    * keep threshold so the decision is engine-independent. */
+  def textQualityLr(documents: DataFrame): DataFrame = {
+    val nTok = size(tokens)
+    val stopRatio = stopHits(EN_STOPS).cast("double") / nTok
+    val meanWordLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
+    val z = lit(-1.5) +
+      least(nTok.cast("double") / lit(50.0), lit(1.0)) * lit(2.0) +
+      stopRatio * lit(4.0) +
+      punctRatioCol * lit(-6.0) +
+      (meanWordLen / lit(10.0)) * lit(1.0)
+    val p = round(lit(1.0) / (lit(1.0) + exp(-z)) + lit(1e-9), 4)
+    documents.select(
+      col("doc_id"),
+      round(z + lit(1e-9), 4).as("logit"),
+      p.as("p_keep"),
+      (p >= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID evaluation: the confusion matrix of [[textLangid]]'s
     * prediction against the gold `lang` label, with per-gold-row
     * fractions — the quality gate one runs on the classifier itself

@@ -537,6 +537,19 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("logistic quality scoring separates fluent text from junk") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val fluent = "the cat sat on the mat and the dog is in the house of a friend " * 4
+    val docs = Seq((1L, fluent), (2L, "!!! ??? ;;; ,,,")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textQualityLr(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L)._2 && !out(2L)._2)        // keep fluent, drop junk
+    assert(out(1L)._1 > 0.5 && out(2L)._1 < 0.5)
+    // sigmoid stays in (0, 1)
+    out.values.foreach { case (p, _) => assert(p > 0.0 && p < 1.0) }
+  }
+
   test("repetition signals spot a degenerate document") {
     val spark = TestSpark.spark
     import spark.implicits._
