@@ -550,6 +550,42 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     out.values.foreach { case (p, _) => assert(p > 0.0 && p < 1.0) }
   }
 
+  test("PQ reconstructs codebook members exactly: their ADC is the true rounded distance") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // random corpus (seeded): no planted structure, so this checks the
+    // arithmetic contract rather than cluster separation
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 50L).map(i => (i, Array.fill(64)(rnd.nextFloat())))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Ann.annPq(emb, k = 10, stride = 25).collect()
+    // codebook = the 16 vectors with smallest md5(vec_id||":pq") (hex
+    // string order == numeric order of the 60-bit prefix)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val cbIds = rows.map(_._1).sortBy(i => (md5hex(s"$i:pq"), i)).take(16).toSet
+    val vecs = rows.toMap
+    def trueAdc(q: Long, v: Long): Double = {
+      val (qv, vv) = (vecs(q), vecs(v))
+      val subSums = (0 until 4).map { j =>
+        val d = (0 until 16).map { t =>
+          val diff = qv(j * 16 + t).toDouble - vv(j * 16 + t).toDouble
+          diff * diff
+        }.sum
+        BigDecimal(d + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sum
+      BigDecimal(subSums + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cbRows = out.filter(r => cbIds.contains(r.getLong(1)))
+    assert(cbRows.nonEmpty) // with 16 of 50 in the codebook, some rank in top-10
+    cbRows.foreach { r =>
+      assert(r.getDouble(2) == trueAdc(r.getLong(0), r.getLong(1)),
+        s"codebook member ${r.getLong(1)} not reconstructed exactly for query ${r.getLong(0)}")
+    }
+    out.foreach(r => assert(r.getDouble(2) >= 0.0))
+  }
+
   test("repetition signals spot a degenerate document") {
     val spark = TestSpark.spark
     import spark.implicits._
