@@ -86,6 +86,7 @@ object SparkEntry {
     "pipeline_shuffle" -> ((s, d) => TextOps.shuffleOrder(Tables.documents(s, d))),
     "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
     "text_quality_lr" -> ((s, d) => TextOps.textQualityLr(Tables.documents(s, d))),
+    "pipeline_budget" -> ((s, d) => TextOps.budgetDomains(Tables.documents(s, d))),
     "embedding_diversity" -> ((s, d) => Ann.embeddingDiversity(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => Ann.annPq(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => Ann.annIvfPq(Tables.embeddings(s, d))),
@@ -368,6 +369,31 @@ object SparkEntry {
         |)
         |SELECT doc_id, logit_r AS logit, p_keep, p_keep >= 0.5 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "pipeline_budget" ->
+      // greedy per-domain budget fill in md5 order: keep while the
+      // PRECEDING cumulative token total is under 2000 (the crossing
+      // doc lands, Batcher close-on-crossing semantics)
+      """WITH sized AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR) || ':budget') AS key
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sized
+        |), t AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN cum - n_tokens < 2000 THEN 1 ELSE 0 END AS kept
+        |  FROM c
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+        |  round(CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS DOUBLE) / 2000, 4) AS fill_ratio
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_shuffle" ->
       // md5-keyed deterministic permutation; shard = top 16 key bits
       // scaled by 8 (a fixed uniform range partition), pos = key rank

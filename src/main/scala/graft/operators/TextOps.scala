@@ -587,6 +587,41 @@ object TextOps {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** Absolute per-domain token budgets — the complement of
+    * [[mixDomains]]' proportional rates (the Pile/Dolma recipe: "take
+    * N tokens from each source"): docs fill their domain's budget in
+    * deterministic md5 order, keeping every doc whose PRECEDING
+    * cumulative total is still under budget (greedy fill — the
+    * crossing doc lands, the same close-on-crossing semantic as the
+    * sink Batcher), so the sample is reproducible and every domain
+    * lands within one doc of its budget. Output is the per-domain
+    * audit.
+    *
+    * Scale shape: one shuffle on the domain key + an ordered
+    * in-partition cumulative sum (running window, no second pass) —
+    * identical to the packing kernel's shape; domains partition the
+    * corpus so the sort is per-domain, never global. */
+  def budgetDomains(documents: DataFrame, budgetTokens: Long = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(tokens).cast("long").as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(":budget"))).as("key"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("kept", col("cum") - col("n_tokens") < budgetTokens)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("n_tokens_kept"))
+      .withColumn("fill_ratio",
+        round(col("n_tokens_kept").cast("double") / budgetTokens, 4))
+      .orderBy(col("source"))
+  }
+
   /** Streaming face of [[decontaminate]]: drops contaminated documents
     * AT INGEST, before they ever land in the training corpus. The
     * benchmark's distinct span hashes collapse into one array row on

@@ -586,6 +586,27 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     out.foreach(r => assert(r.getDouble(2) >= 0.0))
   }
 
+  test("domain budget fill keeps docs greedily until the budget crossing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // one domain of 5x10-token docs against a 25-token budget: greedy
+    // md5-order fill keeps docs while preceding cum < 25 -> exactly 3
+    // kept (10+10 then the crossing doc lands), regardless of order
+    val docs = (1L to 5L).map(i => (i, words(10), "only")).toDF("doc_id", "text", "source")
+    val out = graft.operators.TextOps.budgetDomains(docs, budgetTokens = 25).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "only" && r.getLong(1) == 5L)
+    assert(r.getLong(2) == 3L && r.getLong(4) == 30L)   // 3 docs, 30 tokens kept
+    assert(r.getLong(3) == 50L)                          // corpus total
+    assert(r.getDouble(5) == 1.2)                        // 30/25
+    // a domain smaller than its budget keeps everything
+    val tiny = Seq((1L, words(4), "small")).toDF("doc_id", "text", "source")
+    val t = graft.operators.TextOps.budgetDomains(tiny, budgetTokens = 100).collect().head
+    assert(t.getLong(2) == 1L && t.getLong(4) == 4L)
+  }
+
   test("repetition signals spot a degenerate document") {
     val spark = TestSpark.spark
     import spark.implicits._
