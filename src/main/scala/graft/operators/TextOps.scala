@@ -622,6 +622,24 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Streaming face of [[mixDomains]]: applies precomputed per-domain
+    * acceptance rates AT INGEST — the rates table (domain → threshold,
+    * typically [[mixDomains]]' audit output from the last corpus
+    * snapshot) is a tiny STATIC side broadcast into every micro-batch,
+    * and each streamed doc is one row-local md5-bucket test against
+    * its domain's threshold. No shuffle, no watermark, zero streaming
+    * state — the same ingest-time shape as [[decontaminateStream]].
+    * `rates` needs columns (source, thresh) with thresh in [0, 10000]
+    * (= round(rate·10000), [[mixDomains]]' own convention). */
+  def mixStream(docs: DataFrame, rates: DataFrame): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8), 16, 10)
+      .cast("long") % 10000
+    docs.join(broadcast(rates.select(col("source"), col("thresh"))), "source")
+      .filter(bucket < col("thresh"))
+      .drop("thresh")
+  }
+
   /** Streaming face of [[decontaminate]]: drops contaminated documents
     * AT INGEST, before they ever land in the training corpus. The
     * benchmark's distinct span hashes collapse into one array row on
