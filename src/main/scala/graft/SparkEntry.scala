@@ -77,6 +77,7 @@ object SparkEntry {
     "mm_gif" -> ((s, d) => Multimodal.mmGif(Tables.documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.mmResize(Tables.documents(s, d))),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(Tables.documents(s, d))),
+    "text_span_removal" -> ((s, d) => TextOps.spanRemoval(Tables.documents(s, d))),
     "pipeline_pack" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "pipeline_pack_split" -> ((s, d) => TextOps.packSequencesSplit(Tables.documents(s, d))),
     "text_unigram_lp" -> ((s, d) => TextOps.textUnigramLp(Tables.documents(s, d))),
@@ -1128,6 +1129,49 @@ object SparkEntry {
         |  CAST(dup_spans AS BIGINT) AS dup_spans,
         |  round(CAST(dup_spans AS DOUBLE) / n_spans, 4) AS dup_fraction
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "text_span_removal" ->
+      // positional variant of the text_span_dedup span CTE (0-based
+      // span starts, within-doc repeats kept), composed with interval
+      // coverage: a token is removed iff ANY duplicated span (>= 2
+      // distinct docs) starts within k-1 positions before it
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents
+        |), sp AS (
+        |  SELECT doc_id, 0 AS pos, array_to_string(toks, ' ') AS span
+        |  FROM t WHERE len(toks) < 10
+        |  UNION ALL
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+9], ' ') AS span
+        |  FROM t, LATERAL unnest(range(1, len(toks) - 8)) AS u(i)
+        |  WHERE len(toks) >= 10
+        |), dup AS (
+        |  SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        |), ds AS (
+        |  SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (span)
+        |), cov AS (
+        |  SELECT DISTINCT ds.doc_id, ds.pos + u.o AS p
+        |  FROM ds JOIN t USING (doc_id), LATERAL unnest(range(0, 10)) AS u(o)
+        |  WHERE ds.pos + u.o < len(t.toks)
+        |), tok AS (
+        |  SELECT doc_id, i - 1 AS p, toks[i] AS tok, len(toks) AS n
+        |  FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+        |), j AS (
+        |  SELECT tok.doc_id, tok.p, tok.tok, tok.n, (cov.p IS NOT NULL) AS removed
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |), agg AS (
+        |  SELECT doc_id, max(n) AS n_tokens,
+        |    sum(CASE WHEN removed THEN 0 ELSE 1 END) AS kept_tokens,
+        |    sum(CASE WHEN removed THEN 1 ELSE 0 END) AS removed_cnt,
+        |    coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE NOT removed), '') AS clean_text
+        |  FROM j GROUP BY doc_id
+        |), dsc AS (
+        |  SELECT doc_id, count(*) AS dup_starts FROM ds GROUP BY doc_id
+        |)
+        |SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(a.kept_tokens AS BIGINT) AS kept_tokens,
+        |  CAST(coalesce(d.dup_starts, 0) AS BIGINT) AS dup_starts,
+        |  round(CAST(a.removed_cnt AS DOUBLE) / a.n_tokens, 4) AS removed_fraction,
+        |  a.clean_text
+        |FROM agg a LEFT JOIN dsc d USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     "pipeline_assembly" ->
       // the assembly line composed from the already-proven pieces:
       // decontaminate (13-token spans, bench = doc_id % 97 = 0) ->

@@ -226,6 +226,60 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The TRANSFORMATION face of [[spanDedup]] (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * exact-substring dedup at k-token span granularity): REWRITES the
+    * corpus, cutting out every token covered by a k-token span that
+    * also appears in at least one OTHER document. Output per doc: the
+    * cleaned text plus an audit (token count before/after, duplicated
+    * span-start count, removed fraction). This is the C4-style corpus
+    * edit a real pipeline ships, where [[spanDedup]] only flags.
+    *
+    * Scale shape: positional span hashes (64-bit, same argument as
+    * [[spanDedup]]) → distinct-doc span counts (two-level exact
+    * distinct, map-side combinable) → inner join of positions against
+    * the duplicated-span set → fold to ONE row per doc (sorted
+    * dup-start array, state O(doc tokens) — no bigger than the doc
+    * text itself) → the interval union + token filter + text rebuild
+    * run ROW-LOCAL via higher-order functions: no per-position
+    * shuffle, no k-wide coverage explode crosses an exchange. Linear
+    * in corpus spans, like the signal face.
+    *
+    * Tokenization note: clean_text is rebuilt from
+    * `split(trim(lower(text)), ' ')`, positionally aligned with the
+    * hash kernel's whitespace tokenizer for single-space-separated
+    * ASCII corpora (the suite's oracle precedent; production text is
+    * pre-normalized upstream by the curation stage). */
+  def spanRemoval(documents: DataFrame, k: Int = 10): DataFrame = {
+    // index i of the kernel's span array = span starting at token i
+    // (0-based); short docs (< k tokens) emit ONE whole-doc span at 0
+    val spans = documents.select(col("doc_id"),
+      posexplode(graft.functions.F.shingleHashes(col("text"), k)).as(Seq("pos", "span")))
+    val dupSpans = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("span_df"))
+      .filter(col("span_df") >= 2).select("span")
+    val dupStarts = spans.join(dupSpans, "span")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    val toks = split(trim(lower(col("text"))), " ")
+    documents.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), toks.as("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // union of covered intervals [s, min(s+k-1, n-1)], flattened to
+      // distinct positions — row-local, bounded by the doc's length
+      .withColumn("removed_pos", array_distinct(flatten(transform(col("starts"),
+        s => sequence(s, least(s + lit(k - 1), size(col("toks")) - 1))))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("removed_pos"))).cast("long").as("kept_tokens"),
+        size(col("starts")).cast("long").as("dup_starts"),
+        round(size(col("removed_pos")).cast("double") / col("n_tokens"), 4)
+          .as("removed_fraction"),
+        concat_ws(" ", filter(col("toks"),
+          (t, i) => !array_contains(col("removed_pos"), i))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[packSequences]] with oversized-document SPLITTING — the full
     * production packing semantic: a doc longer than the budget first
     * splits into ceil(n/budget) chunks (all but the last exactly
@@ -267,12 +321,14 @@ object TextOps {
     * frequencies (map-side-combinable groupBy on 64-bit token hashes),
     * then a shuffle join back — the same inverted-index shape as
     * [[spanDedup]], linear in corpus tokens. The corpus token total
-    * rides a 1-row broadcast. */
+    * rides a 1-row broadcast derived from the vocab-sized `freq`
+    * aggregate (sum of tf == corpus token count) — NOT a third corpus
+    * explode, so the documents table is scanned exactly twice. */
   def textUnigramLp(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
       explode(graft.functions.F.shingleHashes(col("text"), 1)).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    val total = freq.agg(sum(col("tf")).as("n_total"))
     toks.join(freq, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))

@@ -290,6 +290,35 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(4L) == ((1L, 0L, 0.0)))
   }
 
+  test("span removal rewrites docs cutting cross-doc spans, with interval union") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val boiler = "one two three four five six seven eight nine ten" // one 10-token span
+    val run11 = (1 to 11).map(i => s"s$i").mkString(" ") // 11 shared tokens -> 2 overlapping dup spans
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma"),
+      (2L, s"$boiler delta epsilon zeta"),
+      (3L, "completely different words with no overlap across anything here"),
+      (4L, "short doc"), // < k: whole-doc span, duplicated with doc 5
+      (5L, "short doc"), //   -> both fully removed
+      (6L, s"$run11 tailsixa tailsixb"), // dup starts {0,1}; union covers 0..10, NOT 2x10
+      (7L, s"$run11 tailseven")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.spanRemoval(docs, k = 10).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5)))).toMap
+    assert(out(1L) == ((13L, 3L, 1L, 0.7692, "alpha beta gamma")))
+    assert(out(2L) == ((13L, 3L, 1L, 0.7692, "delta epsilon zeta")))
+    // 9 tokens < k: the whole-doc span is unique, nothing removed
+    assert(out(3L) == ((9L, 9L, 0L, 0.0,
+      "completely different words with no overlap across anything here")))
+    assert(out(4L) == ((2L, 0L, 1L, 1.0, "")))
+    assert(out(5L) == ((2L, 0L, 1L, 1.0, "")))
+    // overlapping spans at 0 and 1 cover tokens 0..10 exactly once:
+    // kept = the 2-token tail, removed fraction 11/13
+    assert(out(6L) == ((13L, 2L, 2L, 0.8462, "tailsixa tailsixb")))
+    assert(out(7L) == ((12L, 1L, 2L, 0.9167, "tailseven")))
+  }
+
   test("sequence packing is greedy within a shard and pack-complete") {
     val spark = TestSpark.spark
     import spark.implicits._
