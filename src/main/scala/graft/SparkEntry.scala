@@ -82,6 +82,7 @@ object SparkEntry {
     "pipeline_pack_split" -> ((s, d) => TextOps.packSequencesSplit(Tables.documents(s, d))),
     "text_unigram_lp" -> ((s, d) => TextOps.textUnigramLp(Tables.documents(s, d))),
     "text_bigram_lp" -> ((s, d) => TextOps.textBigramLp(Tables.documents(s, d))),
+    "tokenizer_bpe" -> ((s, d) => TextOps.tokenizerBpe(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(Tables.documents(s, d))),
     "pipeline_mix" -> ((s, d) => TextOps.mixDomains(Tables.documents(s, d))),
     "pipeline_shuffle" -> ((s, d) => TextOps.shuffleOrder(Tables.documents(s, d))),
@@ -129,8 +130,71 @@ object SparkEntry {
     }),
   )
 
+  /** Oracle for tokenizer_bpe: BPE merge training UNROLLED — one
+    * generated CTE block per merge round (a recursive CTE can't
+    * express the per-round argmax: DuckDB allows only one
+    * self-reference in the recursive term). Per round: pair counts →
+    * best pair (count desc, pair asc) → greedy left-to-right apply.
+    * Greedy overlap rule: consecutive candidate positions only arise
+    * for l=r runs; within each run-chain keep every other position
+    * (the chain/offset window trick). MATERIALIZED is load-bearing:
+    * inlined CTEs re-evaluate the whole prior-round chain
+    * exponentially. */
+  private def bpeOracleSql(merges: Int): String = {
+    def round(i: Int): String = {
+      val p = s"w${i - 1}"
+      s"""
+p$i AS MATERIALIZED (
+  SELECT syms[k] AS l, syms[k+1] AS r, sum(cnt) AS c
+  FROM $p, LATERAL unnest(range(1, len(syms))) AS u(k)
+  GROUP BY 1, 2
+),
+b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+c$i AS MATERIALIZED (
+  SELECT word, k, k - row_number() OVER (PARTITION BY word ORDER BY k) AS chain
+  FROM (
+    SELECT w.word, u.k
+    FROM $p w, LATERAL unnest(range(1, len(w.syms))) AS u(k)
+    WHERE w.syms[u.k] = (SELECT l FROM b$i) AND w.syms[u.k+1] = (SELECT r FROM b$i)
+  )
+),
+g$i AS MATERIALIZED (
+  SELECT word, k FROM (
+    SELECT word, k, k - min(k) OVER (PARTITION BY word, chain) AS off FROM c$i
+  ) WHERE off % 2 = 0
+),
+w$i AS MATERIALIZED (
+  SELECT word, cnt, list(CASE WHEN gk IS NOT NULL THEN s || s2 ELSE s END ORDER BY k) AS syms
+  FROM (
+    SELECT e.word, e.cnt, e.k, e.s, e.s2, g.k AS gk
+    FROM (
+      SELECT w.word, w.cnt, u.k, w.syms[u.k] AS s, w.syms[u.k+1] AS s2
+      FROM $p w, LATERAL unnest(range(1, len(w.syms)+1)) AS u(k)
+    ) e
+    LEFT JOIN g$i g ON g.word = e.word AND g.k = e.k
+    LEFT JOIN g$i g2 ON g2.word = e.word AND g2.k = e.k - 1
+    WHERE g2.k IS NULL
+  ) GROUP BY word, cnt
+),
+v$i AS MATERIALIZED (SELECT count(DISTINCT s) AS vs FROM w$i, LATERAL unnest(syms) AS t(s)),
+m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merged,
+  CAST(c AS BIGINT) AS pair_count, (SELECT vs FROM v$i) AS vocab_size FROM b$i)"""
+    }
+    """WITH w0 AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+      |    list_transform(range(1, length(word)+1), i -> word[i:i]) AS syms
+      |  FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS word FROM documents)
+      |  GROUP BY word
+      |),""".stripMargin +
+      (1 to merges).map(round).mkString(",") +
+      "\nSELECT * FROM (" +
+      (1 to merges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ") +
+      ") ORDER BY merge_idx"
+  }
+
   /** DuckDB-dialect oracle SQL, column names matched to `queries`. */
   def oracleSql: Map[String, String] = Map(
+    "tokenizer_bpe" -> bpeOracleSql(8),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

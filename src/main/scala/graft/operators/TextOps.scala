@@ -338,6 +338,88 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units") —
+    * the vocabulary-building job that precedes [[tokenStats]]'
+    * counting face: N rounds of most-frequent-adjacent-pair merging
+    * over the corpus, deterministic tie-break (count desc, then pair
+    * lexicographic asc). Output: the ordered merge table, one row per
+    * learned merge, with the pair's corpus count and the in-use
+    * symbol vocabulary size after the merge.
+    *
+    * Scale shape: the corpus is touched EXACTLY ONCE — the word-
+    * frequency aggregate (classic map-side-combinable word count).
+    * All N merge rounds iterate over that vocab-sized word table:
+    * pair counting is another map-side-combinable agg, the argmax is
+    * agg + limit(1) (the only collect is that single row — metadata
+    * scale), and applying the merge is a row-local array fold. Each
+    * round persists the rewritten word table and drops the previous
+    * one, so lineage stays one-deep across rounds (same loop
+    * discipline as Dedup.dupClusters). At a production vocab (32k
+    * merges) the round count, not data volume, dominates — the known
+    * lever is batching the top-B non-overlapping pairs per round;
+    * single-pair rounds keep this oracle-reproducible.
+    *
+    * Pair counts follow the reference BPE semantics: ALL adjacencies
+    * count (a run "aaaa" contributes 3 to pair (a,a)), while the
+    * APPLY step is greedy left-to-right (that run rewrites to
+    * [aa,aa]) — the fold reproduces greedy exactly because a merge
+    * candidate chain of consecutive positions can only arise from
+    * equal-symbol runs, where the fold's just-merged accumulator head
+    * (l||r, never equal to l since r is nonempty) blocks the
+    * overlapping candidate, keeping every other position. */
+  def tokenizerBpe(documents: DataFrame, merges: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    val words0 = documents
+      .select(explode(split(trim(lower(col("text"))), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // initial symbols = characters (positional substring: identical
+      // semantics in the DuckDB oracle, unlike empty-regex split)
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    var w = words0.persist()
+    w.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long)]
+    var i = 1
+    var exhausted = false
+    while (i <= merges && !exhausted) {
+      val best = w
+        .select(col("cnt"), explode(expr(
+          "CASE WHEN size(syms) < 2 THEN array() ELSE " +
+            "transform(sequence(1, size(syms) - 1), " +
+            "k -> struct(element_at(syms, k) AS l, element_at(syms, k + 1) AS r)) END")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val merged = l + r
+        // greedy left-to-right apply: fold each word's symbol array;
+        // lit() columns, not SQL interpolation — symbols are corpus
+        // strings and must not be parsed as SQL
+        val w2 = w.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(x)))))
+          .persist()
+        val vocab = w2.select(explode(col("syms")).as("s"))
+          .agg(countDistinct(col("s"))).head().getLong(0)
+        w.unpersist()
+        w = w2
+        out += ((i, l, r, merged, c, vocab))
+        i += 1
+      }
+    }
+    w.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("merge_idx", "lhs", "rhs", "merged", "pair_count", "vocab_size")
+      .orderBy(col("merge_idx"))
+  }
+
   /** Sequence packing: greedily packs documents into training
     * sequences of ~`budgetTokens` whitespace tokens (the pretraining
     * batch-assembly step that follows curation — GPT/T5-style

@@ -762,3 +762,41 @@ class ZorderLayoutSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"one dimension unbounded everywhere: $areas")
   }
 }
+
+class BpeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("BPE training learns the classic merges with deterministic tie-breaks") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest aaaa"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.tokenizerBpe(docs, merges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    // hand-derived: (e,s)=9 ties (s,t)=9, lex picks (e,s); after the
+    // est cascade, (l,o)/(lo,w)=7 from low*5+lower*2; round 5 is a
+    // three-way 6-6-6 tie between (e,w),(n,e),(w,est) -> lex (e,w)
+    assert(out.toSeq == Seq(
+      (1, "e", "s", "es", 9L, 11L),
+      (2, "es", "t", "est", 9L, 10L),
+      (3, "l", "o", "lo", 7L, 9L),
+      (4, "lo", "w", "low", 7L, 9L),
+      (5, "e", "w", "ew", 6L, 10L)))
+  }
+
+  test("BPE pair counts include overlaps but apply is greedy left-to-right") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.tokenizerBpe(docs, merges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    // (a,a) counts all 3 adjacencies per word (x2 words = 6), but the
+    // greedy apply rewrites each aaaa to [aa,aa]; round 2 then merges
+    // (aa,aa) with count 2, leaving one symbol in use
+    assert(out.toSeq == Seq(
+      (1, "a", "a", "aa", 6L, 1L),
+      (2, "aa", "aa", "aaaa", 2L, 1L)))
+  }
+}
