@@ -424,6 +424,12 @@ object Dedup {
     val target = math.max(1L, math.min(sessionParts, edges.count() / 2000000L + 1L))
     val loop = if (autosize && target < sessionParts) {
       val s = spark.newSession()
+      // newSession() derives SQLConf from SparkConf DEFAULTS, not the
+      // caller's runtime session — copy the caller's modified entries
+      // (ANSI mode, codegen flags, ...) so only shuffle width differs
+      spark.conf.getAll.foreach { case (k, v) =>
+        scala.util.Try(s.conf.set(k, v))
+      }
       s.conf.set("spark.sql.shuffle.partitions", target.toString)
       s
     } else spark

@@ -67,6 +67,15 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-row quality gate — the ingest-time face of the curation
+    * quality filter (same composite score as [[textQuality]] /
+    * [[curationPipeline]]): pure row-local filter, zero shuffle, zero
+    * streaming state, so it composes into ingest DAGs between
+    * [[decontaminateStream]] and [[mixStream]] without adding a state
+    * operator. */
+  def qualityGate(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
+    docs.filter(rawQualityScore >= minQuality)
+
   /** Corpus-level vocabulary statistics: top-N token frequencies.
     * explode → hash-agg on token (map-side combine) → global top-N via
     * TakeOrdered; at 100 TB the agg output is vocabulary-sized, tiny
@@ -768,13 +777,16 @@ object TextOps {
     * its domain's threshold. No shuffle, no watermark, zero streaming
     * state — the same ingest-time shape as [[decontaminateStream]].
     * `rates` needs columns (source, thresh) with thresh in [0, 10000]
-    * (= round(rate·10000), [[mixDomains]]' own convention). */
+    * (= round(rate·10000), [[mixDomains]]' own convention). A domain
+    * ABSENT from the rates snapshot keeps ALL its docs (left join,
+    * default thresh 10000): a new domain appearing mid-stream must
+    * survive until the next rates snapshot, not silently vanish. */
   def mixStream(docs: DataFrame, rates: DataFrame): DataFrame = {
     val bucket = conv(substring(
       md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8), 16, 10)
       .cast("long") % 10000
-    docs.join(broadcast(rates.select(col("source"), col("thresh"))), "source")
-      .filter(bucket < col("thresh"))
+    docs.join(broadcast(rates.select(col("source"), col("thresh"))), Seq("source"), "left")
+      .filter(bucket < coalesce(col("thresh"), lit(10000L)))
       .drop("thresh")
   }
 

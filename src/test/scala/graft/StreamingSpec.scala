@@ -155,10 +155,13 @@ class StreamingMixSpec extends org.scalatest.funsuite.AnyFunSuite {
     try {
       mem.addData(
         (1L, "doc one", "keepme"), (2L, "doc two", "dropme"),
-        (3L, "doc three", "keepme"), (4L, "doc four", "dropme"))
+        (3L, "doc three", "keepme"), (4L, "doc four", "dropme"),
+        // domain absent from the rates snapshot: kept by default (a new
+        // domain appearing mid-stream must survive until the next snapshot)
+        (5L, "doc five", "brandnew"))
       q.processAllAvailable()
       val kept = spark.table("mix").collect().map(r => r.getLong(1)).toSet
-      assert(kept == Set(1L, 3L), s"got $kept")
+      assert(kept == Set(1L, 3L, 5L), s"got $kept")
       // stateless: the progress metrics report no state store rows
       assert(q.lastProgress == null ||
         q.lastProgress.stateOperators.isEmpty)
@@ -193,6 +196,83 @@ class StreamingCurationSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(rows.keySet == Set(1L, 4L), s"got ${rows.keySet}")
       assert(rows(1L)._1 == "en" && rows(4L)._1 == "de")
       assert(Set("train", "val", "test").contains(rows(1L)._2))
+    } finally q.stop()
+  }
+}
+
+class StreamingAssemblySpec extends AnyFunSuite {
+  test("the full ingest line runs as ONE streaming DAG: decontaminate -> " +
+    "quality gate -> mix -> timeout-batched packing -> exactly-once sink") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // static sides: a 13-gram benchmark and a rates snapshot that has
+    // never seen the "fresh" domain (left-join default must keep it)
+    val bench13 = (1 to 13).map(i => s"b$i").mkString(" ")
+    val benchmark = Seq(0L -> bench13).toDF("doc_id", "text")
+    val rates = Seq(("web", 10000L), ("spam", 0L)).toDF("source", "thresh")
+    val mem = MemoryStream[(Timestamp, Long, String, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text", "source")
+
+    // the composed line: three zero-state ingest stages, then the ONLY
+    // stateful operator (the event-time batcher), then the 2-phase sink
+    val gated = graft.operators.TextOps.mixStream(
+      graft.operators.TextOps.qualityGate(
+        graft.operators.TextOps.decontaminateStream(docs, benchmark), 0.5),
+      rates)
+    val timed = gated.select(
+        col("source").as("key"), col("text").as("payload"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("sizeBytes"),
+        unix_millis(col("ts")).as("eventMillis"))
+      .as[graft.streaming.TimedRecord]
+    val packs = Streams.timeoutBatcher(timed,
+      maxCount = 2, maxBytes = 1000, timeoutMs = 60000)
+
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-assembly").toString
+    val sink = new graft.sinks.ExactlyOnceParquetSink(sinkDir)
+    val q = packs.writeStream.outputMode("append")
+      .foreachBatch((df: org.apache.spark.sql.Dataset[graft.streaming.FiredBatch],
+                     epoch: Long) => { sink.addBatch(df.toDF(), epoch); () })
+      .start()
+    try {
+      val good = "the cat sat on the mat and the dog is in the house of a friend " * 5
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      def ts(ms: Long) = new Timestamp(ms)
+      mem.addData(
+        (ts(t0), 1L, s"leading words $bench13 trailing", "web"), // contaminated -> dropped
+        (ts(t0), 2L, good, "web"),                               // kept
+        (ts(t0), 3L, "!!! ??? ;;; ,,,", "web"),                  // junk -> quality-gated
+        (ts(t0), 4L, good, "spam"),                              // domain thresh 0 -> dropped
+        (ts(t0 + 10), 5L, good, "web"),     // kept: web now 2 docs -> pack fires on count
+        (ts(t0 + 20), 6L, good, "fresh"))   // unseen domain kept; 1 doc pending
+      q.processAllAvailable()
+      // advance the watermark past the fresh-domain pack's 60s timeout.
+      // Ticks must SURVIVE the gates (clean, high-quality, kept domain):
+      // a filtered-out row never reaches the watermark node. Two ticks:
+      // the first carries the watermark forward, the second's micro-batch
+      // applies it (timeouts fire against the PREVIOUS batch's watermark)
+      // and its two pending web docs close a second count pack.
+      mem.addData((ts(t0 + 120000), 7L, good, "web"))
+      q.processAllAvailable()
+      mem.addData((ts(t0 + 121000), 8L, good, "web"))
+      q.processAllAvailable()
+
+      val fired = sink.read(spark).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(3)))
+      assert(fired.toSet == Set(("web", 2L, "count"), ("fresh", 1L, "timeout")),
+        s"got ${fired.toSeq}")
+      // exactly-once: replaying an already-committed epoch is a no-op
+      val before = sink.read(spark).count()
+      val replayEpoch = sink.committedEpochs().max
+      val replayed = sink.addBatch(
+        Seq(graft.streaming.FiredBatch("web", 99L, 99L, "count")).toDF(), replayEpoch)
+      assert(!replayed && sink.read(spark).count() == before)
+      // the three ingest stages are stateless: the DAG's state-operator
+      // list is exactly the one batcher
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 1, s"expected 1 state operator, got ${ops.length}")
+      assert(ops(0).operatorName.contains("flatMapGroupsWithState"),
+        s"got ${ops(0).operatorName}")
     } finally q.stop()
   }
 }
