@@ -331,12 +331,16 @@ object TextOps {
     * then a shuffle join back — the same inverted-index shape as
     * [[spanDedup]], linear in corpus tokens. The corpus token total
     * rides a 1-row broadcast derived from the vocab-sized `freq`
-    * aggregate (sum of tf == corpus token count) — NOT a third corpus
-    * explode, so the documents table is scanned exactly twice. */
+    * table (sum of tf == corpus token count) — NOT a third corpus
+    * explode. `freq` is persisted for its two readers (the [[textTfidf]]
+    * idiom; exchange reuse alone proved unreliable here — AQE compiled
+    * the broadcast-total branch as a separate stage and re-scanned),
+    * so the documents table is scanned exactly twice. */
   def textUnigramLp(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
       explode(graft.functions.F.shingleHashes(col("text"), 1)).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val freq = Dedup.materialized(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("tf")))
     val total = freq.agg(sum(col("tf")).as("n_total"))
     toks.join(freq, "tok")
       .crossJoin(broadcast(total))
