@@ -83,6 +83,7 @@ object SparkEntry {
     "text_unigram_lp" -> ((s, d) => TextOps.textUnigramLp(Tables.documents(s, d))),
     "text_bigram_lp" -> ((s, d) => TextOps.textBigramLp(Tables.documents(s, d))),
     "tokenizer_bpe" -> ((s, d) => TextOps.tokenizerBpe(Tables.documents(s, d))),
+    "tokenizer_apply" -> ((s, d) => TextOps.tokenizerApply(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(Tables.documents(s, d))),
     "pipeline_mix" -> ((s, d) => TextOps.mixDomains(Tables.documents(s, d))),
     "pipeline_shuffle" -> ((s, d) => TextOps.shuffleOrder(Tables.documents(s, d))),
@@ -140,7 +141,27 @@ object SparkEntry {
     * (the chain/offset window trick). MATERIALIZED is load-bearing:
     * inlined CTEs re-evaluate the whole prior-round chain
     * exponentially. */
-  private def bpeOracleSql(merges: Int): String = {
+  private def bpeOracleSql(merges: Int): String =
+    bpeCtes(merges) +
+      "\nSELECT * FROM (" +
+      (1 to merges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ") +
+      ") ORDER BY merge_idx"
+
+  /** Oracle for tokenizer_apply: the trained word table w_N IS the
+    * tokenizer — re-explode the corpus words and join their final
+    * segmentations. */
+  private def bpeApplyOracleSql(merges: Int): String =
+    bpeCtes(merges) + s""",
+dw AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS word FROM documents
+)
+SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(len(w.syms)) AS BIGINT) AS n_subtokens,
+  round(CAST(sum(len(w.syms)) AS DOUBLE) / count(*), 4) AS avg_word_subtokens
+FROM dw JOIN w$merges w USING (word)
+GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+
+  private def bpeCtes(merges: Int): String = {
     def round(i: Int): String = {
       val p = s"w${i - 1}"
       s"""
@@ -186,15 +207,13 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
       |  FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS word FROM documents)
       |  GROUP BY word
       |),""".stripMargin +
-      (1 to merges).map(round).mkString(",") +
-      "\nSELECT * FROM (" +
-      (1 to merges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ") +
-      ") ORDER BY merge_idx"
+      (1 to merges).map(round).mkString(",")
   }
 
   /** DuckDB-dialect oracle SQL, column names matched to `queries`. */
   def oracleSql: Map[String, String] = Map(
     "tokenizer_bpe" -> bpeOracleSql(8),
+    "tokenizer_apply" -> bpeApplyOracleSql(8),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

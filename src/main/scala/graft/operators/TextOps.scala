@@ -383,6 +383,39 @@ object TextOps {
     * overlapping candidate, keeping every other position. */
   def tokenizerBpe(documents: DataFrame, merges: Int = 8): DataFrame = {
     val spark = documents.sparkSession
+    val (w, out) = bpeTrain(documents, merges)
+    w.unpersist()
+    import spark.implicits._
+    out.toDF("merge_idx", "lhs", "rhs", "merged", "pair_count", "vocab_size")
+      .orderBy(col("merge_idx"))
+  }
+
+  /** The ENCODING face of [[tokenizerBpe]]: segments every document
+    * under the trained vocabulary and reports per-doc subtoken counts
+    * (the token-budget accounting a packing/billing step consumes).
+    * The trained word table IS the tokenizer: word → final symbol
+    * segmentation, so apply is one corpus word-explode joined against
+    * the vocab-sized table (hash join on the word key; every corpus
+    * word is in the table by construction). In production the table
+    * would be written once and reused; here training runs in-line so
+    * the operator is self-contained and oracle-reproducible. */
+  def tokenizerApply(documents: DataFrame, merges: Int = 8): DataFrame = {
+    val (w, _) = bpeTrain(documents, merges)
+    documents
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("word"))
+      .join(w.select(col("word"), size(col("syms")).cast("long").as("ns")), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subtokens"))
+      .withColumn("avg_word_subtokens",
+        round(col("n_subtokens").cast("double") / col("n_words"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared BPE training loop: returns the final (persisted) word →
+    * symbols table and the merge rows. The caller owns the returned
+    * table's unpersist ([[tokenizerApply]] reads it as the vocab). */
+  private def bpeTrain(documents: DataFrame, merges: Int)
+      : (DataFrame, Seq[(Int, String, String, String, Long, Long)]) = {
     val words0 = documents
       .select(explode(split(trim(lower(col("text"))), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -427,10 +460,7 @@ object TextOps {
         i += 1
       }
     }
-    w.unpersist()
-    import spark.implicits._
-    out.toSeq.toDF("merge_idx", "lhs", "rhs", "merged", "pair_count", "vocab_size")
-      .orderBy(col("merge_idx"))
+    (w, out.toSeq)
   }
 
   /** Sequence packing: greedily packs documents into training

@@ -800,3 +800,23 @@ class BpeSpec extends org.scalatest.funsuite.AnyFunSuite {
       (2, "aa", "aa", "aaaa", 2L, 1L)))
   }
 }
+
+class BpeApplySpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("BPE apply segments docs under the trained vocab and counts subtokens") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest aaaa"))
+      .toDF("doc_id", "text")
+    // after the 5 hand-verified merges (es, est, lo, low, ew):
+    //   low -> [low] (1), lower -> [low,e,r] (3), newest -> [n,ew,est] (3),
+    //   widest -> [w,i,d,est] (4), aaaa -> [a,a,a,a] (4, untouched)
+    val out = graft.operators.TextOps.tokenizerApply(docs, merges = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 5 low(1) + 2 lower(3) + 2 newest(3) = 9 words, 5+6+6 = 17
+    assert(out(1L) == ((9L, 17L, 1.8889)))
+    // doc 2: 4 newest(3) + 3 widest(4) + 1 aaaa(4) = 8 words, 12+12+4 = 28
+    assert(out(2L) == ((8L, 28L, 3.5)))
+  }
+}
