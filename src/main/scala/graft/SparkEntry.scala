@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     "dedup_minhash_fast" -> ((s, d) => Dedup.dedupMinhashLshFast(Tables.documents(s, d))),
+    "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d), portable = true)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccardBlocked(Tables.documents(s, d))),
     "dedup_ngram_composed" -> ((s, d) => Dedup.dedupNgramJaccardComposed(Tables.documents(s, d))),
@@ -1010,6 +1011,34 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT a_id, b_id, round(j, 4) AS jaccard FROM p WHERE j >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_incremental" ->
+      // new batch (doc_id % 10 = 0) vs standing corpus ONLY — the
+      // true pair space the incremental operator prunes with its LSH
+      // bands; batch-internal pairs are out of scope by definition
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+        |    ELSE [concat_ws(' ', toks)] END AS sh
+        |  FROM t
+        |), nw AS (SELECT * FROM s WHERE doc_id % 10 = 0
+        |), od AS (SELECT * FROM s WHERE doc_id % 10 <> 0
+        |), p AS (
+        |  SELECT n.doc_id, o.doc_id AS partner,
+        |    CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+        |      / (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))) AS j
+        |  FROM nw n CROSS JOIN od o
+        |), m AS (
+        |  SELECT doc_id, partner, j,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY partner) AS rn
+        |  FROM p WHERE j >= 0.5
+        |)
+        |SELECT nw.doc_id, m.partner AS dup_of, round(m.j, 4) AS jaccard,
+        |  (m.partner IS NULL) AS keep
+        |FROM nw LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+        |ORDER BY nw.doc_id""".stripMargin,
     "dedup_ngram_composed" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,

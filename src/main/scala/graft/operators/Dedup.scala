@@ -153,6 +153,66 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** INCREMENTAL near-dup ingestion — the production face of
+    * [[dedupMinhashLshFast]] for a continuously growing corpus: dedup
+    * today's ingest batch against the standing corpus WITHOUT ever
+    * joining the corpus to itself. Docs with `doc_id % batchMod == 0`
+    * stand in for the new batch; the rest is the already-deduped
+    * corpus. Output: one row per NEW doc — its smallest near-dup
+    * partner in the corpus (audit column), that pair's jaccard, and
+    * the keep verdict. Batch-internal duplicates are deliberately NOT
+    * flagged here: the batch runs its own [[dedupMinhashLshFast]]
+    * pass; this operator answers only "is it already in the corpus".
+    *
+    * Scale shape: the banded-signature table is the corpus's stored
+    * LSH index — at 100 TB it is written once and APPENDED per batch,
+    * never recomputed (here both sides are derived in-line from one
+    * materialized signature pass so the operator is self-contained
+    * and oracle-reproducible). The candidate join touches only band
+    * buckets the new batch hashes into, so per-ingest cost scales
+    * with |batch| + matched buckets, not corpus size; the corpus
+    * never self-joins. */
+  def dedupIncremental(documents: DataFrame, batchMod: Int = 10,
+                       numPerm: Int = 192, bands: Int = 24,
+                       threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bands > 0 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    val rowsPerBand = numPerm / bands
+    val isNew = pmod(col("doc_id"), lit(batchMod.toLong)) === 0L
+    val docs = materialized(documents
+      .select(col("doc_id"),
+        F.shingleHashes(col("text"), 3, sortedDistinct = true).as("shh"))
+      .withColumn("sig", F.minhashHashed(col("shh"), numPerm)))
+    val banded = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+      .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
+    val cands = banded.filter(isNew).as("x")
+      .join(banded.filter(!isNew).as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+      .distinct()
+    val inter = F.sortedIntersect(col("shh_a"), col("shh_b"))
+    val matches = cands
+      .join(docs.select(col("doc_id").as("new_id"), col("shh").as("shh_a")), "new_id")
+      .join(docs.select(col("doc_id").as("old_id"), col("shh").as("shh_b")), "old_id")
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("shh_a")) + size(col("shh_b")) - inter))
+      .filter(col("jaccard") >= threshold)
+    val top = matches
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("new_id")).orderBy(col("old_id"))))
+      .filter(col("rn") === 1)
+      .select(col("new_id").as("doc_id"), col("old_id").as("dup_of"),
+        round(col("jaccard"), 4).as("jaccard"))
+    docs.filter(isNew).select(col("doc_id"))
+      .join(top, Seq("doc_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup: candidates share one of four bands of the
     * signature, verified by Hamming distance <= maxHamming. Fast path:
     * 64-bit xxhash signature (16-bit bands). `portable`: 60-bit

@@ -820,3 +820,27 @@ class BpeApplySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(2L) == ((8L, 28L, 3.5)))
   }
 }
+
+class IncrementalDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("incremental dedup drops new docs already in the corpus, keeps batch-internal dups") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val boiler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    // batch = ids % 10 == 0; corpus = the rest
+    val docs = Seq(
+      (3L, boiler),                 // standing corpus
+      (7L, (1 to 30).map(i => s"q$i").mkString(" ")),
+      (10L, s"$boiler tail"),       // new, near-dup of corpus doc 3 -> dropped
+      (20L, other),                 // new, identical to doc 30 but BOTH new -> kept
+      (30L, other),                 //   (batch-internal dups are the batch pass's job)
+      (40L, (1 to 30).map(i => s"u$i").mkString(" ")) // new, unique -> kept
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupIncremental(docs).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(10L, 20L, 30L, 40L))
+    assert(out(10L)._1.contains(3L) && !out(10L)._2)
+    assert(out(20L) == ((None, true)) && out(30L) == ((None, true)))
+    assert(out(40L) == ((None, true)))
+  }
+}
