@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     "dedup_minhash_fast" -> ((s, d) => Dedup.dedupMinhashLshFast(Tables.documents(s, d))),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(Tables.documents(s, d))),
+    "dedup_semantic" -> ((s, d) => Dedup.dedupSemantic(Tables.embeddings(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d), portable = true)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccardBlocked(Tables.documents(s, d))),
     "dedup_ngram_composed" -> ((s, d) => Dedup.dedupNgramJaccardComposed(Tables.documents(s, d))),
@@ -977,6 +978,44 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |), m AS (SELECT vec_id, min(partner) AS dup_partner FROM u GROUP BY vec_id)
         |SELECT e.vec_id, m.dup_partner, m.dup_partner IS NOT NULL AS is_dup
         |FROM e LEFT JOIN m USING (vec_id) ORDER BY vec_id""".stripMargin,
+    "dedup_semantic" ->
+      // SemDeDup replayed end to end: the ann_ivf_sampled quantizer CTE
+      // (sampled centroids + argmax assignment, centroid cosine rounded
+      // at creation), in-cluster pairs >= 0.95, keep-rule = the member
+      // closer to the centroid loses (tie -> higher vec_id)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hs AS (
+        |  SELECT vec_id,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM e
+        |), sel AS (SELECT vec_id FROM hs ORDER BY h, vec_id LIMIT 16),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS list_id, e.v AS cv
+        |  FROM sel s JOIN e ON e.vec_id = s.vec_id
+        |), ac AS (
+        |  SELECT e.vec_id, c.list_id, list_cosine_similarity(e.v, c.cv) AS ccos
+        |  FROM e CROSS JOIN cent c
+        |), asgn AS (
+        |  SELECT vec_id, list_id, round(ccos, 6) AS cent_cos FROM (
+        |    SELECT vec_id, list_id, ccos,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id ASC) AS rn
+        |    FROM ac) WHERE rn = 1
+        |), p AS (
+        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+        |    x.cent_cos AS acc, y.cent_cos AS bcc
+        |  FROM asgn x JOIN asgn y
+        |    ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+        |  JOIN e ea ON ea.vec_id = x.vec_id
+        |  JOIN e eb ON eb.vec_id = y.vec_id
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.95
+        |), l AS (
+        |  SELECT CASE WHEN acc > bcc THEN a_id ELSE b_id END AS vec_id,
+        |         CASE WHEN acc > bcc THEN b_id ELSE a_id END AS partner
+        |  FROM p
+        |), m AS (SELECT vec_id, min(partner) AS dup_partner FROM l GROUP BY vec_id)
+        |SELECT a.vec_id, a.list_id, a.cent_cos, m.dup_partner,
+        |  m.dup_partner IS NOT NULL AS is_dup
+        |FROM asgn a LEFT JOIN m USING (vec_id) ORDER BY a.vec_id""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents

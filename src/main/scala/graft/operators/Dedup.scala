@@ -591,4 +591,69 @@ object Dedup {
       .select(col("vec_id"), col("dup_partner"), col("dup_partner").isNotNull.as("is_dup"))
       .orderBy(col("vec_id"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    * the embedding space, then dedup ONLY within each cluster — the
+    * pairwise cosine is scoped to cluster size, never the corpus. The
+    * quantizer is the oracle-proven sampled coarse quantizer shared
+    * with [[Ann.annIvfSampled]] (centroids = smallest portable
+    * md5(vec_id) hashes; argmax-cosine assignment, one broadcast cross
+    * — no corpus shuffle). Within a cluster, a pair with cosine >=
+    * `threshold` is a semantic duplicate; per the paper the member
+    * FARTHEST from the centroid is kept (low centroid-cosine = the
+    * informative outlier), so the higher-centroid-cosine member is
+    * marked the dup (tie → higher vec_id, deterministic). Centroid
+    * cosines are rounded at creation (6 dp) so the keep-rule compares
+    * engine-portable values and a SQL oracle replays the whole chain.
+    *
+    * Output: one row per vector — its cluster, rounded centroid
+    * cosine, the minimum partner it lost to (null if kept), verdict.
+    *
+    * Scale: this IS the SemDeDup design point — at 100 TB nlist grows
+    * with the corpus (target cluster size stays constant, sqrt-n rule
+    * or corpus/target), the cluster id is the partitioning key, and
+    * the quadratic term is bounded by target-cluster-size² per
+    * cluster. Candidate volume is cluster-bounded by construction, so
+    * unlike LSH banding it cannot explode on a globally-similar
+    * corpus; the trade is recall across cluster boundaries (the
+    * paper's accepted loss). The assignment table is persisted once
+    * for the two sides of the in-cluster self-join ([[materialized]]
+    * discipline — at cluster scale it is the stored cluster index). */
+  def dedupSemantic(embeddings: DataFrame, nlist: Int = 16,
+                    threshold: Double = 0.95): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val cents = Ann.sampledCentroids(vecs, nlist)
+    // assignment with the winning centroid cosine retained (rounded at
+    // creation — the keep-rule's comparison key must be portable)
+    val assigned = materialized(vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("list_id"),
+        F.cosine(col("embedding"), col("c_vec")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(F.topk(col("ccos"), col("list_id"), 1).as("top"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("top"), 1).getField("id").as("list_id"),
+        round(element_at(col("top"), 1).getField("score"), 6).as("cent_cos")))
+    val x = assigned.as("x"); val y = assigned.as("y")
+    val pairs = x.join(y,
+        col("x.list_id") === col("y.list_id") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .filter(F.cosine(col("x.embedding"), col("y.embedding")) >= threshold)
+    // keep-rule: the member closer to the centroid loses (higher
+    // cent_cos); exact tie → the higher vec_id loses
+    val losers = pairs.select(
+        when(col("x.cent_cos") > col("y.cent_cos"),
+          struct(col("x.vec_id").as("vec_id"), col("y.vec_id").as("partner")))
+        .when(col("y.cent_cos") > col("x.cent_cos"),
+          struct(col("y.vec_id").as("vec_id"), col("x.vec_id").as("partner")))
+        .otherwise(
+          struct(col("y.vec_id").as("vec_id"), col("x.vec_id").as("partner"))).as("l"))
+      .select(col("l.vec_id").as("vec_id"), col("l.partner").as("partner"))
+      .groupBy(col("vec_id")).agg(min(col("partner")).as("dup_partner"))
+    assigned.select(col("vec_id"), col("list_id"), col("cent_cos"))
+      .join(losers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"), col("cent_cos"),
+        col("dup_partner"), col("dup_partner").isNotNull.as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
 }

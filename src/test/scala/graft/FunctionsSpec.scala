@@ -185,6 +185,43 @@ class EmbeddingDedupSpec extends AnyFunSuite {
   }
 }
 
+class SemanticDedupSpec extends AnyFunSuite {
+  test("SemDeDup flags planted in-cluster near-dups and keeps the far-from-centroid member") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    // fixed-seed jitter (cos ~0.99996) -> the planted twin lands in the
+    // same argmax cluster and above the 0.95 threshold, deterministically
+    val rnd = new scala.util.Random(11)
+    val planted = Seq(2L, 17L, 123L).map { i =>
+      val v = base.find(_._1 == i).get._2
+      (9000L + i, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base.toSeq ++ planted).toDF("vec_id", "embedding")
+    val out = graft.operators.Dedup.dedupSemantic(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))).toMap
+    Seq(2L, 17L, 123L).foreach { i =>
+      val (origList, origCc, _, origDup) = out(i)
+      val (twinList, twinCc, twinPartner, twinDup) = out(9000L + i)
+      assert(origList == twinList, s"planted twin of $i crossed clusters")
+      assert(origDup || twinDup, s"planted pair ($i, ${9000L + i}) not flagged")
+      // keep-rule: the flagged member is the one closer to the centroid
+      // (higher cent_cos); exact tie -> the higher vec_id loses
+      if (twinDup && twinPartner == i)
+        assert(twinCc > origCc || (twinCc == origCc), s"twin of $i lost with lower cent_cos")
+      if (origDup && out(i)._3 == 9000L + i)
+        assert(origCc > twinCc, s"original $i lost to its twin without higher cent_cos")
+    }
+    // verdicts are cluster-scoped: every dup's partner is in its own cluster
+    out.foreach { case (id, (list, _, partner, isDup)) =>
+      assert(isDup == (partner >= 0L))
+      if (isDup) assert(out(partner)._1 == list, s"$id paired across clusters")
+    }
+  }
+}
+
 class ShingleStringsSpec extends AnyFunSuite {
   test("codegen shingle strings match the builtin HOF pipeline exactly") {
     val spark = TestSpark.spark
