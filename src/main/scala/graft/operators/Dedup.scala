@@ -175,29 +175,51 @@ object Dedup {
   def dedupIncremental(documents: DataFrame, batchMod: Int = 10,
                        numPerm: Int = 192, bands: Int = 24,
                        threshold: Double = 0.5): DataFrame = {
+    val isNew = pmod(col("doc_id"), lit(batchMod.toLong)) === 0L
+    // ONE materialized signature pass feeds both sides (self-contained
+    // + oracle-reproducible); production stores the corpus side instead.
+    val docs = materialized(corpusSignatures(documents, numPerm))
+    probeCorpus(docs.filter(isNew), docs.filter(!isNew),
+      numPerm, bands, threshold)
+  }
+
+  /** The stored-LSH-index row for a corpus: per doc its sorted distinct
+    * 3-shingle hash set and minhash signature. This is the table a
+    * production pipeline writes once and appends per ingest batch;
+    * [[probeCorpus]] reads it as the standing side. */
+  def corpusSignatures(documents: DataFrame, numPerm: Int = 192): DataFrame =
+    documents
+      .select(col("doc_id"),
+        F.shingleHashes(col("text"), 3, sortedDistinct = true).as("shh"))
+      .withColumn("sig", F.minhashHashed(col("shh"), numPerm))
+
+  /** Probe core of [[dedupIncremental]]: verdicts for `batchSigs`
+    * (new docs) against `corpusSigs` (the standing index), both in
+    * [[corpusSignatures]] layout with disjoint doc_ids. Banded
+    * candidate join → exact jaccard verify → smallest corpus partner
+    * per new doc → keep = no partner ≥ threshold. The corpus side
+    * never self-joins; cost ~ |batch| + matched band buckets. */
+  def probeCorpus(batchSigs: DataFrame, corpusSigs: DataFrame,
+                  numPerm: Int = 192, bands: Int = 24,
+                  threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bands > 0 && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm)")
     val rowsPerBand = numPerm / bands
-    val isNew = pmod(col("doc_id"), lit(batchMod.toLong)) === 0L
-    val docs = materialized(documents
-      .select(col("doc_id"),
-        F.shingleHashes(col("text"), 3, sortedDistinct = true).as("shh"))
-      .withColumn("sig", F.minhashHashed(col("shh"), numPerm)))
-    val banded = docs.select(col("doc_id"),
+    def banded(sigs: DataFrame) = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
       .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
-    val cands = banded.filter(isNew).as("x")
-      .join(banded.filter(!isNew).as("y"),
+    val cands = banded(batchSigs).as("x")
+      .join(banded(corpusSigs).as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_hash") === col("y.band_hash"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
       .distinct()
     val inter = F.sortedIntersect(col("shh_a"), col("shh_b"))
     val matches = cands
-      .join(docs.select(col("doc_id").as("new_id"), col("shh").as("shh_a")), "new_id")
-      .join(docs.select(col("doc_id").as("old_id"), col("shh").as("shh_b")), "old_id")
+      .join(batchSigs.select(col("doc_id").as("new_id"), col("shh").as("shh_a")), "new_id")
+      .join(corpusSigs.select(col("doc_id").as("old_id"), col("shh").as("shh_b")), "old_id")
       .withColumn("jaccard",
         inter.cast("double") / (size(col("shh_a")) + size(col("shh_b")) - inter))
       .filter(col("jaccard") >= threshold)
@@ -207,11 +229,43 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("new_id").as("doc_id"), col("old_id").as("dup_of"),
         round(col("jaccard"), 4).as("jaccard"))
-    docs.filter(isNew).select(col("doc_id"))
+    batchSigs.select(col("doc_id"))
       .join(top, Seq("doc_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
       .orderBy(col("doc_id"))
   }
+
+  /** Ingest-stream face of [[dedupIncremental]]: a `foreachBatch`
+    * writer that, per micro-batch, (1) signs the batch, (2) probes the
+    * standing LSH index under `indexDir` (every `*.parquet` subdir, in
+    * [[corpusSignatures]] layout — seed it with the corpus signatures
+    * before starting), (3) hands the keep-verdicts to `onVerdicts`,
+    * and (4) appends the KEPT docs' signatures as
+    * `indexDir/b<batchId>` so later batches dedup against them — the
+    * self-growing corpus index. The per-epoch directory is written
+    * with overwrite mode, so a replayed epoch rewrites the same path
+    * instead of double-appending (same idempotency rule as the
+    * exactly-once sink's epoch ledger). Probing is per-batch bounded
+    * work against a stored index; no streaming state, no watermark. */
+  def dedupIncrementalStream(docs: DataFrame, indexDir: String,
+                             numPerm: Int = 192, bands: Int = 24,
+                             threshold: Double = 0.5)
+                            (onVerdicts: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val batchSigs = materialized(corpusSignatures(batch, numPerm))
+      try {
+        val index = spark.read.parquet(indexDir + "/*")
+        val verdicts = materialized(
+          probeCorpus(batchSigs, index, numPerm, bands, threshold))
+        try {
+          onVerdicts(verdicts, batchId)
+          batchSigs.join(verdicts.filter(col("keep")).select(col("doc_id")), "doc_id")
+            .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+        } finally verdicts.unpersist()
+      } finally batchSigs.unpersist()
+    }
 
   /** SimHash near-dup: candidates share one of four bands of the
     * signature, verified by Hamming distance <= maxHamming. Fast path:

@@ -276,3 +276,51 @@ class StreamingAssemblySpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamingIncrementalDedupSpec extends AnyFunSuite {
+  test("ingest-stream dedup probes the stored LSH index per batch and grows it " +
+    "with each batch's kept docs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpusText1 = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val corpusText2 = "a completely different document about distributed query engines and shuffles"
+    val novelText1 = "training data pipelines need scalable deduplication before any model sees text"
+    val novelText2 = "yet another unrelated passage covering columnar storage formats and encodings"
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    // seed the standing index with the corpus signatures (the write a
+    // production pipeline does once)
+    graft.operators.Dedup.corpusSignatures(
+        Seq(1L -> corpusText1, 2L -> corpusText2).toDF("doc_id", "text"))
+      .write.parquet(s"$indexDir/bseed")
+
+    val verdicts = scala.collection.mutable.Map[Long, Array[(Long, Option[Long], Boolean)]]()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup.dedupIncrementalStream(
+        mem.toDF().toDF("doc_id", "text"), indexDir) { (vs, id) =>
+        verdicts(id) = vs.collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(3)))
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-incdedup-ck").toString)
+      .start()
+    try {
+      // batch 0: one corpus duplicate, one novel doc
+      mem.addData((101L, corpusText1), (102L, novelText1))
+      q.processAllAvailable()
+      // batch 1: a dup of the doc KEPT in batch 0 (only catchable if the
+      // index grew), plus another novel doc
+      mem.addData((201L, novelText1), (202L, novelText2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(verdicts(0L).toSet ==
+      Set((101L, Some(1L), false), (102L, None, true)), s"got ${verdicts(0L).toSeq}")
+    assert(verdicts(1L).toSet ==
+      Set((201L, Some(102L), false), (202L, None, true)), s"got ${verdicts(1L).toSeq}")
+    // the index holds the seed plus exactly the kept docs' signatures
+    val ids = spark.read.parquet(s"$indexDir/*").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 102L, 202L), s"got $ids")
+  }
+}
