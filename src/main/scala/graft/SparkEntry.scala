@@ -92,6 +92,7 @@ object SparkEntry {
     "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
     "text_quality_lr" -> ((s, d) => TextOps.textQualityLr(Tables.documents(s, d))),
     "pipeline_budget" -> ((s, d) => TextOps.budgetDomains(Tables.documents(s, d))),
+    "pipeline_dsir" -> ((s, d) => TextOps.pipelineDsir(Tables.documents(s, d))),
     "embedding_diversity" -> ((s, d) => Ann.embeddingDiversity(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => Ann.annPq(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => Ann.annIvfPq(Tables.embeddings(s, d))),
@@ -480,6 +481,45 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
         |  round(CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS DOUBLE) / 2000, 4) AS fill_ratio
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_dsir" ->
+      // DSIR importance weights: hashed unigram+bigram bag-of-words,
+      // Laplace-smoothed target (src0) vs raw log-ratio per bucket,
+      // fixed-pointed to integer micro-units at the ratio table so the
+      // per-doc sum (and hence rank) is exact in both engines
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, source, toks[i] AS gram
+        |  FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS gram
+        |  FROM t, LATERAL unnest(range(1, len(toks))) AS u(i)
+        |), f AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 1024 AS bucket
+        |  FROM g
+        |), cr AS (
+        |  SELECT bucket, count(*) AS cr FROM f GROUP BY bucket
+        |), ct AS (
+        |  SELECT bucket, count(*) AS ct FROM f WHERE source = 'src0' GROUP BY bucket
+        |), tot AS (
+        |  SELECT (SELECT sum(cr) FROM cr) AS nr,
+        |         (SELECT coalesce(sum(ct), 0) FROM ct) AS nt
+        |), ratio AS (
+        |  SELECT cr.bucket,
+        |    CAST(round((ln((coalesce(ct.ct, 0) + 1.0) / (tot.nt + 1024)) -
+        |                ln((cr.cr + 1.0) / (tot.nr + 1024))) * 1e6) AS BIGINT)
+        |      AS lr_micro
+        |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot
+        |), scored AS (
+        |  SELECT f.doc_id, count(*) AS n_feats, sum(r.lr_micro) AS lw_micro
+        |  FROM f JOIN ratio r USING (bucket) GROUP BY f.doc_id
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY lw_micro DESC, doc_id) AS BIGINT)
+        |    AS rank,
+        |  doc_id, n_feats, CAST(lw_micro AS DOUBLE) / 1e6 AS logw
+        |FROM scored ORDER BY lw_micro DESC, doc_id LIMIT 50""".stripMargin,
     "pipeline_shuffle" ->
       // md5-keyed deterministic permutation; shard = top 16 key bits
       // scaled by 8 (a fixed uniform range partition), pos = key rank

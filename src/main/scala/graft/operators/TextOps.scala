@@ -803,6 +803,68 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every document by the log importance weight of a hashed
+    * n-gram bag-of-words model — log p_target(x) − log p_raw(x), with
+    * unigram + bigram features hashed into `buckets` buckets and
+    * Laplace-smoothed bucket probabilities — then select the top-k
+    * (the deterministic selection face of the paper's Gumbel
+    * resampling; weight desc, doc_id asc). Target distribution =
+    * docs from `targetSource`; raw = the whole corpus.
+    *
+    * Scale shape: the corpus is exploded into hashed features ONCE
+    * (persisted for its two readers, the [[textTfidf]] idiom); both
+    * count tables aggregate to <= `buckets` rows; the log-ratio table
+    * is broadcast; per-doc scoring is one map-side-combinable agg; and
+    * selection is `graft_topk` (k-sized heaps before the shuffle) —
+    * never a global sort. Per-feature log-ratios are fixed-pointed to
+    * integer micro-units AT THE RATIO TABLE (<= `buckets` roundings),
+    * so per-doc weights are exact integer sums — rank order is
+    * engine-portable, immune to float summation order (the PQ
+    * rounded-at-creation idiom). The bucket hash is the portable
+    * md5-60 (`conv(substr(md5(gram),1,15))`), so DuckDB replays the
+    * feature map bit-for-bit. */
+  def pipelineDsir(documents: DataFrame, targetSource: String = "src0",
+                   buckets: Int = 1024, k: Int = 50): DataFrame = {
+    val toks = split(trim(lower(col("text"))), " ")
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat(element_at(col("toks"), i + 1), lit(" "),
+          element_at(col("toks"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val feats = Dedup.materialized(documents
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("toks"), bigrams)).as("gram"))
+      .select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("bucket")))
+    val raw = feats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("source") === targetSource)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val ratio = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(raw.agg(sum(col("cr")).as("nr"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("nt"))))
+      .select(col("bucket"), round((
+          log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
+            (coalesce(col("nt"), lit(0L)) + buckets)) -
+          log((col("cr").cast("double") + 1.0) / (col("nr") + buckets))
+        ) * 1e6, 0).cast("long").as("lr_micro"))
+    val scored = feats.join(broadcast(ratio), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr_micro")).as("lw_micro"))
+    val top = scored
+      .agg(graft.functions.F.topk(col("lw_micro").cast("double"),
+        col("doc_id"), k).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rank"), col("col.id").as("doc_id"))
+    scored.join(broadcast(top), "doc_id")
+      .select(col("rank"), col("doc_id"), col("n_feats"),
+        (col("lw_micro").cast("double") / 1e6).as("logw"))
+      .orderBy(col("rank"))
+  }
+
   /** Streaming face of [[mixDomains]]: applies precomputed per-domain
     * acceptance rates AT INGEST — the rates table (domain → threshold,
     * typically [[mixDomains]]' audit output from the last corpus

@@ -844,3 +844,29 @@ class IncrementalDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(40L) == ((None, true)))
   }
 }
+
+class DsirSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("DSIR ranks target-vocabulary docs above off-distribution ones") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val targetish = (1 to 20).map(i => s"alpha$i beta$i").mkString(" ")
+    val offish = (1 to 20).map(i => s"zulu$i yank$i").mkString(" ")
+    val docs = (
+      (1L to 5L).map(i => (i, "tgt", targetish + s" m$i")) ++      // target domain
+      Seq((10L, "web", targetish + " x"),                          // raw doc, target-like
+          (11L, "web", offish + " y"),                             // raw doc, off-distribution
+          (12L, "web", offish + " z"))
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextOps
+      .pipelineDsir(docs, targetSource = "tgt", buckets = 256, k = 8).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 8L), "ranks must be dense 1..k")
+    val logw = out.map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // scores arrive rank-ordered (weight desc)
+    val ordered = out.map(_.getDouble(3))
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    // the target-like raw doc must outrank BOTH off-distribution docs
+    assert(logw(10L) > logw(11L) && logw(10L) > logw(12L), s"got $logw")
+    // target-domain docs score at the top (they ARE the target sample)
+    assert(out.take(5).map(_.getLong(1)).toSet == (1L to 5L).toSet)
+  }
+}
