@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(Tables.embeddings(s, d))),
     "ann_bruteforce" -> ((s, d) => Ann.annBruteforce(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.annLsh(Tables.embeddings(s, d), portable = true)),
+    "ann_mmr" -> ((s, d) => Ann.annMmr(Tables.embeddings(s, d))),
     "sink_batch_assign" -> ((s, d) => SinkOps.batchAssign(Tables.events(s, d))),
     "sink_batch_bytes" -> ((s, d) => SinkOps.batchBytes(Tables.events(s, d))),
     "sink_rows_batch" -> ((s, d) => SinkOps.rowsBatch(Tables.events(s, d))),
@@ -133,6 +134,65 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
   )
+
+  /** Oracle for ann_mmr: the greedy MMR loop UNROLLED — one generated
+    * CTE block per pick (the tokenizer_bpe idiom; a recursive CTE
+    * can't carry the per-pick argmax + growing selected set). All
+    * scores are integer basis points (score2 = rel_bp − max_sim_bp =
+    * 2 × the λ=1/2 MMR score × 1e4), so every argmax is exact integer
+    * comparison in both engines; `round(cos * 1e4)` is the same
+    * C-style half-away-from-zero the kernel applies. */
+  private def mmrOracleSql(k: Int, pool: Int = 20, stride: Int = 50): String = {
+    val steps = (2 to k).map { t =>
+      s"""cand$t AS (
+         |  SELECT p.q_id, p.vec_id, p.rel_bp - max(ps.sim_bp) AS score2
+         |  FROM pool p
+         |  LEFT JOIN selall${t - 1} d ON d.q_id = p.q_id AND d.vec_id = p.vec_id
+         |  JOIN ps ON ps.q_id = p.q_id AND ps.ai = p.vec_id
+         |  JOIN selall${t - 1} s ON s.q_id = ps.q_id AND s.vec_id = ps.bi
+         |  WHERE d.vec_id IS NULL
+         |  GROUP BY p.q_id, p.vec_id, p.rel_bp
+         |), sel$t AS (
+         |  SELECT q_id, vec_id, $t AS sel_rank, score2 FROM (
+         |    SELECT q_id, vec_id, score2,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score2 DESC, vec_id) AS rn
+         |    FROM cand$t) WHERE rn = 1
+         |), selall$t AS (
+         |  SELECT q_id, vec_id FROM selall${t - 1}
+         |  UNION ALL SELECT q_id, vec_id FROM sel$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(t => s"SELECT * FROM sel$t").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id % $stride = 0),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s0 AS (SELECT q.q_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cos
+       |       FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |pool AS MATERIALIZED (
+       |  SELECT q_id, vec_id, CAST(round(cos * 1e4) AS BIGINT) AS rel_bp
+       |  FROM (SELECT q_id, vec_id, cos,
+       |          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+       |        FROM s0)
+       |  WHERE rnk <= $pool
+       |),
+       |ps AS MATERIALIZED (
+       |  SELECT a.q_id, a.vec_id AS ai, b.vec_id AS bi,
+       |    CAST(round(list_cosine_similarity(ea.v, eb.v) * 1e4) AS BIGINT) AS sim_bp
+       |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |),
+       |sel1 AS (
+       |  SELECT q_id, vec_id, 1 AS sel_rank, rel_bp AS score2 FROM (
+       |    SELECT q_id, vec_id, rel_bp,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY rel_bp DESC, vec_id) AS rn
+       |    FROM pool) WHERE rn = 1
+       |), selall1 AS (SELECT q_id, vec_id FROM sel1),
+       |$steps
+       |SELECT q_id, CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,
+       |  CAST(score2 AS DOUBLE) / 2e4 AS mmr_score
+       |FROM ($union) ORDER BY q_id, sel_rank""".stripMargin
+  }
 
   /** Oracle for tokenizer_bpe: BPE merge training UNROLLED — one
     * generated CTE block per merge round (a recursive CTE can't
@@ -979,6 +1039,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rank
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "ann_mmr" -> mmrOracleSql(5),
     "ann_lsh" ->
       """WITH coef AS (
         |  SELECT p.p, j.j,

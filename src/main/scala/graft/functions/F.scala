@@ -61,6 +61,13 @@ object F {
     Shims.column(TopKByScore(Shims.expression(score), Shims.expression(id), k)
       .toAggregateExpression())
 
+  /** Greedy MMR selection (λ = 1/2) over one query's candidate pool:
+    * (ids, raw cosines, vectors) → array<struct<score2,id>> in pick
+    * order, score2 = integer basis points (2 × MMR score × 1e4). */
+  def mmr(ids: Column, cos: Column, vecs: Column, k: Int): Column =
+    Shims.column(MmrSelect(Shims.expression(ids), Shims.expression(cos),
+      Shims.expression(vecs), k))
+
   /** Bounded collect aggregate: array<struct<id,aux>> of at most `cap`
     * of the group's pairs (complete when the group fits the cap —
     * O(cap) state per group at every aggregation stage). */

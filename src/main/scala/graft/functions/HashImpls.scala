@@ -574,4 +574,70 @@ object HashImpls {
     }
     new GenericArrayData(winnowSelect(hashes, w))
   }
+
+  /** C-style round-half-away-from-zero of `x * 1e4` — the exact
+    * arithmetic of DuckDB's `CAST(round(cos * 1e4) AS BIGINT)`, so
+    * basis-point scores agree bit-for-bit across engines. */
+  private def toBp(x: Double): Long = {
+    val y = x * 1e4
+    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+  }
+
+  /** Greedy MMR (maximal marginal relevance) selection over one
+    * query's candidate pool, λ = 1/2. All comparisons happen in
+    * integer basis points: score2 = rel_bp − maxSimToSelected_bp
+    * (= 2 × λ-weighted MMR score × 1e4; the empty-set penalty is 0,
+    * so the first pick is pure relevance). Ties → lower id. Returns
+    * array<struct<score2: long, id: long>> in pick order. Cost is
+    * O(k·n + n²·dim picks-worth of cosines) — row-local, bounded by
+    * the pool size, never the corpus. */
+  def mmrSelect(ids: ArrayData, cos: ArrayData, vecs: ArrayData, k: Int): ArrayData = {
+    val n = ids.numElements()
+    val m = math.min(k, n)
+    val idArr = new Array[Long](n)
+    val relBp = new Array[Long](n)
+    val vecArr = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      idArr(i) = ids.getLong(i)
+      relBp(i) = toBp(cos.getDouble(i))
+      vecArr(i) = vecs.getArray(i)
+      i += 1
+    }
+    val penBp = new Array[Long](n)
+    val taken = new Array[Boolean](n)
+    val out = new Array[Any](m)
+    var last = -1
+    var t = 0
+    while (t < m) {
+      if (last >= 0) {
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) {
+            val s = toBp(cosine(vecArr(j), vecArr(last)))
+            if (t == 1 || s > penBp(j)) penBp(j) = s
+          }
+          j += 1
+        }
+      }
+      var best = -1
+      var bestScore = 0L
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val sc = if (t == 0) relBp(j) else relBp(j) - penBp(j)
+          if (best < 0 || sc > bestScore || (sc == bestScore && idArr(j) < idArr(best))) {
+            best = j
+            bestScore = sc
+          }
+        }
+        j += 1
+      }
+      taken(best) = true
+      last = best
+      out(t) = org.apache.spark.sql.catalyst.InternalRow(bestScore, idArr(best))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
 }

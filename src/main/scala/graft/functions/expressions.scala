@@ -186,3 +186,23 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int, planeOffset: Int 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
 }
+
+/** (array<long> ids, array<double> cosines, array<array<float>> vecs)
+  * → array<struct<score2,id>>: greedy MMR selection (λ = 1/2) over one
+  * query's candidate pool, all comparisons in integer basis points so
+  * the pick sequence is engine-portable (see HashImpls.mmrSelect). */
+case class MmrSelect(first: Expression, second: Expression, third: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(k > 0 && k <= 1000)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score2", LongType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_mmr"
+  override protected def nullSafeEval(ids: Any, cos: Any, vecs: Any): Any =
+    HashImpls.mmrSelect(ids.asInstanceOf[ArrayData], cos.asInstanceOf[ArrayData],
+      vecs.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.HashImpls.mmrSelect($a, $b, $c, $k)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): MmrSelect =
+    copy(first = f, second = s, third = t)
+}

@@ -344,4 +344,43 @@ object Ann {
         round(col("col.score"), 4).as("cosine"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998, "The Use of
+    * MMR, Diversity-Based Reranking"): retrieval's standard second
+    * stage — from each query's top-`poolSize` relevance candidates,
+    * greedily pick k that trade relevance against redundancy,
+    * score_t = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), λ = 1/2.
+    *
+    * Scale shape: the pool comes from the same partial-top-k pass as
+    * [[annBruteforce]] (corpus scanned once, only partitions × queries
+    * × poolSize partials shuffle); pool vectors ride ONE broadcast
+    * join against the corpus; the greedy loop itself is a row-local
+    * kernel over the packed pool (O(poolSize²·dim) per query — pool-
+    * bounded, never corpus-bounded). λ is fixed at 1/2 because all
+    * kernel comparisons then live in integer basis points
+    * (score2 = rel_bp − maxsim_bp = 2·score·1e4): the pick sequence is
+    * exact integer arithmetic, portable across engines — the
+    * rounded-at-creation idiom, applied to a greedy loop. */
+  def annMmr(embeddings: DataFrame, k: Int = 5, poolSize: Int = 20,
+             stride: Int = 50): DataFrame = {
+    val scored = embeddings.crossJoin(broadcast(querySet(embeddings, stride)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        F.cosine(col("q_vec"), col("embedding")).as("cos"))
+    val pool = scored.groupBy(col("q_id"))
+      .agg(F.topk(col("cos"), col("vec_id"), poolSize).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("pos").as("rnk"),
+        col("col.id").as("vec_id"), col("col.score").as("cos"))
+    embeddings.join(broadcast(pool), "vec_id")
+      .groupBy(col("q_id"))
+      .agg(sort_array(collect_list(struct(
+        col("rnk"), col("vec_id"), col("cos"), col("embedding")))).as("p"))
+      .select(col("q_id"),
+        posexplode(F.mmr(col("p.vec_id"), col("p.cos"), col("p.embedding"), k)))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("sel_rank"),
+        col("col.id").as("vec_id"),
+        (col("col.score2").cast("double") / 2e4).as("mmr_score"))
+      .orderBy(col("q_id"), col("sel_rank"))
+  }
 }

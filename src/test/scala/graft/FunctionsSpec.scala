@@ -315,3 +315,70 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(hist.length >= 2 && hist.length <= 4)
   }
 }
+
+class MmrSpec extends AnyFunSuite {
+  test("MMR demotes the near-duplicate of the first pick in favor of a diverse doc") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // query (id 0) along (10, 0); two near-identical relevant docs
+    // (ids 1, 2) and one slightly-less-relevant but diverse doc (id 3)
+    val df = Seq(
+      (0L, Array(10f, 0f)),
+      (1L, Array(10f, 1f)),
+      (2L, Array(10f, 1.001f)),
+      (3L, Array(10f, -2f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Ann.annMmr(df, k = 3, poolSize = 20, stride = 1000)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(0L), "only vec 0 is a query")
+    val picks = out.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    // pure relevance order is (1, 2, 3): 1 and 2 tie at 9950 bp (id
+    // tie-break), 3 trails at 9806. MMR keeps 1, then prefers the
+    // diverse 3 (9806 - 9562 = 244 half-bp) over the redundant 2
+    // (9950 - 10000 = -50): picks = 1, 3, 2.
+    assert(picks == Seq(1L, 3L, 2L), s"got $picks")
+    val first = out.minBy(_.getLong(1))
+    assert(first.getDouble(3) == 9950d / 2e4, "first pick score = rel/2")
+  }
+
+  test("MMR pick sequence equals a reference greedy loop on random vectors") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Ann.annMmr(df, k = 4, poolSize = 10, stride = 30)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+
+    // reference: plain-Scala greedy MMR over the same bp-rounded scores
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = a.map(x => x.toDouble * x.toDouble).sum
+      val nb = b.map(x => x.toDouble * x.toDouble).sum
+      dot / math.sqrt(na * nb)
+    }
+    def bp(x: Double): Long =
+      (if (x * 1e4 >= 0) math.floor(x * 1e4 + 0.5) else math.ceil(x * 1e4 - 0.5)).toLong
+    val vecs = rows.toMap
+    for (q <- Seq(0L, 30L)) {
+      val pool = rows.filter(_._1 != q)
+        .map { case (i, v) => (i, cos(vecs(q), v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(10)
+        .map { case (i, c) => (i, bp(c)) }
+      var selected = Vector.empty[Long]
+      var remaining = pool
+      while (selected.size < 4) {
+        val scored = remaining.map { case (i, relBp) =>
+          val pen = if (selected.isEmpty) 0L
+            else selected.map(s => bp(cos(vecs(i), vecs(s)))).max
+          (i, relBp - pen)
+        }
+        val pick = scored.minBy { case (i, s) => (-s, i) }._1
+        selected :+= pick
+        remaining = remaining.filterNot(_._1 == pick)
+      }
+      assert(out(q) == selected, s"query $q: got ${out(q)}, want $selected")
+    }
+  }
+}
