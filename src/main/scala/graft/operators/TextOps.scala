@@ -803,6 +803,58 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Unigram + bigram features of `col("toks")` (a split token array);
+    * docs under 2 tokens contribute unigrams only. */
+  private val dsirGrams: Column = concat(col("toks"),
+    when(size(col("toks")) >= 2,
+      transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat(element_at(col("toks"), i + 1), lit(" "),
+          element_at(col("toks"), i + 2))))
+      .otherwise(array().cast("array<string>")))
+
+  /** Portable md5-60 feature bucket — DuckDB replays it bit-for-bit. */
+  private def dsirBucket(gram: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(gram.cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+
+  /** (persisted per-occurrence feature table, per-bucket log-ratio
+    * table) for [[pipelineDsir]] / [[dsirRatios]]. */
+  private def dsirCore(documents: DataFrame, targetSource: String,
+                       buckets: Int): (DataFrame, DataFrame) = {
+    val toks = split(trim(lower(col("text"))), " ")
+    val feats = Dedup.materialized(documents
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .select(col("doc_id"), col("source"), explode(dsirGrams).as("gram"))
+      .select(col("doc_id"), col("source"),
+        dsirBucket(col("gram"), buckets).as("bucket")))
+    val raw = feats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("source") === targetSource)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    // DENSE over all bucket ids (buckets with zero corpus count score
+    // log(nr+B) − log(nt+B)), so a broadcast snapshot covers any
+    // future doc's features — the stream face needs no fallback path.
+    val ratio = documents.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+      .join(raw, Seq("bucket"), "left")
+      .join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(raw.agg(sum(col("cr")).as("nr"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("nt"))))
+      .select(col("bucket"), round((
+          log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
+            (coalesce(col("nt"), lit(0L)) + buckets)) -
+          log((coalesce(col("cr"), lit(0L)).cast("double") + 1.0) /
+            (coalesce(col("nr"), lit(0L)) + buckets))
+        ) * 1e6, 0).cast("long").as("lr_micro"))
+    (feats, ratio)
+  }
+
+  /** The stored DSIR ratio table (bucket → lr_micro, dense over all
+    * `buckets` ids): what a production pipeline computes once per
+    * corpus snapshot and broadcasts at ingest ([[dsirStream]]). */
+  def dsirRatios(documents: DataFrame, targetSource: String = "src0",
+                 buckets: Int = 1024): DataFrame =
+    dsirCore(documents, targetSource, buckets)._2
+
   /** DSIR data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
     * score every document by the log importance weight of a hashed
@@ -827,30 +879,7 @@ object TextOps {
     * feature map bit-for-bit. */
   def pipelineDsir(documents: DataFrame, targetSource: String = "src0",
                    buckets: Int = 1024, k: Int = 50): DataFrame = {
-    val toks = split(trim(lower(col("text"))), " ")
-    val bigrams = when(size(col("toks")) >= 2,
-      transform(sequence(lit(0), size(col("toks")) - 2),
-        i => concat(element_at(col("toks"), i + 1), lit(" "),
-          element_at(col("toks"), i + 2))))
-      .otherwise(array().cast("array<string>"))
-    val feats = Dedup.materialized(documents
-      .select(col("doc_id"), col("source"), toks.as("toks"))
-      .select(col("doc_id"), col("source"),
-        explode(concat(col("toks"), bigrams)).as("gram"))
-      .select(col("doc_id"), col("source"),
-        pmod(conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
-          .cast("long"), lit(buckets.toLong)).as("bucket")))
-    val raw = feats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val tgt = feats.filter(col("source") === targetSource)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val ratio = raw.join(tgt, Seq("bucket"), "left")
-      .crossJoin(broadcast(raw.agg(sum(col("cr")).as("nr"))))
-      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("nt"))))
-      .select(col("bucket"), round((
-          log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
-            (coalesce(col("nt"), lit(0L)) + buckets)) -
-          log((col("cr").cast("double") + 1.0) / (col("nr") + buckets))
-        ) * 1e6, 0).cast("long").as("lr_micro"))
+    val (feats, ratio) = dsirCore(documents, targetSource, buckets)
     val scored = feats.join(broadcast(ratio), "bucket")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lr_micro")).as("lw_micro"))
@@ -863,6 +892,30 @@ object TextOps {
       .select(col("rank"), col("doc_id"), col("n_feats"),
         (col("lw_micro").cast("double") / 1e6).as("logw"))
       .orderBy(col("rank"))
+  }
+
+  /** Streaming face of [[pipelineDsir]]: score documents AT INGEST
+    * against a precomputed DSIR ratio snapshot ([[dsirRatios]], dense
+    * over every bucket id so any future doc's features resolve). The
+    * ratio table collapses to ONE map row on the static side
+    * (bucket → lr_micro, `buckets` entries — broadcast-size by
+    * construction) and each streamed doc folds its own feature array
+    * through the map row-locally: no explode, no shuffle, no
+    * watermark, zero streaming state — the same ingest-time shape as
+    * [[mixStream]] / [[decontaminateStream]]. Emits the doc columns +
+    * exact `lw_micro` and keeps docs scoring at least `minLwMicro`
+    * (0 = "looks at least as target-like as raw"). */
+  def dsirStream(docs: DataFrame, ratios: DataFrame,
+                 minLwMicro: Long = 0L, buckets: Int = 1024): DataFrame = {
+    val ratioRow = ratios.agg(map_from_arrays(
+      collect_list(col("bucket")), collect_list(col("lr_micro"))).as("rmap"))
+    val toks = split(trim(lower(col("text"))), " ")
+    docs.crossJoin(broadcast(ratioRow))
+      .withColumn("toks", toks)
+      .withColumn("lw_micro", aggregate(dsirGrams, lit(0L),
+        (acc, g) => acc + element_at(col("rmap"), dsirBucket(g, buckets))))
+      .filter(col("lw_micro") >= minLwMicro)
+      .drop("toks", "rmap")
   }
 
   /** Streaming face of [[mixDomains]]: applies precomputed per-domain

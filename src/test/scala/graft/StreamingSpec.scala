@@ -324,3 +324,45 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L, 102L, 202L), s"got $ids")
   }
 }
+
+class DsirStreamSpec extends AnyFunSuite {
+  test("ingest-time DSIR keeps target-like docs with exact micro-unit scores") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val B = 256
+    val tgtText = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val rawText = (1 to 20).map(i => s"zulu$i").mkString(" ")
+    val corpus = (
+      (1L to 3L).map(i => (i, "tgt", tgtText)) ++
+      (4L to 6L).map(i => (i, "web", rawText))
+    ).toDF("doc_id", "source", "text")
+    val ratios = graft.operators.TextOps.dsirRatios(corpus, "tgt", B)
+    val ratioMap = ratios.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ratioMap.size == B, "ratio table is dense over all buckets")
+
+    // expected exact scores via the same md5-60 bucket hash
+    def lw(text: String): Long = {
+      val toks = text.trim.toLowerCase.split(" ").toSeq
+      val grams = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      grams.map(g => ratioMap(java.lang.Long.remainderUnsigned(
+        graft.functions.HashImpls.md5Hash60(g.getBytes("UTF-8")), B.toLong))).sum
+    }
+    assert(lw(tgtText) > 0 && lw(rawText) < 0, "planted corpus separates")
+
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.operators.TextOps.dsirStream(
+        mem.toDF().toDF("doc_id", "source", "text"), ratios, minLwMicro = 0L, buckets = B)
+      .writeStream.outputMode("append").format("memory").queryName("dsir_keep").start()
+    try {
+      mem.addData((100L, "web", tgtText), (101L, "web", rawText))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, lw_micro from dsir_keep").collect()
+      got ++= rows.map(r => (r.getLong(0), r.getLong(1)))
+    } finally q.stop()
+    // the target-like doc survives with the exact batch-formula score;
+    // the raw-vocabulary doc is filtered at ingest
+    assert(got.toSeq == Seq((100L, lw(tgtText))), s"got $got (want ${(100L, lw(tgtText))})")
+  }
+}
