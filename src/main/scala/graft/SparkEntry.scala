@@ -79,6 +79,7 @@ object SparkEntry {
     "mm_jpeg" -> ((s, d) => Multimodal.mmJpeg(Tables.documents(s, d))),
     "mm_gif" -> ((s, d) => Multimodal.mmGif(Tables.documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.mmResize(Tables.documents(s, d))),
+    "mm_resample" -> ((s, d) => Multimodal.mmResample(Tables.documents(s, d))),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(Tables.documents(s, d))),
     "text_span_removal" -> ((s, d) => TextOps.spanRemoval(Tables.documents(s, d))),
     "pipeline_pack" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
@@ -1771,6 +1772,27 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |SELECT doc_id, CAST(44 + n AS BIGINT) AS n_bytes, CAST(n AS BIGINT) AS n_samples,
         |  round(CAST(s AS DOUBLE) / n, 4) AS mean_decoded
         |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_resample" ->
+      // 2x linear-interpolation audio upsample through the real WAV
+      // codec loop (decode -> interpolate -> re-encode -> decode):
+      // out[2i] = s(i), out[2i+1] = (s(i) + s(i+1)) // 2 (truncating,
+      // = the kernel's Java int division), length 2n-1; the oracle
+      // replays the interpolation from the closed-form generator
+      // s(i) = ((id*31 + i*17) % 2001) - 1000
+      """WITH a AS (SELECT doc_id, 200 + (doc_id % 5) * 100 AS n FROM documents),
+        |r AS (
+        |  SELECT a.doc_id, a.n,
+        |    CASE WHEN t.j % 2 = 0
+        |      THEN ((a.doc_id * 31 + (t.j // 2) * 17) % 2001) - 1000
+        |      ELSE ((((a.doc_id * 31 + ((t.j - 1) // 2) * 17) % 2001) - 1000)
+        |          + (((a.doc_id * 31 + ((t.j + 1) // 2) * 17) % 2001) - 1000)) // 2
+        |    END AS v
+        |  FROM a, LATERAL unnest(range(0, 2 * a.n - 1)) AS t(j)
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_in, CAST(2 * n - 1 AS BIGINT) AS n_out,
+        |  CAST(16000 AS BIGINT) AS rate_out,
+        |  round(CAST(sum(abs(v)) AS DOUBLE) / (2 * n - 1), 4) AS mean_abs_out
+        |FROM r GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
       // nearest-neighbor resize through the real PNG codec loop
       // (decode -> resample -> encode -> decode): target pixel (x,y)

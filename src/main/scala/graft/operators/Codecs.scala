@@ -139,6 +139,70 @@ object Codecs {
     * linear PCM), format 6 (8-bit G.711 A-law), and format 7 (8-bit
     * G.711 μ-law) — companded bytes are expanded to linear before the
     * amplitude stats. None for anything else. */
+  /** PCM16 (format 1) WAV → (sampleRate, samples). Companded formats
+    * go through [[decodeWav]]'s stats path; resampling operates on
+    * linear PCM only (production transcodes companded audio to PCM
+    * first — that's [[muLawDecodeSample]]/[[aLawDecodeSample]]). */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes.length < 44) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val riff = new Array[Byte](4); bb.get(riff)
+    if (new String(riff, StandardCharsets.US_ASCII) != "RIFF") return None
+    bb.getInt
+    val wave = new Array[Byte](4); bb.get(wave)
+    if (new String(wave, StandardCharsets.US_ASCII) != "WAVE") return None
+    var sampleRate = 0
+    var ok = false
+    while (bb.remaining() >= 8) {
+      val id = new Array[Byte](4); bb.get(id)
+      val size = bb.getInt
+      if (size < 0) return None
+      new String(id, StandardCharsets.US_ASCII) match {
+        case "fmt " =>
+          if (size < 16 || bb.remaining() < size) return None
+          val fmtStart = bb.position()
+          val format = bb.getShort
+          bb.getShort
+          sampleRate = bb.getInt
+          bb.getInt; bb.getShort
+          val bits = bb.getShort
+          ok = format == 1 && bits == 16
+          if (!ok) return None
+          bb.position(fmtStart + size)
+        case "data" =>
+          if (bb.remaining() < size || !ok) return None
+          val n = size / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort; i += 1 }
+          return Some((sampleRate, out))
+        case _ =>
+          if (bb.remaining() < size) return None
+          bb.position(bb.position() + size)
+      }
+    }
+    None
+  }
+
+  /** 2× linear-interpolation upsample of a PCM16 WAV (8 kHz telephony
+    * → 16 kHz, the audio analog of an image resize): out[2i] = s[i],
+    * out[2i+1] = (s[i] + s[i+1]) / 2 with TRUNCATING integer division
+    * (matches SQL `//`, so the oracle replays the interpolation
+    * exactly), output length 2n − 1 (no extrapolated tail sample),
+    * re-encoded at twice the source rate. */
+  def resampleWav2x(bytes: Array[Byte]): Option[Array[Byte]] =
+    decodeWavSamples(bytes).map { case (rate, s) =>
+      val n = s.length
+      val out = new Array[Short](math.max(2 * n - 1, 0))
+      var i = 0
+      while (i < n) {
+        out(2 * i) = s(i)
+        if (i < n - 1) out(2 * i + 1) = ((s(i) + s(i + 1)) / 2).toShort
+        i += 1
+      }
+      encodeWav(out, rate * 2)
+    }
+
   def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
     if (bytes.length < 44) return None
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

@@ -486,4 +486,48 @@ object Multimodal {
         col("width"), col("height"), col("n_frames"))
       .orderBy(col("doc_id"))
   }
+
+  /** Media table of PCM16 WAV payloads for EVERY doc (the all-audio
+    * sibling of [[mediaTableEncoded]]'s odd branch): closed-form
+    * samples s(i) = ((id·31 + i·17) mod 2001) − 1000 at 8 kHz. */
+  def mediaTableWav(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = 200 + (id % 5).toInt * 100
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = (((id * 31 + i.toLong * 17) % 2001) - 1000).toShort
+          i += 1
+        }
+        MediaRow(id, "audio", Codecs.encodeWav(samples), 0, 0)
+      }
+    }
+  }
+
+  /** mm_resample query: the audio analog of [[mmResize]]'s thumbnail
+    * loop — decode PCM WAV → 2× linear-interpolation upsample
+    * ([[Codecs.resampleWav2x]], truncating integer midpoints) →
+    * re-encode at 16 kHz → decode the RESAMPLED file again for its
+    * amplitude stats. The oracle replays the interpolation
+    * arithmetically from the closed-form generator, so a defect in
+    * either decode pass, the resampler, or the re-encode hash-fails. */
+  def mmResample(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    mediaTableWav(documents).mapPartitions { rows =>
+      rows.map { r =>
+        val in = Codecs.decodeWav(r.content)
+          .getOrElse(sys.error(s"WAV decode failed for doc ${r.doc_id}"))
+        val res = Codecs.resampleWav2x(r.content)
+          .getOrElse(sys.error(s"WAV resample failed for doc ${r.doc_id}"))
+        val out = Codecs.decodeWav(res)
+          .getOrElse(sys.error(s"resampled-WAV decode failed for doc ${r.doc_id}"))
+        (r.doc_id, in.nSamples.toLong, out.nSamples.toLong,
+          out.sampleRate.toLong, out.meanAbsAmplitude)
+      }
+    }.toDF("doc_id", "n_in", "n_out", "rate_out", "mean_abs_out")
+      .withColumn("mean_abs_out", round(col("mean_abs_out"), 4))
+      .orderBy(col("doc_id"))
+  }
 }

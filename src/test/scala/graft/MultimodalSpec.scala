@@ -752,3 +752,24 @@ class AudioFramesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(frames(2).offset == 2048 && frames(2).n_bytes == 452)
   }
 }
+
+class WavResampleSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("2x resample interleaves truncating midpoints and doubles the rate") {
+    import graft.operators.Codecs
+    val src = Array[Short](100, 200, -3, 2, -500)
+    val wav = Codecs.encodeWav(src, sampleRate = 8000)
+    val res = Codecs.resampleWav2x(wav).get
+    val (rate, out) = Codecs.decodeWavSamples(res).get
+    assert(rate == 16000)
+    // midpoints truncate toward zero: (200 + -3)/2 = 98, (-3 + 2)/2 = 0
+    // (floor would give -1), (2 + -500)/2 = -249
+    assert(out.toSeq == Seq[Short](100, 150, 200, 98, -3, 0, 2, -249, -500))
+  }
+
+  test("resample refuses non-PCM and truncated payloads") {
+    import graft.operators.Codecs
+    assert(Codecs.resampleWav2x("junk".getBytes).isEmpty)
+    val mulaw = Codecs.encodeWavMuLaw(Array[Short](1, 2, 3))
+    assert(Codecs.resampleWav2x(mulaw).isEmpty, "companded input must be transcoded first")
+  }
+}
