@@ -93,6 +93,7 @@ object SparkEntry {
     "pipeline_shuffle" -> ((s, d) => TextOps.shuffleOrder(Tables.documents(s, d))),
     "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
     "text_quality_lr" -> ((s, d) => TextOps.textQualityLr(Tables.documents(s, d))),
+    "text_gopher" -> ((s, d) => TextOps.textGopher(Tables.documents(s, d))),
     "pipeline_budget" -> ((s, d) => TextOps.budgetDomains(Tables.documents(s, d))),
     "pipeline_dsir" -> ((s, d) => TextOps.pipelineDsir(Tables.documents(s, d))),
     "embedding_diversity" -> ((s, d) => Ann.embeddingDiversity(Tables.embeddings(s, d))),
@@ -492,6 +493,37 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |SELECT lang, lang_pred, n,
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) + 1e-9, 4) AS frac
         |FROM m ORDER BY lang, lang_pred""".stripMargin,
+    "text_gopher" ->
+      // the published Gopher rule set; stop_hits counts DISTINCT stop
+      // words present (array_intersect dedups on the Spark side)
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest(toks) AS w FROM t
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_words,
+        |    sum(length(w)) AS sum_len,
+        |    sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END) AS alpha_words,
+        |    sum(CASE WHEN w LIKE '%#%' OR w LIKE '%...%' THEN 1 ELSE 0 END) AS symbol_words,
+        |    count(DISTINCT CASE WHEN w IN ('the','be','to','of','and','that','have','with')
+        |                        THEN w END) AS stop_hits
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(CAST(sum_len AS DOUBLE) / n_words + 1e-9, 4) AS mean_word_len,
+        |  round(CAST(alpha_words AS DOUBLE) / n_words + 1e-9, 4) AS alpha_frac,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  (n_words BETWEEN 50 AND 100000) AS word_count_ok,
+        |  (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10) AS word_len_ok,
+        |  (CAST(symbol_words AS DOUBLE) / n_words <= 0.1) AS symbol_ok,
+        |  (CAST(alpha_words AS DOUBLE) / n_words >= 0.8) AS alpha_ok,
+        |  (stop_hits >= 2) AS stops_ok,
+        |  ((n_words BETWEEN 50 AND 100000)
+        |    AND (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10)
+        |    AND (CAST(symbol_words AS DOUBLE) / n_words <= 0.1)
+        |    AND (CAST(alpha_words AS DOUBLE) / n_words >= 0.8)
+        |    AND stop_hits >= 2) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "text_quality_lr" ->
       // fixed-weight logistic scoring over the same per-row features
       // as text_quality; p rounds at 4dp BEFORE the keep threshold so

@@ -722,6 +722,45 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The Gopher quality rules (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1.1.2) — the published heuristic filter set later
+    * suites (Dolma, RefinedWeb) benchmark against, as a NAMED recipe
+    * beside the generic [[textQuality]] score: word count in
+    * [50, 100 000], mean word length in [3, 10], symbol-word ratio
+    * (# or ...) ≤ 0.1, ≥ 80 % of words containing an alphabetic
+    * character, and ≥ 2 distinct Gopher stop words present. Emits
+    * every rule verdict plus the composite keep — entirely row-local
+    * lambda/array builtins (no explode, no shuffle: the correct
+    * 100 TB scoring shape, like [[textQualityLr]]). */
+  def textGopher(documents: DataFrame): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toksCol = split(trim(lower(col("text"))), " ")
+    val n = size(col("toks")).cast("long")
+    val sumLen = aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+    val alphaWords = size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long")
+    val symbolWords = size(filter(col("toks"),
+      t => t.contains("#") || t.contains("..."))).cast("long")
+    val stopHits = size(array_intersect(col("toks"),
+      array(stops.map(lit): _*))).cast("long")
+    val mwl = sumLen.cast("double") / n
+    val alphaFrac = alphaWords.cast("double") / n
+    val wordCountOk = n.between(50L, 100000L)
+    val wordLenOk = mwl.between(3.0, 10.0)
+    val symbolOk = symbolWords.cast("double") / n <= 0.1
+    val alphaOk = alphaFrac >= 0.8
+    val stopsOk = stopHits >= 2
+    documents.withColumn("toks", toksCol).select(
+      col("doc_id"), n.as("n_words"),
+      round(mwl + lit(1e-9), 4).as("mean_word_len"),
+      round(alphaFrac + lit(1e-9), 4).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      wordCountOk.as("word_count_ok"), wordLenOk.as("word_len_ok"),
+      symbolOk.as("symbol_ok"), alphaOk.as("alpha_ok"), stopsOk.as("stops_ok"),
+      (wordCountOk && wordLenOk && symbolOk && alphaOk && stopsOk).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID evaluation: the confusion matrix of [[textLangid]]'s
     * prediction against the gold `lang` label, with per-gold-row
     * fractions — the quality gate one runs on the classifier itself

@@ -870,3 +870,25 @@ class DsirSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.take(5).map(_.getLong(1)).toSet == (1L to 5L).toSet)
   }
 }
+
+class GopherRulesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("each Gopher rule fires on its planted violation; clean doc keeps") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val fifty = (1 to 48).map(i => s"word$i").mkString(" ") + " the of"
+    val docs = Seq(
+      (1L, fifty),                                      // 50 words, mwl ~5, 2 stops -> keep
+      (2L, "the of short doc"),                         // < 50 words
+      (3L, (1 to 25).map(_ => "## ...!!").mkString(" ") +
+        " " + (1 to 25).map(i => s"w$i").mkString(" ") + " the of"), // symbol ratio > 0.1
+      (4L, (1 to 50).map(i => s"word$i").mkString(" ")) // no stop words
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textGopher(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(10), "clean doc must keep")
+    assert(!out(2L).getBoolean(5) && !out(2L).getBoolean(10), "word count rule")
+    assert(!out(3L).getBoolean(7) && !out(3L).getBoolean(10), "symbol rule")
+    assert(out(4L).getLong(4) == 0 && !out(4L).getBoolean(9) && !out(4L).getBoolean(10),
+      "stop-word rule")
+  }
+}
