@@ -89,10 +89,54 @@ class GraftBqTable(schema: StructType, path: String, permissive: Boolean = false
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val perm = permissive || "permissive".equalsIgnoreCase(options.get("mode"))
-    new ScanBuilder {
-      override def build(): Scan = new GraftBqScan(schema, path, perm)
-    }
+    new GraftBqScanBuilder(schema, path, perm)
   }
+}
+
+/** Scan builder with COLUMN PRUNING and FILTER PUSHDOWN — the two
+  * levers that matter at transport scale: pruned columns are never
+  * parsed out of the JSON payload (a 2-column projection of a wide
+  * table parses 2 fields per line, not all), and pushed predicates
+  * drop rows inside the partition reader before they reach Spark.
+  * Pushed filters are also returned as residual so Catalyst re-checks
+  * them — the parquet convention: the source is a row-skipping
+  * optimization, never the correctness authority. */
+class GraftBqScanBuilder(fullSchema: StructType, path: String, permissive: Boolean)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+  private var requiredSchema: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit = {
+    // preserve source field order; Spark may ask in projection order
+    val want = required.fieldNames.toSet
+    requiredSchema = StructType(fullSchema.fields.filter(f => want(f.name)))
+  }
+
+  private def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => supportedLit(v)
+    case GreaterThan(_, v) => supportedLit(v)
+    case GreaterThanOrEqual(_, v) => supportedLit(v)
+    case LessThan(_, v) => supportedLit(v)
+    case LessThanOrEqual(_, v) => supportedLit(v)
+    case IsNull(_) | IsNotNull(_) => true
+    case _ => false
+  }
+  private def supportedLit(v: Any): Boolean = v match {
+    case _: java.lang.Number | _: String | _: java.lang.Boolean => true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(supported)
+    filters // everything stays residual; pushed copies skip rows early
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GraftBqScan(requiredSchema, path, permissive, pushed)
 }
 
 /** Commit message: the temp files this task produced. */
@@ -247,14 +291,19 @@ class GraftBqDataWriter(schema: StructType, path: String, queryId: String,
 /** Read side: committed files only, one input partition per file.
   * Streaming read: each micro-batch consumes the manifests that
   * appeared since the last offset (offset = set of seen manifests). */
-class GraftBqScan(schema: StructType, path: String, permissive: Boolean = false)
+class GraftBqScan(schema: StructType, path: String, permissive: Boolean = false,
+                  pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-bq $path, ReadSchema: ${schema.catalogString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  def pushedFilters: Array[org.apache.spark.sql.sources.Filter] = pushed
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new DroppedLinesMetric)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftBqMicroBatchStream(schema, path, permissive)
+    new GraftBqMicroBatchStream(schema, path, permissive, pushed)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val committedDir = Paths.get(path).resolve("_committed")
@@ -268,16 +317,17 @@ class GraftBqScan(schema: StructType, path: String, permissive: Boolean = false)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftBqReaderFactory(schema, permissive)
+    new GraftBqReaderFactory(schema, permissive, pushed)
 }
 
 case class GraftBqInputPartition(file: String) extends InputPartition
 
-class GraftBqReaderFactory(schema: StructType, permissive: Boolean = false)
+class GraftBqReaderFactory(schema: StructType, permissive: Boolean = false,
+                           pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftBqPartitionReader(schema,
-      partition.asInstanceOf[GraftBqInputPartition].file, permissive)
+      partition.asInstanceOf[GraftBqInputPartition].file, permissive, pushed)
 }
 
 /** Offset = high-water mark over manifest names (names sort in commit
@@ -290,7 +340,9 @@ case class GraftBqOffset(last: String, count: Long) extends Offset {
 }
 
 class GraftBqMicroBatchStream(schema: StructType, path: String,
-                              permissive: Boolean = false) extends MicroBatchStream {
+                              permissive: Boolean = false,
+                              pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends MicroBatchStream {
   private def committedDir = Paths.get(path).resolve("_committed")
 
   private def currentManifests(): Seq[String] =
@@ -329,7 +381,7 @@ class GraftBqMicroBatchStream(schema: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftBqReaderFactory(schema, permissive)
+    new GraftBqReaderFactory(schema, permissive, pushed)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -350,13 +402,47 @@ object GraftBqMetrics {
 
 /** `permissive` counts-and-skips unparseable lines (dropped_lines
   * custom metric); default failfast surfaces corruption. */
-class GraftBqPartitionReader(schema: StructType, file: String, permissive: Boolean = false)
+class GraftBqPartitionReader(schema: StructType, file: String, permissive: Boolean = false,
+                             pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.sources._
   private val mapper = new ObjectMapper()
   private val lines = Files.lines(Paths.get(file))
   private val it = lines.iterator()
   private var current: InternalRow = _
   private var dropped = 0L
+
+  /** 3-valued comparison against the raw JSON node: None = field
+    * missing/null (every comparison predicate then drops the row, SQL
+    * semantics). Numbers compare as BigDecimal so long/int/double
+    * literals all work against any JSON numeric. */
+  private def cmp(node: com.fasterxml.jackson.databind.JsonNode,
+                  attr: String, lit: Any): Option[Int] = {
+    val v = node.get(attr)
+    if (v == null || v.isNull) None
+    else lit match {
+      case n: java.lang.Number =>
+        if (!v.isNumber) None
+        else Some(v.decimalValue().compareTo(new java.math.BigDecimal(n.toString)))
+      case s: String => Some(v.asText().compareTo(s))
+      case b: java.lang.Boolean =>
+        if (!v.isBoolean) None
+        else Some(java.lang.Boolean.compare(v.asBoolean(), b))
+      case _ => None
+    }
+  }
+
+  private def passes(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    pushed.forall {
+      case EqualTo(a, v) => cmp(node, a, v).contains(0)
+      case GreaterThan(a, v) => cmp(node, a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(node, a, v).exists(_ >= 0)
+      case LessThan(a, v) => cmp(node, a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(node, a, v).exists(_ <= 0)
+      case IsNull(a) => val x = node.get(a); x == null || x.isNull
+      case IsNotNull(a) => val x = node.get(a); x != null && !x.isNull
+      case _ => true
+    }
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
@@ -378,6 +464,7 @@ class GraftBqPartitionReader(schema: StructType, file: String, permissive: Boole
       case Some(node) if !node.isObject =>
         if (permissive) { drop(); next() }
         else throw new java.io.IOException(s"graft-bq: non-object JSON line in $file")
+      case Some(node) if !passes(node) => next() // pushed-filter row skip
       case Some(node) => nextFrom(node)
     }
   }

@@ -184,3 +184,55 @@ class PermissiveReadSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(thrown.toString.nonEmpty)
   }
 }
+
+class GraftBqPushdownSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("scan prunes columns and records pushed filters; results stay exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bq-pd").toString
+    (1L to 10L).map(i => (i, s"name$i", i * 1.5, i % 2 == 0))
+      .toDF("id", "name", "score", "ok")
+      .write.format("graft-bq").mode("append").option("path", dir).save()
+    val df = spark.read.format("graft-bq").option("path", dir).load()
+      .filter($"id" > 7L).select("name")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("name10", "name8", "name9"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[graft.sources.GraftBqScan]
+    }.get
+    // name for the projection, id for the residual filter; score/ok pruned
+    assert(scan.readSchema().fieldNames.toSet == Set("id", "name"),
+      s"got ${scan.readSchema().fieldNames.toSeq}")
+    assert(scan.pushedFilters.exists {
+      case org.apache.spark.sql.sources.GreaterThan("id", 7L) => true
+      case _ => false
+    }, s"got ${scan.pushedFilters.toSeq}")
+    assert(scan.description().contains("GreaterThan(id,7)") &&
+      scan.description().contains("PushedFilters: ["))
+  }
+
+  test("partition reader skips rows on pushed predicates at the source") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val f = java.nio.file.Files.createTempFile("graft-bq-rows", ".jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id":1,"name":"a"}
+        |{"id":2,"name":null}
+        |{"id":3,"name":"c"}
+        |{"id":4}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    def rows(filters: Filter*): Seq[Long] = {
+      val r = new graft.sources.GraftBqPartitionReader(schema, f.toString, false, filters.toArray)
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      try { while (r.next()) out += r.get().getLong(0) } finally r.close()
+      out.toSeq
+    }
+    assert(rows() == Seq(1L, 2L, 3L, 4L))
+    assert(rows(GreaterThanOrEqual("id", 3L)) == Seq(3L, 4L))
+    assert(rows(IsNotNull("name")) == Seq(1L, 3L), "JSON null and missing both drop")
+    assert(rows(IsNull("name")) == Seq(2L, 4L))
+    assert(rows(EqualTo("name", "c"), LessThan("id", 10L)) == Seq(3L))
+  }
+}
