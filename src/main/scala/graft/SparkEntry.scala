@@ -62,6 +62,7 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, d) => Ann.annBruteforce(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.annLsh(Tables.embeddings(s, d), portable = true)),
     "ann_mmr" -> ((s, d) => Ann.annMmr(Tables.embeddings(s, d))),
+    "ann_graph" -> ((s, d) => Ann.annGraph(Tables.embeddings(s, d))),
     "sink_batch_assign" -> ((s, d) => SinkOps.batchAssign(Tables.events(s, d))),
     "sink_batch_bytes" -> ((s, d) => SinkOps.batchBytes(Tables.events(s, d))),
     "sink_rows_batch" -> ((s, d) => SinkOps.rowsBatch(Tables.events(s, d))),
@@ -136,6 +137,81 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
   )
+
+  /** Oracle for ann_graph: graph construction AND the greedy beam
+    * search UNROLLED — one CTE block per hop (the tokenizer_bpe
+    * idiom). Buckets come from the same md5-derived hyperplane
+    * formula as ann_lsh (tables stacked in one coef relation); all
+    * similarities are integer basis points so every frontier and the
+    * final ranking are exact integer comparisons. */
+  private def graphOracleSql(k: Int, stride: Int = 50, numPlanes: Int = 5,
+                             tables: Int = 2, degree: Int = 6,
+                             beam: Int = 8, hops: Int = 3): String = {
+    val bucketCols = (0 until tables).map { t =>
+      s"""    CAST(sum(CASE WHEN p >= ${t * numPlanes} AND p < ${(t + 1) * numPlanes}
+         |      AND dot >= 0 THEN 1 << (p - ${t * numPlanes}) ELSE 0 END) AS INT) AS b$t""".stripMargin
+    }.mkString(",\n")
+    val pairUnion = (0 until tables).map { t =>
+      s"""  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM bkt a JOIN bkt b ON a.b$t = b.b$t AND a.vec_id <> b.vec_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    val hopCtes = (1 to hops).map { h =>
+      val prev = s"f${h - 1}"
+      s"""x$h AS (
+         |  SELECT q_id, vec_id FROM $prev
+         |  UNION
+         |  SELECT f.q_id, a.nbr AS vec_id FROM $prev f JOIN adj a ON a.node = f.vec_id
+         |), s$h AS (
+         |  SELECT x.q_id, x.vec_id,
+         |    CAST(round(list_cosine_similarity(q.qv, e.v) * 1e4) AS BIGINT) AS s
+         |  FROM x$h x JOIN q ON q.q_id = x.q_id JOIN e ON e.vec_id = x.vec_id
+         |), f$h AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rn
+         |    FROM s$h) WHERE rn <= $beam
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH coef AS (
+       |  SELECT p.p, j.j,
+       |    (CAST(('0x' || substr(md5(p.p || ':' || j.j), 1, 15)) AS BIGINT)
+       |      - 576460752303423488) / 576460752303423488.0 AS c
+       |  FROM range(0, ${tables * numPlanes}) p(p), range(0, 64) j(j)
+       |), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, c.p, sum(e.v[c.j + 1] * c.c) AS dot
+       |  FROM e, coef c GROUP BY e.vec_id, c.p
+       |), bkt AS MATERIALIZED (
+       |  SELECT vec_id,
+       |$bucketCols
+       |  FROM dots GROUP BY vec_id
+       |), pairs AS MATERIALIZED (
+       |$pairUnion
+       |), scored AS MATERIALIZED (
+       |  SELECT p.a, p.b,
+       |    CAST(round(list_cosine_similarity(ea.v, eb.v) * 1e4) AS BIGINT) AS s
+       |  FROM pairs p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b
+       |), adj AS MATERIALIZED (
+       |  SELECT a AS node, b AS nbr FROM (
+       |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY s DESC, b) AS rn
+       |    FROM scored) WHERE rn <= $degree
+       |), q AS MATERIALIZED (
+       |  SELECT e.vec_id AS q_id, e.v AS qv, b.b0
+       |  FROM e JOIN bkt b USING (vec_id) WHERE e.vec_id % $stride = 0
+       |), ent AS (SELECT b0, min(vec_id) AS entry FROM bkt GROUP BY b0),
+       |f0 AS (SELECT q.q_id, ent.entry AS vec_id FROM q JOIN ent USING (b0)),
+       |$hopCtes
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, CAST(s AS DOUBLE) / 1e4 AS cosine
+       |FROM (
+       |  SELECT x.q_id, x.vec_id,
+       |    CAST(round(list_cosine_similarity(q.qv, e.v) * 1e4) AS BIGINT) AS s,
+       |    row_number() OVER (PARTITION BY x.q_id ORDER BY
+       |      CAST(round(list_cosine_similarity(q.qv, e.v) * 1e4) AS BIGINT) DESC,
+       |      x.vec_id) AS rn
+       |  FROM f$hops x JOIN q ON q.q_id = x.q_id JOIN e ON e.vec_id = x.vec_id
+       |  WHERE x.vec_id <> x.q_id)
+       |WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
+  }
 
   /** Oracle for ann_mmr: the greedy MMR loop UNROLLED — one generated
     * CTE block per pick (the tokenizer_bpe idiom; a recursive CTE
@@ -1073,6 +1149,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rank
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "ann_mmr" -> mmrOracleSql(5),
+    "ann_graph" -> graphOracleSql(5),
     "ann_lsh" ->
       """WITH coef AS (
         |  SELECT p.p, j.j,

@@ -345,6 +345,83 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Graph-based ANN — the fourth classic paradigm beside LSH, IVF,
+    * and PQ (the flat, oracle-able cousin of HNSW/NSG): build a
+    * bounded-degree k-NN graph from LSH-bucketed candidates (`tables`
+    * OR-combined hyperplane tables connect what a single bucketing
+    * would leave as disconnected islands), then answer each query by
+    * `hops` rounds of greedy BEAM SEARCH — expand the frontier with
+    * its graph neighbors, score, keep the top `beam` — starting from
+    * the query's own table-0 bucket's min-id node.
+    *
+    * Scale shape: graph construction is bucket-bounded (per-table
+    * in-bucket pairs only, per-node degree capped by the partial-top-k
+    * aggregate — never all-pairs); the search side touches the corpus
+    * only through `hops` broadcast-probe joins (frontier ∪ neighbors
+    * is queries × beam × (degree+1) rows — broadcast-size by
+    * construction). At 100 TB the adjacency is the stored index,
+    * partitioned by node. All scores are integer basis points
+    * (`round(cos·1e4)` — Spark's HALF_UP and DuckDB's round() agree
+    * away-from-zero on halves), ties break to the lower id, so every
+    * frontier and the final ranking replay exactly in SQL: the oracle
+    * unrolls build + all hops as CTEs (the tokenizer_bpe idiom). */
+  def annGraph(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+               numPlanes: Int = 5, tables: Int = 2, degree: Int = 6,
+               beam: Int = 8, hops: Int = 3): DataFrame = {
+    val emb = Dedup.materialized(embeddings.select(col("vec_id"), col("embedding")))
+    val simBp = (a: Column, b: Column) =>
+      round(F.cosine(a, b) * 1e4, 0).cast("long")
+    val bkt = Dedup.materialized(emb.select(
+      col("vec_id") +: col("embedding") +:
+        (0 until tables).map(t => F.hyperplaneBucket(col("embedding"),
+          numPlanes, t * numPlanes, portable = true).as(s"b$t")): _*))
+    val pairs = (0 until tables).map { t =>
+      bkt.select(col("vec_id").as("a"), col(s"b$t").as("bk"))
+        .join(bkt.select(col("vec_id").as("b"), col(s"b$t").as("bk")), "bk")
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"))
+    }.reduce(_ unionByName _).distinct()
+    val adj = Dedup.materialized(pairs
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+      .select(col("a"), col("b"), simBp(col("va"), col("vb")).as("s"))
+      .groupBy(col("a"))
+      .agg(F.topk(col("s").cast("double"), col("b"), degree).as("nn"))
+      .select(col("a").as("node"), explode(col("nn")))
+      .select(col("node"), col("col.id").as("nbr")))
+    val qs = bkt.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("b0"))
+    val entries = bkt.groupBy(col("b0")).agg(min(col("vec_id")).as("entry"))
+    val qvecs = qs.select(col("q_id"), col("q_vec"))
+    var frontier = qs.join(entries, "b0")
+      .select(col("q_id"), col("entry").as("vec_id"))
+    for (_ <- 1 to hops) {
+      val expanded = frontier.unionByName(
+          frontier.join(adj, frontier("vec_id") === adj("node"))
+            .select(col("q_id"), col("nbr").as("vec_id")))
+        .distinct()
+      frontier = emb.join(broadcast(expanded), "vec_id")
+        .join(broadcast(qvecs), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          simBp(col("q_vec"), col("embedding")).as("s"))
+        .groupBy(col("q_id"))
+        .agg(F.topk(col("s").cast("double"), col("vec_id"), beam).as("f"))
+        .select(col("q_id"), explode(col("f")))
+        .select(col("q_id"), col("col.id").as("vec_id"))
+    }
+    emb.join(broadcast(frontier.filter(col("vec_id") =!= col("q_id"))), "vec_id")
+      .join(broadcast(qvecs), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        simBp(col("q_vec"), col("embedding")).as("s"))
+      .groupBy(col("q_id"))
+      .agg(F.topk(col("s").cast("double"), col("vec_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"),
+        (col("col.score") / lit(1e4)).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** MMR diversity re-rank (Carbonell & Goldstein 1998, "The Use of
     * MMR, Diversity-Based Reranking"): retrieval's standard second
     * stage — from each query's top-`poolSize` relevance candidates,

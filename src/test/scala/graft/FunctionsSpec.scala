@@ -382,3 +382,29 @@ class MmrSpec extends AnyFunSuite {
     }
   }
 }
+
+class AnnGraphSpec extends AnyFunSuite {
+  test("beam search over the bucketed k-NN graph recovers neighbors on a clustered corpus") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.tabulate(4)(c => Array.tabulate(64)(j =>
+      if (j % 4 == c) 10f else 0f))
+    val rows = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, centers(c).map(x => x + 0.5f * rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val graph = graft.operators.Ann.annGraph(df, k = 5, stride = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = graft.operators.Ann.annBruteforce(df, k = 5, stride = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(graph.keySet == exact.keySet)
+    // entry starts inside the query's own LSH bucket and hops stay in
+    // the query's cluster, so recall on well-separated clusters is high
+    val recalls = exact.map { case (q, nn) => (graph(q) & nn).size.toDouble / nn.size }
+    assert(recalls.sum / recalls.size >= 0.6, s"mean recall ${recalls.sum / recalls.size}")
+  }
+}
