@@ -63,6 +63,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Ann.annLsh(Tables.embeddings(s, d), portable = true)),
     "ann_mmr" -> ((s, d) => Ann.annMmr(Tables.embeddings(s, d))),
     "ann_graph" -> ((s, d) => Ann.annGraph(Tables.embeddings(s, d))),
+    "embedding_pca" -> ((s, d) => Ann.embeddingPca(Tables.embeddings(s, d))),
     "sink_batch_assign" -> ((s, d) => SinkOps.batchAssign(Tables.events(s, d))),
     "sink_batch_bytes" -> ((s, d) => SinkOps.batchBytes(Tables.events(s, d))),
     "sink_rows_batch" -> ((s, d) => SinkOps.rowsBatch(Tables.events(s, d))),
@@ -137,6 +138,35 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
   )
+
+  /** Oracle for embedding_pca: the integer power iteration UNROLLED —
+    * one (w, mx, v) CTE triple per iteration. Everything is exact
+    * BIGINT arithmetic (bp quantization → Gram fold by `//` → per-step
+    * milli renormalization), so the loadings hash-match bit-for-bit.
+    * DuckDB sums BIGINT into HUGEINT; all values stay ≪ 2^63 (|x| ≤
+    * 0.6 → |xb| ≤ 6e3, Gram sums ≤ ~1e11), so casting back is safe. */
+  private def pcaOracleSql(iters: Int = 8, dims: Int = 64): String = {
+    val steps = (1 to iters).map { t =>
+      s"""w$t AS (
+         |  SELECT m.i, CAST(sum(m.m * v${t - 1}.v) AS BIGINT) AS w
+         |  FROM m JOIN v${t - 1} ON v${t - 1}.i = m.j GROUP BY m.i
+         |), x$t AS (SELECT max(abs(w)) AS mx FROM w$t),
+         |v$t AS (SELECT w$t.i, CAST((w$t.w * 1000) // x$t.mx AS BIGINT) AS v
+         |        FROM w$t, x$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (
+       |  SELECT vec_id, i.i AS i, CAST(round(v[i.i + 1] * 1e4) AS BIGINT) AS xb
+       |  FROM e, range(0, $dims) i(i)
+       |), m AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.xb * b.xb) // 1000000 AS BIGINT) AS m
+       |  FROM c a JOIN c b USING (vec_id) GROUP BY a.i, b.i
+       |), v0 AS (SELECT i.i AS i, CAST(1000 AS BIGINT) AS v FROM range(0, $dims) i(i)),
+       |$steps
+       |SELECT CAST(i AS BIGINT) AS dim, v AS loading_milli,
+       |  CAST(v AS DOUBLE) / 1e3 AS loading
+       |FROM v$iters ORDER BY i""".stripMargin
+  }
 
   /** Oracle for ann_graph: graph construction AND the greedy beam
     * search UNROLLED — one CTE block per hop (the tokenizer_bpe
@@ -1150,6 +1180,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "ann_mmr" -> mmrOracleSql(5),
     "ann_graph" -> graphOracleSql(5),
+    "embedding_pca" -> pcaOracleSql(),
     "ann_lsh" ->
       """WITH coef AS (
         |  SELECT p.p, j.j,

@@ -345,6 +345,56 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Top principal direction of the corpus embedding second-moment
+    * matrix (uncentered PCA / top-1 SVD) — the embedding-analytics
+    * primitive behind whitening, drift monitoring, and
+    * dimensionality triage. Computed by POWER ITERATION carried out
+    * entirely in integers so both engines replay it bit-for-bit:
+    * coordinates quantize to basis points, the Gram matrix
+    * accumulates exact bp² products (folded to micro-units with
+    * truncating division), and each iteration renormalizes to
+    * milli-units by max-|component| — all Long arithmetic, no float
+    * summation anywhere (the dsir/mmr fixed-point idiom applied to
+    * linear algebra; milli precision is the documented trade for
+    * overflow headroom: |w| ≤ dims·maxM·1e3 ≪ 2^63).
+    *
+    * Scale shape: the corpus appears ONLY in the Gram aggregate —
+    * dims² combinable groups (the explode is dims×/row; at 100 TB
+    * sample rows into the Gram estimate, the standard move). The
+    * dims²-row matrix is metadata-scale: it collects to the driver
+    * and iterates there, like tokenizer_bpe's argmax row. */
+  def embeddingPca(embeddings: DataFrame, dims: Int = 64, iters: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val coords = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        round(col("x").cast("double") * 1e4, 0).cast("long").as("xb"))
+    val mRows = coords.as("a").join(coords.as("b"), Seq("vec_id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.xb") * col("b.xb")).as("s"))
+      // `div` = exact integral division (truncating, = DuckDB's //);
+      // a double `/` would mis-truncate at quotient boundaries
+      .select(col("i"), col("j"), expr("s div 1000000").as("m"))
+      .collect()
+    val m = Array.ofDim[Long](dims, dims)
+    mRows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var v = Array.fill(dims)(1000L)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims) { i =>
+        var acc = 0L; var j = 0
+        while (j < dims) { acc += m(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val mx = w.map(math.abs).max
+      if (mx > 0L) v = w.map(x => x * 1000L / mx)
+    }
+    v.zipWithIndex
+      .map { case (l, i) => (i.toLong, l, l.toDouble / 1e3) }.toSeq
+      .toDF("dim", "loading_milli", "loading")
+      .orderBy(col("dim"))
+  }
+
   /** Graph-based ANN — the fourth classic paradigm beside LSH, IVF,
     * and PQ (the flat, oracle-able cousin of HNSW/NSG): build a
     * bounded-degree k-NN graph from LSH-bucketed candidates (`tables`

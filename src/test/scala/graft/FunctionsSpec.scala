@@ -408,3 +408,29 @@ class AnnGraphSpec extends AnyFunSuite {
     assert(recalls.sum / recalls.size >= 0.6, s"mean recall ${recalls.sum / recalls.size}")
   }
 }
+
+class EmbeddingPcaSpec extends AnyFunSuite {
+  test("integer power iteration recovers a planted dominant direction") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // dominant direction = (3, 4)/5 in dims 0-1, small noise elsewhere
+    val rows = (0L until 300L).map { i =>
+      val a = (rnd.nextGaussian() * 0.5).toFloat
+      Array.tabulate(64) { j =>
+        val base = if (j == 0) 0.6f * a else if (j == 1) 0.8f * a else 0f
+        base + 0.02f * rnd.nextGaussian().toFloat
+      }
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val out = graft.operators.Ann.embeddingPca(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 64)
+    val v = Array.tabulate(64)(i => out(i.toLong).toDouble)
+    val n = math.sqrt(v.map(x => x * x).sum)
+    val c01 = (0.6 * v(0) + 0.8 * v(1)) / n
+    assert(math.abs(c01) > 0.99,
+      s"top direction should align with (0.6, 0.8): got cos $c01, v01 = (${v(0)}, ${v(1)})")
+    assert(math.abs(out(0L)).max(math.abs(out(1L))) == 1000L,
+      "max component normalizes to exactly 1000 milli-units")
+  }
+}
