@@ -64,6 +64,7 @@ object SparkEntry {
     "ann_mmr" -> ((s, d) => Ann.annMmr(Tables.embeddings(s, d))),
     "ann_graph" -> ((s, d) => Ann.annGraph(Tables.embeddings(s, d))),
     "embedding_pca" -> ((s, d) => Ann.embeddingPca(Tables.embeddings(s, d))),
+    "embedding_project" -> ((s, d) => Ann.embeddingProject(Tables.embeddings(s, d))),
     "sink_batch_assign" -> ((s, d) => SinkOps.batchAssign(Tables.events(s, d))),
     "sink_batch_bytes" -> ((s, d) => SinkOps.batchBytes(Tables.events(s, d))),
     "sink_rows_batch" -> ((s, d) => SinkOps.rowsBatch(Tables.events(s, d))),
@@ -145,7 +146,7 @@ object SparkEntry {
     * milli renormalization), so the loadings hash-match bit-for-bit.
     * DuckDB sums BIGINT into HUGEINT; all values stay ≪ 2^63 (|x| ≤
     * 0.6 → |xb| ≤ 6e3, Gram sums ≤ ~1e11), so casting back is safe. */
-  private def pcaOracleSql(iters: Int = 8, dims: Int = 64): String = {
+  private def pcaCtes(iters: Int, dims: Int): String = {
     val steps = (1 to iters).map { t =>
       s"""w$t AS (
          |  SELECT m.i, CAST(sum(m.m * v${t - 1}.v) AS BIGINT) AS w
@@ -155,18 +156,34 @@ object SparkEntry {
          |        FROM w$t, x$t)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c AS (
+       |c AS MATERIALIZED (
        |  SELECT vec_id, i.i AS i, CAST(round(v[i.i + 1] * 1e4) AS BIGINT) AS xb
        |  FROM e, range(0, $dims) i(i)
        |), m AS MATERIALIZED (
        |  SELECT a.i AS i, b.i AS j, CAST(sum(a.xb * b.xb) // 1000000 AS BIGINT) AS m
        |  FROM c a JOIN c b USING (vec_id) GROUP BY a.i, b.i
        |), v0 AS (SELECT i.i AS i, CAST(1000 AS BIGINT) AS v FROM range(0, $dims) i(i)),
-       |$steps
-       |SELECT CAST(i AS BIGINT) AS dim, v AS loading_milli,
-       |  CAST(v AS DOUBLE) / 1e3 AS loading
-       |FROM v$iters ORDER BY i""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private def pcaOracleSql(iters: Int = 8, dims: Int = 64): String =
+    pcaCtes(iters, dims) +
+      s"""
+         |SELECT CAST(i AS BIGINT) AS dim, v AS loading_milli,
+         |  CAST(v AS DOUBLE) / 1e3 AS loading
+         |FROM v$iters ORDER BY i""".stripMargin
+
+  /** Oracle for embedding_project: the pca chain composed with one
+    * exact integer dot product per vector (xb · loading_milli, folded
+    * back to basis points by truncating division). */
+  private def projectOracleSql(iters: Int = 8, dims: Int = 64): String =
+    pcaCtes(iters, dims) +
+      s"""
+         |SELECT c.vec_id,
+         |  CAST(sum(c.xb * v.v) // 1000 AS BIGINT) AS proj_bp,
+         |  CAST(CAST(sum(c.xb * v.v) // 1000 AS BIGINT) AS DOUBLE) / 1e4 AS proj
+         |FROM c JOIN v$iters v ON v.i = c.i
+         |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin
 
   /** Oracle for ann_graph: graph construction AND the greedy beam
     * search UNROLLED — one CTE block per hop (the tokenizer_bpe
@@ -1181,6 +1198,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     "ann_mmr" -> mmrOracleSql(5),
     "ann_graph" -> graphOracleSql(5),
     "embedding_pca" -> pcaOracleSql(),
+    "embedding_project" -> projectOracleSql(),
     "ann_lsh" ->
       """WITH coef AS (
         |  SELECT p.p, j.j,

@@ -395,6 +395,28 @@ object Ann {
       .orderBy(col("dim"))
   }
 
+  /** The USE face of [[embeddingPca]]: project every corpus vector
+    * onto the dominant direction — the 1-d summary behind drift
+    * dashboards and stratified-by-principal-component sampling. One
+    * exact integer dot product per vector (bp coordinates ×
+    * milli-unit loadings, folded back to basis points by truncating
+    * `div`): the 64-row loading table broadcasts, the projection is a
+    * combinable per-vector aggregate — corpus scanned once. */
+  def embeddingProject(embeddings: DataFrame, dims: Int = 64, iters: Int = 8): DataFrame = {
+    val load = embeddingPca(embeddings, dims, iters)
+      .select(col("dim").cast("int").as("i"), col("loading_milli"))
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        round(col("x").cast("double") * 1e4, 0).cast("long").as("xb"))
+      .join(broadcast(load), "i")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("xb") * col("loading_milli")).as("p"))
+      .select(col("vec_id"), expr("p div 1000").as("proj_bp"))
+      .withColumn("proj", col("proj_bp").cast("double") / 1e4)
+      .orderBy(col("vec_id"))
+  }
+
   /** Graph-based ANN — the fourth classic paradigm beside LSH, IVF,
     * and PQ (the flat, oracle-able cousin of HNSW/NSG): build a
     * bounded-degree k-NN graph from LSH-bucketed candidates (`tables`

@@ -434,3 +434,24 @@ class EmbeddingPcaSpec extends AnyFunSuite {
       "max component normalizes to exactly 1000 milli-units")
   }
 }
+
+class EmbeddingProjectSpec extends AnyFunSuite {
+  test("projections are the exact integer dot product with the pca loadings") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 100L).map(i =>
+      (i, Array.fill(64)((rnd.nextGaussian() * 0.3).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val load = graft.operators.Ann.embeddingPca(df).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val proj = graft.operators.Ann.embeddingProject(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bp(x: Double): Long =
+      (if (x * 1e4 >= 0) math.floor(x * 1e4 + 0.5) else math.ceil(x * 1e4 - 0.5)).toLong
+    for ((id, v) <- rows.take(10)) {
+      val want = v.zipWithIndex.map { case (x, i) => bp(x) * load(i) }.sum / 1000L
+      assert(proj(id) == want, s"vec $id: got ${proj(id)}, want $want")
+    }
+  }
+}
