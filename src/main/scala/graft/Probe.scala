@@ -85,8 +85,58 @@ object Probe {
       n
     }
 
+    val spanRemoval = timed("text_span_removal_10x") {
+      graft.operators.TextOps.spanRemoval(big).count()
+    }
+    val bpe = timed("tokenizer_bpe_10x") {
+      graft.operators.TextOps.tokenizerBpe(big).count()
+    }
+    val dsir = timed("pipeline_dsir_10x") {
+      graft.operators.TextOps.pipelineDsir(
+        big.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))))
+        .count()
+    }
+    val gopher = timed("text_gopher_10x") {
+      graft.operators.TextOps.textGopher(big).count()
+    }
+    val incremental = timed("dedup_incremental_10x") {
+      graft.operators.Dedup.dedupIncremental(big).count()
+    }
+
+    // 10x embeddings: copies keep the same vector, so cluster/bucket
+    // occupancy scales 10x — the quadratic-in-group stages (semantic
+    // in-cluster pairs, graph in-bucket pairs) see the HONEST 100x
+    // pair blow-up, which is exactly what this probe is for
+    val bigEmb = (0 until 10).map { c =>
+      Tables.embeddings(spark, sfDir)
+        .select((col("vec_id") * 10 + c).as("vec_id"), col("embedding"))
+    }.reduce(_ unionAll _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVecs = bigEmb.count()
+    def timedE(name: String)(action: => Long): (String, Double, Long) = {
+      val runs = (1 to 2).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        bigEmb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        val t0 = System.nanoTime()
+        val rows = action
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (name, runs.map(_._1).min, runs.head._2)
+    }
+    val semantic = timedE("dedup_semantic_10x") {
+      graft.operators.Dedup.dedupSemantic(bigEmb).count()
+    }
+    val graph = timedE("ann_graph_10x") {
+      graft.operators.Ann.annGraph(bigEmb).count()
+    }
+    val pca = timedE("embedding_pca_10x") {
+      graft.operators.Ann.embeddingPca(bigEmb).count()
+    }
+    println(s"""{"probe":"10x_embeddings","vecs":$nVecs}""")
+
     val all = Seq(minhash, simhash, spanDedup, decontaminate, unigram,
-      assembly, tfidf, bigram, mix, shuffleOrd, fingerprint, clusters)
+      assembly, tfidf, bigram, mix, shuffleOrd, fingerprint, clusters,
+      spanRemoval, bpe, dsir, gopher, incremental, semantic, graph, pca)
     val qs = all.map { case (k, s, r) => f""""$k":{"sec":$s%.2f,"rows":$r}""" }
       .mkString("{", ",", "}")
     println(s"""{"probe":"10x","docs":$nDocs,"results":$qs}""")
