@@ -36,6 +36,8 @@ object SparkEntry {
     "q14_exists_subquery" -> ((s, d) => Relational.q14ExistsSubquery(Tables.customer(s, d))),
     "q15_asof_join" -> ((s, d) => Relational.q15AsofJoin(Tables.events(s, d))),
     "q16_range_join" -> ((s, d) => Relational.q16RangeJoin(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q24_funnel" -> ((s, d) => Relational.q24Funnel(Tables.events(s, d))),
+    "q25_cohort" -> ((s, d) => Relational.q25Cohort(Tables.events(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -616,6 +618,40 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |SELECT lang, lang_pred, n,
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) + 1e-9, 4) AS frac
         |FROM m ORDER BY lang, lang_pred""".stripMargin,
+    "q24_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+        |), s AS (
+        |  SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM v) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+        |)
+        |SELECT CAST(step AS BIGINT) AS step, event_type, CAST(users AS BIGINT) AS users,
+        |  round(CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY step), 4) AS conv_from_prev
+        |FROM s ORDER BY step""".stripMargin,
+    "q25_cohort" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_week,
+        |    date_diff('day', f.cohort_week,
+        |      CAST(date_trunc('week', e.ts) AS TIMESTAMP)) // 7 AS week_offset
+        |  FROM events e JOIN f USING (user_id)
+        |), g AS (
+        |  SELECT cohort_week, week_offset, count(*) AS n_users FROM a GROUP BY 1, 2
+        |), s AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT g.cohort_week, CAST(g.week_offset AS BIGINT) AS week_offset,
+        |  CAST(g.n_users AS BIGINT) AS n_users, CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |  round(CAST(g.n_users AS DOUBLE) / s.cohort_size, 4) AS retention
+        |FROM g JOIN s USING (cohort_week) ORDER BY g.cohort_week, g.week_offset""".stripMargin,
     "text_gopher" ->
       // the published Gopher rule set; stop_hits counts DISTINCT stop
       // words present (array_intersect dedups on the Spark side)

@@ -353,4 +353,54 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_in_window"), round(avg(col("l_quantity")), 4).as("avg_qty"))
       .orderBy(col("o_orderpriority"))
+
+  /** Ordered funnel (view → click → purchase): each step's min
+    * timestamp must follow the previous step's — the canonical event-
+    * analytics sequence query. Three per-user aggregates chained by
+    * equi-joins on user_id (one shuffle key throughout — the funnel
+    * never materializes event×event pairs); the summary is three
+    * 1-row aggregates, and the step-over-step conversion is a lag
+    * over that 3-row table, not the corpus. */
+  def q24Funnel(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def step(df: DataFrame, n: Int, name: String) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(n.toLong).as("step"), lit(name).as("event_type"), col("users"))
+    val steps = step(v, 1, "view")
+      .unionByName(step(c, 2, "click"))
+      .unionByName(step(p, 3, "purchase"))
+    steps
+      .withColumn("conv_from_prev", round(col("users").cast("double") /
+        lag(col("users"), 1).over(Window.orderBy(col("step"))), 4))
+      .orderBy(col("step"))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; each cell = distinct users from that cohort active in week
+    * offset N, with the retention fraction against the cohort size.
+    * Two shuffles total (first-event per user; cell distinct+count);
+    * the cohort-size table is weeks-sized and broadcasts. */
+  def q25Cohort(events: DataFrame): DataFrame = {
+    val first = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val sizes = first.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    events.join(first, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        expr("datediff(date_trunc('week', ts), cohort_week) div 7").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("retention",
+        round(col("n_users").cast("double") / col("cohort_size"), 4))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }

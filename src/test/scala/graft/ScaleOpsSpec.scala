@@ -892,3 +892,46 @@ class GopherRulesSpec extends org.scalatest.funsuite.AnyFunSuite {
       "stop-word rule")
   }
 }
+
+class FunnelCohortSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions.lit
+  private def ts(day: Int, h: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("funnel only counts steps in order; out-of-order events don't convert") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // user 2: click BEFORE first view -> stops at view
+      (2L, ts(2), "view"), (2L, ts(1), "click"),
+      // user 3: purchase before click -> stops at click
+      (3L, ts(1), "view"), (3L, ts(2), "click"), (3L, ts(1, 12), "purchase"),
+      // user 4: never viewed -> not in funnel at all
+      (4L, ts(1), "click"), (4L, ts(2), "purchase")
+    ).toDF("user_id", "ts", "event_type").withColumn("value", lit(0.0))
+    val out = graft.operators.Relational.q24Funnel(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)),
+      s"got $out")
+  }
+
+  test("cohort offsets count distinct active weeks from the first-event week") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(2)),   // week 0 twice -> one cell row
+      (1L, ts(10)),               // week 1
+      (2L, ts(1)),                // same cohort, week 0 only
+      (3L, ts(10)), (3L, ts(24))  // later cohort, offsets 0 and 2
+    ).toDF("user_id", "ts").withColumn("event_type", lit("view"))
+    val out = graft.operators.Relational.q25Cohort(events).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // 2024-01-01 is a Monday: cohort A = Jan 1 (users 1, 2), cohort B = Jan 8 (user 3)
+    assert(out == Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0), ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-08", 0L, 1L, 1L, 1.0), ("2024-01-08", 2L, 1L, 1L, 1.0)), s"got $out")
+  }
+}
