@@ -38,6 +38,7 @@ object SparkEntry {
     "q16_range_join" -> ((s, d) => Relational.q16RangeJoin(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q24_funnel" -> ((s, d) => Relational.q24Funnel(Tables.events(s, d))),
     "q25_cohort" -> ((s, d) => Relational.q25Cohort(Tables.events(s, d))),
+    "q26_rolling_active" -> ((s, d) => Relational.q26RollingActive(Tables.events(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -652,6 +653,19 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  CAST(g.n_users AS BIGINT) AS n_users, CAST(s.cohort_size AS BIGINT) AS cohort_size,
         |  round(CAST(g.n_users AS DOUBLE) / s.cohort_size, 4) AS retention
         |FROM g JOIN s USING (cohort_week) ORDER BY g.cohort_week, g.week_offset""".stripMargin,
+    "q26_rolling_active" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), d AS (SELECT DISTINCT day AS anchor FROM grid),
+        |dau AS (SELECT day AS anchor, count(*) AS dau FROM grid GROUP BY day),
+        |wau AS (
+        |  SELECT d.anchor, count(DISTINCT g.user_id) AS wau
+        |  FROM grid g JOIN d ON g.day <= d.anchor AND g.day >= d.anchor - 6
+        |  GROUP BY d.anchor
+        |)
+        |SELECT dau.anchor AS day, CAST(dau.dau AS BIGINT) AS dau,
+        |  CAST(wau.wau AS BIGINT) AS wau
+        |FROM dau JOIN wau USING (anchor) ORDER BY day""".stripMargin,
     "text_gopher" ->
       // the published Gopher rule set; stop_hits counts DISTINCT stop
       // words present (array_intersect dedups on the Spark side)

@@ -383,6 +383,31 @@ object Relational {
       .orderBy(col("step"))
   }
 
+  /** Rolling active users: per-day DAU and trailing-7-day WAU — the
+    * distinct-count-over-sliding-window query SQL windows can't
+    * express (COUNT(DISTINCT) OVER RANGE is unsupported everywhere).
+    * The standard exact formulation: reduce events to the distinct
+    * (day, user) grid ONCE (the only corpus-sized shuffle), then a
+    * bounded range join fans each grid row to at most 7 window
+    * anchors — a ×7 blow-up of the already-tiny grid, never of the
+    * events. At 100 TB the grid is |users|×|days|, the scale knob is
+    * the window length, and the approximate path composes with
+    * scale_approx_distinct's HLL sketches per day. */
+  def q26RollingActive(events: DataFrame): DataFrame = {
+    val grid = events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = grid.select(col("day").as("anchor")).distinct()
+    val dau = grid.groupBy(col("day").as("anchor"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = grid.join(days,
+        col("day") <= col("anchor") && col("day") >= date_sub(col("anchor"), 6))
+      .select(col("anchor"), col("user_id")).distinct()
+      .groupBy(col("anchor")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "anchor")
+      .select(col("anchor").as("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
   /** Weekly cohort retention: users grouped by the week of their first
     * event; each cell = distinct users from that cohort active in week
     * offset N, with the retention fraction against the cohort size.

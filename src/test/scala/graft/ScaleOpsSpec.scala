@@ -935,3 +935,23 @@ class FunnelCohortSpec extends org.scalatest.funsuite.AnyFunSuite {
       ("2024-01-08", 0L, 1L, 1L, 1.0), ("2024-01-08", 2L, 1L, 1L, 1.0)), s"got $out")
   }
 }
+
+class RollingActiveSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions.lit
+  test("WAU is the trailing-7-day distinct union, DAU the per-day distinct") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val events = Seq(
+      (1L, ts(1)), (2L, ts(1)), (1L, ts(1)),  // day 1: users {1,2}
+      (1L, ts(5)),                            // day 5: {1}
+      (3L, ts(8)),                            // day 8: {3}; window 2-8 sees {1,3}
+      (1L, ts(12))                            // day 12: {1}; window 6-12 sees {1,3}
+    ).toDF("user_id", "ts").withColumn("event_type", lit("view"))
+    val out = graft.operators.Relational.q26RollingActive(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 2L, 2L), ("2024-01-05", 1L, 2L),
+      ("2024-01-08", 1L, 2L), ("2024-01-12", 1L, 2L)), s"got $out")
+  }
+}
