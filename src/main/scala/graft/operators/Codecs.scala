@@ -135,47 +135,46 @@ object Codecs {
                          channels: Int = 1): Array[Byte] =
     encodeWavCompanded(6, codes, sampleRate, channels)
 
-  /** Parses a RIFF/WAVE header + data chunk; supports format 1 (16-bit
-    * linear PCM), format 6 (8-bit G.711 A-law), and format 7 (8-bit
-    * G.711 μ-law) — companded bytes are expanded to linear before the
-    * amplitude stats. None for anything else. */
-  /** PCM16 (format 1) WAV → (sampleRate, samples). Companded formats
-    * go through [[decodeWav]]'s stats path; resampling operates on
-    * linear PCM only (production transcodes companded audio to PCM
-    * first — that's [[muLawDecodeSample]]/[[aLawDecodeSample]]). */
-  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+  /** Shared RIFF/WAVE chunk walk: validates the header, decodes the
+    * fmt chunk, and positions the buffer AT the data payload.
+    * Returns (format, channels, sampleRate, bits, dataSize, buffer).
+    * Accepts format 1 (16-bit linear PCM) and formats 6/7 (8-bit
+    * G.711 A-law/μ-law); None for anything else or any malformed
+    * chunk — both decoders consume this one parser, so bounds
+    * hardening lands in exactly one place. */
+  private def wavData(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int, ByteBuffer)] = {
     if (bytes.length < 44) return None
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val riff = new Array[Byte](4); bb.get(riff)
     if (new String(riff, StandardCharsets.US_ASCII) != "RIFF") return None
-    bb.getInt
+    bb.getInt // riff size
     val wave = new Array[Byte](4); bb.get(wave)
     if (new String(wave, StandardCharsets.US_ASCII) != "WAVE") return None
+    var channels = 0
     var sampleRate = 0
-    var ok = false
+    var bits = 0
+    var format = 0
     while (bb.remaining() >= 8) {
       val id = new Array[Byte](4); bb.get(id)
       val size = bb.getInt
-      if (size < 0) return None
+      if (size < 0) return None // corrupted chunk length
       new String(id, StandardCharsets.US_ASCII) match {
         case "fmt " =>
           if (size < 16 || bb.remaining() < size) return None
           val fmtStart = bb.position()
-          val format = bb.getShort
-          bb.getShort
+          format = bb.getShort
+          channels = bb.getShort
           sampleRate = bb.getInt
           bb.getInt; bb.getShort
-          val bits = bb.getShort
-          ok = format == 1 && bits == 16
-          if (!ok) return None
+          bits = bb.getShort
+          val ok = (format == 1 && bits == 16) ||
+            ((format == 6 || format == 7) && bits == 8)
+          if (!ok) return None // 16-bit PCM or 8-bit A-law/mu-law only
           bb.position(fmtStart + size)
         case "data" =>
-          if (bb.remaining() < size || !ok) return None
-          val n = size / 2
-          val out = new Array[Short](n)
-          var i = 0
-          while (i < n) { out(i) = bb.getShort; i += 1 }
-          return Some((sampleRate, out))
+          if (bb.remaining() < size || channels == 0) return None
+          return Some((format, channels, sampleRate, bits, size, bb))
         case _ =>
           if (bb.remaining() < size) return None
           bb.position(bb.position() + size)
@@ -183,6 +182,19 @@ object Codecs {
     }
     None
   }
+
+  /** PCM16 (format 1) WAV → (sampleRate, samples). Companded formats
+    * go through [[decodeWav]]'s stats path; resampling operates on
+    * linear PCM only (production transcodes companded audio to PCM
+    * first — that's [[muLawDecodeSample]]/[[aLawDecodeSample]]). */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    wavData(bytes).collect { case (1, _, rate, _, size, bb) =>
+      val n = size / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { out(i) = bb.getShort; i += 1 }
+      (rate, out)
+    }
 
   /** 2× linear-interpolation upsample of a PCM16 WAV (8 kHz telephony
     * → 16 kHz, the audio analog of an image resize): out[2i] = s[i],
@@ -203,58 +215,26 @@ object Codecs {
       encodeWav(out, rate * 2)
     }
 
-  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
-    if (bytes.length < 44) return None
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val riff = new Array[Byte](4); bb.get(riff)
-    if (new String(riff, StandardCharsets.US_ASCII) != "RIFF") return None
-    bb.getInt // riff size
-    val wave = new Array[Byte](4); bb.get(wave)
-    if (new String(wave, StandardCharsets.US_ASCII) != "WAVE") return None
-    var channels = 0
-    var sampleRate = 0
-    var bits = 0
-    var format = 0
-    // walk chunks until the data chunk
-    while (bb.remaining() >= 8) {
-      val id = new Array[Byte](4); bb.get(id)
-      val size = bb.getInt
-      if (size < 0) return None // corrupted chunk length
-      new String(id, StandardCharsets.US_ASCII) match {
-        case "fmt " =>
-          if (size < 16 || bb.remaining() < size) return None
-          val fmtStart = bb.position()
-          format = bb.getShort
-          channels = bb.getShort
-          sampleRate = bb.getInt
-          bb.getInt; bb.getShort
-          bits = bb.getShort
-          val ok = (format == 1 && bits == 16) ||
-            ((format == 6 || format == 7) && bits == 8)
-          if (!ok) return None // 16-bit PCM or 8-bit A-law/μ-law only
-          bb.position(fmtStart + size)
-        case "data" =>
-          if (bb.remaining() < size || channels == 0) return None
-          var sum = 0L
-          var i = 0
-          val n = if (format == 1) size / 2 else size
-          format match {
-            case 7 =>
-              while (i < n) { sum += math.abs(muLawDecodeSample(bb.get() & 0xff)); i += 1 }
-            case 6 =>
-              while (i < n) { sum += math.abs(aLawDecodeSample(bb.get() & 0xff)); i += 1 }
-            case _ =>
-              while (i < n) { sum += math.abs(bb.getShort.toLong); i += 1 }
-          }
-          val mean = if (n == 0) 0.0 else sum.toDouble / n
-          return Some(WavInfo(channels, sampleRate, bits, n, mean))
+  /** Amplitude stats over a RIFF/WAVE payload: format 1 (16-bit
+    * linear PCM), format 6 (8-bit G.711 A-law), and format 7 (8-bit
+    * G.711 μ-law) — companded bytes are expanded to linear before the
+    * amplitude stats. None for anything else. */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] =
+    wavData(bytes).map { case (format, channels, sampleRate, bits, size, bb) =>
+      var sum = 0L
+      var i = 0
+      val n = if (format == 1) size / 2 else size
+      format match {
+        case 7 =>
+          while (i < n) { sum += math.abs(muLawDecodeSample(bb.get() & 0xff)); i += 1 }
+        case 6 =>
+          while (i < n) { sum += math.abs(aLawDecodeSample(bb.get() & 0xff)); i += 1 }
         case _ =>
-          if (bb.remaining() < size) return None
-          bb.position(bb.position() + size)
+          while (i < n) { sum += math.abs(bb.getShort.toLong); i += 1 }
       }
+      val mean = if (n == 0) 0.0 else sum.toDouble / n
+      WavInfo(channels, sampleRate, bits, n, mean)
     }
-    None
-  }
 
   // ---- PPM (P6 binary, 8-bit RGB) ------------------------------------
 

@@ -387,21 +387,27 @@ object Relational {
     * distinct-count-over-sliding-window query SQL windows can't
     * express (COUNT(DISTINCT) OVER RANGE is unsupported everywhere).
     * The standard exact formulation: reduce events to the distinct
-    * (day, user) grid ONCE (the only corpus-sized shuffle), then a
-    * bounded range join fans each grid row to at most 7 window
-    * anchors — a ×7 blow-up of the already-tiny grid, never of the
-    * events. At 100 TB the grid is |users|×|days|, the scale knob is
-    * the window length, and the approximate path composes with
+    * (day, user) grid ONCE (the only corpus-sized shuffle), then
+    * EXPLODE each grid row to its 7 window anchors and hash-aggregate
+    * on the anchor equi-key — a ×7 blow-up of the already-tiny grid,
+    * never of the events, and never a nested-loop range join. At
+    * 100 TB the grid is |users|×|days|, the scale knob is the window
+    * length, and the approximate path composes with
     * scale_approx_distinct's HLL sketches per day. */
   def q26RollingActive(events: DataFrame): DataFrame = {
     val grid = events
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-    val days = grid.select(col("day").as("anchor")).distinct()
     val dau = grid.groupBy(col("day").as("anchor"))
       .agg(count(lit(1)).as("dau"))
-    val wau = grid.join(days,
-        col("day") <= col("anchor") && col("day") >= date_sub(col("anchor"), 6))
-      .select(col("anchor"), col("user_id")).distinct()
+    // fan each grid row to its 7 window anchors with an EXPLODE, then
+    // hash-aggregate on the anchor equi-key — a pure-range join here
+    // would plan as BroadcastNestedLoopJoin (|grid| × |days|
+    // comparisons); the explode is the bounded ×7 by construction.
+    // Anchors with no events of their own drop at the final inner join.
+    val wau = grid
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("anchor"),
+        col("user_id"))
+      .distinct()
       .groupBy(col("anchor")).agg(count(lit(1)).as("wau"))
     dau.join(wau, "anchor")
       .select(col("anchor").as("day"), col("dau"), col("wau"))

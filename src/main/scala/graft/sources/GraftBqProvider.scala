@@ -412,10 +412,16 @@ class GraftBqPartitionReader(schema: StructType, file: String, permissive: Boole
   private var current: InternalRow = _
   private var dropped = 0L
 
-  /** 3-valued comparison against the raw JSON node: None = field
-    * missing/null (every comparison predicate then drops the row, SQL
-    * semantics). Numbers compare as BigDecimal so long/int/double
-    * literals all work against any JSON numeric. */
+  /** Comparison against the raw JSON node. None = "cannot be decided
+    * at the source" — field missing, JSON null, or a node type that
+    * doesn't cleanly match the literal (e.g. a numeric stored as a
+    * JSON string, which [[nextFrom]] would coerce). A None KEEPS the
+    * row: the residual Catalyst filter is the correctness authority,
+    * and a skipped evaluation only costs the optimization, never a
+    * row. (Null fields pass through too — the residual's 3-valued
+    * SQL comparison drops them identically.) Strings compare as
+    * UTF8String — Spark's binary code-point order, not Java UTF-16
+    * code-unit order, which diverges on supplementary-plane chars. */
   private def cmp(node: com.fasterxml.jackson.databind.JsonNode,
                   attr: String, lit: Any): Option[Int] = {
     val v = node.get(attr)
@@ -424,7 +430,9 @@ class GraftBqPartitionReader(schema: StructType, file: String, permissive: Boole
       case n: java.lang.Number =>
         if (!v.isNumber) None
         else Some(v.decimalValue().compareTo(new java.math.BigDecimal(n.toString)))
-      case s: String => Some(v.asText().compareTo(s))
+      case s: String =>
+        if (!v.isTextual) None
+        else Some(UTF8String.fromString(v.asText()).compareTo(UTF8String.fromString(s)))
       case b: java.lang.Boolean =>
         if (!v.isBoolean) None
         else Some(java.lang.Boolean.compare(v.asBoolean(), b))
@@ -434,11 +442,12 @@ class GraftBqPartitionReader(schema: StructType, file: String, permissive: Boole
 
   private def passes(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
     pushed.forall {
-      case EqualTo(a, v) => cmp(node, a, v).contains(0)
-      case GreaterThan(a, v) => cmp(node, a, v).exists(_ > 0)
-      case GreaterThanOrEqual(a, v) => cmp(node, a, v).exists(_ >= 0)
-      case LessThan(a, v) => cmp(node, a, v).exists(_ < 0)
-      case LessThanOrEqual(a, v) => cmp(node, a, v).exists(_ <= 0)
+      // forall(...) on None = true: undecidable-at-source keeps the row
+      case EqualTo(a, v) => cmp(node, a, v).forall(_ == 0)
+      case GreaterThan(a, v) => cmp(node, a, v).forall(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(node, a, v).forall(_ >= 0)
+      case LessThan(a, v) => cmp(node, a, v).forall(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(node, a, v).forall(_ <= 0)
       case IsNull(a) => val x = node.get(a); x == null || x.isNull
       case IsNotNull(a) => val x = node.get(a); x != null && !x.isNull
       case _ => true

@@ -233,6 +233,27 @@ class GraftBqPushdownSpec extends AnyFunSuite {
     assert(rows(GreaterThanOrEqual("id", 3L)) == Seq(3L, 4L))
     assert(rows(IsNotNull("name")) == Seq(1L, 3L), "JSON null and missing both drop")
     assert(rows(IsNull("name")) == Seq(2L, 4L))
-    assert(rows(EqualTo("name", "c"), LessThan("id", 10L)) == Seq(3L))
+    // null/missing name is UNDECIDABLE at the source for a comparison:
+    // rows 2 and 4 pass through for the residual filter to drop
+    assert(rows(EqualTo("name", "c"), LessThan("id", 10L)) == Seq(2L, 3L, 4L))
+  }
+
+  test("undecidable-at-source values pass through instead of over-dropping") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val f = java.nio.file.Files.createTempFile("graft-bq-coerce", ".jsonl")
+    // id arrives as a JSON STRING: nextFrom coerces it, so the pushed
+    // filter must not reject what the residual filter would keep
+    java.nio.file.Files.writeString(f,
+      """{"id":"8","name":"a"}
+        |{"id":2,"name":"b"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val r = new graft.sources.GraftBqPartitionReader(schema, f.toString, false,
+      Array(GreaterThan("id", 7L)))
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    try { while (r.next()) out += r.get().getLong(0) } finally r.close()
+    // the string "8" row passes through (residual decides); 2 skips
+    assert(out.toSeq == Seq(8L), s"got $out")
   }
 }
