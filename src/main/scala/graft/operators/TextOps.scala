@@ -411,6 +411,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The stored tokenizer vocab (word → subtoken count) a production
+    * pipeline writes once after training and broadcasts at ingest
+    * ([[tokenizerApplyStream]]). Vocab-sized; persisted by the shared
+    * training loop. */
+  def tokenizerVocab(documents: DataFrame, merges: Int = 8): DataFrame = {
+    val (w, _) = bpeTrain(documents, merges)
+    w.select(col("word"), size(col("syms")).cast("long").as("ns"))
+  }
+
+  /** Ingest-stream face of [[tokenizerApply]]: the trained vocab
+    * ([[tokenizerVocab]]) collapses to ONE broadcast map row and each
+    * streamed doc folds its token array through it row-locally —
+    * token-budget accounting AT INGEST, no explode, no shuffle, zero
+    * streaming state (the dsirStream shape). A word ABSENT from the
+    * trained vocab tokenizes to its character count — the BPE
+    * char-fallback semantic the batch face never needs (it trains on
+    * the corpus it scores), made explicit here because an ingest
+    * stream always sees novel words. */
+  def tokenizerApplyStream(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val vocabRow = vocab.agg(map_from_arrays(
+      collect_list(col("word")), collect_list(col("ns"))).as("vmap"))
+    val toks = split(trim(lower(col("text"))), " ")
+    docs.crossJoin(broadcast(vocabRow))
+      .withColumn("toks", toks)
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_subtokens", aggregate(col("toks"), lit(0L),
+        (acc, t) => acc + coalesce(element_at(col("vmap"), t),
+          length(t).cast("long"))))
+      .drop("toks", "vmap")
+  }
+
   /** Shared BPE training loop: returns the final (persisted) word →
     * symbols table and the merge rows. The caller owns the returned
     * table's unpersist ([[tokenizerApply]] reads it as the vocab). */

@@ -366,3 +366,36 @@ class DsirStreamSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((100L, lw(tgtText))), s"got $got (want ${(100L, lw(tgtText))})")
   }
 }
+
+class TokenizerStreamSpec extends AnyFunSuite {
+  test("ingest-time tokenization matches the batch face; unseen words fall back to chars") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "newer new news low lower")
+    ).toDF("doc_id", "text")
+    val vocab = graft.operators.TextOps.tokenizerVocab(corpus)
+    val batch = graft.operators.TextOps.tokenizerApply(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val got = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.tokenizerApplyStream(
+        mem.toDF().toDF("doc_id", "text"), vocab)
+      .writeStream.outputMode("append").format("memory").queryName("tok_stream").start()
+    try {
+      mem.addData(
+        (1L, "low lower lowest low low"),   // all in-vocab -> must equal batch
+        (10L, "zzz low"))                   // zzz unseen -> 3 chars + vocab("low")
+      q.processAllAvailable()
+      spark.sql("select doc_id, n_words, n_subtokens from tok_stream").collect()
+        .foreach(r => got(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+    } finally q.stop()
+
+    assert(got(1L) == batch(1L), s"stream ${got(1L)} must equal batch ${batch(1L)}")
+    val lowNs = vocab.filter($"word" === "low").collect().head.getLong(1)
+    assert(got(10L) == ((2L, 3L + lowNs)), s"got ${got(10L)}, low=$lowNs")
+  }
+}
