@@ -399,3 +399,82 @@ class TokenizerStreamSpec extends AnyFunSuite {
     assert(got(10L) == ((2L, 3L + lowNs)), s"got ${got(10L)}, low=$lowNs")
   }
 }
+
+class StreamingGrandAssemblySpec extends AnyFunSuite {
+  test("the COMPLETE ingest line is one DAG: decontaminate -> quality -> mix -> " +
+    "DSIR -> tokenize -> token-budget packing -> exactly-once sink, one state op") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // corpus snapshot: target domain speaks "alpha" vocabulary, the raw
+    // web speaks "zulu" — the DSIR gate must pass alpha docs, drop zulu
+    val alphaText = (1 to 30).map(i => s"alpha$i beta$i").mkString(" ")
+    val zuluText = (1 to 30).map(i => s"zulu$i yank$i").mkString(" ")
+    val snapshot = (
+      (1L to 3L).map(i => (i, "tgt", alphaText)) ++
+      (4L to 6L).map(i => (i, "web", zuluText))
+    ).toDF("doc_id", "source", "text")
+    // static sides a production pipeline precomputes per snapshot:
+    val ratios = graft.operators.TextOps.dsirRatios(snapshot, "tgt", 256)
+    val vocab = graft.operators.TextOps.tokenizerVocab(snapshot)
+    val bench13 = (1 to 13).map(i => s"b$i").mkString(" ")
+    val benchmark = Seq(0L -> bench13).toDF("doc_id", "text")
+    val rates = Seq(("web", 10000L), ("spam", 0L)).toDF("source", "thresh")
+
+    val mem = MemoryStream[(Timestamp, Long, String, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text", "source")
+    val gated = graft.operators.TextOps.dsirStream(
+      graft.operators.TextOps.mixStream(
+        graft.operators.TextOps.qualityGate(
+          graft.operators.TextOps.decontaminateStream(docs, benchmark), 0.2),
+        rates),
+      ratios, minLwMicro = 0L, buckets = 256)
+    // tokenize at ingest: the BPE subtoken count IS the pack budget
+    val timed = graft.operators.TextOps.tokenizerApplyStream(gated, vocab)
+      .select(col("source").as("key"), col("text").as("payload"),
+        col("n_subtokens").as("sizeBytes"), unix_millis(col("ts")).as("eventMillis"))
+      .as[graft.streaming.TimedRecord]
+    val packs = Streams.timeoutBatcher(timed,
+      maxCount = 100, maxBytes = 500, timeoutMs = 60000)
+
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-grand").toString
+    val sink = new graft.sinks.ExactlyOnceParquetSink(sinkDir)
+    val q = packs.writeStream.outputMode("append")
+      .foreachBatch((df: org.apache.spark.sql.Dataset[graft.streaming.FiredBatch],
+                     epoch: Long) => { sink.addBatch(df.toDF(), epoch); () })
+      .start()
+    try {
+      val t0 = Timestamp.valueOf("2024-02-01 09:00:00").getTime
+      def ts(ms: Long) = new Timestamp(ms)
+      mem.addData(
+        (ts(t0), 10L, alphaText, "web"),                         // survives all gates
+        (ts(t0), 11L, zuluText, "web"),                          // DSIR-dropped (raw vocab)
+        (ts(t0), 12L, s"x $bench13 y", "web"),                   // contaminated
+        (ts(t0), 13L, alphaText, "spam"),                        // mix-dropped
+        (ts(t0 + 10), 14L, alphaText, "web"))                    // survives
+      q.processAllAvailable()
+      // each alpha doc is 60 in-vocab words; two docs exceed the
+      // 500-subtoken budget -> the byte trigger closes a pack
+      mem.addData((ts(t0 + 120000), 15L, alphaText, "web"))
+      q.processAllAvailable()
+      mem.addData((ts(t0 + 121000), 16L, alphaText, "web"))
+      q.processAllAvailable()
+
+      val fired = sink.read(spark).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(fired.nonEmpty, "at least one pack must fire")
+      // only gate-surviving web docs are ever packed, and every pack's
+      // size is a sum of per-doc subtoken counts (the vocab says 60
+      // words x ns subtokens per alpha doc)
+      val perDoc = graft.operators.TextOps.tokenizerApplyStream(
+          Seq((10L, alphaText)).toDF("doc_id", "text"), vocab)
+        .collect().head.getAs[Long]("n_subtokens")
+      assert(fired.forall { case (k, n, bytes, _) =>
+        k == "web" && bytes == n * perDoc }, s"got ${fired.toSeq}, perDoc=$perDoc")
+      assert(fired.map(_._2).sum <= 5, "only the five surviving docs can be packed")
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 1, s"expected exactly 1 state operator, got ${ops.length}")
+    } finally q.stop()
+  }
+}
