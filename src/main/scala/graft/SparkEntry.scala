@@ -39,6 +39,7 @@ object SparkEntry {
     "q24_funnel" -> ((s, d) => Relational.q24Funnel(Tables.events(s, d))),
     "q25_cohort" -> ((s, d) => Relational.q25Cohort(Tables.events(s, d))),
     "q26_rolling_active" -> ((s, d) => Relational.q26RollingActive(Tables.events(s, d))),
+    "q27_regression" -> ((s, d) => Relational.q27Regression(Tables.orders(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -666,6 +667,24 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |SELECT dau.anchor AS day, CAST(dau.dau AS BIGINT) AS dau,
         |  CAST(wau.wau AS BIGINT) AS wau
         |FROM dau JOIN wau USING (anchor) ORDER BY day""".stripMargin,
+    "q27_regression" ->
+      // exact-integer regression moments (HUGEINT sums mirror Spark's
+      // DECIMAL(38,0)); only the final division runs in double, from
+      // identical exact operands in both engines
+      """WITH p AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS HUGEINT) AS x,
+        |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS y
+        |  FROM orders
+        |), m AS (
+        |  SELECT pri, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM p GROUP BY pri
+        |)
+        |SELECT pri, CAST(n AS BIGINT) AS n_orders,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope_per_day
+        |FROM m ORDER BY pri""".stripMargin,
     "text_gopher" ->
       // the published Gopher rule set; stop_hits counts DISTINCT stop
       // words present (array_intersect dedups on the Spark side)

@@ -383,6 +383,34 @@ object Relational {
       .orderBy(col("step"))
   }
 
+  /** Per-group least-squares trend: slope of order value over time
+    * (cents per day) — the classic BI regression aggregate
+    * (DuckDB/BigQuery `regr_slope`), computed here from EXACT integer
+    * moments instead of float accumulation: x = days since a fixed
+    * epoch, y = integer cents (the moneySum idiom), Σx/Σy/Σxy/Σx² as
+    * DECIMAL(38,0) (Spark decimal ≡ DuckDB HUGEINT — both exact), so
+    * the closed-form numerator/denominator are engine-identical and
+    * only the final division runs in double (correctly rounded from
+    * identical exact operands). One combinable aggregate over 5 moment
+    * columns — the 100 TB shape; a window/sort-based regression would
+    * shuffle the fact table. */
+  def q27Regression(orders: DataFrame): DataFrame = {
+    val pts = orders.select(col("o_orderpriority").as("pri"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("decimal(38,0)").as("x"),
+      round(col("o_totalprice") * 100, 0).cast("long")
+        .cast("decimal(38,0)").as("y"))
+    pts.groupBy(col("pri"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("pri"), col("n").cast("long").as("n_orders"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / 100.0, 6)
+          .as("slope_per_day"))
+      .orderBy(col("pri"))
+  }
+
   /** Rolling active users: per-day DAU and trailing-7-day WAU — the
     * distinct-count-over-sliding-window query SQL windows can't
     * express (COUNT(DISTINCT) OVER RANGE is unsupported everywhere).

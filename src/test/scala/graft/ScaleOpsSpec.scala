@@ -955,3 +955,20 @@ class RollingActiveSpec extends org.scalatest.funsuite.AnyFunSuite {
       ("2024-01-08", 1L, 2L), ("2024-01-12", 1L, 2L)), s"got $out")
   }
 }
+
+class RegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("exact-moment least squares recovers planted slopes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def d(day: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(day))
+    // group A: value = 2.00 * day + 5.00 exactly; group B: flat 100.00
+    val rows =
+      (0 to 9).map(i => ("A", d(i), 2.0 * i + 5.0)) ++
+      (0 to 9).map(i => ("B", d(i), 100.0))
+    val out = graft.operators.Relational.q27Regression(
+        rows.toDF("o_orderpriority", "o_orderdate", "o_totalprice"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("A") == ((10L, 2.0)), s"got ${out("A")}")
+    assert(out("B") == ((10L, 0.0)), s"got ${out("B")}")
+  }
+}
