@@ -972,3 +972,33 @@ class RegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out("B") == ((10L, 0.0)), s"got ${out("B")}")
   }
 }
+
+class BloomJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    val spark = TestSpark.spark
+    val sf = TestSpark.sf
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    ).map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      import org.apache.spark.sql.functions._
+      val lineitem = Tables.lineitem(spark, sf)
+      val orders = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val joined = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter (might_contain) in:\n${plan.take(3000)}")
+      assert(joined.collect().map(_.getLong(1)).head > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
