@@ -40,6 +40,8 @@ object SparkEntry {
     "q25_cohort" -> ((s, d) => Relational.q25Cohort(Tables.events(s, d))),
     "q26_rolling_active" -> ((s, d) => Relational.q26RollingActive(Tables.events(s, d))),
     "q27_regression" -> ((s, d) => Relational.q27Regression(Tables.orders(s, d))),
+    "q28_market_basket" -> ((s, d) => Relational.q28MarketBasket(Tables.lineitem(s, d))),
+    "q29_transitions" -> ((s, d) => Relational.q29Transitions(Tables.events(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -685,6 +687,30 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
         |    CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope_per_day
         |FROM m ORDER BY pri""".stripMargin,
+    "q28_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p1, p2, CAST(n_orders AS BIGINT) AS n_orders
+        |FROM p ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin,
+    "q29_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS src_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS dst_type
+        |  FROM events
+        |), m AS (
+        |  SELECT src_type, dst_type, count(*) AS n
+        |  FROM s WHERE dst_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src_type) + 1e-9, 4)
+        |    AS frac
+        |FROM m ORDER BY src_type, dst_type""".stripMargin,
     "text_gopher" ->
       // the published Gopher rule set; stop_hits counts DISTINCT stop
       // words present (array_intersect dedups on the Spark side)

@@ -383,6 +383,45 @@ object Relational {
       .orderBy(col("step"))
   }
 
+  /** Market-basket co-occurrence: the top part pairs bought together
+    * in one order ("frequently bought together"). The self-join keys
+    * on the order — per-order fan-out is bounded by the basket size
+    * (≤ 7 lineitems in TPC-H), the same bounded-group pair expansion
+    * as the dedup bucket stages, never a global cross. Final top-N
+    * compiles to TakeOrdered (no global sort); ties break on the pair
+    * ids so the cut is deterministic. */
+  def q28MarketBasket(lineitem: DataFrame, topN: Int = 20): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(topN)
+  }
+
+  /** Clickstream transition matrix: counts of consecutive event-type
+    * pairs per user (the first-order Markov summary behind funnel
+    * diagnostics and bot detection). One window over the per-user
+    * event sequence (the shuffle key), then a |types|²-group
+    * combinable aggregate; the per-source normalization is a window
+    * over that tiny matrix, not the events. */
+  def q29Transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(seq).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src_type"))) + lit(1e-9), 4))
+      .orderBy(col("src_type"), col("dst_type"))
+  }
+
   /** Per-group least-squares trend: slope of order value over time
     * (cents per day) — the classic BI regression aggregate
     * (DuckDB/BigQuery `regr_slope`), computed here from EXACT integer

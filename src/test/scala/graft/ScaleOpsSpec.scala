@@ -1002,3 +1002,35 @@ class BloomJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class BasketTransitionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions.lit
+
+  test("market basket counts unordered within-order pairs once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),   // order 1: pairs (10,20) (10,30) (20,30)
+      (2L, 10L), (2L, 20L),              // order 2: (10,20) again
+      (2L, 20L),                         // duplicate lineitem: must not double-count
+      (3L, 99L)                          // singleton: no pairs
+    ).toDF("l_orderkey", "l_partkey")
+    val out = graft.operators.Relational.q28MarketBasket(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)), s"got $out")
+  }
+
+  test("transitions order by (ts, event_id) and normalize per source type") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val events = Seq(
+      (1L, ts(1), 7L, "view"), (2L, ts(2), 7L, "click"), (3L, ts(3), 7L, "view"),
+      // same-ts pair for user 8: event_id breaks the tie -> view->click
+      (4L, ts(5), 8L, "view"), (5L, ts(5), 8L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type").withColumn("value", lit(0.0))
+    val out = graft.operators.Relational.q29Transitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(("click", "view", 1L, 1.0), ("view", "click", 2L, 1.0)), s"got $out")
+  }
+}
