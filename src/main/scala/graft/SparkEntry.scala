@@ -69,6 +69,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Ann.annLsh(Tables.embeddings(s, d), portable = true)),
     "ann_mmr" -> ((s, d) => Ann.annMmr(Tables.embeddings(s, d))),
     "ann_graph" -> ((s, d) => Ann.annGraph(Tables.embeddings(s, d))),
+    "graph_pagerank" -> ((s, d) => Ann.graphPagerank(Tables.embeddings(s, d))),
     "embedding_pca" -> ((s, d) => Ann.embeddingPca(Tables.embeddings(s, d))),
     "embedding_project" -> ((s, d) => Ann.embeddingProject(Tables.embeddings(s, d))),
     "sink_batch_assign" -> ((s, d) => SinkOps.batchAssign(Tables.events(s, d))),
@@ -191,15 +192,10 @@ object SparkEntry {
          |FROM c JOIN v$iters v ON v.i = c.i
          |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin
 
-  /** Oracle for ann_graph: graph construction AND the greedy beam
-    * search UNROLLED — one CTE block per hop (the tokenizer_bpe
-    * idiom). Buckets come from the same md5-derived hyperplane
-    * formula as ann_lsh (tables stacked in one coef relation); all
-    * similarities are integer basis points so every frontier and the
-    * final ranking are exact integer comparisons. */
-  private def graphOracleSql(k: Int, stride: Int = 50, numPlanes: Int = 5,
-                             tables: Int = 2, degree: Int = 6,
-                             beam: Int = 8, hops: Int = 3): String = {
+  /** Shared k-NN-graph build CTEs (coef/buckets/pairs/adjacency) for
+    * the ann_graph and graph_pagerank oracles — mirrors
+    * Ann.knnGraph. */
+  private def graphCtes(numPlanes: Int, tables: Int, degree: Int): String = {
     val bucketCols = (0 until tables).map { t =>
       s"""    CAST(sum(CASE WHEN p >= ${t * numPlanes} AND p < ${(t + 1) * numPlanes}
          |      AND dot >= 0 THEN 1 << (p - ${t * numPlanes}) ELSE 0 END) AS INT) AS b$t""".stripMargin
@@ -208,23 +204,6 @@ object SparkEntry {
       s"""  SELECT a.vec_id AS a, b.vec_id AS b
          |  FROM bkt a JOIN bkt b ON a.b$t = b.b$t AND a.vec_id <> b.vec_id""".stripMargin
     }.mkString("\n  UNION\n")
-    val hopCtes = (1 to hops).map { h =>
-      val prev = s"f${h - 1}"
-      s"""x$h AS (
-         |  SELECT q_id, vec_id FROM $prev
-         |  UNION
-         |  SELECT f.q_id, a.nbr AS vec_id FROM $prev f JOIN adj a ON a.node = f.vec_id
-         |), s$h AS (
-         |  SELECT x.q_id, x.vec_id,
-         |    CAST(round(list_cosine_similarity(q.qv, e.v) * 1e4) AS BIGINT) AS s
-         |  FROM x$h x JOIN q ON q.q_id = x.q_id JOIN e ON e.vec_id = x.vec_id
-         |), f$h AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT q_id, vec_id,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rn
-         |    FROM s$h) WHERE rn <= $beam
-         |)""".stripMargin
-    }.mkString(",\n")
     s"""WITH coef AS (
        |  SELECT p.p, j.j,
        |    (CAST(('0x' || substr(md5(p.p || ':' || j.j), 1, 15)) AS BIGINT)
@@ -248,7 +227,37 @@ object SparkEntry {
        |  SELECT a AS node, b AS nbr FROM (
        |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY s DESC, b) AS rn
        |    FROM scored) WHERE rn <= $degree
-       |), q AS MATERIALIZED (
+       |)""".stripMargin
+  }
+
+  /** Oracle for ann_graph: graph construction AND the greedy beam
+    * search UNROLLED — one CTE block per hop (the tokenizer_bpe
+    * idiom). Buckets come from the same md5-derived hyperplane
+    * formula as ann_lsh (tables stacked in one coef relation); all
+    * similarities are integer basis points so every frontier and the
+    * final ranking are exact integer comparisons. */
+  private def graphOracleSql(k: Int, stride: Int = 50, numPlanes: Int = 5,
+                             tables: Int = 2, degree: Int = 6,
+                             beam: Int = 8, hops: Int = 3): String = {
+    val hopCtes = (1 to hops).map { h =>
+      val prev = s"f${h - 1}"
+      s"""x$h AS (
+         |  SELECT q_id, vec_id FROM $prev
+         |  UNION
+         |  SELECT f.q_id, a.nbr AS vec_id FROM $prev f JOIN adj a ON a.node = f.vec_id
+         |), s$h AS (
+         |  SELECT x.q_id, x.vec_id,
+         |    CAST(round(list_cosine_similarity(q.qv, e.v) * 1e4) AS BIGINT) AS s
+         |  FROM x$h x JOIN q ON q.q_id = x.q_id JOIN e ON e.vec_id = x.vec_id
+         |), f$h AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rn
+         |    FROM s$h) WHERE rn <= $beam
+         |)""".stripMargin
+    }.mkString(",\n")
+    graphCtes(numPlanes, tables, degree) + s""",
+       |q AS MATERIALIZED (
        |  SELECT e.vec_id AS q_id, e.v AS qv, b.b0
        |  FROM e JOIN bkt b USING (vec_id) WHERE e.vec_id % $stride = 0
        |), ent AS (SELECT b0, min(vec_id) AS entry FROM bkt GROUP BY b0),
@@ -264,6 +273,37 @@ object SparkEntry {
        |  FROM f$hops x JOIN q ON q.q_id = x.q_id JOIN e ON e.vec_id = x.vec_id
        |  WHERE x.vec_id <> x.q_id)
        |WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Oracle for graph_pagerank: the shared graph CTEs + the exact
+    * integer rank iterations UNROLLED (contribution = (r·17 // 20) //
+    * outdeg, base 150000 micro-units), then the top-N by (rank desc,
+    * node). All HUGEINT-exact; every iteration replays bit-for-bit. */
+  private def pagerankOracleSql(iters: Int = 3, topN: Int = 20,
+                                numPlanes: Int = 5, tables: Int = 2,
+                                degree: Int = 6): String = {
+    val steps = (1 to iters).map { t =>
+      s"""c$t AS (
+         |  SELECT r.node, ((r.r * 17) // 20) // od.deg AS c
+         |  FROM r${t - 1} r JOIN od USING (node)
+         |), r$t AS (
+         |  SELECT e.vec_id AS node,
+         |    CAST(150000 + coalesce(sum(cf.c), 0) AS BIGINT) AS r
+         |  FROM e LEFT JOIN (
+         |    SELECT a.nbr, c.c FROM c$t c JOIN adj a ON a.node = c.node) cf
+         |    ON cf.nbr = e.vec_id
+         |  GROUP BY e.vec_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    graphCtes(numPlanes, tables, degree) + s""",
+       |od AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+       |r0 AS (SELECT vec_id AS node, CAST(1000000 AS BIGINT) AS r FROM e),
+       |$steps
+       |SELECT CAST(rn AS BIGINT) AS rank, node AS vec_id, r AS r_micro
+       |FROM (
+       |  SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rn
+       |  FROM r$iters)
+       |WHERE rn <= $topN ORDER BY rank""".stripMargin
   }
 
   /** Oracle for ann_mmr: the greedy MMR loop UNROLLED — one generated
@@ -1292,6 +1332,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "ann_mmr" -> mmrOracleSql(5),
     "ann_graph" -> graphOracleSql(5),
+    "graph_pagerank" -> pagerankOracleSql(),
     "embedding_pca" -> pcaOracleSql(),
     "embedding_project" -> projectOracleSql(),
     "ann_lsh" ->

@@ -437,12 +437,16 @@ object Ann {
     * away-from-zero on halves), ties break to the lower id, so every
     * frontier and the final ranking replay exactly in SQL: the oracle
     * unrolls build + all hops as CTEs (the tokenizer_bpe idiom). */
-  def annGraph(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
-               numPlanes: Int = 5, tables: Int = 2, degree: Int = 6,
-               beam: Int = 8, hops: Int = 3): DataFrame = {
+  private def simBp(a: Column, b: Column): Column =
+    round(F.cosine(a, b) * 1e4, 0).cast("long")
+
+  /** Shared k-NN graph build for [[annGraph]] / [[graphPagerank]]:
+    * (persisted emb, persisted bucketed table, persisted adjacency).
+    * Bucket-bounded construction — per-table in-bucket pairs only,
+    * per-node out-degree capped by the partial-top-k aggregate. */
+  private def knnGraph(embeddings: DataFrame, numPlanes: Int, tables: Int,
+                       degree: Int): (DataFrame, DataFrame, DataFrame) = {
     val emb = Dedup.materialized(embeddings.select(col("vec_id"), col("embedding")))
-    val simBp = (a: Column, b: Column) =>
-      round(F.cosine(a, b) * 1e4, 0).cast("long")
     val bkt = Dedup.materialized(emb.select(
       col("vec_id") +: col("embedding") +:
         (0 until tables).map(t => F.hyperplaneBucket(col("embedding"),
@@ -461,6 +465,13 @@ object Ann {
       .agg(F.topk(col("s").cast("double"), col("b"), degree).as("nn"))
       .select(col("a").as("node"), explode(col("nn")))
       .select(col("node"), col("col.id").as("nbr")))
+    (emb, bkt, adj)
+  }
+
+  def annGraph(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+               numPlanes: Int = 5, tables: Int = 2, degree: Int = 6,
+               beam: Int = 8, hops: Int = 3): DataFrame = {
+    val (emb, bkt, adj) = knnGraph(embeddings, numPlanes, tables, degree)
     val qs = bkt.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("b0"))
     val entries = bkt.groupBy(col("b0")).agg(min(col("vec_id")).as("entry"))
@@ -492,6 +503,46 @@ object Ann {
         col("col.id").as("vec_id"),
         (col("col.score") / lit(1e4)).as("cosine"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** PageRank over the k-NN similarity graph — centrality-based
+    * representative selection (the "most central documents" probe a
+    * curation pipeline uses to pick exemplars, and the canonical
+    * iterative-graph workload). Iterations are EXACT integer
+    * arithmetic: ranks live in micro-units (1e6 per node at start,
+    * i.e. mean-1 normalization), damping 0.85 is the rational 17/20,
+    * each node's per-edge contribution is (r·17 div 20) div outdeg
+    * (truncating, = SQL `//`), and the update is
+    * r'(v) = 150000 + Σ_{u→v} contrib(u) — so every iteration and the
+    * final ranking replay bit-for-bit in SQL (the embedding_pca
+    * discipline applied to graph iteration). Dangling-node mass
+    * vanishes per the common simplification (every node here has
+    * out-edges unless its buckets are singletons — documented).
+    *
+    * Scale shape: per iteration one join of the rank table against
+    * the degree-capped adjacency (both partitioned by node) and one
+    * combinable per-node sum — the classic distributed PageRank
+    * round; iteration count is the only sequential dimension. */
+  def graphPagerank(embeddings: DataFrame, iters: Int = 3, topN: Int = 20,
+                    numPlanes: Int = 5, tables: Int = 2, degree: Int = 6): DataFrame = {
+    val (emb, _, adj) = knnGraph(embeddings, numPlanes, tables, degree)
+    val outdeg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val nodes = emb.select(col("vec_id").as("node"))
+    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = ranks.join(outdeg, "node")
+        .select(col("node"), expr("((r * 17) div 20) div deg").as("c"))
+        .join(adj, "node")
+        .groupBy(col("nbr").as("node")).agg(sum(col("c")).as("in_c"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + coalesce(col("in_c"), lit(0L))).as("r"))
+    }
+    ranks.agg(F.topk(col("r").cast("double"), col("node"), topN).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").cast("long").as("r_micro"))
+      .orderBy(col("rank"))
   }
 
   /** MMR diversity re-rank (Carbonell & Goldstein 1998, "The Use of

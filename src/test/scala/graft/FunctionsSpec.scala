@@ -455,3 +455,30 @@ class EmbeddingProjectSpec extends AnyFunSuite {
     }
   }
 }
+
+class PagerankSpec extends AnyFunSuite {
+  test("a planted hub (every shell point's nearest neighbor) ranks first") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // center = 10*e0; shell_i = 10*e0 + 3*e_(1+i%60): every shell
+    // point is closer (cosine) to the center than to any other shell
+    // point, so the center collects in-links from the whole shell
+    val center = (0L, Array.tabulate(64)(j => if (j == 0) 10f else 0f))
+    val shell = (1L to 40L).map { i =>
+      (i, Array.tabulate(64) { j =>
+        if (j == 0) 10f else if (j == 1 + ((i - 1) % 60).toInt) 3f else 0f
+      })
+    }
+    val df = (center +: shell).toDF("vec_id", "embedding")
+    val out = graft.operators.Ann.graphPagerank(df, topN = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.map(_._1) == (1L to 5L), "dense ranks")
+    assert(out.head._2 == 0L, s"hub must rank first: got $out")
+    val rs = out.map(_._3)
+    assert(rs.zip(rs.tail).forall { case (a, b) => a >= b }, "ranks descend")
+    // the shell is symmetric, so low-id shells tie the hub's in-degree
+    // via the id tie-break in neighbor lists; the hub wins rank 1 on
+    // the final (mass desc, id asc) order
+    assert(out.head._3 >= out(1)._3)
+  }
+}
