@@ -70,6 +70,7 @@ object SparkEntry {
     "ann_mmr" -> ((s, d) => Ann.annMmr(Tables.embeddings(s, d))),
     "ann_graph" -> ((s, d) => Ann.annGraph(Tables.embeddings(s, d))),
     "graph_pagerank" -> ((s, d) => Ann.graphPagerank(Tables.embeddings(s, d))),
+    "embedding_hard_negatives" -> ((s, d) => Ann.hardNegatives(Tables.embeddings(s, d))),
     "embedding_pca" -> ((s, d) => Ann.embeddingPca(Tables.embeddings(s, d))),
     "embedding_project" -> ((s, d) => Ann.embeddingProject(Tables.embeddings(s, d))),
     "sink_batch_assign" -> ((s, d) => SinkOps.batchAssign(Tables.events(s, d))),
@@ -1333,6 +1334,22 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     "ann_mmr" -> mmrOracleSql(5),
     "ann_graph" -> graphOracleSql(5),
     "graph_pagerank" -> pagerankOracleSql(),
+    "embedding_hard_negatives" ->
+      // bruteforce scores in basis points; near-dup ceiling (9900 bp)
+      // and rank order both integer-exact
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s0 AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    CAST(round(list_cosine_similarity(q.qv, e.v) * 1e4) AS BIGINT) AS s
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
+        |), f AS (SELECT * FROM s0 WHERE s <= 9900)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, CAST(s AS DOUBLE) / 1e4 AS cosine
+        |FROM (SELECT q_id, vec_id, s,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rn
+        |      FROM f)
+        |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
     "embedding_pca" -> pcaOracleSql(),
     "embedding_project" -> projectOracleSql(),
     "ann_lsh" ->

@@ -440,6 +440,30 @@ object Ann {
   private def simBp(a: Column, b: Column): Column =
     round(F.cosine(a, b) * 1e4, 0).cast("long")
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k MOST similar vectors that are NOT near-duplicates (cosine
+    * ≤ maxCos) — the "similar but genuinely different" pairs a
+    * retrieval/embedding trainer wants as negatives (near-dups would
+    * be false negatives and poison the loss). Same single-corpus-scan
+    * broadcast shape as [[annBruteforce]]; the near-dup ceiling and
+    * ranking both run in basis points (rounded at creation), so the
+    * cut and the order are engine-portable. */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+                    maxCosBp: Long = 9900L): DataFrame = {
+    val scored = embeddings.crossJoin(broadcast(querySet(embeddings, stride)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        simBp(col("q_vec"), col("embedding")).as("s"))
+      .filter(col("s") <= maxCosBp)
+    scored.groupBy(col("q_id"))
+      .agg(F.topk(col("s").cast("double"), col("vec_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"),
+        (col("col.score") / lit(1e4)).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Shared k-NN graph build for [[annGraph]] / [[graphPagerank]]:
     * (persisted emb, persisted bucketed table, persisted adjacency).
     * Bucket-bounded construction — per-table in-bucket pairs only,

@@ -482,3 +482,22 @@ class PagerankSpec extends AnyFunSuite {
     assert(out.head._3 >= out(1)._3)
   }
 }
+
+class HardNegativesSpec extends AnyFunSuite {
+  test("near-duplicates are excluded; the hardest genuine negative ranks first") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // anchor 0; id 1 is a near-dup (cos ~ 1), ids 2-3 are hard
+    // negatives (high but sub-ceiling cos), id 4 is easy (low cos)
+    val df = Seq(
+      (0L, Array(10f, 0f, 0f)),
+      (1L, Array(10f, 0.01f, 0f)),   // cos ~ 0.9999 -> excluded
+      (2L, Array(10f, 3f, 0f)),      // cos ~ 0.958  -> hardest negative
+      (3L, Array(10f, 5f, 0f)),      // cos ~ 0.894
+      (4L, Array(0f, 1f, 1f))        // cos 0
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Ann.hardNegatives(df, k = 3, stride = 1000)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L), (2L, 3L), (3L, 4L)), s"got $out")
+  }
+}
