@@ -105,6 +105,7 @@ object SparkEntry {
     "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
     "text_quality_lr" -> ((s, d) => TextOps.textQualityLr(Tables.documents(s, d))),
     "text_gopher" -> ((s, d) => TextOps.textGopher(Tables.documents(s, d))),
+    "text_ccnet_bucket" -> ((s, d) => TextOps.textCcnetBucket(Tables.documents(s, d))),
     "pipeline_budget" -> ((s, d) => TextOps.budgetDomains(Tables.documents(s, d))),
     "pipeline_dsir" -> ((s, d) => TextOps.pipelineDsir(Tables.documents(s, d))),
     "embedding_diversity" -> ((s, d) => Ann.embeddingDiversity(Tables.embeddings(s, d))),
@@ -752,6 +753,31 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src_type) + 1e-9, 4)
         |    AS frac
         |FROM m ORDER BY src_type, dst_type""".stripMargin,
+    "text_ccnet_bucket" ->
+      // the unigram_lp chain + exact tercile cutoffs, both rounded at
+      // 4dp before the bucket comparison (q18 percentile parity)
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), f AS (
+        |  SELECT tok, count(*) AS tf FROM tk GROUP BY tok
+        |), n AS (
+        |  SELECT count(*) AS n_total FROM tk
+        |), lp AS (
+        |  SELECT tk.doc_id,
+        |    round(avg(-ln(CAST(f.tf AS DOUBLE) / n.n_total)), 4) AS lp
+        |  FROM tk JOIN f USING (tok) CROSS JOIN n
+        |  GROUP BY tk.doc_id
+        |), c AS (
+        |  SELECT round(quantile_cont(lp, 1.0/3), 4) AS c1,
+        |         round(quantile_cont(lp, 2.0/3), 4) AS c2
+        |  FROM lp
+        |)
+        |SELECT doc_id, lp,
+        |  CASE WHEN lp <= c.c1 THEN 'head'
+        |       WHEN lp <= c.c2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM lp CROSS JOIN c ORDER BY doc_id""".stripMargin,
     "text_gopher" ->
       // the published Gopher rule set; stop_hits counts DISTINCT stop
       // words present (array_intersect dedups on the Spark side)

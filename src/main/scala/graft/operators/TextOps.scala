@@ -351,6 +351,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): split the corpus into head/middle/tail TERCILES by
+    * language-model perplexity — the signature CCNet move (train on
+    * head, sample middle, drop tail). The LM here is the suite's
+    * unigram proxy ([[textUnigramLp]]); cutoffs are the exact
+    * corpus terciles of the 4dp-rounded score, themselves rounded at
+    * creation so the bucket comparisons are engine-portable (the q18
+    * percentile parity precedent). Cutoffs are a 1-row broadcast; at
+    * 100 TB swap `percentile` for the one-pass `approx_percentile`
+    * sketch (q18b) — same plan shape. */
+  def textCcnetBucket(documents: DataFrame): DataFrame = {
+    val lp = textUnigramLp(documents)
+      .select(col("doc_id"), col("avg_neg_logprob").as("lp"))
+    val cuts = lp.agg(
+      round(expr("percentile(lp, 1.0d/3)"), 4).as("c1"),
+      round(expr("percentile(lp, 2.0d/3)"), 4).as("c2"))
+    lp.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("lp"),
+        when(col("lp") <= col("c1"), "head")
+          .when(col("lp") <= col("c2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016,
     * "Neural Machine Translation of Rare Words with Subword Units") —
     * the vocabulary-building job that precedes [[tokenStats]]'

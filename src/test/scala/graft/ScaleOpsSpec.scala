@@ -1034,3 +1034,21 @@ class BasketTransitionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out == Seq(("click", "view", 1L, 1.0), ("view", "click", 2L, 1.0)), s"got $out")
   }
 }
+
+class CcnetBucketSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("terciles split head/middle/tail roughly evenly; low perplexity = head") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 30 fluent docs (common words), 30 mid, 30 rare-token docs
+    val docs = (
+      (0L until 30L).map(i => (i, (1 to 20).map(_ => "common").mkString(" "))) ++
+      (30L until 60L).map(i => (i, (1 to 20).map(j => s"mid${j % 5}").mkString(" "))) ++
+      (60L until 90L).map(i => (i, (1 to 20).map(j => s"rare${i}_$j").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textCcnetBucket(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((0L until 30L).forall(out(_) == "head"), "common-token docs are head")
+    assert((60L until 90L).forall(out(_) == "tail"), "rare-token docs are tail")
+    assert((30L until 60L).forall(out(_) == "middle"))
+  }
+}
