@@ -42,6 +42,8 @@ object SparkEntry {
     "q27_regression" -> ((s, d) => Relational.q27Regression(Tables.orders(s, d))),
     "q28_market_basket" -> ((s, d) => Relational.q28MarketBasket(Tables.lineitem(s, d))),
     "q29_transitions" -> ((s, d) => Relational.q29Transitions(Tables.events(s, d))),
+    "q30_pivot" -> ((s, d) => Relational.q30Pivot(Tables.events(s, d))),
+    "q31_streaks" -> ((s, d) => Relational.q31Streaks(Tables.events(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -753,6 +755,34 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src_type) + 1e-9, 4)
         |    AS frac
         |FROM m ORDER BY src_type, dst_type""".stripMargin,
+    "q30_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'view') AS n_view,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'error') AS n_error,
+        |  count(*) FILTER (event_type IN ('click','view','purchase','signup','error'))
+        |    AS n_total
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q31_streaks" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |      AS grp
+        |  FROM events
+        |), runs AS (
+        |  SELECT user_id, event_type, count(*) AS run_len,
+        |    min(event_id) AS min_event_id
+        |  FROM r GROUP BY user_id, event_type, grp
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY run_len DESC, min_event_id) AS rk
+        |  FROM runs
+        |)
+        |SELECT user_id, event_type, run_len, min_event_id
+        |FROM ranked WHERE rk = 1 ORDER BY user_id""".stripMargin,
     "text_ccnet_bucket" ->
       // the unigram_lp chain + exact tercile cutoffs, both rounded at
       // 4dp before the bucket comparison (q18 percentile parity)

@@ -20,16 +20,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf, runtime
-    * settable) and normalize to a microsecond TimestampType column so
-    * downstream operators and the DuckDB oracle agree on semantics.
-    */
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as long via the legacy conf and truncate) and
+    * plain TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ). Normalize both
+    * to a microsecond session-TZ TimestampType column so downstream
+    * operators and the DuckDB oracle agree on semantics (session TZ is
+    * pinned to UTC in Sessions/TestSpark, so NTZ→LTZ is lossless). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    import org.apache.spark.sql.types.LongType
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

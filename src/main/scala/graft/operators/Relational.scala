@@ -501,4 +501,53 @@ object Relational {
         round(col("n_users").cast("double") / col("cohort_size"), 4))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** Daily event-type pivot — the `.pivot()` API face. The value list
+    * is EXPLICIT: pivot without values runs a collect-distinct job over
+    * the fact table before planning, which at 100 TB is a full extra
+    * scan just to learn column names — a production pivot always pins
+    * the schema. With pinned values this compiles to one hash aggregate
+    * over day (conditional counts per type), identical in cost to
+    * q10_conditional_agg; absent combinations surface as 0, not null. */
+  def q30Pivot(events: DataFrame,
+               types: Seq[String] = Seq("click", "view", "purchase", "signup", "error")): DataFrame = {
+    val pivoted = events
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(pivoted) { (df, t) =>
+        df.withColumn(s"n_$t", coalesce(col(s"`$t`"), lit(0L))).drop(t)
+      }
+      .withColumn("n_total", types.map(t => col(s"n_$t")).reduce(_ + _))
+      .orderBy(col("day"))
+  }
+
+  /** Longest streak per user: the gaps-and-islands run-length idiom
+    * (row_number minus per-type row_number labels each maximal run of
+    * consecutive identical event_types), then the longest run per user.
+    * Both row_numbers and the run aggregate share the user_id
+    * partitioning — one events-sized shuffle; the per-user argmax is a
+    * second window over the runs table (one row per run, already far
+    * smaller than events). Ties break on the run's min event_id —
+    * globally unique, so the pick is fully deterministic and the
+    * DuckDB oracle replays it without timestamp-precision hazards.
+    * The canonical "longest streak" engagement metric. */
+  def q31Streaks(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("grp", row_number().over(byUser) - row_number().over(byUserType))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("run_len"), min(col("event_id")).as("min_event_id"))
+    val best = Window.partitionBy(col("user_id"))
+      .orderBy(col("run_len").desc, col("min_event_id"))
+    runs
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"), col("run_len"), col("min_event_id"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -58,12 +58,15 @@ class ScaleOpsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
       dir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(Tables.events(spark, TestSpark.sf).schema("ts").dataType match {
-        case _ => spark.read.parquet(dir.toString).schema
-      })
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // same dual-layout normalization as Tables.events: TIMESTAMP(NANOS)
+    // testdata arrives as long (legacy conf), TIMESTAMP(MICROS) as NTZ
+    val schema = spark.read.parquet(dir.toString).schema
+    val raw0 = spark.readStream.schema(schema).parquet(dir.toString)
+    val raw = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw0.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw0.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val q = graft.streaming.Streams.windowAgg(raw, "1 hour", "1 minute")
       .writeStream.format("memory").queryName("filestream").outputMode("update").start()
     try {
@@ -1032,6 +1035,45 @@ class BasketTransitionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val out = graft.operators.Relational.q29Transitions(events).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(out == Seq(("click", "view", 1L, 1.0), ("view", "click", 2L, 1.0)), s"got $out")
+  }
+}
+
+class PivotStreaksSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def ts(day: Int, s: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:$s%02d")
+
+  test("pivot zero-fills absent day/type combinations and totals across types") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(1, 1), 7L, "click"), (2L, ts(1, 2), 7L, "click"),
+      (3L, ts(1, 3), 8L, "view"),
+      (4L, ts(2, 1), 7L, "purchase"),
+      (5L, ts(2, 2), 9L, "other") // outside the pinned value list: excluded
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.Relational.q30Pivot(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 2L, 1L, 0L, 0L, 0L, 3L),
+      ("2024-01-02", 0L, 0L, 1L, 0L, 0L, 1L)), s"got $out")
+  }
+
+  test("streaks find the longest consecutive run, ties broken by earliest run") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // user 7: view view click click -> two runs of 2; tie -> earliest (view, event_id 1)
+    // user 8: click view view view click -> longest run is 3 views
+    val events = Seq(
+      (1L, ts(1, 1), 7L, "view"), (2L, ts(1, 2), 7L, "view"),
+      (3L, ts(1, 3), 7L, "click"), (4L, ts(1, 4), 7L, "click"),
+      (5L, ts(1, 1), 8L, "click"), (6L, ts(1, 2), 8L, "view"),
+      (7L, ts(1, 3), 8L, "view"), (8L, ts(1, 4), 8L, "view"),
+      (9L, ts(1, 5), 8L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.Relational.q31Streaks(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((7L, "view", 2L, 1L), (8L, "view", 3L, 6L)), s"got $out")
   }
 }
 
