@@ -358,25 +358,34 @@ object Ann {
     * linear algebra; milli precision is the documented trade for
     * overflow headroom: |w| ≤ dims·maxM·1e3 ≪ 2^63).
     *
-    * Scale shape: the corpus appears ONLY in the Gram aggregate —
-    * dims² combinable groups (the explode is dims×/row; at 100 TB
+    * Scale shape: the corpus appears ONLY in the Gram aggregate, and
+    * every (i, j, xi·xj) product is derived ROW-LOCALLY from the
+    * embedding array (quantize once, double posexplode — no join, so
+    * the partial aggregate runs before any exchange and the only
+    * shuffle is partitions × dims² combined partials; at 100 TB
     * sample rows into the Gram estimate, the standard move). The
     * dims²-row matrix is metadata-scale: it collects to the driver
     * and iterates there, like tokenizer_bpe's argmax row. */
-  def embeddingPca(embeddings: DataFrame, dims: Int = 64, iters: Int = 8): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val coords = embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"),
-        round(col("x").cast("double") * 1e4, 0).cast("long").as("xb"))
-    val mRows = coords.as("a").join(coords.as("b"), Seq("vec_id"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.xb") * col("b.xb")).as("s"))
+  /** The Gram frame (i, j, m): row-local pair expansion (quantize the
+    * embedding once, double posexplode the SAME array — no join), so
+    * the dims²-group aggregate partial-combines before the plan's ONLY
+    * exchange (PlanSpec asserts exactly that shape). */
+  private[graft] def gramMatrix(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * lit(1e4), 0).cast("long")).as("xb"))
+      .select(col("xb"), posexplode(col("xb")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("xb")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("s"))
       // `div` = exact integral division (truncating, = DuckDB's //);
       // a double `/` would mis-truncate at quotient boundaries
       .select(col("i"), col("j"), expr("s div 1000000").as("m"))
-      .collect()
+
+  def embeddingPca(embeddings: DataFrame, dims: Int = 64, iters: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val mRows = gramMatrix(embeddings).collect()
     val m = Array.ofDim[Long](dims, dims)
     mRows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
     var v = Array.fill(dims)(1000L)
@@ -400,18 +409,20 @@ object Ann {
     * dashboards and stratified-by-principal-component sampling. One
     * exact integer dot product per vector (bp coordinates ×
     * milli-unit loadings, folded back to basis points by truncating
-    * `div`): the 64-row loading table broadcasts, the projection is a
-    * combinable per-vector aggregate — corpus scanned once. */
+    * `div`): the dims-row loading vector rides along as an array
+    * LITERAL, so the projection is one ROW-LOCAL expression — the
+    * corpus streams through with no shuffle at all (the trailing
+    * orderBy is oracle-only). */
   def embeddingProject(embeddings: DataFrame, dims: Int = 64, iters: Int = 8): DataFrame = {
-    val load = embeddingPca(embeddings, dims, iters)
-      .select(col("dim").cast("int").as("i"), col("loading_milli"))
+    val loadMilli = embeddingPca(embeddings, dims, iters)
+      .orderBy(col("dim")).collect().map(_.getLong(1))
+    val w = array(loadMilli.map(lit(_)): _*)
+    val xb = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1e4), 0).cast("long"))
+    val p = aggregate(zip_with(xb, w, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
     embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"),
-        round(col("x").cast("double") * 1e4, 0).cast("long").as("xb"))
-      .join(broadcast(load), "i")
-      .groupBy(col("vec_id"))
-      .agg(sum(col("xb") * col("loading_milli")).as("p"))
+      .select(col("vec_id"), p.as("p"))
       .select(col("vec_id"), expr("p div 1000").as("proj_bp"))
       .withColumn("proj", col("proj_bp").cast("double") / 1e4)
       .orderBy(col("vec_id"))

@@ -54,6 +54,14 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Ann.annBruteforce(Tables.embeddings(spark, TestSpark.sf)))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("embedding_pca Gram matrix: row-local pair expansion, one exchange, no join") {
+    val p = plan(Ann.gramMatrix(Tables.embeddings(spark, TestSpark.sf)))
+    assert(!p.contains("Join"), s"Gram plan must not join the corpus to itself:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"Gram plan should shuffle only the combined dims-squared partials:\n$p")
+    assert(p.contains("partial_sum"), "Gram aggregate must map-side combine")
+  }
 }
 
 class CodegenCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
