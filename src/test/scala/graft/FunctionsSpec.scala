@@ -409,6 +409,35 @@ class AnnGraphSpec extends AnyFunSuite {
   }
 }
 
+class AnnStoredIndexSpec extends AnyFunSuite {
+  test("stored-index probe and pagerank match the self-contained faces; ensure builds once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val centers = Array.tabulate(4)(c => Array.tabulate(64)(j =>
+      if (j % 4 == c) 10f else 0f))
+    val rows = (0 until 200).map { i =>
+      (i.toLong, centers(i % 4).map(x => x + 0.5f * rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    graft.operators.Ann.ensureAnnIndex(df, dir)
+    val marker = new java.io.File(s"$dir/entries/_SUCCESS")
+    assert(marker.exists(), "index build must leave the completed-build sentinel")
+    val built = marker.lastModified()
+    val probe = graft.operators.Ann.annGraphProbe(df, dir, k = 5, stride = 10)
+      .collect().toSeq
+    val full = graft.operators.Ann.annGraph(df, k = 5, stride = 10)
+      .collect().toSeq
+    assert(probe == full, "probe over the stored index must equal the in-query build")
+    graft.operators.Ann.ensureAnnIndex(df, dir)
+    assert(marker.lastModified() == built, "a finished index must never rebuild")
+    val prStored = graft.operators.Ann.graphPagerankStored(df, dir).collect().toSeq
+    val pr = graft.operators.Ann.graphPagerank(df).collect().toSeq
+    assert(prStored == pr, "pagerank over the stored adjacency must equal the rebuild face")
+  }
+}
+
 class EmbeddingPcaSpec extends AnyFunSuite {
   test("integer power iteration recovers a planted dominant direction") {
     val spark = TestSpark.spark
