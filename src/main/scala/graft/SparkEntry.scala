@@ -116,6 +116,8 @@ object SparkEntry {
     "pipeline_shuffle" -> ((s, d) => TextOps.shuffleOrder(Tables.documents(s, d))),
     "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
     "text_quality_lr" -> ((s, d) => TextOps.textQualityLr(Tables.documents(s, d))),
+    "text_quality_train" -> ((s, d) => TextOps.textQualityTrain(Tables.documents(s, d))),
+    "text_quality_trained_score" -> ((s, d) => TextOps.textQualityLrTrained(Tables.documents(s, d))),
     "text_gopher" -> ((s, d) => TextOps.textGopher(Tables.documents(s, d))),
     "text_ccnet_bucket" -> ((s, d) => TextOps.textCcnetBucket(Tables.documents(s, d))),
     "pipeline_budget" -> ((s, d) => TextOps.budgetDomains(Tables.documents(s, d))),
@@ -205,6 +207,73 @@ object SparkEntry {
          |  CAST(CAST(sum(c.xb * v.v) // 1000 AS BIGINT) AS DOUBLE) / 1e4 AS proj
          |FROM c JOIN v$iters v ON v.i = c.i
          |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin
+
+  /** Shared CTEs for the text_quality_train family: quantized LR
+    * features (exact per-row count divisions rounded to basis points —
+    * IEEE division is exactly rounded, so both engines quantize
+    * identically), the planted conjunctive label, and the `iters`
+    * full-batch gradient steps UNROLLED (one (e, g, w) CTE triple per
+    * step — the embedding_pca idiom applied to model training). All
+    * integer: hard-sigmoid probabilities, truncating `//` updates. */
+  private def lrTrainCtes(iters: Int, lrDen: Long): String = {
+    val zSql = "(l.x0*w.w0 + l.x1*w.w1 + l.x2*w.w2 + l.x3*w.w3 + l.x4*w.w4)"
+    val steps = (1 to iters).map { t =>
+      val gCols = (0 to 4).map(j => s"CAST(sum(e * x$j) AS BIGINT) AS g$j").mkString(", ")
+      val wCols = (0 to 4).map(j =>
+        s"CAST(w.w$j - g.g$j // (nn.n * $lrDen) AS BIGINT) AS w$j").mkString(", ")
+      s"""e$t AS (
+         |  SELECT l.*, least(greatest(5000 + (($zSql // 10000) // 400), 0), 10000)
+         |    - 10000 * l.y AS e
+         |  FROM lab l, w${t - 1} w
+         |), g$t AS (SELECT $gCols FROM e$t),
+         |w$t AS MATERIALIZED (SELECT $wCols FROM w${t - 1} w, g$t g, nn)""".stripMargin
+    }.mkString(",\n")
+    val w0Cols = (0 to 4).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")
+    s"""WITH tq AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+       |    length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+       |    length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonws
+       |  FROM documents
+       |), feat AS (
+       |  SELECT doc_id, CAST(10000 AS BIGINT) AS x0,
+       |    CAST(round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 1e4) AS BIGINT) AS x1,
+       |    CAST(round(CAST(len(list_filter(toks, x ->
+       |      x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) * 1e5) AS BIGINT) AS x2,
+       |    CAST(round(CAST(n_punct AS DOUBLE) / n_chars * 1e4) AS BIGINT) AS x3,
+       |    CAST(round(CAST(n_nonws AS DOUBLE) / len(toks) / 10.0 * 1e4) AS BIGINT) AS x4
+       |  FROM tq
+       |), lab AS MATERIALIZED (
+       |  SELECT *, CAST((x1 >= 8000 AND x2 >= 5000) AS BIGINT) AS y
+       |  FROM feat
+       |), nn AS (SELECT count(*) AS n FROM lab),
+       |w0 AS MATERIALIZED (SELECT $w0Cols),
+       |$steps""".stripMargin
+  }
+
+  private def lrTrainOracleSql(iters: Int = 32, lrDen: Long = 40L): String = {
+    val names = Seq("bias", "len", "stop", "punct", "wordlen")
+    val rows = names.zipWithIndex.map { case (nm, j) =>
+      s"""SELECT CAST($j AS BIGINT) AS feature_id, '$nm' AS feature,
+         |    w$j AS w_micro, CAST(w$j AS DOUBLE) / 1e6 AS weight FROM w$iters""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    lrTrainCtes(iters, lrDen) + s"""
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY feature_id""".stripMargin
+  }
+
+  private def lrTrainedScoreOracleSql(iters: Int = 32, lrDen: Long = 40L): String =
+    lrTrainCtes(iters, lrDen) + s"""
+       |SELECT l.doc_id, l.y AS label,
+       |  CAST(least(greatest(5000 + (((l.x0*w.w0 + l.x1*w.w1 + l.x2*w.w2
+       |      + l.x3*w.w3 + l.x4*w.w4) // 10000) // 400), 0), 10000) AS BIGINT) AS p_bp,
+       |  CAST(least(greatest(5000 + (((l.x0*w.w0 + l.x1*w.w1 + l.x2*w.w2
+       |      + l.x3*w.w3 + l.x4*w.w4) // 10000) // 400), 0), 10000) AS DOUBLE) / 1e4 AS p,
+       |  least(greatest(5000 + (((l.x0*w.w0 + l.x1*w.w1 + l.x2*w.w2
+       |      + l.x3*w.w3 + l.x4*w.w4) // 10000) // 400), 0), 10000) >= 5000 AS keep
+       |FROM lab l, w$iters w ORDER BY l.doc_id""".stripMargin
 
   /** Shared k-NN-graph build CTEs (coef/buckets/pairs/adjacency) for
     * the ann_graph and graph_pagerank oracles — mirrors
@@ -874,6 +943,8 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT doc_id, logit_r AS logit, p_keep, p_keep >= 0.5 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_quality_train" -> lrTrainOracleSql(),
+    "text_quality_trained_score" -> lrTrainedScoreOracleSql(),
     "pipeline_budget" ->
       // greedy per-domain budget fill in md5 order: keep while the
       // PRECEDING cumulative token total is under 2000 (the crossing

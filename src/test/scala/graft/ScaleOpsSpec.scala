@@ -896,6 +896,35 @@ class GopherRulesSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class QualityTrainSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("trained logistic filter separates planted junk from clean docs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    // clean: >= 50 tokens, ~1 stopword in 5; junk: short, no stopwords
+    val clean = (0 until 40).map { i =>
+      val words = (0 until 60).map(j =>
+        if (j % 5 == 0) stops(rnd.nextInt(stops.size)) else s"word${rnd.nextInt(400)}")
+      (i.toLong, words.mkString(" "))
+    }
+    val junk = (0 until 40).map { i =>
+      ((100 + i).toLong, (0 until 8).map(_ => s"zx${rnd.nextInt(1000)}").mkString(" "))
+    }
+    val docs = (clean ++ junk).toDF("doc_id", "text")
+    val w = graft.operators.TextOps.textQualityTrain(docs).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(w("len") > 0L && w("stop") > 0L,
+      s"length and stopword evidence must push toward keep: $w")
+    val scored = graft.operators.TextOps.textQualityLrTrained(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val cleanKept = clean.count { case (id, _) => scored(id) }
+    val junkKept = junk.count { case (id, _) => scored(id) }
+    assert(cleanKept >= 38, s"trained filter keeps clean docs: $cleanKept/40")
+    assert(junkKept <= 2, s"trained filter rejects planted junk: $junkKept/40")
+  }
+}
+
 class FunnelCohortSpec extends org.scalatest.funsuite.AnyFunSuite {
   import org.apache.spark.sql.functions.lit
   private def ts(day: Int, h: Int = 0): java.sql.Timestamp =
