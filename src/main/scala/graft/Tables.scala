@@ -33,7 +33,11 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `div`, not `/`: long `/` is double division, and at epoch-nanos
+      // magnitude (~1.7e18, double ULP 256ns) the truncated microsecond
+      // can drift +/-1us from DuckDB's exact integer truncation —
+      // enough to reorder near-simultaneous events under a ts sort
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }

@@ -511,6 +511,13 @@ object Relational {
     * q10_conditional_agg; absent combinations surface as 0, not null. */
   def q30Pivot(events: DataFrame,
                types: Seq[String] = Seq("click", "view", "purchase", "signup", "error")): DataFrame = {
+    // values become column names (n_$t) and backticked lookups: reject
+    // anything that could collide with output columns or break quoting
+    types.foreach { t =>
+      require(t.matches("[A-Za-z0-9_]+") && t != "day" && t != "total",
+        s"pivot value '$t' is not a safe column-name fragment")
+    }
+    require(types.distinct.size == types.size, "pivot values must be distinct")
     val pivoted = events
       .select(to_date(col("ts")).as("day"), col("event_type"))
       .groupBy(col("day"))

@@ -1055,7 +1055,11 @@ class BasketTransitionsSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("transitions order by (ts, event_id) and normalize per source type") {
     val spark = TestSpark.spark
     import spark.implicits._
-    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    // UTC instants, not Timestamp.valueOf (which reads the JVM default
+    // TZ): the session TZ is pinned to UTC, and on a JVM at a large
+    // positive offset wall-clock parsing would shift the UTC day
+    def ts(s: Int) =
+      java.sql.Timestamp.from(java.time.Instant.parse(f"2024-01-01T10:00:$s%02dZ"))
     val events = Seq(
       (1L, ts(1), 7L, "view"), (2L, ts(2), 7L, "click"), (3L, ts(3), 7L, "view"),
       // same-ts pair for user 8: event_id breaks the tie -> view->click
@@ -1068,8 +1072,10 @@ class BasketTransitionsSpec extends org.scalatest.funsuite.AnyFunSuite {
 }
 
 class PivotStreaksSpec extends org.scalatest.funsuite.AnyFunSuite {
+  // UTC instants so the expected day grouping is TZ-independent (see
+  // the transitions spec note)
   private def ts(day: Int, s: Int) =
-    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:$s%02d")
+    java.sql.Timestamp.from(java.time.Instant.parse(f"2024-01-$day%02dT10:00:$s%02dZ"))
 
   test("pivot zero-fills absent day/type combinations and totals across types") {
     val spark = TestSpark.spark
