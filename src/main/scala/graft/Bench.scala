@@ -48,6 +48,26 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Pre-flight load guard (VERDICT r5 #7): the telemetry DETECTS a
+    // contended host after the fact; this gives the official artifact a
+    // chance to be the quiet number instead. When the 1-min loadavg
+    // exceeds the threshold, wait once for other work to drain and
+    // re-measure; the guard's evidence (threshold, seconds waited, load
+    // before/after) is embedded in the host JSON either way. Bounded by
+    // design — one wait, then run regardless — so a busy neighbor can
+    // delay the bench by at most guardWaitSecs.
+    val guardThresh = sys.env.get("SPARK_GRAFT_LOAD_GUARD").flatMap(s =>
+      scala.util.Try(s.toDouble).toOption).getOrElse(1.5)
+    val guardWaitSecs = sys.env.get("SPARK_GRAFT_LOAD_GUARD_WAIT").flatMap(s =>
+      scala.util.Try(s.toInt).toOption).getOrElse(90)
+    val loadPre = loadavg()
+    val guardWaited =
+      if (loadPre > guardThresh && guardWaitSecs > 0) {
+        System.err.println(
+          f"[bench] loadavg $loadPre%.1f > $guardThresh%.1f: waiting ${guardWaitSecs}s for the host to drain")
+        Thread.sleep(guardWaitSecs * 1000L)
+        guardWaitSecs
+      } else 0
     val spark = Sessions.local()
     // recorded in bench.json + the table header so every committed
     // artifact carries its run conditions (the driver measures at 32)
@@ -125,7 +145,7 @@ object Bench {
       if (jiff1 > jiff0) 100.0 * (steal1 - steal0) / (jiff1 - jiff0) else 0.0
     val pars = results.map { case (_, runs) => runs.minBy(_._1)._2 }.sorted
     val parMed = if (pars.nonEmpty) pars(pars.length / 2) else -1.0
-    val host = f""""host":{"load_start":$load0%.1f,"load_end":$load1%.1f,"steal_pct":$stealPct%.2f,"par_med":$parMed%.1f}"""
+    val host = f""""host":{"load_start":$load0%.1f,"load_end":$load1%.1f,"steal_pct":$stealPct%.2f,"par_med":$parMed%.1f,"guard":{"thresh":$guardThresh%.1f,"load_pre":$loadPre%.1f,"waited_s":$guardWaited}}"""
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.map(_._1).min }
       .mkString("{", ",", "}")
@@ -162,7 +182,9 @@ object Bench {
       sb.append(f"Host: loadavg ${load0}%.1f -> ${load1}%.1f, steal ${stealPct}%.2f%%, " +
         f"median effective parallelism ${parMed}%.1f (process-CPU/wall at each best run; " +
         s"a quiet local[$cpus] run shows par >> 1 on the hot queries — " +
-        s"collapsed par with inflated wall means the HOST was contended, not the code).\n")
+        s"collapsed par with inflated wall means the HOST was contended, not the code). " +
+        f"Load guard: threshold $guardThresh%.1f, pre-flight load $loadPre%.1f, " +
+        s"waited ${guardWaited}s.\n")
       sb.append(kernels.replace("\"", "`") + " fast-vs-portable kernel secs " +
         "(portable = md5 for DuckDB-oracle bit-compat, benched in the query loop; " +
         "fast = production xxhash/splitmix path).\n\n")
