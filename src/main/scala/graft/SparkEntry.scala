@@ -126,6 +126,10 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => Ann.annPq(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => Ann.annIvfPq(Tables.embeddings(s, d))),
     "ann_ivf_sampled" -> ((s, d) => Ann.annIvfSampled(Tables.embeddings(s, d))),
+    "ann_ivf_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.annIvfProbe(e, Ann.ensureIvfIndex(e, Ann.defaultIvfIndexDir(e, d)))
+    }),
     "pipeline_assembly" -> ((s, d) => TextOps.assemblyPipeline(Tables.documents(s, d))),
     "embedding_cluster_hist" -> ((s, d) => Ann.embeddingClusterHist(Tables.embeddings(s, d))),
     "pipeline_decontaminate" -> ((s, d) => TextOps.decontaminate(Tables.documents(s, d))),
@@ -528,7 +532,13 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
   }
 
   /** DuckDB-dialect oracle SQL, column names matched to `queries`. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase
+    // stored-index probe faces return bit-identical results to their
+    // self-contained builds (deterministic index content), so each
+    // gates against the same oracle
+    .updated("ann_ivf_probe", oracleSqlBase("ann_ivf_sampled"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "tokenizer_bpe" -> bpeOracleSql(8),
     "tokenizer_apply" -> bpeApplyOracleSql(8),
     "q1_agg" ->

@@ -149,6 +149,73 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Write the IVF index ONCE to `indexDir`: `centroids` (list_id,
+    * c_vec — the sampled coarse quantizer) and `lists` — the corpus
+    * laid out as inverted lists, PARTITIONED BY list_id, so a probe
+    * reads only its `nprobe` lists' partitions (parquet partition
+    * pruning IS the inverted-file seek; at 100 TB the lists are the
+    * physical layout, exactly how FAISS-style deployments shard).
+    * Deterministic content (md5-sampled centroids, argmax-cosine
+    * assignment with id tie-breaks) — oracle-reproducible. */
+  def buildIvfIndex(embeddings: DataFrame, indexDir: String,
+                    nlist: Int = 16): Unit = {
+    val cents = sampledCentroids(embeddings, nlist)
+    sampledAssignments(embeddings, cents)
+      .select(col("vec_id"), col("embedding"), col("list_id").cast("int").as("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$indexDir/lists")
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Build-if-absent guard for [[buildIvfIndex]] (the
+    * [[ensureAnnIndex]] pattern: centroids are written last, their
+    * _SUCCESS is the completed-build sentinel). */
+  def ensureIvfIndex(embeddings: DataFrame, indexDir: String,
+                     nlist: Int = 16): String = {
+    if (!new java.io.File(s"$indexDir/centroids/_SUCCESS").exists())
+      buildIvfIndex(embeddings, indexDir, nlist)
+    indexDir
+  }
+
+  /** Content-keyed default location for a corpus's stored IVF index
+    * (see [[defaultIndexDir]]). */
+  def defaultIvfIndexDir(embeddings: DataFrame, sfKey: String,
+                         nlist: Int = 16): String = {
+    val safe = sfKey.replaceAll("[^A-Za-z0-9._-]", "_")
+    val n = embeddings.count()
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index/$safe-n$n-l$nlist"
+  }
+
+  /** The PROBE face of [[annIvfSampled]]: rank each query's `nprobe`
+    * nearest stored centroids (a broadcast of nlist tiny rows), then
+    * scan ONLY those inverted-list partitions — the list_id filter
+    * prunes at the parquet partition level, so per-query work is
+    * ~|corpus|·nprobe/nlist rows read, not just scored. Result is
+    * bit-identical to the self-contained face (deterministic index),
+    * gated by the same oracle. */
+  def annIvfProbe(embeddings: DataFrame, indexDir: String,
+                  k: Int = 5, stride: Int = 50, nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val lists = spark.read.parquet(s"$indexDir/lists")
+    val probes = querySet(embeddings, stride).crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_vec"), col("list_id"),
+        F.cosine(col("q_vec"), col("c_vec")).as("ccos"))
+      .groupBy(col("q_id"))
+      .agg(F.topk(col("ccos"), col("list_id"), nprobe).as("pl"),
+        first(col("q_vec")).as("q_vec"))
+      .select(col("q_id"), col("q_vec"), explode(col("pl.id")).as("lid"))
+      .select(col("q_id"), col("q_vec"), col("lid").cast("int").as("list_id"))
+    lists.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", F.cosine(col("q_vec"), col("embedding")))
+      .groupBy(col("q_id"))
+      .agg(F.topk(col("cos"), col("vec_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 4).as("cosine"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Corpus topic-balance histogram over the sampled-quantizer lists
     * (the coverage check a cluster-balanced sampler runs before
     * drawing training data): vectors per inverted list plus the id

@@ -409,6 +409,28 @@ class AnnGraphSpec extends AnyFunSuite {
   }
 }
 
+class IvfStoredIndexSpec extends AnyFunSuite {
+  test("IVF probe over stored inverted lists matches the self-contained face and prunes partitions") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian() * 0.3).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    graft.operators.Ann.ensureIvfIndex(df, dir)
+    val probe = graft.operators.Ann.annIvfProbe(df, dir, k = 5, stride = 10)
+    assert(probe.collect().toSeq ==
+      graft.operators.Ann.annIvfSampled(df, k = 5, stride = 10).collect().toSeq,
+      "probe over the stored lists must equal the in-query build")
+    // the inverted-list layout is partitioned by list_id: the probe
+    // scan must carry a partition filter, not read every list
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(list_id"),
+      s"probe scan should prune list partitions:\n$plan")
+  }
+}
+
 class AnnStoredIndexSpec extends AnyFunSuite {
   test("stored-index probe and pagerank match the self-contained faces; ensure builds once") {
     val spark = TestSpark.spark
