@@ -85,6 +85,7 @@ object SparkEntry {
     "embedding_hard_negatives" -> ((s, d) => Ann.hardNegatives(Tables.embeddings(s, d))),
     "embedding_pca" -> ((s, d) => Ann.embeddingPca(Tables.embeddings(s, d))),
     "embedding_project" -> ((s, d) => Ann.embeddingProject(Tables.embeddings(s, d))),
+    "embedding_stratified_sample" -> ((s, d) => Ann.embeddingStratifiedSample(Tables.embeddings(s, d))),
     "sink_batch_assign" -> ((s, d) => SinkOps.batchAssign(Tables.events(s, d))),
     "sink_batch_bytes" -> ((s, d) => SinkOps.batchBytes(Tables.events(s, d))),
     "sink_rows_batch" -> ((s, d) => SinkOps.rowsBatch(Tables.events(s, d))),
@@ -211,6 +212,31 @@ object SparkEntry {
          |  CAST(CAST(sum(c.xb * v.v) // 1000 AS BIGINT) AS DOUBLE) / 1e4 AS proj
          |FROM c JOIN v$iters v ON v.i = c.i
          |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin
+
+  /** Oracle for embedding_stratified_sample: the pca chain + exact
+    * integer projection, fixed-width banding over [min, max], equal
+    * quota, and the md5-permille acceptance — all integer except the
+    * IEEE-exact projection products. */
+  private def stratOracleSql(bands: Int = 8, iters: Int = 8, dims: Int = 64): String =
+    pcaCtes(iters, dims) + s""",
+       |proj AS MATERIALIZED (
+       |  SELECT c.vec_id, CAST(sum(c.xb * v.v) // 1000 AS BIGINT) AS proj_bp
+       |  FROM c JOIN v$iters v ON v.i = c.i GROUP BY c.vec_id
+       |), rng AS (SELECT min(proj_bp) AS mn, max(proj_bp) AS mx FROM proj),
+       |bnd AS MATERIALIZED (
+       |  SELECT vec_id, proj_bp,
+       |    least(${bands - 1}, ((proj_bp - rng.mn) * $bands) // (rng.mx - rng.mn + 1)) AS band
+       |  FROM proj, rng
+       |), cnt AS (SELECT band, count(*) AS n_vecs FROM bnd GROUP BY band),
+       |q AS (SELECT (sum(n_vecs) // ${2L * bands}) AS quota FROM cnt),
+       |th AS (SELECT band, n_vecs,
+       |  least(1000, (q.quota * 1000) // n_vecs) AS thresh_permille FROM cnt, q)
+       |SELECT b.band, th.n_vecs, th.thresh_permille,
+       |  CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(b.vec_id AS VARCHAR) || ':strat'), 1, 8)) AS BIGINT) % 1000
+       |    < th.thresh_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  min(b.proj_bp) AS min_proj_bp, max(b.proj_bp) AS max_proj_bp
+       |FROM bnd b JOIN th USING (band)
+       |GROUP BY b.band, th.n_vecs, th.thresh_permille ORDER BY b.band""".stripMargin
 
   /** Shared CTEs for the text_quality_train family: quantized LR
     * features (exact per-row count divisions rounded to basis points —
@@ -1503,6 +1529,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
     "embedding_pca" -> pcaOracleSql(),
     "embedding_project" -> projectOracleSql(),
+    "embedding_stratified_sample" -> stratOracleSql(),
     "ann_lsh" ->
       """WITH coef AS (
         |  SELECT p.p, j.j,

@@ -495,6 +495,61 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** Stratified sampling along the LEARNED principal axis — the
+    * "sample evenly across the dominant variation" move a curation
+    * pipeline runs to keep a draw representative (uniform sampling
+    * over-draws the dense center of the corpus distribution;
+    * stratifying on the top principal component is the cheapest
+    * learned stratifier). Composes [[embeddingPca]] +
+    * [[embeddingProject]]: projections band into `bands` fixed-width
+    * intervals over the corpus [min, max]; each band gets an equal
+    * quota (half the corpus split `bands` ways) and downsamples to it
+    * with the mixDomains rate idiom — acceptance = md5 permille
+    * bucket under least(1000, quota·1000 div band_n), so sparse
+    * tail bands keep everything and the dense center thins. No RNG,
+    * engine-portable. Output: the per-band audit (size, threshold,
+    * kept, band span in projection bp).
+    *
+    * Scale shape: three corpus passes, zero corpus shuffles — the
+    * Gram aggregate (pca), a row-local projection pass reduced to a
+    * bands-group count, and a row-local keep pass against the
+    * broadcast band thresholds, reduced map-side to the same bands
+    * groups. Min/max and quota ride 1-row broadcasts. */
+  def embeddingStratifiedSample(embeddings: DataFrame, bands: Int = 8,
+                                dims: Int = 64, iters: Int = 8): DataFrame = {
+    val loadMilli = embeddingPca(embeddings, dims, iters)
+      .orderBy(col("dim")).collect().map(_.getLong(1))
+    val w = array(loadMilli.map(lit(_)): _*)
+    val xb = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1e4), 0).cast("long"))
+    val p = aggregate(zip_with(xb, w, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val proj = Dedup.materialized(embeddings
+      .select(col("vec_id"), p.as("p"))
+      .select(col("vec_id"), expr("p div 1000").as("proj_bp")))
+    val rng = proj.agg(min(col("proj_bp")).as("mn"), max(col("proj_bp")).as("mx"))
+    val banded = proj.crossJoin(broadcast(rng))
+      .select(col("vec_id"), col("proj_bp"),
+        least(lit((bands - 1).toLong),
+          expr(s"((proj_bp - mn) * $bands) div (mx - mn + 1)")).as("band"))
+    val cnt = banded.groupBy(col("band")).agg(count(lit(1)).as("n_vecs"))
+    val quota = cnt.agg(sum(col("n_vecs")).as("t"))
+      .select(expr(s"t div ${2L * bands}").as("quota"))
+    val th = cnt.crossJoin(broadcast(quota))
+      .select(col("band"), col("n_vecs"),
+        least(lit(1000L), expr("(quota * 1000) div n_vecs")).as("thresh_permille"))
+    val bucket = conv(substring(
+      md5(concat(col("vec_id").cast("string"), lit(":strat"))), 1, 8), 16, 10)
+      .cast("long") % 1000
+    banded.join(broadcast(th), "band")
+      .withColumn("kept", bucket < col("thresh_permille"))
+      .groupBy(col("band"), col("n_vecs"), col("thresh_permille"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(col("proj_bp")).as("min_proj_bp"),
+        max(col("proj_bp")).as("max_proj_bp"))
+      .orderBy(col("band"))
+  }
+
   /** Graph-based ANN — the fourth classic paradigm beside LSH, IVF,
     * and PQ (the flat, oracle-able cousin of HNSW/NSG): build a
     * bounded-degree k-NN graph from LSH-bucketed candidates (`tables`

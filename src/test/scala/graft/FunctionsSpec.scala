@@ -460,6 +460,31 @@ class AnnStoredIndexSpec extends AnyFunSuite {
   }
 }
 
+class StratifiedSampleSpec extends AnyFunSuite {
+  test("dense center thins to the quota, sparse tail bands keep everything") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // dominant axis = dim 0; 80% of mass near the center, tails sparse
+    val rows = (0 until 400).map { i =>
+      val a = if (i % 5 == 0) rnd.nextGaussian() * 3.0 else rnd.nextGaussian() * 0.2
+      (i.toLong, Array.tabulate(64)(j =>
+        if (j == 0) a.toFloat else 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val out = graft.operators.Ann.embeddingStratifiedSample(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = out.map(_._2).sum
+    val kept = out.map(_._4).sum
+    assert(out.forall { case (_, n, _, k) => k <= n }, s"kept can't exceed band size: ${out.toSeq}")
+    assert(out.exists { case (_, _, th, _) => th == 1000L },
+      s"some sparse band should keep everything: ${out.toSeq}")
+    assert(out.exists { case (_, _, th, _) => th < 1000L },
+      s"the dense center must downsample: ${out.toSeq}")
+    assert(kept.toDouble / total < 0.75,
+      s"stratified draw should be well under the corpus: $kept/$total")
+  }
+}
+
 class EmbeddingPcaSpec extends AnyFunSuite {
   test("integer power iteration recovers a planted dominant direction") {
     val spark = TestSpark.spark
