@@ -44,6 +44,7 @@ object SparkEntry {
     "q29_transitions" -> ((s, d) => Relational.q29Transitions(Tables.events(s, d))),
     "q30_pivot" -> ((s, d) => Relational.q30Pivot(Tables.events(s, d))),
     "q31_streaks" -> ((s, d) => Relational.q31Streaks(Tables.events(s, d))),
+    "q32_sessions" -> ((s, d) => Relational.q32Sessions(Tables.events(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -898,6 +899,28 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT user_id, event_type, run_len, min_event_id
         |FROM ranked WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    "q32_sessions" ->
+      // gaps-and-islands sessionization on exact epoch-us integers;
+      // epoch_us truncates ns layouts the same way Tables.events' div
+      // does, so ordering and gap tests agree at either precision
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), o AS (
+        |  SELECT user_id, event_id, us,
+        |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |  FROM e
+        |), m AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM o
+        |)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  (max(us) - min(us)) // 1000000 AS duration_sec
+        |FROM m GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "text_ccnet_bucket" ->
       // the unigram_lp chain + exact tercile cutoffs, both rounded at
       // 4dp before the bucket comparison (q18 percentile parity)

@@ -530,6 +530,38 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Batch sessionization — the BATCH face of stream_session's
+    * session_window: events group into sessions that close after
+    * `gapMinutes` of inactivity (the standard web-analytics
+    * definition), via the lag + running-sum gaps-and-islands idiom.
+    * Both windows and the per-session rollup share ONE user_id
+    * shuffle — the natural key grain, same scale argument as q7/q15;
+    * gap comparison runs on exact integer epoch-microseconds, and
+    * (ts, event_id) ordering makes session boundaries deterministic
+    * under same-timestamp events. */
+  def q32Sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_s")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      // session bounds as exact epoch-us BIGINTs, not timestamps: the
+      // physical events layout has shipped at both ns and us precision,
+      // and integer microseconds compare engine-portably either way
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_us"), col("end_us"),
+        expr("(end_us - start_us) div 1000000").as("duration_sec"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   /** Longest streak per user: the gaps-and-islands run-length idiom
     * (row_number minus per-type row_number labels each maximal run of
     * consecutive identical event_types), then the longest run per user.

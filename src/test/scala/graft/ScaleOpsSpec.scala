@@ -1112,6 +1112,25 @@ class PivotStreaksSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class BatchSessionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("sessions split on gaps over 30 minutes; bounds and durations are exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def at(min: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T10:00:00Z").plusSeconds(min * 60L))
+    val events = Seq(
+      (1L, at(0), 7L, "view"), (2L, at(10), 7L, "click"),  // session 1: 0-10
+      (3L, at(45), 7L, "view"),                            // 35min gap -> session 2
+      (4L, at(75), 7L, "view"),                            // exactly 30min gap: SAME session
+      (5L, at(0), 8L, "view")                              // other user
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.Relational.q32Sessions(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5))).toSeq
+    assert(out == Seq((7L, 1L, 2L, 600L), (7L, 2L, 2L, 1800L), (8L, 1L, 1L, 0L)),
+      s"got $out")
+  }
+}
+
 class CcnetBucketSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("terciles split head/middle/tail roughly evenly; low perplexity = head") {
     val spark = TestSpark.spark
