@@ -87,6 +87,7 @@ object SparkEntry {
     "embedding_pca" -> ((s, d) => Ann.embeddingPca(Tables.embeddings(s, d))),
     "embedding_project" -> ((s, d) => Ann.embeddingProject(Tables.embeddings(s, d))),
     "embedding_stratified_sample" -> ((s, d) => Ann.embeddingStratifiedSample(Tables.embeddings(s, d))),
+    "embedding_pca2" -> ((s, d) => Ann.embeddingPca2(Tables.embeddings(s, d))),
     "sink_batch_assign" -> ((s, d) => SinkOps.batchAssign(Tables.events(s, d))),
     "sink_batch_bytes" -> ((s, d) => SinkOps.batchBytes(Tables.events(s, d))),
     "sink_rows_batch" -> ((s, d) => SinkOps.rowsBatch(Tables.events(s, d))),
@@ -201,6 +202,45 @@ object SparkEntry {
          |SELECT CAST(i AS BIGINT) AS dim, v AS loading_milli,
          |  CAST(v AS DOUBLE) / 1e3 AS loading
          |FROM v$iters ORDER BY i""".stripMargin
+
+  /** Oracle for embedding_pca2: the pca chain, then integer Hotelling
+    * deflation (λ̂ = v·Mv // v·v, M₂ = M − (λ̂·v_i·v_j) // v·v — every
+    * quantity exact BIGINT, `//` truncation mirrored by Scala `/`),
+    * then a second 8-step power iteration over M₂ with `b`-prefixed
+    * CTEs. v8 is re-materialized first: it is referenced five times
+    * below, and each reference re-expands the 2^8 step chain. */
+  private def pca2OracleSql(iters: Int = 8, dims: Int = 64): String = {
+    val steps2 = (1 to iters).map { t =>
+      s"""bw$t AS (
+         |  SELECT m.i, CAST(sum(m.m * bv${t - 1}.v) AS BIGINT) AS w
+         |  FROM m2 m JOIN bv${t - 1} ON bv${t - 1}.i = m.j GROUP BY m.i
+         |), bx$t AS (SELECT max(abs(w)) AS mx FROM bw$t),
+         |bv$t AS (SELECT bw$t.i, CAST((bw$t.w * 1000) // bx$t.mx AS BIGINT) AS v
+         |        FROM bw$t, bx$t)""".stripMargin
+    }.mkString(",\n")
+    pcaCtes(iters, dims) + s""",
+       |vf AS MATERIALIZED (SELECT i, v FROM v$iters),
+       |mv AS (SELECT m.i, CAST(sum(m.m * vf.v) AS BIGINT) AS w
+       |       FROM m JOIN vf ON vf.i = m.j GROUP BY m.i),
+       |nm AS (SELECT CAST(sum(vf.v * mv.w) AS BIGINT) AS n
+       |       FROM vf JOIN mv USING (i)),
+       |dn AS (SELECT CAST(sum(v * v) AS BIGINT) AS d FROM vf),
+       |lam AS (SELECT nm.n // dn.d AS l FROM nm, dn),
+       |m2 AS MATERIALIZED (
+       |  SELECT m.i, m.j,
+       |    CAST(m.m - (lam.l * va.v * vb.v) // dn.d AS BIGINT) AS m
+       |  FROM m, lam, dn, vf va, vf vb WHERE va.i = m.i AND vb.i = m.j
+       |),
+       |bv0 AS (SELECT i.i AS i, CAST(1000 AS BIGINT) AS v FROM range(0, $dims) i(i)),
+       |$steps2
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS component, CAST(i AS BIGINT) AS dim,
+       |    v AS loading_milli, CAST(v AS DOUBLE) / 1e3 AS loading FROM vf
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), CAST(i AS BIGINT), v, CAST(v AS DOUBLE) / 1e3
+       |  FROM bv$iters
+       |) ORDER BY component, dim""".stripMargin
+  }
 
   /** Oracle for embedding_project: the pca chain composed with one
     * exact integer dot product per vector (xb · loading_milli, folded
@@ -1553,6 +1593,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     "embedding_pca" -> pcaOracleSql(),
     "embedding_project" -> projectOracleSql(),
     "embedding_stratified_sample" -> stratOracleSql(),
+    "embedding_pca2" -> pca2OracleSql(),
     "ann_lsh" ->
       """WITH coef AS (
         |  SELECT p.p, j.j,

@@ -471,6 +471,57 @@ object Ann {
       .orderBy(col("dim"))
   }
 
+  /** Top-2 principal directions — [[embeddingPca]] extended by
+    * integer HOTELLING DEFLATION: after the first power iteration,
+    * the dominant component is subtracted from the Gram matrix
+    * (λ̂ = v·Mv div v·v, M₂ᵢⱼ = Mᵢⱼ − (λ̂·vᵢ·vⱼ) div v·v — exact
+    * BIGINT throughout, truncation mirrored by SQL `//`), and a
+    * second 8-step iteration on M₂ recovers the runner-up direction.
+    * The 2-D loading pair is the drift-map primitive (plot corpora
+    * on the two dominant axes) and the standard deflated power
+    * method, made engine-replayable. Deflation's truncation residue
+    * leaves a trace of component 1 in M₂ — determinism is exact,
+    * orthogonality is approximate (the spec bounds it); at this
+    * precision that is the documented trade, same family as pca's
+    * milli renormalization. Corpus cost identical to [[embeddingPca]]
+    * — ONE row-local Gram pass; everything else is driver-side on
+    * the metadata-scale matrix. */
+  def embeddingPca2(embeddings: DataFrame, dims: Int = 64, iters: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val mRows = gramMatrix(embeddings).collect()
+    val m = Array.ofDim[Long](dims, dims)
+    mRows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    def iterate(mat: Array[Array[Long]]): Array[Long] = {
+      var v = Array.fill(dims)(1000L)
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dims) { i =>
+          var acc = 0L; var j = 0
+          while (j < dims) { acc += mat(i)(j) * v(j); j += 1 }
+          acc
+        }
+        val mx = w.map(math.abs).max
+        if (mx > 0L) v = w.map(x => x * 1000L / mx)
+      }
+      v
+    }
+    val v1 = iterate(m)
+    val mv = Array.tabulate(dims) { i =>
+      var acc = 0L; var j = 0
+      while (j < dims) { acc += m(i)(j) * v1(j); j += 1 }
+      acc
+    }
+    val num = v1.indices.map(i => v1(i) * mv(i)).sum
+    val den = v1.map(x => x * x).sum
+    val lam = num / den
+    val m2 = Array.tabulate(dims, dims)((i, j) => m(i)(j) - lam * v1(i) * v1(j) / den)
+    val v2 = iterate(m2)
+    (v1.zipWithIndex.map { case (l, i) => (1L, i.toLong, l, l.toDouble / 1e3) } ++
+      v2.zipWithIndex.map { case (l, i) => (2L, i.toLong, l, l.toDouble / 1e3) }).toSeq
+      .toDF("component", "dim", "loading_milli", "loading")
+      .orderBy(col("component"), col("dim"))
+  }
+
   /** The USE face of [[embeddingPca]]: project every corpus vector
     * onto the dominant direction — the 1-d summary behind drift
     * dashboards and stratified-by-principal-component sampling. One

@@ -511,6 +511,33 @@ class EmbeddingPcaSpec extends AnyFunSuite {
   }
 }
 
+class EmbeddingPca2Spec extends AnyFunSuite {
+  test("deflated power iteration recovers both planted directions in strength order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    // strong direction = dim 0 (amp 3), runner-up = dim 1 (amp 1)
+    val rows = (0L until 300L).map { i =>
+      val a = (rnd.nextGaussian() * 3.0).toFloat
+      val b = rnd.nextGaussian().toFloat
+      (i, Array.tabulate(64)(j =>
+        (if (j == 0) a else if (j == 1) b else 0f) +
+          0.02f * rnd.nextGaussian().toFloat))
+    }
+    val out = graft.operators.Ann.embeddingPca2(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def comp(c: Long) = Array.tabulate(64)(i => out((c, i.toLong)).toDouble)
+    val (v1, v2) = (comp(1L), comp(2L))
+    def cosWith(v: Array[Double], dim: Int) =
+      math.abs(v(dim)) / math.sqrt(v.map(x => x * x).sum)
+    assert(cosWith(v1, 0) > 0.95, s"component 1 should align dim 0: ${v1.take(4).toSeq}")
+    assert(cosWith(v2, 1) > 0.95, s"component 2 should align dim 1: ${v2.take(4).toSeq}")
+    val ortho = math.abs(v1.zip(v2).map { case (a, b) => a * b }.sum) /
+      (math.sqrt(v1.map(x => x * x).sum) * math.sqrt(v2.map(x => x * x).sum))
+    assert(ortho < 0.2, s"deflated component should be near-orthogonal: $ortho")
+  }
+}
+
 class EmbeddingProjectSpec extends AnyFunSuite {
   test("projections are the exact integer dot product with the pca loadings") {
     val spark = TestSpark.spark
