@@ -45,6 +45,7 @@ object SparkEntry {
     "q30_pivot" -> ((s, d) => Relational.q30Pivot(Tables.events(s, d))),
     "q31_streaks" -> ((s, d) => Relational.q31Streaks(Tables.events(s, d))),
     "q32_sessions" -> ((s, d) => Relational.q32Sessions(Tables.events(s, d))),
+    "q33_attribution" -> ((s, d) => Relational.q33Attribution(Tables.events(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -119,6 +120,7 @@ object SparkEntry {
     "pipeline_shuffle" -> ((s, d) => TextOps.shuffleOrder(Tables.documents(s, d))),
     "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
     "text_quality_lr" -> ((s, d) => TextOps.textQualityLr(Tables.documents(s, d))),
+    "text_entropy" -> ((s, d) => TextOps.textEntropy(Tables.documents(s, d))),
     "text_quality_train" -> ((s, d) => TextOps.textQualityTrain(Tables.documents(s, d))),
     "text_quality_trained_score" -> ((s, d) => TextOps.textQualityLrTrained(Tables.documents(s, d))),
     "text_gopher" -> ((s, d) => TextOps.textGopher(Tables.documents(s, d))),
@@ -961,6 +963,22 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  (max(us) - min(us)) // 1000000 AS duration_sec
         |FROM m GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "q33_attribution" ->
+      // last-touch attribution: IGNORE-NULLS last_value over the
+      // preceding rows per user, 'direct' when no prior touch
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events
+        |), p AS (
+        |  SELECT coalesce(touch, 'direct') AS touch_type FROM t
+        |  WHERE event_type = 'purchase'
+        |), c AS (SELECT touch_type, count(*) AS n_purchases FROM p GROUP BY touch_type)
+        |SELECT touch_type, n_purchases,
+        |  round(CAST(n_purchases AS DOUBLE) / (SELECT sum(n_purchases) FROM c) + 1e-9, 4) AS share
+        |FROM c ORDER BY touch_type""".stripMargin,
     "text_ccnet_bucket" ->
       // the unigram_lp chain + exact tercile cutoffs, both rounded at
       // 4dp before the bucket comparison (q18 percentile parity)
@@ -1042,6 +1060,23 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT doc_id, logit_r AS logit, p_keep, p_keep >= 0.5 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      // row-local char-distribution entropy; the fold order differs
+      // across engines (list_distinct reorders) but negated float sums
+      // commute under round-to-nearest, and 4dp+1e-9 absorbs the
+      // association drift of <= alphabet-size terms
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '.', 0, 's') AS chs
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(chs) AS BIGINT) AS n_chars_total,
+        |  CAST(len(list_distinct(chs)) AS BIGINT) AS n_distinct_chars,
+        |  round(-list_sum(list_transform(list_distinct(chs), c ->
+        |    (CAST(len(list_filter(chs, x -> x = c)) AS DOUBLE) / len(chs)) *
+        |    log2(CAST(len(list_filter(chs, x -> x = c)) AS DOUBLE) / len(chs))))
+        |    + 1e-9, 4) AS entropy_bits
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_quality_train" -> lrTrainOracleSql(),
     "text_quality_trained_score" -> lrTrainedScoreOracleSql(),
     "pipeline_budget" ->

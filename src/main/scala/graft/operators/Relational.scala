@@ -562,6 +562,35 @@ object Relational {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Last-touch attribution — for every purchase, credit the user's
+    * most recent NON-purchase event (the standard marketing
+    * attribution model): one user_id window with an IGNORE-NULLS
+    * last_value over the preceding rows, then a touch-type rollup
+    * with shares. Purchases with no prior touch report as 'direct'.
+    * Scale: the window and nothing else shuffles (user_id grain);
+    * the rollup is |event types| groups. (ts, event_id) ordering
+    * makes the credited touch deterministic under ties. */
+  def q33Attribution(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), true)
+          .over(byUser))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("touch"), lit("direct")).as("touch_type"))
+    val counts = touched.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+    val total = counts.agg(sum(col("n_purchases")).as("t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("touch_type"), col("n_purchases"),
+        round(col("n_purchases").cast("double") / col("t") + lit(1e-9), 4)
+          .as("share"))
+      .orderBy(col("touch_type"))
+  }
+
   /** Longest streak per user: the gaps-and-islands run-length idiom
     * (row_number minus per-type row_number labels each maximal run of
     * consecutive identical event_types), then the longest run per user.

@@ -778,6 +778,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-level Shannon entropy — the compressibility quality
+    * signal (near-zero entropy = repeated-character junk, ~4.1 bits =
+    * typical English; CCNet/Gopher-era pipelines use it beside
+    * perplexity to catch low-information documents). Entirely
+    * ROW-LOCAL lambda/array builtins — per doc: distinct characters
+    * fold −Σ p·log2(p) over the char array (O(len·alphabet), no
+    * explode, no shuffle — the 100 TB scoring shape). Entropy rounds
+    * at 4 dp with the 1e-9 guard (log2 is the one transcendental;
+    * the counts and divisions feeding it are exact). */
+  def textEntropy(documents: DataFrame): DataFrame = {
+    val chars = regexp_extract_all(lower(col("text")), lit("(?s)."), lit(0))
+    val n = size(chars).cast("double")
+    val h = aggregate(array_distinct(chars), lit(0.0), (acc, ch) =>
+      acc - (size(filter(chars, c => c === ch)).cast("double") / n) *
+        log2(size(filter(chars, c => c === ch)).cast("double") / n))
+    documents.select(
+      col("doc_id"),
+      size(chars).cast("long").as("n_chars_total"),
+      size(array_distinct(chars)).cast("long").as("n_distinct_chars"),
+      round(h + lit(1e-9), 4).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quantized LR feature frame shared by [[textQualityTrain]] and
     * [[textQualityLrTrained]]: the [[textQualityLr]] features rounded
     * to integer basis points AT CREATION (each is one exact per-row

@@ -1112,6 +1112,44 @@ class PivotStreaksSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class TextEntropySpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("repeated-char junk scores zero bits, uniform two-char text exactly one") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaa"),            // one symbol: 0 bits
+      (2L, "abababab"),            // two equiprobable symbols: 1 bit
+      (3L, "The quick brown fox jumps over the lazy dog.")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((8L, 1L, 0.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((8L, 2L, 1.0)), s"got ${out(2L)}")
+    assert(out(3L)._3 > 3.5 && out(3L)._3 < 4.6,
+      s"English sentence should land near 4 bits: ${out(3L)}")
+  }
+}
+
+class AttributionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("purchases credit the last non-purchase touch; orphans are direct") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def at(s: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T10:00:00Z").plusSeconds(s.toLong))
+    val events = Seq(
+      (1L, at(1), 7L, "view"), (2L, at(2), 7L, "click"),
+      (3L, at(3), 7L, "purchase"),                    // credits click
+      (4L, at(4), 7L, "purchase"),                    // still click (prior purchase skipped)
+      (5L, at(1), 8L, "purchase"),                    // no prior touch -> direct
+      (6L, at(2), 8L, "view"), (7L, at(3), 8L, "purchase") // credits view
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.Relational.q33Attribution(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("click", 2L, 0.5), ("direct", 1L, 0.25), ("view", 1L, 0.25)),
+      s"got $out")
+  }
+}
+
 class BatchSessionSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("sessions split on gaps over 30 minutes; bounds and durations are exact") {
     val spark = TestSpark.spark
