@@ -115,6 +115,11 @@ object SparkEntry {
     "text_bigram_lp" -> ((s, d) => TextOps.textBigramLp(Tables.documents(s, d))),
     "tokenizer_bpe" -> ((s, d) => TextOps.tokenizerBpe(Tables.documents(s, d))),
     "tokenizer_apply" -> ((s, d) => TextOps.tokenizerApply(Tables.documents(s, d))),
+    "tokenizer_apply_stored" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.tokenizerApplyStored(docs,
+        TextOps.ensureVocabIndex(docs, TextOps.defaultVocabDir(docs, d)))
+    }),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(Tables.documents(s, d))),
     "pipeline_mix" -> ((s, d) => TextOps.mixDomains(Tables.documents(s, d))),
     "pipeline_shuffle" -> ((s, d) => TextOps.shuffleOrder(Tables.documents(s, d))),
@@ -606,6 +611,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // self-contained builds (deterministic index content), so each
     // gates against the same oracle
     .updated("ann_ivf_probe", oracleSqlBase("ann_ivf_sampled"))
+    .updated("tokenizer_apply_stored", oracleSqlBase("tokenizer_apply"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "tokenizer_bpe" -> bpeOracleSql(8),

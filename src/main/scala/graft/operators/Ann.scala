@@ -193,11 +193,18 @@ object Ann {
     * bit-identical to the self-contained face (deterministic index),
     * gated by the same oracle. */
   def annIvfProbe(embeddings: DataFrame, indexDir: String,
-                  k: Int = 5, stride: Int = 50, nprobe: Int = 4): DataFrame = {
-    val spark = embeddings.sparkSession
+                  k: Int = 5, stride: Int = 50, nprobe: Int = 4): DataFrame =
+    ivfProbeQueries(querySet(embeddings, stride), indexDir, k, nprobe)
+
+  /** Probe core over an EXPLICIT query frame (q_id, q_vec) — shared
+    * by the batch face (stride-derived queries) and the ingest-stream
+    * face (each micro-batch IS the query set). */
+  def ivfProbeQueries(queries: DataFrame, indexDir: String,
+                      k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val lists = spark.read.parquet(s"$indexDir/lists")
-    val probes = querySet(embeddings, stride).crossJoin(broadcast(cents))
+    val probes = queries.crossJoin(broadcast(cents))
       .select(col("q_id"), col("q_vec"), col("list_id"),
         F.cosine(col("q_vec"), col("c_vec")).as("ccos"))
       .groupBy(col("q_id"))
@@ -215,6 +222,24 @@ object Ann {
         round(col("col.score"), 4).as("cosine"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Ingest-stream face of the stored IVF index: per micro-batch, the
+    * batch's vectors ARE the query set — each is probed against the
+    * written-once inverted lists (online retrieval at ingest: "what
+    * does the standing corpus already have near this new vector", the
+    * lookup behind online near-dup triage and streaming kNN
+    * features). Per-batch cost is the batch's probed partitions only;
+    * no streaming state, no watermark (the dedupIncrementalStream
+    * shape applied to the ANN family). */
+  def annIvfProbeStream(vecs: DataFrame, indexDir: String,
+                        k: Int = 5, nprobe: Int = 4)
+                       (onResults: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val queries = batch.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"))
+      onResults(ivfProbeQueries(queries, indexDir, k, nprobe), batchId)
+    }
 
   /** Corpus topic-balance histogram over the sampled-quantizer lists
     * (the coverage check a cluster-balanced sampler runs before

@@ -445,6 +445,50 @@ object TextOps {
     w.select(col("word"), size(col("syms")).cast("long").as("ns"))
   }
 
+  /** Write the trained vocab ONCE to `indexDir` — the stored-MODEL
+    * analog of the ANN stored indexes (Ann.buildAnnIndex precedent):
+    * at 100 TB the tokenizer trains once and every later scoring pass
+    * loads the vocab table instead of re-running the merge rounds. */
+  def buildVocabIndex(documents: DataFrame, indexDir: String,
+                      merges: Int = 8): Unit =
+    tokenizerVocab(documents, merges)
+      .write.mode("overwrite").parquet(s"$indexDir/vocab")
+
+  /** Build-if-absent guard for [[buildVocabIndex]] (parquet _SUCCESS
+    * sentinel, content-keyed dir — the ensureAnnIndex pattern). */
+  def ensureVocabIndex(documents: DataFrame, indexDir: String,
+                       merges: Int = 8): String = {
+    if (!new java.io.File(s"$indexDir/vocab/_SUCCESS").exists())
+      buildVocabIndex(documents, indexDir, merges)
+    indexDir
+  }
+
+  /** Content-keyed default location for a corpus's stored vocab. */
+  def defaultVocabDir(documents: DataFrame, sfKey: String,
+                      merges: Int = 8): String = {
+    val safe = sfKey.replaceAll("[^A-Za-z0-9._-]", "_")
+    val n = documents.count()
+    s"${System.getProperty("java.io.tmpdir")}/graft-vocab-index/$safe-n$n-m$merges"
+  }
+
+  /** The STORED-VOCAB face of [[tokenizerApply]]: load the
+    * written-once vocab and score — no merge rounds in-query (what
+    * every scoring pass after training pays in production; the
+    * registered tokenizer_apply stays self-contained for the
+    * oracle). Identical output by construction (deterministic vocab
+    * content), gated by the same oracle. */
+  def tokenizerApplyStored(documents: DataFrame, indexDir: String): DataFrame = {
+    val w = documents.sparkSession.read.parquet(s"$indexDir/vocab")
+    documents
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("word"))
+      .join(broadcast(w), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subtokens"))
+      .withColumn("avg_word_subtokens",
+        round(col("n_subtokens").cast("double") / col("n_words"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Ingest-stream face of [[tokenizerApply]]: the trained vocab
     * ([[tokenizerVocab]]) collapses to ONE broadcast map row and each
     * streamed doc folds its token array through it row-locally —

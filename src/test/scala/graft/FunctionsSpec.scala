@@ -431,6 +431,61 @@ class IvfStoredIndexSpec extends AnyFunSuite {
   }
 }
 
+class VocabStoredSpec extends AnyFunSuite {
+  test("apply over the stored vocab matches the self-contained retrain face") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val docs = (0 until 60).map(i =>
+      (i.toLong, (0 until 20).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-vocab").toString
+    graft.operators.TextOps.ensureVocabIndex(docs, dir)
+    val marker = new java.io.File(s"$dir/vocab/_SUCCESS")
+    assert(marker.exists())
+    val built = marker.lastModified()
+    val stored = graft.operators.TextOps.tokenizerApplyStored(docs, dir).collect().toSeq
+    val full = graft.operators.TextOps.tokenizerApply(docs).collect().toSeq
+    assert(stored == full, "stored-vocab scoring must equal the retrain face")
+    graft.operators.TextOps.ensureVocabIndex(docs, dir)
+    assert(marker.lastModified() == built, "a finished vocab must never rebuild")
+  }
+}
+
+class IvfProbeStreamSpec extends AnyFunSuite {
+  test("each micro-batch probes the stored inverted lists as its query set") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(43)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian() * 0.3).toFloat)))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfstream").toString
+    graft.operators.Ann.ensureIvfIndex(corpusDf, dir)
+    val results = scala.collection.mutable.Map[Long, Int]()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.operators.Ann.annIvfProbeStream(
+        mem.toDF().toDF("vec_id", "embedding"), dir, k = 3) { (df, id) =>
+        results(id) = df.collect().length
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ivfstream-ck").toString)
+      .start()
+    try {
+      mem.addData((1000L, corpus(5)._2), (1001L, corpus(17)._2))
+      q.processAllAvailable()
+      mem.addData((1002L, corpus(42)._2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // each probe vector is a copy of a corpus vector: its own source
+    // must be among the k=3 neighbors of its probed lists
+    assert(results(0L) == 6 && results(1L) == 3,
+      s"each query returns k=3 ranked neighbors: $results")
+  }
+}
+
 class AnnStoredIndexSpec extends AnyFunSuite {
   test("stored-index probe and pagerank match the self-contained faces; ensure builds once") {
     val spark = TestSpark.spark
