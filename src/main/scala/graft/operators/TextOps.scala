@@ -942,6 +942,19 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Ingest-stream face of [[textQualityLrTrained]]: score streamed
+    * docs with an already-trained weight vector (pass the stored
+    * [[textQualityTrain]] output's w_micro column) — the quantized
+    * features and hard-sigmoid are row-local expressions, so this is
+    * zero-state, no-shuffle, watermark-free (the dsirStream shape):
+    * the trained quality gate AT INGEST. */
+  def qualityScoreStream(docs: DataFrame, wMicro: Array[Long]): DataFrame =
+    lrFeatures(docs)
+      .select(col("doc_id"), col("y").as("label"),
+        hardSigmoidBp(wMicro).as("p_bp"))
+      .withColumn("p", col("p_bp").cast("double") / 1e4)
+      .withColumn("keep", col("p_bp") >= 5000L)
+
   /** The Gopher quality rules (Rae et al. 2021, "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher",
     * Appendix A1.1.2) — the published heuristic filter set later

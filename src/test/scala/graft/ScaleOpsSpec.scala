@@ -925,6 +925,47 @@ class QualityTrainSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class QualityScoreStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("streamed docs score with the stored trained weights, zero state") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val clean = (0 until 40).map { i =>
+      (i.toLong, (0 until 60).map(j =>
+        if (j % 5 == 0) stops(rnd.nextInt(stops.size)) else s"word${rnd.nextInt(400)}")
+        .mkString(" "))
+    }
+    val junk = (0 until 40).map(i =>
+      ((100 + i).toLong, (0 until 8).map(_ => s"zx${rnd.nextInt(1000)}").mkString(" ")))
+    val train = (clean ++ junk).toDF("doc_id", "text")
+    val w = graft.operators.TextOps.textQualityTrain(train)
+      .orderBy("feature_id").collect().map(_.getLong(2))
+    val expect = graft.operators.TextOps.textQualityLrTrained(train).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val got = scala.collection.mutable.Map[Long, Boolean]()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps
+      .qualityScoreStream(mem.toDF().toDF("doc_id", "text"), w)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got(r.getLong(0)) = r.getBoolean(4))
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-qs-ck").toString)
+      .start()
+    try {
+      mem.addData(clean.take(5) ++ junk.take(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 10)
+    got.foreach { case (id, keep) =>
+      assert(keep == expect(id), s"doc $id: stream $keep != batch ${expect(id)}")
+    }
+  }
+}
+
 class FunnelCohortSpec extends org.scalatest.funsuite.AnyFunSuite {
   import org.apache.spark.sql.functions.lit
   private def ts(day: Int, h: Int = 0): java.sql.Timestamp =
