@@ -581,13 +581,15 @@ object Relational {
           .over(byUser))
       .filter(col("event_type") === "purchase")
       .select(coalesce(col("touch"), lit("direct")).as("touch_type"))
-    val counts = touched.groupBy(col("touch_type"))
+    // total via an unpartitioned window over the |types|-row aggregate
+    // (NOT a crossJoin against counts.agg(...): the un-persisted counts
+    // subtree — including the events window sort — would execute twice)
+    val all = Window.partitionBy()
+    touched.groupBy(col("touch_type"))
       .agg(count(lit(1)).as("n_purchases"))
-    val total = counts.agg(sum(col("n_purchases")).as("t"))
-    counts.crossJoin(broadcast(total))
       .select(col("touch_type"), col("n_purchases"),
-        round(col("n_purchases").cast("double") / col("t") + lit(1e-9), 4)
-          .as("share"))
+        round(col("n_purchases").cast("double")
+          / sum(col("n_purchases")).over(all) + lit(1e-9), 4).as("share"))
       .orderBy(col("touch_type"))
   }
 
