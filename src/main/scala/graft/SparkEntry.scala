@@ -140,6 +140,11 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Ann.annIvfProbe(e, Ann.ensureIvfIndex(e, Ann.defaultIvfIndexDir(e, d)))
     }),
+    "pipeline_retrieval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.pipelineRetrieval(e, Tables.documents(s, d),
+        Ann.ensureIvfIndex(e, Ann.defaultIvfIndexDir(e, d)))
+    }),
     "pipeline_assembly" -> ((s, d) => TextOps.assemblyPipeline(Tables.documents(s, d))),
     "embedding_cluster_hist" -> ((s, d) => Ann.embeddingClusterHist(Tables.embeddings(s, d))),
     "pipeline_decontaminate" -> ((s, d) => TextOps.decontaminate(Tables.documents(s, d))),
@@ -612,6 +617,46 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // gates against the same oracle
     .updated("ann_ivf_probe", oracleSqlBase("ann_ivf_sampled"))
     .updated("tokenizer_apply_stored", oracleSqlBase("tokenizer_apply"))
+
+  /** Shared IVF-sampled CTE chain (centroids/assignment/probes/rank)
+    * for the ann_ivf_sampled, ann_ivf_probe and pipeline_retrieval
+    * oracles — mirrors Ann.annIvfSampled / the stored-index probe. */
+  private val ivfSampledCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hs AS (
+        |  SELECT vec_id,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM e
+        |), sel AS (SELECT vec_id FROM hs ORDER BY h, vec_id LIMIT 16),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS list_id, e.v AS cv
+        |  FROM sel s JOIN e ON e.vec_id = s.vec_id
+        |), ac AS (
+        |  SELECT e.vec_id, c.list_id, list_cosine_similarity(e.v, c.cv) AS ccos
+        |  FROM e CROSS JOIN cent c
+        |), asgn AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT vec_id, list_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id ASC) AS rn
+        |    FROM ac) WHERE rn = 1
+        |), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |qp AS (
+        |  SELECT q_id, list_id FROM (
+        |    SELECT q.q_id, c.list_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.list_id ASC) AS rn
+        |    FROM q CROSS JOIN cent c) WHERE rn <= 4
+        |), s AS (
+        |  SELECT q.q_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS cos
+        |  FROM q JOIN qp USING (q_id)
+        |  JOIN asgn a ON a.list_id = qp.list_id
+        |  JOIN e ON e.vec_id = a.vec_id
+        |  WHERE e.vec_id <> q.q_id
+        |), r AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM s
+        |)""".stripMargin
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "tokenizer_bpe" -> bpeOracleSql(8),
@@ -1571,43 +1616,17 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
       // smallest portable md5 hashes of vec_id, list ids in vec_id
       // order), argmax-cosine list assignment, 4 probed lists per
       // query, exact cosine rank within probed lists
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |hs AS (
-        |  SELECT vec_id,
-        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        |  FROM e
-        |), sel AS (SELECT vec_id FROM hs ORDER BY h, vec_id LIMIT 16),
-        |cent AS (
-        |  SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS list_id, e.v AS cv
-        |  FROM sel s JOIN e ON e.vec_id = s.vec_id
-        |), ac AS (
-        |  SELECT e.vec_id, c.list_id, list_cosine_similarity(e.v, c.cv) AS ccos
-        |  FROM e CROSS JOIN cent c
-        |), asgn AS (
-        |  SELECT vec_id, list_id FROM (
-        |    SELECT vec_id, list_id,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id ASC) AS rn
-        |    FROM ac) WHERE rn = 1
-        |), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-        |qp AS (
-        |  SELECT q_id, list_id FROM (
-        |    SELECT q.q_id, c.list_id,
-        |      row_number() OVER (PARTITION BY q.q_id
-        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.list_id ASC) AS rn
-        |    FROM q CROSS JOIN cent c) WHERE rn <= 4
-        |), s AS (
-        |  SELECT q.q_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS cos
-        |  FROM q JOIN qp USING (q_id)
-        |  JOIN asgn a ON a.list_id = qp.list_id
-        |  JOIN e ON e.vec_id = a.vec_id
-        |  WHERE e.vec_id <> q.q_id
-        |), r AS (
-        |  SELECT q_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-        |  FROM s
-        |)
+      (ivfSampledCtes + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rank
-        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+    "pipeline_retrieval" ->
+      // end-to-end retrieval: the IVF rank chain joined back to the
+      // document table for the payload a RAG consumer reads
+      (ivfSampledCtes + """
+        |SELECT r.q_id, r.rank, r.neighbor_id AS doc_id,
+        |  round(r.cos, 4) AS cosine, substr(d.text, 1, 40) AS snippet
+        |FROM r JOIN documents d ON d.doc_id = r.neighbor_id
+        |WHERE r.rank <= 3 ORDER BY r.q_id, r.rank""".stripMargin),
     "ann_mmr" -> mmrOracleSql(5),
     "ann_graph" -> graphOracleSql(5),
     // identical result by construction: the stored index's content is

@@ -223,6 +223,25 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** End-to-end RETRIEVAL composition — what a RAG consumer actually
+    * runs: ANN over the stored IVF index → top-k neighbor ids → join
+    * back to the document table for the text payload. The ANN stage
+    * is the written-once-index probe (production face); the document
+    * join BROADCASTS the tiny result set (queries × k rows) against
+    * the corpus, so the documents table streams through with no
+    * shuffle. Gated end to end by the sampled-IVF CTE chain composed
+    * with the document join. */
+  def pipelineRetrieval(embeddings: DataFrame, documents: DataFrame,
+                        indexDir: String, k: Int = 3, stride: Int = 50,
+                        nprobe: Int = 4): DataFrame = {
+    val nn = ivfProbeQueries(querySet(embeddings, stride), indexDir, k, nprobe)
+    documents
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("snippet"))
+      .join(broadcast(nn), col("doc_id") === col("neighbor_id"))
+      .select(col("q_id"), col("rank"), col("doc_id"), col("cosine"), col("snippet"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Ingest-stream face of the stored IVF index: per micro-batch, the
     * batch's vectors ARE the query set — each is probed against the
     * written-once inverted lists (online retrieval at ingest: "what
