@@ -46,6 +46,7 @@ object SparkEntry {
     "q31_streaks" -> ((s, d) => Relational.q31Streaks(Tables.events(s, d))),
     "q32_sessions" -> ((s, d) => Relational.q32Sessions(Tables.events(s, d))),
     "q33_attribution" -> ((s, d) => Relational.q33Attribution(Tables.events(s, d))),
+    "q34_window_suite" -> ((s, d) => Relational.q34WindowSuite(Tables.orders(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -89,6 +90,7 @@ object SparkEntry {
     "embedding_project" -> ((s, d) => Ann.embeddingProject(Tables.embeddings(s, d))),
     "embedding_stratified_sample" -> ((s, d) => Ann.embeddingStratifiedSample(Tables.embeddings(s, d))),
     "embedding_pca2" -> ((s, d) => Ann.embeddingPca2(Tables.embeddings(s, d))),
+    "embedding_norm_hist" -> ((s, d) => Ann.embeddingNormHist(Tables.embeddings(s, d))),
     "sink_batch_assign" -> ((s, d) => SinkOps.batchAssign(Tables.events(s, d))),
     "sink_batch_bytes" -> ((s, d) => SinkOps.batchBytes(Tables.events(s, d))),
     "sink_rows_batch" -> ((s, d) => SinkOps.rowsBatch(Tables.events(s, d))),
@@ -1111,6 +1113,19 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT doc_id, logit_r AS logit, p_keep, p_keep >= 0.5 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q34_window_suite" ->
+      // unique total order (totalprice desc, orderkey) makes every
+      // ratio an exact integer division - no rounding needed
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS tile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, pct_rank, o_orderkey""".stripMargin,
     "text_entropy" ->
       // row-local char-distribution entropy; the fold order differs
       // across engines (list_distinct reorders) but negated float sums
@@ -1654,6 +1669,20 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     "embedding_project" -> projectOracleSql(),
     "embedding_stratified_sample" -> stratOracleSql(),
     "embedding_pca2" -> pca2OracleSql(),
+    "embedding_norm_hist" ->
+      // norms on bp-quantized coords: sum of squares is an exact
+      // integer (order-free), sqrt of the same integer is the same
+      // double in both engines
+      """WITH n AS (
+        |  SELECT CAST(round(sqrt(CAST(list_sum(list_transform(
+        |      CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1e4) AS BIGINT) * CAST(round(x * 1e4) AS BIGINT)))
+        |    AS DOUBLE))) AS BIGINT) AS norm_bp
+        |  FROM embeddings
+        |)
+        |SELECT norm_bp // 500 AS bucket, count(*) AS n_vecs,
+        |  min(norm_bp) AS min_norm_bp, max(norm_bp) AS max_norm_bp
+        |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin,
     "ann_lsh" ->
       """WITH coef AS (
         |  SELECT p.p, j.j,

@@ -223,6 +223,28 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Embedding L2-norm histogram — the one-pass drift probe a
+    * pipeline runs per ingest epoch (a norm distribution that shifts
+    * between epochs means the encoder or the data changed; norm
+    * collapse is the classic embedding-degradation smell). Norms are
+    * computed on basis-point-quantized coordinates — Σ xb² is an
+    * exact integer (summation-order-free, unlike float sums), and
+    * sqrt of the same integer is the same double in both engines —
+    * then bucketed by truncating div. One row-local pass, one
+    * combinable ~60-group aggregate: zero corpus shuffle. */
+  def embeddingNormHist(embeddings: DataFrame, bucketBp: Long = 500L): DataFrame = {
+    val xb = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1e4), 0).cast("long"))
+    val s2 = aggregate(xb, lit(0L), (acc, v) => acc + v * v)
+    embeddings
+      .select(round(sqrt(s2.cast("double")), 0).cast("long").as("norm_bp"))
+      .select(expr(s"norm_bp div $bucketBp").as("bucket"), col("norm_bp"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("norm_bp")).as("min_norm_bp"), max(col("norm_bp")).as("max_norm_bp"))
+      .orderBy(col("bucket"))
+  }
+
   /** End-to-end RETRIEVAL composition — what a RAG consumer actually
     * runs: ANN over the stored IVF index → top-k neighbor ids → join
     * back to the document table for the text payload. The ANN stage

@@ -530,6 +530,27 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Rank-family window suite — ntile / percent_rank / cume_dist /
+    * first_value in one pass (the analytics-SQL surface q7's
+    * rank/lag coverage leaves out). The window ORDER BY carries the
+    * orderkey tie-break so the total order is unique: every ratio is
+    * then an exact integer division, engine-portable without
+    * rounding. One shuffle on the partition key; first_value pins an
+    * explicit full-partition frame (default frames differ by
+    * function across engines). */
+  def q34WindowSuite(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("top_key", first_value(col("o_orderkey")).over(full))
+      .orderBy(col("o_orderpriority"), col("pct_rank"), col("o_orderkey"))
+  }
+
   /** Batch sessionization — the BATCH face of stream_session's
     * session_window: events group into sessions that close after
     * `gapMinutes` of inactivity (the standard web-analytics
