@@ -177,6 +177,56 @@ class DupClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class DupClustersRandomSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("random graphs match a union-find reference (seeded)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = (1 to 60)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // union-find reference, always attaching the larger root under
+      // the smaller so each root IS its component's min id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(i => i -> find(i.toInt).toLong).toMap
+      val got = graft.operators.Dedup.dupClusters(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial (n=$n, ${edges.size} edges)")
+    }
+  }
+}
+
+class SortedIntersectRandomSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("sortedIntersect equals Set-intersection size on 200 random pairs (seeded)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 200).map { i =>
+      val a = (1 to rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted.toArray
+      val b = (1 to rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted.toArray
+      (i.toLong, a, b, (a.toSet & b.toSet).size.toLong)
+    }
+    val got = rows.toDF("id", "a", "b", "want")
+      .select(col("id"), graft.functions.F.sortedIntersect(col("a"), col("b")).as("got"),
+        col("want"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1).toLong == r.getLong(2),
+      s"row ${r.getLong(0)}: got ${r.getInt(1)} want ${r.getLong(2)}"))
+  }
+}
+
 class BlockCapSpec extends org.scalatest.funsuite.AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
