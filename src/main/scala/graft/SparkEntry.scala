@@ -47,6 +47,7 @@ object SparkEntry {
     "q32_sessions" -> ((s, d) => Relational.q32Sessions(Tables.events(s, d))),
     "q33_attribution" -> ((s, d) => Relational.q33Attribution(Tables.events(s, d))),
     "q34_window_suite" -> ((s, d) => Relational.q34WindowSuite(Tables.orders(s, d))),
+    "q35_anomaly" -> ((s, d) => Relational.q35Anomaly(Tables.events(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -1113,6 +1114,25 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT doc_id, logit_r AS logit, p_keep, p_keep >= 0.5 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q35_anomaly" ->
+      // the anomaly verdict is an exact integer inequality; z is
+      // single IEEE-exact divisions of the same integers
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT day, n_events,
+        |    count(*) OVER () AS n,
+        |    sum(n_events) OVER () AS s,
+        |    sum(n_events * n_events) OVER () AS ss
+        |  FROM d
+        |)
+        |SELECT day, n_events,
+        |  round((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n) /
+        |    sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))) + 1e-9, 4) AS z,
+        |  (n * n_events - s) * (n * n_events - s) * (n - 1) > 4 * n * (n * ss - s * s)
+        |    AS is_anomaly
+        |FROM t ORDER BY day""".stripMargin,
     "q34_window_suite" ->
       // unique total order (totalprice desc, orderkey) makes every
       // ratio an exact integer division - no rounding needed

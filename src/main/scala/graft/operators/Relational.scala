@@ -530,6 +530,33 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Daily event-volume anomaly detection — flag days whose count
+    * sits more than 2 sample-stddevs from the mean (the ops-dashboard
+    * "traffic looks wrong" probe). The VERDICT is an exact integer
+    * inequality — (n·cnt − S)²·(n−1) > 4·n·(n·SS − S²), S/SS exact
+    * count sums — so the cut can never flip on float ulp; the
+    * displayed z comes from single IEEE-exact divisions of the same
+    * integers (engine-identical) and rounds at 4 dp. Stats ride an
+    * unpartitioned window over the tiny daily aggregate (one events
+    * scan — not a crossJoin re-derivation, the q33 lesson). */
+  def q35Anomaly(events: DataFrame): DataFrame = {
+    val all = Window.partitionBy()
+    events
+      .select(to_date(col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("s", sum(col("n_events")).over(all))
+      .withColumn("ss", sum(col("n_events") * col("n_events")).over(all))
+      .withColumn("z", round(
+        (col("n_events").cast("double") - col("s").cast("double") / col("n")) /
+          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+            (col("n") * (col("n") - 1))) + lit(1e-9), 4))
+      .withColumn("is_anomaly", expr(
+        "(n * n_events - s) * (n * n_events - s) * (n - 1) > 4 * n * (n * ss - s * s)"))
+      .select(col("day"), col("n_events"), col("z"), col("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
   /** Rank-family window suite — ntile / percent_rank / cume_dist /
     * first_value in one pass (the analytics-SQL surface q7's
     * rank/lag coverage leaves out). The window ORDER BY carries the

@@ -1241,6 +1241,29 @@ class AttributionSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class AnomalySpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("a planted volume spike flags, steady days do not") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 9 steady days of ~10 events, one day of 100
+    val rows = (0 until 10).flatMap { d =>
+      val n = if (d == 7) 100 else 10 + (d % 3)
+      (0 until n).map { i =>
+        (d * 1000L + i,
+          java.sql.Timestamp.from(java.time.Instant.parse("2024-02-01T00:00:00Z")
+            .plusSeconds(d * 86400L + i * 60L)),
+          7L, "view")
+      }
+    }
+    val out = graft.operators.Relational
+      .q35Anomaly(rows.toDF("event_id", "ts", "user_id", "event_type"))
+      .collect().map(r => r.getDate(0).toString -> r.getBoolean(3)).toMap
+    assert(out.size == 10)
+    assert(out("2024-02-08"), "the spike day must flag")
+    assert(out.count(_._2) == 1, s"only the spike flags: $out")
+  }
+}
+
 class BatchSessionSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("sessions split on gaps over 30 minutes; bounds and durations are exact") {
     val spark = TestSpark.spark
