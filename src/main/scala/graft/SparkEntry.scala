@@ -92,6 +92,7 @@ object SparkEntry {
     "embedding_stratified_sample" -> ((s, d) => Ann.embeddingStratifiedSample(Tables.embeddings(s, d))),
     "embedding_pca2" -> ((s, d) => Ann.embeddingPca2(Tables.embeddings(s, d))),
     "embedding_norm_hist" -> ((s, d) => Ann.embeddingNormHist(Tables.embeddings(s, d))),
+    "embedding_quantize_int8" -> ((s, d) => Ann.embeddingQuantizeInt8(Tables.embeddings(s, d))),
     "sink_batch_assign" -> ((s, d) => SinkOps.batchAssign(Tables.events(s, d))),
     "sink_batch_bytes" -> ((s, d) => SinkOps.batchBytes(Tables.events(s, d))),
     "sink_rows_batch" -> ((s, d) => SinkOps.rowsBatch(Tables.events(s, d))),
@@ -1689,6 +1690,25 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     "embedding_project" -> projectOracleSql(),
     "embedding_stratified_sample" -> stratOracleSql(),
     "embedding_pca2" -> pca2OracleSql(),
+    "embedding_quantize_int8" ->
+      // all-integer scalar quantization audit: bp coords, truncating
+      // div codes/reconstructions, exact error sums
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS MATERIALIZED (
+        |  SELECT vec_id, i.i AS i, CAST(round(v[i.i + 1] * 1e4) AS BIGINT) AS xb
+        |  FROM e, range(0, 64) i(i)
+        |), mm AS (
+        |  SELECT i, min(xb) AS mn, max(xb) AS mx,
+        |    greatest(max(xb) - min(xb), 1) AS sc
+        |  FROM c GROUP BY i
+        |), r AS (
+        |  SELECT c.i, mm.mn, mm.mx,
+        |    abs(mm.mn + ((((c.xb - mm.mn) * 255) // mm.sc) * mm.sc) // 255 - c.xb) AS err
+        |  FROM c JOIN mm USING (i)
+        |)
+        |SELECT CAST(i AS BIGINT) AS dim, mn, mx, count(*) AS n,
+        |  CAST(sum(err) AS BIGINT) AS sum_abs_err_bp, max(err) AS max_abs_err_bp
+        |FROM r GROUP BY i, mn, mx ORDER BY dim""".stripMargin,
     "embedding_norm_hist" ->
       // norms on bp-quantized coords: sum of squares is an exact
       // integer (order-free), sqrt of the same integer is the same

@@ -223,6 +223,34 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Scalar int8 quantization audit — the storage-compression face
+    * beside PQ (a 64-dim float vector stores as 64 bytes + 2 bp
+    * scalars per dim): per-dimension min/max over the corpus define
+    * the 0..255 code range; the audit reports each dimension's exact
+    * reconstruction error so a pipeline can decide int8-vs-PQ-vs-raw
+    * per deployment. All integer: coordinates quantize to basis
+    * points at creation, codes and reconstructions use truncating
+    * div, errors are exact integer sums. Scale shape: two row-local
+    * corpus passes (min/max → dims combinable groups; encode+error →
+    * the same dims groups), the dims-row range table broadcasts —
+    * no corpus shuffle anywhere. */
+  def embeddingQuantizeInt8(embeddings: DataFrame): DataFrame = {
+    val coords = embeddings.select(
+      posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * lit(1e4), 0).cast("long"))).as(Seq("i", "xb")))
+    val ranges = coords.groupBy(col("i"))
+      .agg(min(col("xb")).as("mn"), max(col("xb")).as("mx"))
+      .withColumn("sc", greatest(col("mx") - col("mn"), lit(1L)))
+    coords.join(broadcast(ranges), "i")
+      .withColumn("code", expr("((xb - mn) * 255) div sc"))
+      .withColumn("recon", expr("mn + (code * sc) div 255"))
+      .withColumn("err", abs(col("recon") - col("xb")))
+      .groupBy(col("i").cast("long").as("dim"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("err")).as("sum_abs_err_bp"), max(col("err")).as("max_abs_err_bp"))
+      .orderBy(col("dim"))
+  }
+
   /** Embedding L2-norm histogram — the one-pass drift probe a
     * pipeline runs per ingest epoch (a norm distribution that shifts
     * between epochs means the encoder or the data changed; norm

@@ -515,6 +515,29 @@ class AnnStoredIndexSpec extends AnyFunSuite {
   }
 }
 
+class QuantizeInt8Spec extends AnyFunSuite {
+  test("reconstruction error is bounded by one code step; constant dims are exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    // dim 0 constant (scale collapses to the 1-guard), others random
+    val rows = (0 until 150).map(i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        if (j == 0) 0.25f else (rnd.nextGaussian() * 0.3).toFloat)))
+    val out = graft.operators.Ann.embeddingQuantizeInt8(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.length == 64)
+    val const = out.find(_._1 == 0L).get
+    assert(const._2 == const._3 && const._4 == 0L,
+      s"constant dim must reconstruct exactly: $const")
+    out.foreach { case (dim, mn, mx, maxErr) =>
+      val step = math.max(mx - mn, 1L) / 255L + 1L
+      assert(maxErr <= step,
+        s"dim $dim: max err $maxErr exceeds one code step $step (range $mn..$mx)")
+    }
+  }
+}
+
 class StratifiedSampleSpec extends AnyFunSuite {
   test("dense center thins to the quota, sparse tail bands keep everything") {
     val spark = TestSpark.spark
