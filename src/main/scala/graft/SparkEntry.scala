@@ -130,6 +130,7 @@ object SparkEntry {
     "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
     "text_quality_lr" -> ((s, d) => TextOps.textQualityLr(Tables.documents(s, d))),
     "text_entropy" -> ((s, d) => TextOps.textEntropy(Tables.documents(s, d))),
+    "text_lang_balance" -> ((s, d) => TextOps.textLangBalance(Tables.documents(s, d))),
     "text_quality_train" -> ((s, d) => TextOps.textQualityTrain(Tables.documents(s, d))),
     "text_quality_trained_score" -> ((s, d) => TextOps.textQualityLrTrained(Tables.documents(s, d))),
     "text_gopher" -> ((s, d) => TextOps.textGopher(Tables.documents(s, d))),
@@ -2278,6 +2279,36 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  round(rate + 1e-9, 4) AS target_rate,
         |  round(CAST(sum(kept) AS DOUBLE) / count(*) + 1e-9, 4) AS achieved_rate
         |FROM tagged GROUP BY source, rate ORDER BY source""".stripMargin,
+    "text_lang_balance" ->
+      // pipeline_mix's chain keyed by the language label column; same
+      // md5 ':mix' acceptance, renamed output col
+      """WITH sized AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+        |  FROM documents
+        |), dom AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS dom_tokens
+        |  FROM sized GROUP BY lang
+        |), mx AS (
+        |  SELECT max(pow(CAST(dom_tokens AS DOUBLE), -0.3)) AS max_r FROM dom
+        |), rates AS (
+        |  SELECT lang,
+        |    pow(CAST(dom_tokens AS DOUBLE), -0.3) / mx.max_r AS rate,
+        |    CAST(round(pow(CAST(dom_tokens AS DOUBLE), -0.3) / mx.max_r * 10000) AS BIGINT) AS thresh
+        |  FROM dom CROSS JOIN mx
+        |), tagged AS (
+        |  SELECT s.lang, s.n_tokens, r.rate,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT) % 10000 < r.thresh
+        |         THEN 1 ELSE 0 END AS kept
+        |  FROM sized s JOIN rates r USING (lang)
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+        |  round(rate + 1e-9, 4) AS target_rate,
+        |  round(CAST(sum(kept) AS DOUBLE) / count(*) + 1e-9, 4) AS achieved_rate
+        |FROM tagged GROUP BY lang, rate ORDER BY lang""".stripMargin,
     "pipeline_pack" ->
       // mirrors the Batcher greedy semantics (same recursive-CTE shape
       // as sink_batch_bytes): a doc joins its pack, and the pack closes

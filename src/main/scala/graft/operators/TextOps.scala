@@ -794,6 +794,19 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Language-balanced temperature mixing — [[mixDomains]] keyed by
+    * the LANGUAGE column instead of the source tag (the multilingual
+    * recipe proper: mC4/BLOOM-style pipelines temperature-sample over
+    * per-doc language labels so high-resource languages downsample
+    * toward the tempered distribution; the labels are normally a
+    * precomputed classifier column — on a corpus without them, swap
+    * in `langPredCol`, the same expression the langid operators
+    * gate). Same scale shape as mixDomains: one row-local pass,
+    * rates broadcast back as a ~#langs-row table. */
+  def textLangBalance(documents: DataFrame, exponent: Double = -0.3): DataFrame =
+    mixDomains(documents.withColumn("source", col("lang")), exponent)
+      .withColumnRenamed("source", "lang")
+
   /** Logistic quality scoring — the trained-classifier face of
     * [[textQuality]]'s heuristic composite (the fastText-style quality
     * filter pipelines run once labels exist; the weights here are
