@@ -131,6 +131,7 @@ object SparkEntry {
     "text_quality_lr" -> ((s, d) => TextOps.textQualityLr(Tables.documents(s, d))),
     "text_entropy" -> ((s, d) => TextOps.textEntropy(Tables.documents(s, d))),
     "text_lang_balance" -> ((s, d) => TextOps.textLangBalance(Tables.documents(s, d))),
+    "pipeline_dedup_impact" -> ((s, d) => TextOps.dedupImpact(Tables.documents(s, d))),
     "text_quality_train" -> ((s, d) => TextOps.textQualityTrain(Tables.documents(s, d))),
     "text_quality_trained_score" -> ((s, d) => TextOps.textQualityLrTrained(Tables.documents(s, d))),
     "text_gopher" -> ((s, d) => TextOps.textGopher(Tables.documents(s, d))),
@@ -2279,6 +2280,30 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  round(rate + 1e-9, 4) AS target_rate,
         |  round(CAST(sum(kept) AS DOUBLE) / count(*) + 1e-9, 4) AS achieved_rate
         |FROM tagged GROUP BY source, rate ORDER BY source""".stripMargin,
+    "pipeline_dedup_impact" ->
+      // quality deciles split by the exact-dedup keep verdict; cell
+      // means sum exact integer basis points of the 4dp-rounded score
+      """WITH t AS (
+        |  SELECT doc_id, md5(text) AS h, length(text) AS n_chars,
+        |   regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |   length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, h, len(toks) AS n_tokens,
+        |   round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5
+        |     + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.3
+        |     + (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.2 + 1e-9, 4) AS qs
+        |  FROM t
+        |), k AS (
+        |  SELECT doc_id = min(doc_id) OVER (PARTITION BY h) AS kept,
+        |    least(9, CAST(floor(qs * 10) AS BIGINT)) AS bucket,
+        |    n_tokens, CAST(round(qs * 1e4) AS BIGINT) AS qs_bp
+        |  FROM s
+        |)
+        |SELECT kept, bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(qs_bp) AS DOUBLE) / count(*) / 1e4 + 1e-9, 4) AS avg_quality
+        |FROM k GROUP BY kept, bucket ORDER BY kept, bucket""".stripMargin,
     "text_lang_balance" ->
       // pipeline_mix's chain keyed by the language label column; same
       // md5 ':mix' acceptance, renamed output col

@@ -794,6 +794,35 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Dedup impact audit — the "what did dedup remove" report a
+    * curation team reads before shipping a corpus cut: quality-score
+    * deciles split by the exact-dedup keep verdict (kept = min doc_id
+    * per content hash, [[Dedup.dedupExact]]'s rule), with doc/token
+    * mass per cell. A drop distribution skewed toward high-quality
+    * buckets means dedup is biasing the corpus, not just cleaning it.
+    * One content-hash shuffle (the dedup grain) feeding a deciles²-
+    * group combinable rollup; the mean quality per cell sums exact
+    * integer basis points so no float-order drift enters the cell
+    * stats. */
+  def dedupImpact(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = round(rawQualityScore + lit(1e-9), 4)
+    documents
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        size(tokens).cast("long").as("n_tokens"), qs.as("qs"))
+      .withColumn("kept",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .withColumn("bucket", least(lit(9L), floor(col("qs") * 10).cast("long")))
+      .withColumn("qs_bp", round(col("qs") * 1e4, 0).cast("long"))
+      .groupBy(col("kept"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("qs_bp")).as("sum_qs_bp"))
+      .select(col("kept"), col("bucket"), col("n_docs"), col("n_tokens"),
+        round(col("sum_qs_bp").cast("double") / col("n_docs") / 1e4 + lit(1e-9), 4)
+          .as("avg_quality"))
+      .orderBy(col("kept"), col("bucket"))
+  }
+
   /** Language-balanced temperature mixing — [[mixDomains]] keyed by
     * the LANGUAGE column instead of the source tag (the multilingual
     * recipe proper: mC4/BLOOM-style pipelines temperature-sample over

@@ -1203,6 +1203,29 @@ class PivotStreaksSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class DedupImpactSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("dropped copies land in the same quality bucket as their kept original") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val good = (1 to 60).map(i => if (i % 5 == 0) "the" else s"word$i").mkString(" ")
+    val junk = "!!! ... ???"
+    val docs = Seq(
+      (1L, good), (2L, good), (3L, good),   // kept: 1; dropped: 2, 3
+      (10L, junk), (11L, junk),             // kept: 10; dropped: 11
+      (20L, "the of and unique text here with some more words")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.dedupImpact(docs).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.values.sum == 6)
+    val dropped = out.filter(!_._1._1)
+    assert(dropped.values.sum == 3, s"three copies drop: $out")
+    // each dropped cell pairs with a kept cell in the SAME bucket
+    dropped.keys.foreach { case (_, b) =>
+      assert(out.contains((true, b)), s"bucket $b must also have its kept original: $out")
+    }
+  }
+}
+
 class TextEntropySpec extends org.scalatest.funsuite.AnyFunSuite {
   test("repeated-char junk scores zero bits, uniform two-char text exactly one") {
     val spark = TestSpark.spark
