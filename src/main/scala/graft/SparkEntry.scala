@@ -134,6 +134,11 @@ object SparkEntry {
     "pipeline_dedup_impact" -> ((s, d) => TextOps.dedupImpact(Tables.documents(s, d))),
     "text_quality_train" -> ((s, d) => TextOps.textQualityTrain(Tables.documents(s, d))),
     "text_quality_trained_score" -> ((s, d) => TextOps.textQualityLrTrained(Tables.documents(s, d))),
+    "text_quality_score_stored" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.textQualityScoreStored(docs,
+        TextOps.ensureQualityModel(docs, TextOps.defaultQualityModelDir(docs, d)))
+    }),
     "text_gopher" -> ((s, d) => TextOps.textGopher(Tables.documents(s, d))),
     "text_ccnet_bucket" -> ((s, d) => TextOps.textCcnetBucket(Tables.documents(s, d))),
     "pipeline_budget" -> ((s, d) => TextOps.budgetDomains(Tables.documents(s, d))),
@@ -623,6 +628,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // gates against the same oracle
     .updated("ann_ivf_probe", oracleSqlBase("ann_ivf_sampled"))
     .updated("tokenizer_apply_stored", oracleSqlBase("tokenizer_apply"))
+    .updated("text_quality_score_stored", lrTrainedScoreOracleSql())
 
   /** Shared IVF-sampled CTE chain (centroids/assignment/probes/rank)
     * for the ann_ivf_sampled, ann_ivf_probe and pipeline_retrieval

@@ -984,6 +984,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Write the trained quality model ONCE (the stored-model pattern:
+    * ANN indexes, BPE vocab, and now the classifier weights). */
+  def buildQualityModel(documents: DataFrame, indexDir: String,
+                        iters: Int = 32, lrDen: Long = 40L): Unit =
+    textQualityTrain(documents, iters, lrDen)
+      .write.mode("overwrite").parquet(s"$indexDir/weights")
+
+  /** Build-if-absent guard for [[buildQualityModel]]. */
+  def ensureQualityModel(documents: DataFrame, indexDir: String,
+                         iters: Int = 32, lrDen: Long = 40L): String = {
+    if (!new java.io.File(s"$indexDir/weights/_SUCCESS").exists())
+      buildQualityModel(documents, indexDir, iters, lrDen)
+    indexDir
+  }
+
+  /** Content-keyed default location for a corpus's stored model. */
+  def defaultQualityModelDir(documents: DataFrame, sfKey: String): String = {
+    val safe = sfKey.replaceAll("[^A-Za-z0-9._-]", "_")
+    val n = documents.count()
+    s"${System.getProperty("java.io.tmpdir")}/graft-quality-model/$safe-n$n"
+  }
+
+  /** The STORED-MODEL face of [[textQualityLrTrained]]: load the
+    * written-once weight vector and score — no training in-query
+    * (production trains once; every scoring pass pays only the
+    * row-local features). Identical output (deterministic weights),
+    * gated by the same oracle. */
+  def textQualityScoreStored(documents: DataFrame, indexDir: String): DataFrame = {
+    val wMicro = documents.sparkSession.read.parquet(s"$indexDir/weights")
+      .orderBy(col("feature_id")).collect().map(_.getLong(2))
+    lrFeatures(documents)
+      .select(col("doc_id"), col("y").as("label"),
+        hardSigmoidBp(wMicro).as("p_bp"))
+      .withColumn("p", col("p_bp").cast("double") / 1e4)
+      .withColumn("keep", col("p_bp") >= 5000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Ingest-stream face of [[textQualityLrTrained]]: score streamed
     * docs with an already-trained weight vector (pass the stored
     * [[textQualityTrain]] output's w_micro column) — the quantized
