@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d), portable = true)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccardBlocked(Tables.documents(s, d))),
     "dedup_ngram_composed" -> ((s, d) => Dedup.dedupNgramJaccardComposed(Tables.documents(s, d))),
+    "dedup_containment" -> ((s, d) => Dedup.dedupContainment(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(Tables.embeddings(s, d))),
     "ann_bruteforce" -> ((s, d) => Ann.annBruteforce(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.annLsh(Tables.embeddings(s, d), portable = true)),
@@ -1400,6 +1401,24 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  AND x.lb = y.lb AND x.doc_id < y.doc_id
         |WHERE CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
         |   / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_containment" ->
+      // same blocked candidates as dedup_ngram_jaccard; containment =
+      // inter / min(|A|,|B|) — the quote-inclusion signal
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100) AS INT) AS lb,
+        |   list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |  FROM documents
+        |)
+        |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        | round(CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+        |   / least(len(x.ts), len(y.ts)), 4) AS containment,
+        | round(CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+        |   / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))), 4) AS jaccard
+        |FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
+        |  AND x.lb = y.lb AND x.doc_id < y.doc_id
+        |WHERE CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+        |   / least(len(x.ts), len(y.ts)) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
     "scale_hash_split" ->
       """WITH b AS (

@@ -428,6 +428,35 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup detection — the complement of
+    * Jaccard the exact-substring literature pairs with it (Lee et al.
+    * report both): containment = |A∩B| / min(|A|,|B|) flags a short
+    * doc embedded inside a long one (quote inclusion, boilerplate
+    * wrapping, excerpt pages), which symmetric Jaccard DILUTES
+    * toward 0 as the size gap grows. Same blocked candidate
+    * generation and single-pass verify as
+    * [[dedupNgramJaccardBlocked]]; emits both scores so the audit
+    * shows exactly the pairs containment catches and Jaccard
+    * misses. */
+  def dedupContainment(documents: DataFrame, threshold: Double = 0.8,
+                       maxBlockSize: Int = Int.MaxValue,
+                       numPerm: Int = 128, bands: Int = 32): DataFrame = {
+    val (docs, cands) = blockedCandidates(documents, maxBlockSize, numPerm, bands)
+    val inter = F.sortedIntersect(col("h_a"), col("h_b"))
+    cands
+      .join(docs.select(col("doc_id").as("a_id"), col("tok_hashes").as("h_a")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("tok_hashes").as("h_b")), "b_id")
+      .withColumn("inter", inter)
+      .withColumn("containment",
+        col("inter").cast("double") / least(size(col("h_a")), size(col("h_b"))))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("containment"), 4).as("containment"),
+        round(col("inter").cast("double") /
+          (size(col("h_a")) + size(col("h_b")) - col("inter")), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Winnowing-fingerprint dedup: docs sharing >= `minShared` selected
     * fingerprints are near-dup candidates, verified by fingerprint-set
     * overlap ratio. The explode/group candidate generation is the

@@ -1203,6 +1203,29 @@ class PivotStreaksSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class ContainmentSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("a short doc embedded in a long one flags by containment where jaccard dilutes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, length => slen}
+    val quote = (1 to 20).map(i => s"quoted$i").mkString(" ")
+    val long = quote + " " + (1 to 80).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, long), (3L, (1 to 30).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", slen($"text"))
+    // same len_bucket is required for blocking: widen buckets via n_chars/100
+    val out = graft.operators.Dedup.dedupContainment(
+        docs.withColumn("n_chars", lit(50)), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 1, s"only the quote pair flags: ${out.toSeq}")
+    val (a, b, c, j) = out.head
+    assert((a, b) == ((1L, 2L)))
+    assert(c == 1.0, s"full containment: $c")
+    assert(j < 0.5, s"jaccard dilutes on the size gap: $j")
+  }
+}
+
 class DedupImpactSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("dropped copies land in the same quality bucket as their kept original") {
     val spark = TestSpark.spark
