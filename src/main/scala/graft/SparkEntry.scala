@@ -48,6 +48,9 @@ object SparkEntry {
     "q33_attribution" -> ((s, d) => Relational.q33Attribution(Tables.events(s, d))),
     "q34_window_suite" -> ((s, d) => Relational.q34WindowSuite(Tables.orders(s, d))),
     "q35_anomaly" -> ((s, d) => Relational.q35Anomaly(Tables.events(s, d))),
+    "q36_tpch_q5" -> ((s, d) => Relational.q36TpchQ5(Tables.customer(s, d),
+      Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d),
+      Tables.nation(s, d), Tables.region(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -1124,6 +1127,20 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT doc_id, logit_r AS logit, p_keep, p_keep >= 0.5 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q36_tpch_q5" ->
+      // canonical TPC-H Q5 with the local-supplier nation equality;
+      // revenue in exact integer cents
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q35_anomaly" ->
       // the anomaly verdict is an exact integer inequality; z is
       // single IEEE-exact divisions of the same integers

@@ -530,6 +530,43 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** TPC-H Q5 (local supplier volume) — the canonical 6-table join
+    * graph end to end: region→nation→(customer, supplier) dimension
+    * chain BROADCAST against the two fact tables, customer⋈orders on
+    * custkey, then the one genuinely big shuffle joins lineitem on
+    * orderkey with the co-located suppkey/nationkey equality applied
+    * as a post-join filter (TPC-H's "local supplier" twist: the
+    * customer's and supplier's nations must match). Revenue sums in
+    * exact integer cents (the moneySum discipline — double sums of
+    * 1e8-scale money drift across engines). Filters (region, order
+    * year) reach the scans; the dims stay broadcast at any corpus
+    * size because they are bounded by geography, not data volume. */
+  def q36TpchQ5(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                regionName: String = "ASIA", year: Int = 1996): DataFrame = {
+    val nat = nation.join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = supplier.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cents = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+      .cast("long")
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey"), cents.as("cents")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Daily event-volume anomaly detection — flag days whose count
     * sits more than 2 sample-stddevs from the mean (the ops-dashboard
     * "traffic looks wrong" probe). The VERDICT is an exact integer

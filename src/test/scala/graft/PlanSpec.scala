@@ -55,6 +55,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("tpch q5: dimension chain broadcasts, facts join on the shuffle spine") {
+    val p = plan(Relational.q36TpchQ5(Tables.customer(spark, TestSpark.sf),
+      Tables.orders(spark, TestSpark.sf), Tables.lineitem(spark, TestSpark.sf),
+      Tables.supplier(spark, TestSpark.sf), Tables.nation(spark, TestSpark.sf),
+      Tables.region(spark, TestSpark.sf)))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"region/nation/supplier dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the join graph")
+    assert(p.contains("PushedFilters"), "order-date/region filters must reach the scans")
+  }
+
   test("embedding_pca Gram matrix: row-local pair expansion, one exchange, no join") {
     val p = plan(Ann.gramMatrix(Tables.embeddings(spark, TestSpark.sf)))
     assert(!p.contains("Join"), s"Gram plan must not join the corpus to itself:\n$p")
