@@ -51,6 +51,8 @@ object SparkEntry {
     "q36_tpch_q5" -> ((s, d) => Relational.q36TpchQ5(Tables.customer(s, d),
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d),
       Tables.nation(s, d), Tables.region(s, d))),
+    "q37_tpch_q10" -> ((s, d) => Relational.q37TpchQ10(Tables.customer(s, d),
+      Tables.orders(s, d), Tables.lineitem(s, d), Tables.nation(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -1127,6 +1129,25 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT doc_id, logit_r AS logit, p_keep, p_keep >= 0.5 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q37_tpch_q10" ->
+      // canonical TPC-H Q10: returned-item revenue per customer, top
+      // 20 by (revenue desc, custkey); cents-exact
+      """WITH per_order AS (
+        |  SELECT o.o_custkey,
+        |    CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+        |  GROUP BY o.o_custkey
+        |)
+        |SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  CAST(sum(p.cents) AS DOUBLE) / 100.0 AS revenue
+        |FROM customer c
+        |JOIN per_order p ON p.o_custkey = c.c_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q36_tpch_q5" ->
       // canonical TPC-H Q5 with the local-supplier nation equality;
       // revenue in exact integer cents

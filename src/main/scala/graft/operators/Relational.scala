@@ -567,6 +567,34 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q10 (returned-item reporting) — top customers by revenue
+    * lost to returns in a quarter: lineitem filtered to returns joins
+    * orders (orderkey shuffle), rolls up per order BEFORE the
+    * customer join so the customer side joins an orders-sized
+    * aggregate, then the nation dim broadcasts and the global top-20
+    * compiles to TakeOrdered (per-partition heaps — never a global
+    * sort). Cents-exact revenue; (revenue desc, custkey) makes the
+    * cut deterministic. */
+  def q37TpchQ10(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                 nation: DataFrame, quarterStart: String = "1996-01-01",
+                 quarterEnd: String = "1996-04-01", topN: Int = 20): DataFrame = {
+    val cents = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+      .cast("long")
+    val perOrder = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), cents.as("cents"))
+      .join(orders.filter(col("o_orderdate") >= lit(quarterStart) &&
+          col("o_orderdate") < lit(quarterEnd))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+    customer.join(perOrder, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg((sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(topN)
+  }
+
   /** Daily event-volume anomaly detection — flag days whose count
     * sits more than 2 sample-stddevs from the mean (the ops-dashboard
     * "traffic looks wrong" probe). The VERDICT is an exact integer
