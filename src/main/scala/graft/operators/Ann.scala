@@ -196,14 +196,50 @@ object Ann {
                   k: Int = 5, stride: Int = 50, nprobe: Int = 4): DataFrame =
     ivfProbeQueries(querySet(embeddings, stride), indexDir, k, nprobe)
 
+  /** The stored inverted lists PLUS every ingested delta epoch
+    * ([[ivfAppendStream]] writes `delta-b<epoch>` dirs): each input
+    * is list_id-partitioned, so probes prune partitions in every
+    * union branch. */
+  private def ivfLists(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): DataFrame = {
+    val deltas = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b"))
+      .sortBy(_.getName)
+    deltas.foldLeft(spark.read.parquet(s"$indexDir/lists")) { (acc, d) =>
+      acc.unionByName(spark.read.parquet(d.getPath))
+    }
+  }
+
+  /** Ingest-time INDEX MAINTENANCE — the append half of the stored
+    * IVF lifecycle (build once → probe forever → APPEND per ingest
+    * batch): each micro-batch's vectors are assigned to the STORED
+    * centroids (broadcast cross of nlist rows — the quantizer is
+    * frozen, the standard IVF maintenance contract) and written as
+    * `delta-b<epoch>`, list_id-partitioned like the base lists. A
+    * replayed epoch OVERWRITES its own delta dir instead of
+    * double-appending — the dedupIncrementalStream replay-idempotency
+    * rule. [[ivfProbeQueries]] reads base + deltas, so new vectors
+    * are searchable from the next batch on. */
+  def ivfAppendStream(vecs: DataFrame, indexDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val cents = batch.sparkSession.read.parquet(s"$indexDir/centroids")
+      sampledAssignments(batch, cents)
+        .select(col("vec_id"), col("embedding"),
+          col("list_id").cast("int").as("list_id"))
+        .write.partitionBy("list_id").mode("overwrite")
+        .parquet(s"$indexDir/delta-b$batchId")
+    }
+
   /** Probe core over an EXPLICIT query frame (q_id, q_vec) — shared
     * by the batch face (stride-derived queries) and the ingest-stream
-    * face (each micro-batch IS the query set). */
+    * face (each micro-batch IS the query set). Reads the base lists
+    * plus every ingested delta epoch. */
   def ivfProbeQueries(queries: DataFrame, indexDir: String,
                       k: Int = 5, nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    val lists = spark.read.parquet(s"$indexDir/lists")
+    val lists = ivfLists(spark, indexDir)
     val probes = queries.crossJoin(broadcast(cents))
       .select(col("q_id"), col("q_vec"), col("list_id"),
         F.cosine(col("q_vec"), col("c_vec")).as("ccos"))

@@ -486,6 +486,53 @@ class IvfProbeStreamSpec extends AnyFunSuite {
   }
 }
 
+class IvfAppendStreamSpec extends AnyFunSuite {
+  test("appended delta epochs become searchable; replayed epochs don't double-append") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(67)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian() * 0.3).toFloat)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfappend").toString
+    graft.operators.Ann.ensureIvfIndex(corpus.toDF("vec_id", "embedding"), dir)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.operators.Ann
+      .ivfAppendStream(mem.toDF().toDF("vec_id", "embedding"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ivfappend-ck").toString)
+      .start()
+    val novel = (0 until 64).map(j => (10f + j * 0.01f))
+    try {
+      mem.addData((1000L, novel.toArray), (1001L, corpus(3)._2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the novel vector must now be its own nearest neighbor's source:
+    // probing WITH the novel vector as the query returns 1000 first
+    val probe = graft.operators.Ann.ivfProbeQueries(
+        Seq((9999L, novel.toArray)).toDF("q_id", "q_vec"), dir, k = 1)
+      .collect()
+    assert(probe.length == 1 && probe(0).getLong(1) == 1000L,
+      s"the appended vector must be searchable: ${probe.toSeq}")
+    assert(spark.read.parquet(s"$dir/delta-b0").count() == 2)
+    // replay: a fresh stream re-delivers the same records as ITS batch
+    // 0 — the delta dir overwrites instead of double-appending
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = graft.operators.Ann
+      .ivfAppendStream(mem2.toDF().toDF("vec_id", "embedding"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ivfappend-ck2").toString)
+      .start()
+    try {
+      mem2.addData((1000L, novel.toArray), (1001L, corpus(3)._2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/delta-b0").count() == 2,
+      "a replayed epoch must overwrite its delta dir, not double it")
+  }
+}
+
 class AnnStoredIndexSpec extends AnyFunSuite {
   test("stored-index probe and pagerank match the self-contained faces; ensure builds once") {
     val spark = TestSpark.spark
