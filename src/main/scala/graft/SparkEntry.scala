@@ -53,6 +53,7 @@ object SparkEntry {
       Tables.nation(s, d), Tables.region(s, d))),
     "q37_tpch_q10" -> ((s, d) => Relational.q37TpchQ10(Tables.customer(s, d),
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.nation(s, d))),
+    "q38_journeys" -> ((s, d) => Relational.q38Journeys(Tables.events(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -1129,6 +1130,19 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT doc_id, logit_r AS logit, p_keep, p_keep >= 0.5 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q38_journeys" ->
+      // trigram journeys via two leads over the same user ordering
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_type || ' > ' || s2 || ' > ' || s3 AS journey,
+        |  count(*) AS n
+        |FROM t WHERE s3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, journey LIMIT 15""".stripMargin,
     "q37_tpch_q10" ->
       // canonical TPC-H Q10: returned-item revenue per customer, top
       // 20 by (revenue desc, custkey); cents-exact

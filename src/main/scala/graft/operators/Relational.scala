@@ -530,6 +530,28 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Top user journeys — the most common 3-step event paths (the
+    * path-mining extension of q29's first-order Markov matrix: what
+    * q29 summarizes pairwise, this ranks as full trigram journeys).
+    * Two lead() windows on the SAME user_id ordering build each
+    * row's trigram in place — one shuffle, no self-joins — then a
+    * |types|³-bounded combinable rollup and a TakeOrdered top-N with
+    * a path tie-break. (ts, event_id) ordering pins every step under
+    * same-timestamp ties. */
+  def q38Journeys(events: DataFrame, topN: Int = 15): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("s2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("s3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("s3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("s2"), col("s3")).as("journey"))
+      .groupBy(col("journey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("journey"))
+      .limit(topN)
+  }
+
   /** TPC-H Q5 (local supplier volume) — the canonical 6-table join
     * graph end to end: region→nation→(customer, supplier) dimension
     * chain BROADCAST against the two fact tables, customer⋈orders on
