@@ -54,6 +54,22 @@ object SparkEntry {
     "q37_tpch_q10" -> ((s, d) => Relational.q37TpchQ10(Tables.customer(s, d),
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.nation(s, d))),
     "q38_journeys" -> ((s, d) => Relational.q38Journeys(Tables.events(s, d))),
+    "q39_tpch_q3" -> ((s, d) => Relational.q39TpchQ3(Tables.customer(s, d),
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q40_tpch_q6" -> ((s, d) => Relational.q40TpchQ6(Tables.lineitem(s, d))),
+    "q41_tpch_q7" -> ((s, d) => Relational.q41TpchQ7(Tables.customer(s, d),
+      Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d),
+      Tables.nation(s, d))),
+    "q42_tpch_q13" -> ((s, d) => Relational.q42TpchQ13(Tables.customer(s, d),
+      Tables.orders(s, d))),
+    "q43_tpch_q14" -> ((s, d) => Relational.q43TpchQ14(Tables.lineitem(s, d),
+      Tables.part(s, d))),
+    "q44_tpch_q15" -> ((s, d) => Relational.q44TpchQ15(Tables.supplier(s, d),
+      Tables.lineitem(s, d))),
+    "q45_tpch_q17" -> ((s, d) => Relational.q45TpchQ17(Tables.lineitem(s, d),
+      Tables.part(s, d))),
+    "q46_tpch_q18" -> ((s, d) => Relational.q46TpchQ18(Tables.customer(s, d),
+      Tables.orders(s, d), Tables.lineitem(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -95,6 +111,7 @@ object SparkEntry {
     }),
     "embedding_hard_negatives" -> ((s, d) => Ann.hardNegatives(Tables.embeddings(s, d))),
     "embedding_pca" -> ((s, d) => Ann.embeddingPca(Tables.embeddings(s, d))),
+    "embedding_kmeans" -> ((s, d) => Ann.embeddingKmeans(Tables.embeddings(s, d))),
     "embedding_project" -> ((s, d) => Ann.embeddingProject(Tables.embeddings(s, d))),
     "embedding_stratified_sample" -> ((s, d) => Ann.embeddingStratifiedSample(Tables.embeddings(s, d))),
     "embedding_pca2" -> ((s, d) => Ann.embeddingPca2(Tables.embeddings(s, d))),
@@ -232,6 +249,59 @@ object SparkEntry {
          |SELECT CAST(i AS BIGINT) AS dim, v AS loading_milli,
          |  CAST(v AS DOUBLE) / 1e3 AS loading
          |FROM v$iters ORDER BY i""".stripMargin
+
+  /** Oracle for embedding_kmeans: every Lloyd iteration unrolled —
+    * assignment is the exact-integer argmin over bp coords (row_number
+    * with the (dist, list_id) tie order), the centroid update is the
+    * all-integer half-away-from-zero mean (2s ± n) // 2n, and clusters
+    * that lose all members keep their previous centroid via the LEFT
+    * JOIN coalesce. a/cent CTEs are MATERIALIZED — each is referenced
+    * by the next round and the quality_train lesson applies (DuckDB's
+    * default inlining re-expands the chain exponentially). */
+  private def kmeansOracleSql(nlist: Int = 8, iters: Int = 3, dims: Int = 64): String = {
+    val steps = (1 to iters).map { t =>
+      s"""d$t AS (
+         |  SELECT c.vec_id, k.list_id,
+         |    CAST(sum((c.xb - k.cb) * (c.xb - k.cb)) AS BIGINT) AS dist
+         |  FROM c JOIN cent${t - 1} k ON k.i = c.i GROUP BY 1, 2
+         |), a$t AS MATERIALIZED (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT vec_id, list_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rk
+         |    FROM d$t) WHERE rk = 1
+         |), u$t AS (
+         |  SELECT a.list_id, c.i,
+         |    CAST((2 * sum(c.xb) + CASE WHEN sum(c.xb) >= 0 THEN count(*) ELSE -count(*) END)
+         |      // (2 * count(*)) AS BIGINT) AS cb
+         |  FROM a$t a JOIN c USING (vec_id) GROUP BY 1, 2
+         |), cent$t AS MATERIALIZED (
+         |  SELECT p.list_id, p.i, CAST(coalesce(u.cb, p.cb) AS BIGINT) AS cb
+         |  FROM cent${t - 1} p LEFT JOIN u$t u ON u.list_id = p.list_id AND u.i = p.i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS MATERIALIZED (
+       |  SELECT vec_id, i.i AS i, CAST(round(v[i.i + 1] * 1e4) AS BIGINT) AS xb
+       |  FROM e, range(0, $dims) i(i)
+       |), s0 AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id
+       |  FROM (SELECT vec_id, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |        FROM embeddings ORDER BY h, vec_id LIMIT $nlist)
+       |), cent0 AS MATERIALIZED (
+       |  SELECT s0.list_id, c.i, c.xb AS cb FROM s0 JOIN c USING (vec_id)
+       |),
+       |$steps,
+       |df AS (
+       |  SELECT c.vec_id, k.list_id,
+       |    CAST(sum((c.xb - k.cb) * (c.xb - k.cb)) AS BIGINT) AS dist
+       |  FROM c JOIN cent$iters k ON k.i = c.i GROUP BY 1, 2
+       |)
+       |SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, dist AS dist_sq FROM (
+       |  SELECT vec_id, list_id, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rk
+       |  FROM df) WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** Oracle for embedding_pca2: the pca chain, then integer Hotelling
     * deflation (λ̂ = v·Mv // v·v, M₂ = M − (λ̂·v_i·v_j) // v·v — every
@@ -1143,6 +1213,113 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  count(*) AS n
         |FROM t WHERE s3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, journey LIMIT 15""".stripMargin,
+    "q39_tpch_q3" ->
+      // canonical TPC-H Q3 adapted (no o_shippriority column): top-10
+      // unshipped-order revenue for one market segment; cents-exact
+      """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < '1996-07-01' AND l.l_shipdate > '1996-07-01'
+        |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q40_tpch_q6" ->
+      // canonical TPC-H Q6: the pure-scan forecast query; open-bound
+      // discount band avoids any float-equality edge
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount > 0.045 AND l_discount < 0.075
+        |  AND l_quantity < 24""".stripMargin,
+    "q41_tpch_q7" ->
+      // canonical TPC-H Q7: bilateral nation trade volume by ship year
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |WHERE l.l_shipdate >= '1995-01-01' AND l.l_shipdate < '1997-01-01'
+        |  AND ((sn.n_name = 'NATION_20' AND cn.n_name = 'NATION_11')
+        |    OR (sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_20'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q42_tpch_q13" ->
+      // canonical TPC-H Q13: customer order-count distribution; the
+      // LEFT join keeps zero-order customers in the c_count=0 bucket
+      """WITH c AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority <> '5-LOW'
+        |  GROUP BY c.c_custkey
+        |)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q43_tpch_q14" ->
+      // canonical TPC-H Q14: promo revenue share — one IEEE division
+      // of two exact integer cents sums, rounded at 6 dp
+      """WITH j AS (
+        |  SELECT CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT) AS cents,
+        |    p.p_type = 'PROMO' AS is_promo
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_shipdate >= '1996-03-01' AND l.l_shipdate < '1996-04-01'
+        |)
+        |SELECT
+        |  round(CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS DOUBLE) * 100.0
+        |    / sum(cents), 6) AS promo_revenue_pct,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS total_revenue
+        |FROM j""".stripMargin,
+    "q44_tpch_q15" ->
+      // canonical TPC-H Q15: supplier(s) at max quarterly revenue,
+      // all ties kept; cents-exact max can't split on float ulp
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.cents AS DOUBLE) / 100.0 AS total_revenue
+        |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.cents = (SELECT max(cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q45_tpch_q17" ->
+      // canonical TPC-H Q17: small-quantity revenue for one brand; the
+      // qty < avg/5 cut is the exact inequality 5*qty*cnt < sum(qty)
+      """WITH li AS (
+        |  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+        |    count(*) OVER (PARTITION BY l.l_partkey) AS cnt,
+        |    sum(CAST(l.l_quantity AS BIGINT)) OVER (PARTITION BY l.l_partkey) AS sum_qty
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_brand = 'Brand#19'
+        |)
+        |SELECT round(CAST(sum(cents) AS DOUBLE) / 700.0, 2) AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM li WHERE qty * 5 * cnt < sum_qty""".stripMargin,
+    "q46_tpch_q18" ->
+      // canonical TPC-H Q18: large-volume customers, top 20 by
+      // (totalprice desc, orderkey); integral-quantity threshold
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+        |)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, b.total_qty
+        |FROM orders o
+        |JOIN big b ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
     "q37_tpch_q10" ->
       // canonical TPC-H Q10: returned-item revenue per customer, top
       // 20 by (revenue desc, custkey); cents-exact
@@ -1766,6 +1943,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |      FROM f)
         |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
     "embedding_pca" -> pcaOracleSql(),
+    "embedding_kmeans" -> kmeansOracleSql(),
     "embedding_project" -> projectOracleSql(),
     "embedding_stratified_sample" -> stratOracleSql(),
     "embedding_pca2" -> pca2OracleSql(),

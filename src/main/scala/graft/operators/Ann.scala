@@ -1023,4 +1023,77 @@ object Ann {
         (col("col.score2").cast("double") / 2e4).as("mmr_score"))
       .orderBy(col("q_id"), col("sel_rank"))
   }
+
+  /** True Lloyd k-means over the embedding corpus — the clustering
+    * workhorse behind SemDeDup / cluster-balanced sampling, done as
+    * REAL iterations (the IVF family deliberately skips Lloyd and
+    * samples centroids; this closes that gap). Engine-replayable by
+    * construction:
+    *
+    *  - coordinates quantize ONCE to basis-point longs (the gramMatrix
+    *    idiom), so every distance is an exact integer Σ(x−c)² and the
+    *    argmin can never flip on float ulp; ties break to the lowest
+    *    cluster id.
+    *  - seeds are the md5-ordered deterministic sample
+    *    ([[sampledCentroids]]' hash, so DuckDB reproduces the pick).
+    *  - the centroid update rounds the member mean back to integer
+    *    basis points with the all-integer half-away-from-zero formula
+    *    (2s ± n) div 2n — no double division anywhere in the loop, so
+    *    no cross-engine .5-boundary hazard. Clusters that lose all
+    *    members keep their previous centroid (the standard rule).
+    *
+    * Scale shape (100 TB): per iteration the corpus is scanned once
+    * with the k centroids baked in as broadcast literals — assignment
+    * is row-local (zip_with + aggregate, no join, no corpus shuffle);
+    * the update aggregate map-side combines to k×dims partials and
+    * collects k×dims rows to the driver (the tokenizer_bpe
+    * metadata-collect precedent). iters+1 corpus passes total; the
+    * exchanges carry only combined partials. */
+  def embeddingKmeans(embeddings: DataFrame, nlist: Int = 8,
+                      iters: Int = 3): DataFrame = {
+    val xb = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * lit(1e4), 0).cast("long")).as("xb"))
+    val h = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    var cents: Array[Array[Long]] = xb
+      .select(col("vec_id"), col("xb"), h.as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nlist)
+      .collect().map(_.getSeq[Long](1).toArray)
+
+    // row-local assignment against the current centroid literals:
+    // array_min over (dist, id) structs = exact argmin, ties -> lowest id
+    def assigned: Column = array_min(array(cents.zipWithIndex.map {
+      case (c, id) =>
+        val cl = array(c.map(lit(_)): _*)
+        // NOTE: struct() inside array() drops aliases -> fields are
+        // positional col1 (dist) / col2 (id); extracted by those names
+        struct(
+          aggregate(zip_with(col("xb"), cl, (x, cc) => (x - cc) * (x - cc)),
+            lit(0L), (acc, d) => acc + d),
+          lit(id.toLong))
+    }: _*))
+
+    for (_ <- 1 to iters) {
+      val upd = xb
+        .select(assigned.getField("col2").as("list_id"),
+          posexplode(col("xb")).as(Seq("i", "x")))
+        .groupBy(col("list_id"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty clusters keep their centroid
+      upd.foreach { r =>
+        val s = r.getLong(2); val n = r.getLong(3)
+        // half-away-from-zero integer rounding of s/n: (2s ± n) / 2n
+        // with JVM truncating division (= DuckDB's //)
+        next(r.getLong(0).toInt)(r.getInt(1)) =
+          (2 * s + (if (s >= 0) n else -n)) / (2 * n)
+      }
+      cents = next
+    }
+    xb.select(col("vec_id"), assigned.as("a"))
+      .select(col("vec_id"), col("a.col2").as("list_id"),
+        col("a.col1").as("dist_sq"))
+      .orderBy(col("vec_id"))
+  }
 }

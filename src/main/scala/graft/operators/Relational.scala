@@ -728,6 +728,211 @@ object Relational {
       .orderBy(col("touch_type"))
   }
 
+  /** TPC-H Q3 (shipping priority, adapted — the dataset carries no
+    * o_shippriority column, so the rollup keys on order date +
+    * priority instead): revenue of not-yet-shipped orders for one
+    * market segment. Plan shape: the segment filter prunes customer
+    * to ~1/5 BEFORE its join (custkey shuffle), the date filters push
+    * to both fact scans, the per-order rollup rides the same orderkey
+    * shuffle as the lineitem join, and the top-10 compiles to
+    * TakeOrdered. Cents-exact revenue; (revenue desc, orderkey)
+    * makes the cut deterministic.
+    * Ref: the reference's sink package only writes rows (no Q3
+    * analog); this is beyond-reference relational canon. */
+  def q39TpchQ3(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                segment: String = "BUILDING", cutoff: String = "1996-07-01",
+                topN: Int = 10): DataFrame = {
+    val cents = round(disc(col("l_extendedprice")) * 100).cast("long")
+    customer.filter(col("c_mktsegment") === segment).select(col("c_custkey"))
+      .join(orders.filter(col("o_orderdate") < lit(cutoff))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > lit(cutoff))
+        .select(col("l_orderkey"), cents.as("cents")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q6 (forecasting revenue change): the pure-scan query —
+    * one filtered pass over lineitem, no join, no shuffle beyond the
+    * single-row final combine. Every predicate (ship year, discount
+    * band, quantity cap) must reach the parquet scan as a pushed
+    * filter; the discount band uses strict open bounds (0.045, 0.075)
+    * so no float-equality edge exists — both engines read the same
+    * parquet doubles and compare identically. Revenue sums exact
+    * integer cents of extendedprice*discount. */
+  def q40TpchQ6(lineitem: DataFrame, year: Int = 1996): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01") &&
+        col("l_discount") > 0.045 && col("l_discount") < 0.075 &&
+        col("l_quantity") < 24)
+      .agg(
+        (sum(round(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+          .cast("double") / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q7 (volume shipping): bilateral trade volume between two
+    * nations by ship year. Both nation lookups broadcast (25-row dim);
+    * the supplier dim broadcasts too; the only big shuffles are the
+    * canonical fact spine — lineitem⋈orders on orderkey, then custkey
+    * for the customer side. The disjunctive nation-pair predicate
+    * applies AFTER both sides are labeled (it spans the two join
+    * branches so it cannot push lower). Group count is 2×years —
+    * map-side combine collapses everything before the final exchange. */
+  def q41TpchQ7(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                supplier: DataFrame, nation: DataFrame,
+                nationA: String = "NATION_20", nationB: String = "NATION_11",
+                yearFrom: Int = 1995, yearTo: Int = 1996): DataFrame = {
+    val nat = nation.filter(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = supplier.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val cents = round(disc(col("l_extendedprice")) * 100).cast("long")
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$yearFrom-01-01") &&
+        col("l_shipdate") < lit(s"${yearTo + 1}-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), cents.as("cents"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg((sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q13 (customer order-count distribution): the canonical
+    * LEFT-join double aggregate — customers with zero orders MUST
+    * appear in the c_count=0 bucket, which is why the outer join (not
+    * a bare orders groupBy) is load-bearing. The priority filter
+    * stands in for the canonical comment NOT-LIKE (the dataset has no
+    * o_comment). One custkey shuffle for join+first groupBy (same
+    * key, Catalyst reuses the exchange); the second groupBy is over a
+    * |customers|-sized table collapsing to ~tens of rows — map-side
+    * combine makes its exchange trivial. */
+  def q42TpchQ13(customer: DataFrame, orders: DataFrame,
+                 excludePriority: String = "5-LOW"): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.filter(col("o_orderpriority") =!= excludePriority)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q14 (promotion effect): share of one month's revenue from
+    * PROMO-type parts. Both legs of the ratio sum exact integer cents
+    * over the SAME month-filtered join, so the percentage is one IEEE
+    * division of two exact longs — engine-identical, rounded at 6 dp.
+    * The month filter pushes to the lineitem scan; the part side
+    * prunes to (partkey, is-promo) before the join. At this fanout
+    * part is ~lineitem/30 — AQE picks the join side; no forced
+    * broadcast because at 100 TB part does NOT fit an executor. */
+  def q43TpchQ14(lineitem: DataFrame, part: DataFrame,
+                 monthStart: String = "1996-03-01",
+                 monthEnd: String = "1996-04-01"): DataFrame = {
+    val cents = round(disc(col("l_extendedprice")) * 100).cast("long")
+    lineitem
+      .filter(col("l_shipdate") >= lit(monthStart) && col("l_shipdate") < lit(monthEnd))
+      .select(col("l_partkey"), cents.as("cents"))
+      .join(part.select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), col("cents")).otherwise(0L)).as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(
+        round(col("promo_cents").cast("double") * 100.0 / col("total_cents"), 6)
+          .as("promo_revenue_pct"),
+        (col("total_cents").cast("double") / 100.0).as("total_revenue"))
+  }
+
+  /** TPC-H Q15 (top supplier): supplier(s) achieving the maximum
+    * quarterly revenue — ALL ties kept, per the spec's view semantics.
+    * The revenue rollup is one suppkey shuffle over the date-pruned
+    * lineitem scan; the max rides an unpartitioned window over the
+    * |suppliers|-sized aggregate (NOT a crossJoin against .agg(max) —
+    * the q33 double-execution lesson); the supplier name join
+    * broadcasts the dim. Cents-exact, so the max comparison can never
+    * split ties on float ulp. */
+  def q44TpchQ15(supplier: DataFrame, lineitem: DataFrame,
+                 qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame = {
+    val cents = round(disc(col("l_extendedprice")) * 100).cast("long")
+    val all = Window.partitionBy()
+    lineitem
+      .filter(col("l_shipdate") >= lit(qStart) && col("l_shipdate") < lit(qEnd))
+      .select(col("l_suppkey"), cents.as("cents"))
+      .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("cents"))
+      .withColumn("max_cents", max(col("cents")).over(all))
+      .filter(col("cents") === col("max_cents"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("cents").cast("double") / 100.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    * lost if small-quantity orders for one brand's parts were not
+    * filled. The brand filter prunes part to ~1/25 and BROADCASTS
+    * (brand subset genuinely fits an executor at any scale — it's the
+    * per-brand part list, not all of part); per-part quantity stats
+    * ride a partkey window over the brand-pruned lineitem slice. The
+    * "quantity < avg/5" cut is the exact integer inequality
+    * 5·qty·cnt < Σqty (quantities are integral) — no float avg can
+    * flip it; the final avg-yearly is one division of an exact cents
+    * sum by 700.0. */
+  def q45TpchQ17(lineitem: DataFrame, part: DataFrame,
+                 brand: String = "Brand#19"): DataFrame = {
+    val byPart = Window.partitionBy(col("l_partkey"))
+    lineitem
+      .join(broadcast(part.filter(col("p_brand") === brand).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("cnt", count(lit(1)).over(byPart))
+      .withColumn("sum_qty", sum(col("qty")).over(byPart))
+      .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+      .agg(
+        round(sum(col("cents")).cast("double") / 700.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds the threshold, with their customer. The per-order
+    * quantity rollup happens FIRST (orderkey shuffle, map-side
+    * combined) and its HAVING prunes to a handful of orders before
+    * any wider row is formed; orders then joins that tiny set (AQE
+    * sees the post-filter size and broadcasts it), customer joins
+    * last on custkey. Top-N by (totalprice desc, orderkey) compiles
+    * to TakeOrdered; quantities are integral so the threshold cut is
+    * exact. */
+  def q46TpchQ18(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                 minQty: Long = 300, topN: Int = 20): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(topN)
+  }
+
   /** Longest streak per user: the gaps-and-islands run-length idiom
     * (row_number minus per-type row_number labels each maximal run of
     * consecutive identical event_types), then the longest run per user.
