@@ -112,6 +112,16 @@ object SparkEntry {
     "embedding_hard_negatives" -> ((s, d) => Ann.hardNegatives(Tables.embeddings(s, d))),
     "embedding_pca" -> ((s, d) => Ann.embeddingPca(Tables.embeddings(s, d))),
     "embedding_kmeans" -> ((s, d) => Ann.embeddingKmeans(Tables.embeddings(s, d))),
+    "embedding_kmeans_assign" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Ann.kmeansAssignStored(vecs,
+        Ann.ensureKmeansModel(vecs, Ann.defaultKmeansModelDir(vecs, d)))
+    }),
+    "pipeline_cluster_balance" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Ann.clusterBalance(vecs,
+        Ann.ensureKmeansModel(vecs, Ann.defaultKmeansModelDir(vecs, d)))
+    }),
     "embedding_project" -> ((s, d) => Ann.embeddingProject(Tables.embeddings(s, d))),
     "embedding_stratified_sample" -> ((s, d) => Ann.embeddingStratifiedSample(Tables.embeddings(s, d))),
     "embedding_pca2" -> ((s, d) => Ann.embeddingPca2(Tables.embeddings(s, d))),
@@ -258,7 +268,29 @@ object SparkEntry {
     * JOIN coalesce. a/cent CTEs are MATERIALIZED — each is referenced
     * by the next round and the quality_train lesson applies (DuckDB's
     * default inlining re-expands the chain exponentially). */
-  private def kmeansOracleSql(nlist: Int = 8, iters: Int = 3, dims: Int = 64): String = {
+  private def kmeansOracleSql(nlist: Int = 8, iters: Int = 3, dims: Int = 64): String =
+    kmeansCtes(nlist, iters, dims) + """
+      |SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, dist AS dist_sq
+      |FROM af ORDER BY vec_id""".stripMargin
+
+  /** Oracle for pipeline_cluster_balance: the kmeans chain's final
+    * assignment, then the stratified-sample quota/threshold audit
+    * keyed by learned cluster instead of projection band. */
+  private def clusterBalanceOracleSql(nlist: Int = 8, iters: Int = 3,
+                                      dims: Int = 64): String =
+    kmeansCtes(nlist, iters, dims) + s""",
+      |cnt AS (SELECT list_id, count(*) AS n_vecs FROM af GROUP BY list_id),
+      |q AS (SELECT (sum(n_vecs) // ${2L * nlist}) AS quota FROM cnt),
+      |th AS (SELECT list_id, n_vecs,
+      |  least(1000, (q.quota * 1000) // n_vecs) AS thresh_permille FROM cnt, q)
+      |SELECT CAST(a.list_id AS BIGINT) AS list_id, th.n_vecs, th.thresh_permille,
+      |  CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || ':cbal'), 1, 8)) AS BIGINT) % 1000
+      |    < th.thresh_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  min(a.dist) AS min_dist_sq, max(a.dist) AS max_dist_sq
+      |FROM af a JOIN th USING (list_id)
+      |GROUP BY 1, 2, 3 ORDER BY list_id""".stripMargin
+
+  private def kmeansCtes(nlist: Int = 8, iters: Int = 3, dims: Int = 64): String = {
     val steps = (1 to iters).map { t =>
       s"""d$t AS (
          |  SELECT c.vec_id, k.list_id,
@@ -295,12 +327,12 @@ object SparkEntry {
        |  SELECT c.vec_id, k.list_id,
        |    CAST(sum((c.xb - k.cb) * (c.xb - k.cb)) AS BIGINT) AS dist
        |  FROM c JOIN cent$iters k ON k.i = c.i GROUP BY 1, 2
-       |)
-       |SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, dist AS dist_sq FROM (
-       |  SELECT vec_id, list_id, dist,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rk
-       |  FROM df) WHERE rk = 1
-       |ORDER BY vec_id""".stripMargin
+       |), af AS MATERIALIZED (
+       |  SELECT vec_id, list_id, dist FROM (
+       |    SELECT vec_id, list_id, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rk
+       |    FROM df) WHERE rk = 1
+       |)""".stripMargin
   }
 
   /** Oracle for embedding_pca2: the pca chain, then integer Hotelling
@@ -1944,6 +1976,8 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
     "embedding_pca" -> pcaOracleSql(),
     "embedding_kmeans" -> kmeansOracleSql(),
+    "embedding_kmeans_assign" -> kmeansOracleSql(),
+    "pipeline_cluster_balance" -> clusterBalanceOracleSql(),
     "embedding_project" -> projectOracleSql(),
     "embedding_stratified_sample" -> stratOracleSql(),
     "embedding_pca2" -> pca2OracleSql(),

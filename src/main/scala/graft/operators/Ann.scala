@@ -1050,33 +1050,55 @@ object Ann {
     * metadata-collect precedent). iters+1 corpus passes total; the
     * exchanges carry only combined partials. */
   def embeddingKmeans(embeddings: DataFrame, nlist: Int = 8,
-                      iters: Int = 3): DataFrame = {
-    val xb = embeddings.select(col("vec_id"),
+                      iters: Int = 3): DataFrame =
+    kmeansAssign(embeddings, trainKmeans(embeddings, nlist, iters))
+      .orderBy(col("vec_id"))
+
+  /** Corpus quantized ONCE to basis-point longs (the gramMatrix
+    * quantization — exact integer distances downstream). */
+  private def bpCoords(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * lit(1e4), 0).cast("long")).as("xb"))
+
+  /** Row-local nearest-centroid struct vs. centroid LITERALS:
+    * array_min over (dist, id) structs = exact integer argmin, ties →
+    * lowest id. NOTE: struct() inside array() drops aliases, so the
+    * fields are positional col1 (dist) / col2 (id). */
+  private def kmeansNearest(cents: Array[Array[Long]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, id) =>
+      val cl = array(c.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(col("xb"), cl, (x, cc) => (x - cc) * (x - cc)),
+          lit(0L), (acc, d) => acc + d),
+        lit(id.toLong))
+    }: _*))
+
+  /** Zero-state assignment of a (vec_id, embedding) frame against
+    * frozen centroids — row-local, no join, no shuffle; shared by the
+    * batch faces and [[kmeansAssignStream]]. */
+  private def kmeansAssign(vecs: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    bpCoords(vecs).select(col("vec_id"), kmeansNearest(cents).as("a"))
+      .select(col("vec_id"), col("a.col2").as("list_id"),
+        col("a.col1").as("dist_sq"))
+
+  /** Driver-side Lloyd loop: md5-sampled deterministic seeds, then
+    * `iters` rounds of (row-local exact-integer assignment → k×dims
+    * combinable update aggregate → k×dims-row driver collect →
+    * all-integer half-away-from-zero mean). Returns the trained
+    * centroids in basis points. */
+  private[operators] def trainKmeans(embeddings: DataFrame, nlist: Int,
+                                     iters: Int): Array[Array[Long]] = {
+    val xb = bpCoords(embeddings)
     val h = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
     var cents: Array[Array[Long]] = xb
       .select(col("vec_id"), col("xb"), h.as("h"))
       .orderBy(col("h"), col("vec_id")).limit(nlist)
       .collect().map(_.getSeq[Long](1).toArray)
-
-    // row-local assignment against the current centroid literals:
-    // array_min over (dist, id) structs = exact argmin, ties -> lowest id
-    def assigned: Column = array_min(array(cents.zipWithIndex.map {
-      case (c, id) =>
-        val cl = array(c.map(lit(_)): _*)
-        // NOTE: struct() inside array() drops aliases -> fields are
-        // positional col1 (dist) / col2 (id); extracted by those names
-        struct(
-          aggregate(zip_with(col("xb"), cl, (x, cc) => (x - cc) * (x - cc)),
-            lit(0L), (acc, d) => acc + d),
-          lit(id.toLong))
-    }: _*))
-
     for (_ <- 1 to iters) {
       val upd = xb
-        .select(assigned.getField("col2").as("list_id"),
+        .select(kmeansNearest(cents).getField("col2").as("list_id"),
           posexplode(col("xb")).as(Seq("i", "x")))
         .groupBy(col("list_id"), col("i"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -1091,9 +1113,101 @@ object Ann {
       }
       cents = next
     }
-    xb.select(col("vec_id"), assigned.as("a"))
-      .select(col("vec_id"), col("a.col2").as("list_id"),
-        col("a.col1").as("dist_sq"))
+    cents
+  }
+
+  /** Write the trained k-means model ONCE to `modelDir/centroids`
+    * (list_id, cb: array<long> in basis points) — the stored-model
+    * analog of [[buildIvfIndex]]: train once, assign forever. The
+    * model content is deterministic (md5 seeds, exact-integer loop),
+    * so the stored table is gated by the same oracle as the in-query
+    * face. */
+  def buildKmeansModel(embeddings: DataFrame, modelDir: String,
+                       nlist: Int = 8, iters: Int = 3): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    trainKmeans(embeddings, nlist, iters).zipWithIndex
+      .map { case (c, id) => (id.toLong, c.toSeq) }.toSeq
+      .toDF("list_id", "cb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/centroids")
+  }
+
+  /** Build-if-absent guard ([[ensureIvfIndex]] pattern; the
+    * centroids _SUCCESS is the completed-build sentinel). */
+  def ensureKmeansModel(embeddings: DataFrame, modelDir: String,
+                        nlist: Int = 8, iters: Int = 3): String = {
+    if (!new java.io.File(s"$modelDir/centroids/_SUCCESS").exists())
+      buildKmeansModel(embeddings, modelDir, nlist, iters)
+    modelDir
+  }
+
+  /** Content-keyed default location for a corpus's stored k-means
+    * model (see [[defaultIvfIndexDir]]). */
+  def defaultKmeansModelDir(embeddings: DataFrame, sfKey: String,
+                            nlist: Int = 8, iters: Int = 3): String = {
+    val safe = sfKey.replaceAll("[^A-Za-z0-9._-]", "_")
+    val n = embeddings.count()
+    s"${System.getProperty("java.io.tmpdir")}/graft-kmeans/$safe-n$n-k$nlist-i$iters"
+  }
+
+  /** Load stored centroids back into driver arrays (k×dims longs —
+    * metadata-scale, like the BPE vocab load). */
+  private[operators] def loadKmeansModel(
+      spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): Array[Array[Long]] =
+    spark.read.parquet(s"$modelDir/centroids").orderBy(col("list_id"))
+      .collect().map(_.getSeq[Long](1).toArray)
+
+  /** The ASSIGN face over the stored model: no training in-query —
+    * centroids load as k×dims driver literals and the corpus is
+    * assigned in one row-local pass (no join, no shuffle). Result is
+    * bit-identical to [[embeddingKmeans]] (deterministic model), so
+    * the same oracle gates it. */
+  def kmeansAssignStored(vecs: DataFrame, modelDir: String): DataFrame =
+    kmeansAssign(vecs, loadKmeansModel(vecs.sparkSession, modelDir))
       .orderBy(col("vec_id"))
+
+  /** Ingest-stream face: assign streamed vectors against the frozen
+    * stored model — row-local, zero-state, watermark-free (the
+    * qualityScoreStream shape): cluster routing AT INGEST (the
+    * cluster-balanced curation gate). */
+  def kmeansAssignStream(vecs: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    kmeansAssign(vecs, cents)
+
+  /** CLUSTER-BALANCED sampling — the curation move k-means exists
+    * for (SemDeDup-style cluster pruning / DoReMi-ish domain
+    * re-balancing, applied to learned semantic clusters instead of
+    * labels): dense clusters thin toward an equal per-cluster quota,
+    * sparse clusters keep everything. Same deterministic keep-rule as
+    * [[embeddingStratifiedSample]] — each vector's md5 bucket
+    * (0..999) keeps under least(1000, quota·1000 div n) — no RNG,
+    * engine-portable. Output: the per-cluster audit (size,
+    * threshold, kept, dist² span = a tightness proxy).
+    *
+    * Scale shape: ONE row-local assignment pass against the stored
+    * model's centroid literals (no training in-query), reduced
+    * map-side to k groups; quota/thresholds ride 1-row and k-row
+    * broadcasts; the keep pass is row-local over the materialized
+    * assignment. Zero corpus shuffles. */
+  def clusterBalance(embeddings: DataFrame, modelDir: String,
+                     nlist: Int = 8): DataFrame = {
+    val assigned = Dedup.materialized(
+      kmeansAssign(embeddings, loadKmeansModel(embeddings.sparkSession, modelDir)))
+    val cnt = assigned.groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
+    val quota = cnt.agg(sum(col("n_vecs")).as("t"))
+      .select(expr(s"t div ${2L * nlist}").as("quota"))
+    val th = cnt.crossJoin(broadcast(quota))
+      .select(col("list_id"), col("n_vecs"),
+        least(lit(1000L), expr("(quota * 1000) div n_vecs")).as("thresh_permille"))
+    val bucket = conv(substring(
+      md5(concat(col("vec_id").cast("string"), lit(":cbal"))), 1, 8), 16, 10)
+      .cast("long") % 1000
+    assigned.join(broadcast(th), "list_id")
+      .withColumn("kept", bucket < col("thresh_permille"))
+      .groupBy(col("list_id"), col("n_vecs"), col("thresh_permille"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(col("dist_sq")).as("min_dist_sq"),
+        max(col("dist_sq")).as("max_dist_sq"))
+      .orderBy(col("list_id"))
   }
 }
