@@ -70,6 +70,15 @@ object SparkEntry {
       Tables.part(s, d))),
     "q46_tpch_q18" -> ((s, d) => Relational.q46TpchQ18(Tables.customer(s, d),
       Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q47_tpch_q4" -> ((s, d) => Relational.q47TpchQ4(Tables.orders(s, d),
+      Tables.lineitem(s, d))),
+    "q48_tpch_q8" -> ((s, d) => Relational.q48TpchQ8(Tables.customer(s, d),
+      Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d),
+      Tables.nation(s, d), Tables.region(s, d), Tables.part(s, d))),
+    "q49_tpch_q19" -> ((s, d) => Relational.q49TpchQ19(Tables.lineitem(s, d),
+      Tables.part(s, d))),
+    "q50_tpch_q22" -> ((s, d) => Relational.q50TpchQ22(Tables.customer(s, d),
+      Tables.orders(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -1245,6 +1254,65 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  count(*) AS n
         |FROM t WHERE s3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, journey LIMIT 15""".stripMargin,
+    "q47_tpch_q4" ->
+      // canonical TPC-H Q4 adapted ("late" stood in by "has a
+      // returned line" — no commit/receipt dates): EXISTS -> semi join
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_tpch_q8" ->
+      // canonical TPC-H Q8: one nation's market share of a region's
+      // part-type revenue by year; one IEEE division of exact cents
+      """WITH j AS (
+        |  SELECT year(o.o_orderdate) AS o_year,
+        |    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT) AS cents,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'MEDIUM'
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |  WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1997-01-01'
+        |)
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS DOUBLE)
+        |    / sum(cents), 6) AS mkt_share,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS total_revenue
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q49_tpch_q19" ->
+      // canonical TPC-H Q19 adapted (no shipmode/container): the
+      // disjunctive brand/size/quantity predicate over the part join
+      """SELECT
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 35)""".stripMargin,
+    "q50_tpch_q22" ->
+      // canonical TPC-H Q22 adapted (every customer has SOME order in
+      // this dataset -> LAPSED high-balance customers); the
+      // above-average cut is the exact inequality cents*n > sum_cents
+      """WITH s AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |    count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0.0
+        |)
+        |SELECT c.c_nationkey, count(*) AS n_custs,
+        |  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+        |FROM customer c, s
+        |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * s.n_pos > s.sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q39_tpch_q3" ->
       // canonical TPC-H Q3 adapted (no o_shippriority column): top-10
       // unshipped-order revenue for one market segment; cents-exact

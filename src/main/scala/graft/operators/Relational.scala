@@ -933,6 +933,124 @@ object Relational {
       .limit(topN)
   }
 
+  /** TPC-H Q4 (order-priority checking, adapted — the dataset has no
+    * commit/receipt dates, so "late" is stood in by "has a returned
+    * line"): orders in a quarter with at least one flagged lineitem,
+    * counted per priority. The EXISTS lowers to a LEFT-SEMI join —
+    * lineitem is pre-filtered and pre-projected to the single key
+    * column before the orderkey shuffle; the 5-group count map-side
+    * combines. */
+  def q47TpchQ4(orders: DataFrame, lineitem: DataFrame,
+                qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(qStart) && col("o_orderdate") < lit(qEnd))
+      .join(lineitem.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q8 (national market share): one nation's suppliers' share
+    * of a region's revenue in one part-type market, by order year.
+    * The share is one IEEE division of two exact cents sums per year
+    * (engine-identical, 6 dp). Join shape: part-type filter prunes
+    * the lineitem side first (partkey join), orders carries the date
+    * filter on the orderkey shuffle, customer⋈nation⋈region restricts
+    * to the region (dims broadcast), supplier⋈nation labels the
+    * supplier nation (broadcast) — the CASE lives in the final
+    * 2-group aggregate, not a second scan. */
+  def q48TpchQ8(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                part: DataFrame, shareNation: String = "NATION_3",
+                regionName: String = "ASIA", partType: String = "MEDIUM",
+                yearFrom: Int = 1995, yearTo: Int = 1996): DataFrame = {
+    val regNat = nation.join(broadcast(
+        region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val supp = supplier.join(broadcast(nation.select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cents = round(disc(col("l_extendedprice")) * 100).cast("long")
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), cents.as("cents"))
+      .join(part.filter(col("p_type") === partType).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.filter(col("o_orderdate") >= lit(s"$yearFrom-01-01") &&
+          col("o_orderdate") < lit(s"${yearTo + 1}-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(regNat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === shareNation, col("cents")).otherwise(0L))
+          .as("nation_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("o_year"),
+        round(col("nation_cents").cast("double") / col("total_cents"), 6)
+          .as("mkt_share"),
+        (col("total_cents").cast("double") / 100.0).as("total_revenue"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q19 (discounted revenue, adapted to the available columns
+    * — no shipmode/container): the DISJUNCTIVE-predicate query. The
+    * per-branch (brand, size, quantity) conjunctions OR together
+    * AFTER the partkey join (they span both tables so they cannot
+    * push below it), but each side's prunable half does push: the
+    * brand-pair filter reaches the part scan, the quantity envelope
+    * reaches the lineitem scan. One exact cents sum. */
+  def q49TpchQ19(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val cents = round(disc(col("l_extendedprice")) * 100).cast("long")
+    lineitem
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 35)
+      .select(col("l_partkey"), col("l_quantity"), cents.as("cents"))
+      .join(part.filter(col("p_brand").isin("Brand#4", "Brand#19"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#4" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#19" &&
+          col("p_size").between(10, 30) && col("l_quantity").between(10, 35)))
+      .agg(
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 (global sales opportunity, adapted — in this dataset
+    * every customer has SOME order, so the canonical "never ordered"
+    * anti-join is vacuous; the business question becomes LAPSED
+    * high-balance customers: above-average balance, no order since
+    * `since`): the anti-join + scalar-aggregate pattern. The global
+    * average rides a 1-row broadcast; the above-average cut is the
+    * exact integer inequality cents·n > Σcents (no float avg can
+    * flip it); the anti join pre-projects recent orders to the
+    * single key column. Output per nation: count + exact balance
+    * total. */
+  def q50TpchQ22(customer: DataFrame, orders: DataFrame,
+                 since: String = "2000-01-01"): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val avgRow = customer.filter(col("c_acctbal") > 0.0)
+      .agg(sum(cents).as("sum_cents"), count(lit(1)).as("n_pos"))
+    customer
+      .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_cents"))
+      .crossJoin(broadcast(avgRow))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+      .join(orders.filter(col("o_orderdate") >= lit(since))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        (sum(col("bal_cents")).cast("double") / 100.0).as("total_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Longest streak per user: the gaps-and-islands run-length idiom
     * (row_number minus per-type row_number labels each maximal run of
     * consecutive identical event_types), then the longest run per user.

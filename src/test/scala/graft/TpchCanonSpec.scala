@@ -79,6 +79,48 @@ class TpchCanonSpec extends AnyFunSuite {
     assert(q18.contains("TakeOrderedAndProject"), s"Q18 top-20 must TakeOrdered:\n$q18")
   }
 
+  test("q47 (Q4): an order with many flagged lines counts once (semi join, not inner)") {
+    val spark = this.spark
+    import spark.implicits._
+    val orders = Seq(
+      (10L, ts("1996-02-01T00:00:00Z"), "1-URGENT"),
+      (11L, ts("1996-02-02T00:00:00Z"), "1-URGENT"),
+      (12L, ts("1995-01-01T00:00:00Z"), "1-URGENT")  // outside quarter
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq((10L, "R"), (10L, "R"), (10L, "R"), (11L, "N"), (12L, "R"))
+      .toDF("l_orderkey", "l_returnflag")
+    val out = Relational.q47TpchQ4(orders, li).collect()
+    assert(out.length == 1 && out(0).getString(0) == "1-URGENT" &&
+      out(0).getLong(1) == 1L, s"got ${out.toSeq}")
+  }
+
+  test("q50 (Q22): above-average cut is strict and the anti join drops recent buyers") {
+    val spark = this.spark
+    import spark.implicits._
+    val customer = Seq(
+      (1L, 1, 100.0),   // above avg (avg=75), lapsed -> kept
+      (2L, 1, 50.0),    // below avg
+      (3L, 2, 100.0),   // above avg but ordered recently -> dropped
+      (4L, 2, 75.0)     // exactly avg: strict cut drops it
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val orders = Seq((3L, ts("2001-01-01T00:00:00Z")))
+      .toDF("o_custkey", "o_orderdate")
+    val out = Relational.q50TpchQ22(customer, orders).collect()
+    assert(out.length == 1 && out(0).getInt(0) == 1 &&
+      out(0).getLong(1) == 1L && out(0).getDouble(2) == 100.0,
+      s"got ${out.toSeq}")
+  }
+
+  test("q49 (Q19) plan: brand filter reaches the part scan, quantity envelope the lineitem scan") {
+    val df = Relational.q49TpchQ19(Tables.lineitem(spark, TestSpark.sf),
+      Tables.part(spark, TestSpark.sf))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("p_brand"), "brand predicate must reach the part side")
+    assert(p.contains("GreaterThanOrEqual(l_quantity") ||
+      p.contains("l_quantity"), "quantity envelope must reach the lineitem scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q41 (Q7) plan: nation/supplier dims broadcast, facts keep the shuffle spine") {
     val p = Relational.q41TpchQ7(Tables.customer(spark, TestSpark.sf),
       Tables.orders(spark, TestSpark.sf), Tables.lineitem(spark, TestSpark.sf),
