@@ -79,6 +79,22 @@ object SparkEntry {
       Tables.part(s, d))),
     "q50_tpch_q22" -> ((s, d) => Relational.q50TpchQ22(Tables.customer(s, d),
       Tables.orders(s, d))),
+    "q51_tpch_q2" -> ((s, d) => Relational.q51TpchQ2(Tables.lineitem(s, d),
+      Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+      Tables.region(s, d))),
+    "q52_tpch_q9" -> ((s, d) => Relational.q52TpchQ9(Tables.lineitem(s, d),
+      Tables.orders(s, d), Tables.part(s, d), Tables.supplier(s, d),
+      Tables.nation(s, d))),
+    "q53_tpch_q11" -> ((s, d) => Relational.q53TpchQ11(Tables.lineitem(s, d),
+      Tables.supplier(s, d), Tables.nation(s, d))),
+    "q54_tpch_q12" -> ((s, d) => Relational.q54TpchQ12(Tables.lineitem(s, d),
+      Tables.orders(s, d))),
+    "q55_tpch_q16" -> ((s, d) => Relational.q55TpchQ16(Tables.lineitem(s, d),
+      Tables.part(s, d), Tables.supplier(s, d))),
+    "q56_tpch_q20" -> ((s, d) => Relational.q56TpchQ20(Tables.lineitem(s, d),
+      Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q57_tpch_q21" -> ((s, d) => Relational.q57TpchQ21(Tables.lineitem(s, d),
+      Tables.orders(s, d), Tables.supplier(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
@@ -1313,6 +1329,120 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q51_tpch_q2" ->
+      // canonical TPC-H Q2 adapted (no partsupp: supply cost stood in
+      // by min unit price ever charged, exact integer milli-cents)
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min((CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)
+        |        // CAST(l_quantity AS BIGINT)) AS cost_mc
+        |  FROM lineitem GROUP BY 1, 2
+        |), j AS (
+        |  SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, c.cost_mc,
+        |    min(c.cost_mc) OVER (PARTITION BY p.p_partkey) AS min_mc
+        |  FROM cost c
+        |  JOIN part p ON p.p_partkey = c.l_partkey
+        |    AND p.p_type = 'SMALL' AND p.p_size <= 10
+        |  JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_mc
+        |FROM j WHERE cost_mc = min_mc
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q52_tpch_q9" ->
+      // canonical TPC-H Q9 adapted (no ps_supplycost: unit cost stood
+      // in by 80% of retail price, exact as (retail_cents*4) div 5)
+      """SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+        |    - CAST(l.l_quantity AS BIGINT)
+        |      * ((CAST(round(p.p_retailprice * 100) AS BIGINT) * 4) // 5)) AS DOUBLE) / 100.0
+        |    AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q53_tpch_q11" ->
+      // canonical TPC-H Q11 adapted (inventory value stood in by
+      // shipped revenue from one nation's suppliers; the canonical
+      // fixed share empties at scale, so the cut is 3x the average);
+      // HAVING is the exact integer inequality value*n > 3*total
+      """WITH pp AS (
+        |  SELECT l.l_partkey AS p_partkey,
+        |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS value_cents
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+        |  GROUP BY 1
+        |), t AS (SELECT sum(value_cents) AS total_cents, count(*) AS n_parts FROM pp)
+        |SELECT pp.p_partkey, pp.value_cents
+        |FROM pp, t WHERE pp.value_cents * t.n_parts > 3 * t.total_cents
+        |ORDER BY pp.value_cents DESC, pp.p_partkey""".stripMargin,
+    "q54_tpch_q12" ->
+      // canonical TPC-H Q12 adapted (no shipmode/commit/receipt:
+      // lines bucket by whole-day ship lag from order date)
+      """SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 0 THEN 'early'
+        |  WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
+        |  WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'normal'
+        |  ELSE 'late' END AS lag_bucket,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q55_tpch_q16" ->
+      // canonical TPC-H Q16 adapted (partsupp stood in by "shipped at
+      // least one line"; complaints exclusion by negative acctbal)
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |  AND p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                  WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q56_tpch_q20" ->
+      // canonical TPC-H Q20 adapted (excess availability stood in by
+      // dominance: shipped more than half a part's year quantity)
+      """WITH ps AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    sum(CAST(l.l_quantity AS BIGINT)) AS s_qty,
+        |    sum(sum(CAST(l.l_quantity AS BIGINT)))
+        |      OVER (PARTITION BY l.l_partkey) AS tot_qty
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'blue%'
+        |  WHERE l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1998-01-01'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.s_suppkey, s.s_name, n.n_name, d.n_parts
+        |FROM (SELECT l_suppkey, count(*) AS n_parts
+        |      FROM ps WHERE s_qty * 2 > tot_qty GROUP BY 1) d
+        |JOIN supplier s ON s.s_suppkey = d.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q57_tpch_q21" ->
+      // canonical TPC-H Q21 adapted (late = ship lag > 90 days); the
+      // EXISTS/NOT-EXISTS pair collapses into one per-order aggregate
+      """WITH po AS (
+        |  SELECT l.l_orderkey,
+        |    count(DISTINCT l.l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+        |      THEN l.l_suppkey END) AS n_late_supp,
+        |    max(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+        |      THEN l.l_suppkey END) AS late_supp
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM po JOIN supplier s ON s.s_suppkey = po.late_supp
+        |WHERE po.n_supp >= 2 AND po.n_late_supp = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q39_tpch_q3" ->
       // canonical TPC-H Q3 adapted (no o_shippriority column): top-10
       // unshipped-order revenue for one market segment; cents-exact

@@ -1078,4 +1078,224 @@ object Relational {
       .select(col("user_id"), col("event_type"), col("run_len"), col("min_event_id"))
       .orderBy(col("user_id"))
   }
+
+  /** TPC-H Q2 (minimum-cost supplier, adapted — no partsupp table, so
+    * "supply cost" is stood in by the minimum unit price a supplier
+    * ever charged for the part, in exact milli-cents via integer
+    * division): for parts of one type/size band, every supplier in a
+    * region achieving the per-part minimum cost. The per-(part,
+    * supplier) cost rollup is the ONLY fact-sized shuffle (map-side
+    * combined min); part and the supplier⋈nation⋈region chain
+    * broadcast (geography-bounded); the correlated-min subquery is a
+    * partkey window over the already-tiny qualified table. Milli-cent
+    * integer costs make the min and the equality cut float-free. */
+  def q51TpchQ2(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                nation: DataFrame, region: DataFrame,
+                regionName: String = "EUROPE", partType: String = "SMALL",
+                maxSize: Int = 10, topN: Int = 100): DataFrame = {
+    val unitMc = expr(
+      "(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000) div CAST(l_quantity AS BIGINT)")
+    val cost = lineitem
+      .select(col("l_partkey"), col("l_suppkey"), unitMc.as("unit_mc"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_mc")).as("cost_mc"))
+    val supp = supplier
+      .join(broadcast(nation.join(
+          broadcast(region.filter(col("r_name") === regionName)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val byPart = Window.partitionBy(col("p_partkey"))
+    cost
+      .join(broadcast(part.filter(col("p_type") === partType &&
+          col("p_size") <= maxSize)
+        .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_mc", min(col("cost_mc")).over(byPart))
+      .filter(col("cost_mc") === col("min_mc"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost_mc"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q9 (product-type profit, adapted — no ps_supplycost, so
+    * unit cost is stood in by 80 % of p_retailprice, held exact as
+    * `(retail_cents·4) div 5`): profit per supplier nation per order
+    * year over one part-name family. The name-prefix filter prunes
+    * part BEFORE its broadcast; lineitem joins part on partkey
+    * map-side, then rides ONE orderkey shuffle to pick up the year;
+    * supplier⋈nation broadcasts. Profit is an exact integer-cents
+    * difference — revenue minus qty·unit-cost — summed map-side into
+    * ~nations×years rows. */
+  def q52TpchQ9(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+                supplier: DataFrame, nation: DataFrame,
+                namePrefix: String = "red"): DataFrame = {
+    val costUnit = expr("(CAST(round(p_retailprice * 100) AS BIGINT) * 4) div 5")
+    val revCents = round(disc(col("l_extendedprice")) * 100).cast("long")
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"), revCents.as("rev_cents"))
+      .join(broadcast(part.filter(col("p_name").startsWith(namePrefix))
+          .select(col("p_partkey"), costUnit.as("cost_unit"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.join(broadcast(nation),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg((sum(col("rev_cents") - col("qty") * col("cost_unit")).cast("double") / 100.0)
+        .as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 (important stock, adapted — part "inventory value" is
+    * stood in by shipped revenue from one nation's suppliers): parts
+    * whose value exceeds `avgMult`× the average part value. The
+    * canonical fixed share (0.0001/SF) empties at larger corpora, so
+    * the cut is relative to the average — scale-free by construction.
+    * The nation's supplier list broadcasts (≤ suppliers/25 rows) and
+    * prunes lineitem BEFORE its only shuffle (the partkey value
+    * rollup, map-side combined); the global (total, n) is a 1-row
+    * broadcast and the HAVING is the exact integer inequality
+    * value·n > avgMult·total — no float share can flip it. */
+  def q53TpchQ11(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+                 nationName: String = "NATION_3", avgMult: Long = 3): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val natSupp = supplier.join(
+        broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = lineitem
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("l_partkey"), cents.as("cents"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).as("value_cents"))
+    val total = perPart.agg(sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_cents") * col("n_parts") > lit(avgMult) * col("total_cents"))
+      .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 (shipping-mode priority audit, adapted — no shipmode
+    * or commit/receipt dates, so lines bucket by their ship LAG from
+    * order date): per lag bucket, how many lines belong to
+    * high-priority vs other orders. One orderkey shuffle joins the
+    * two facts; the bucket CASE and the priority split live inside a
+    * 4-group map-side-combined aggregate. The lag is an exact
+    * whole-day integer (both columns are midnight-valued), so bucket
+    * edges can never flip on sub-day drift. */
+  def q54TpchQ12(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+    val bucket = when(lag < 0, "early").when(lag <= 30, "fast")
+      .when(lag <= 90, "normal").otherwise("late")
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(bucket.as("lag_bucket"))
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("lag_bucket"))
+  }
+
+  /** TPC-H Q16 (supplier diversity by part attributes, adapted —
+    * partsupp is stood in by "has shipped at least one line", and the
+    * complaints exclusion by negative account balance): distinct
+    * supplier counts per (brand, type, size) outside one brand/type,
+    * for the canonical size list. Both the part filter and the
+    * bad-supplier anti list broadcast and prune lineitem map-side
+    * (no fact shuffle until the countDistinct, which Spark runs as
+    * the standard two-phase expand — first on (grp, supp) to dedup,
+    * then on grp). */
+  def q55TpchQ16(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                 exclBrand: String = "Brand#5", exclType: String = "PROMO",
+                 sizes: Seq[Int] = Seq(1, 4, 9, 16, 25, 36, 49)): DataFrame = {
+    val partF = part.filter(col("p_brand") =!= exclBrand &&
+        col("p_type") =!= exclType && col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val badSupp = supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 (part-promotion suppliers, adapted — "excess
+    * availability" is stood in by DOMINANCE: the supplier shipped
+    * more than half of a part's total quantity that year): suppliers
+    * dominating at least one part of a name family in one ship year,
+    * with how many parts they dominate. The year+name filters prune
+    * before the only fact shuffle (the (part, supplier) quantity
+    * rollup); the per-part total rides a partkey window over that
+    * already-reduced table; 2·qty > total is exact on integral
+    * quantities. Supplier names broadcast last. */
+  def q56TpchQ20(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                 nation: DataFrame, namePrefix: String = "blue",
+                 shipYear: Int = 1997): DataFrame = {
+    val perPS = lineitem
+      .filter(col("l_shipdate") >= lit(s"$shipYear-01-01") &&
+        col("l_shipdate") < lit(s"${shipYear + 1}-01-01"))
+      .join(broadcast(part.filter(col("p_name").startsWith(namePrefix))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("s_qty"))
+    val byPart = Window.partitionBy(col("l_partkey"))
+    perPS
+      .withColumn("tot_qty", sum(col("s_qty")).over(byPart))
+      .filter(col("s_qty") * 2 > col("tot_qty"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts"))
+      .join(broadcast(supplier.join(broadcast(nation),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("n_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting, adapted — no
+    * commit/receipt dates, so "late" is a ship lag over `lateDays`):
+    * for finished orders with at least two suppliers where EXACTLY
+    * one supplier shipped late, count waiting orders per culprit.
+    * The canonical EXISTS/NOT-EXISTS pair collapses into ONE
+    * per-order aggregate (distinct suppliers, distinct late
+    * suppliers, and the culprit via max — well-defined because the
+    * filter pins exactly one) — a single orderkey shuffle instead of
+    * three self-joins; the per-supplier recount is over orders-sized
+    * data and supplier names broadcast. */
+  def q57TpchQ21(lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
+                 lateDays: Int = 90, topN: Int = 100): DataFrame = {
+    val late = datediff(col("l_shipdate"), col("o_orderdate")) > lateDays
+    val perOrder = lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    perOrder
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(topN)
+  }
 }

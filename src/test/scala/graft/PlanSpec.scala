@@ -66,6 +66,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters"), "order-date/region filters must reach the scans")
   }
 
+  test("tpch q21: exists/not-exists collapses to one fact shuffle, no self-joins") {
+    val p = plan(Relational.q57TpchQ21(Tables.lineitem(spark, TestSpark.sf),
+      Tables.orders(spark, TestSpark.sf), Tables.supplier(spark, TestSpark.sf)))
+    // the canonical formulation self-joins lineitem three times; ours
+    // aggregates once per order — lineitem must appear in exactly one scan
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"lineitem must be scanned exactly once:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "supplier name join must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch q2: part and the supplier-geo chain broadcast onto the cost rollup") {
+    val p = plan(Relational.q51TpchQ2(Tables.lineitem(spark, TestSpark.sf),
+      Tables.part(spark, TestSpark.sf), Tables.supplier(spark, TestSpark.sf),
+      Tables.nation(spark, TestSpark.sf), Tables.region(spark, TestSpark.sf)))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"part and supplier-geo dims must broadcast:\n$p")
+    assert(p.contains("partial_min"), "per-(part,supplier) cost min must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("embedding_pca Gram matrix: row-local pair expansion, one exchange, no join") {
     val p = plan(Ann.gramMatrix(Tables.embeddings(spark, TestSpark.sf)))
     assert(!p.contains("Join"), s"Gram plan must not join the corpus to itself:\n$p")
