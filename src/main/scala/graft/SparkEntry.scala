@@ -222,6 +222,7 @@ object SparkEntry {
     "scale_salted_agg" -> ((s, d) => ScaleOps.saltedAgg(Tables.events(s, d))),
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
     "scale_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(Tables.lineitem(s, d))),
+    "scale_countmin" -> ((s, d) => ScaleOps.countMin(Tables.events(s, d))),
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
     "scale_partition_prune" -> ((s, d) =>
       ScaleOps.partitionPrunedScan(s, ScaleOps.writePartitionedLayout(s, d))),
@@ -2095,6 +2096,31 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         | count(DISTINCT l_suppkey) AS exact_supps,
         | TRUE AS parts_within_tol, TRUE AS supps_within_tol
         |FROM lineitem""".stripMargin,
+    "scale_countmin" ->
+      // relational count-min sketch: the depth-4 x width-512 counter
+      // array as a sparse (row, cell, cnt) table on the portable md5
+      // hash; estimate = min over a key's 4 cells. CMS only ever
+      // overestimates, so never_underestimates re-checks the theorem.
+      """WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        |cells AS (
+        |  SELECT k, r.r AS row,
+        |    CAST(('0x' || substr(md5(k || ':cm' || r.r), 1, 15)) AS BIGINT) % 512 AS cell
+        |  FROM keyed, (SELECT unnest(range(4)) AS r) r
+        |),
+        |cms AS (SELECT row, cell, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        |top AS (
+        |  SELECT k, count(*) AS exact_cnt FROM keyed GROUP BY 1
+        |  ORDER BY exact_cnt DESC, k LIMIT 20
+        |),
+        |tc AS (
+        |  SELECT t.k, t.exact_cnt, r.r AS row,
+        |    CAST(('0x' || substr(md5(t.k || ':cm' || r.r), 1, 15)) AS BIGINT) % 512 AS cell
+        |  FROM top t, (SELECT unnest(range(4)) AS r) r
+        |)
+        |SELECT tc.k AS user_id, tc.exact_cnt, min(cms.cnt) AS est_cnt,
+        |  min(cms.cnt) >= tc.exact_cnt AS never_underestimates
+        |FROM tc JOIN cms ON cms.row = tc.row AND cms.cell = tc.cell
+        |GROUP BY 1, 2 ORDER BY exact_cnt DESC, user_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

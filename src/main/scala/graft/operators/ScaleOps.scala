@@ -216,4 +216,55 @@ object ScaleOps {
         <= lit(3 * rsd)).as("parts_within_tol"),
       (abs(col("asu") - col("exact_supps")).cast("double") / col("exact_supps")
         <= lit(3 * rsd)).as("supps_within_tol"))
+
+  /** Count-min cell for hash row `r`: portable 60-bit md5 hash of the
+    * key salted with the row index, mod `width`. The md5 derivation is
+    * the repo-wide portable idiom, so a SQL oracle replays the whole
+    * sketch bit-for-bit. */
+  private def cmCell(key: org.apache.spark.sql.Column, r: Int, width: Int) =
+    pmod(conv(substring(md5(concat(key, lit(s":cm$r"))), 1, 15), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** Count-min sketch as a RELATIONAL artifact: the depth×width counter
+    * array is a sparse (row, cell, cnt) table — one corpus scan fans
+    * each key into `depth` cells and the groupBy is bounded by
+    * depth·width keys, so map-side combine collapses every partition's
+    * contribution to ≤ depth·width partial rows no matter the corpus
+    * size (the mergeability of CMS IS the combinability of sum — a
+    * spec proves half-corpus sketches sum to the full one). The sketch
+    * (≤ depth·width rows) then broadcasts back onto the exact top-K
+    * heavy hitters; est = min over the key's `depth` cells. CMS can
+    * only overestimate, so `never_underestimates` is a theorem the
+    * oracle re-checks, and the estimate itself is deterministic
+    * (counter sums are order-free) and hash-matched exactly. */
+  def countMin(events: DataFrame, depth: Int = 4, width: Int = 512,
+               topK: Int = 20): DataFrame = {
+    val keyed = events.select(col("user_id").cast("string").as("k"))
+    val cells = (r: org.apache.spark.sql.Column) =>
+      array((0 until depth).map(i => cmCell(r, i, width)): _*)
+    val cms = countMinTable(events, depth, width)
+    val top = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("k")).limit(topK)
+    top
+      .select(col("k"), col("exact_cnt"), posexplode(cells(col("k"))).as(Seq("row", "cell")))
+      .join(broadcast(cms), Seq("row", "cell"))
+      .groupBy(col("k"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .select(col("k").as("user_id"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("exact_cnt")).as("never_underestimates"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
+  /** The raw sparse sketch for `events` — exposed so the mergeability
+    * spec can sum two half-corpus sketches and compare to the full
+    * one. */
+  private[graft] def countMinTable(events: DataFrame, depth: Int = 4,
+                                   width: Int = 512): DataFrame = {
+    val keyed = events.select(col("user_id").cast("string").as("k"))
+    keyed
+      .select(posexplode(array((0 until depth).map(i =>
+          cmCell(col("k"), i, width)): _*)).as(Seq("row", "cell")))
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

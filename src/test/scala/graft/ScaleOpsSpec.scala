@@ -50,6 +50,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getBoolean(3), "supps sketch outside 3*rsd tolerance")
   }
 
+  test("count-min sketch: estimates bound exact counts and sketches merge by summation") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, TestSpark.sf)
+    val r = ScaleOps.countMin(events).collect()
+    assert(r.nonEmpty)
+    // CMS can only overestimate: est >= exact for every reported key,
+    // and with depth 4 / width 512 at test scale the min-row estimate
+    // should stay within a loose additive envelope of n/width
+    val n = events.count()
+    r.foreach { row =>
+      val (exact, est) = (row.getLong(1), row.getLong(2))
+      assert(est >= exact, s"CMS underestimated ${row.getString(0)}")
+      assert(row.getBoolean(3))
+      assert(est - exact <= 4 * n / 512 + 1,
+        s"estimate ${est} drifted past the additive envelope for exact ${exact}")
+    }
+    // mergeability = combinability of sum: the sketch of two disjoint
+    // halves, summed cell-wise, IS the sketch of the whole corpus
+    val whole = ScaleOps.countMinTable(events)
+    val halves = ScaleOps.countMinTable(events.filter(col("event_id") % 2 === 0))
+      .unionAll(ScaleOps.countMinTable(events.filter(col("event_id") % 2 =!= 0)))
+      .groupBy(col("row"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+    assert(whole.unionAll(halves).groupBy(col("row"), col("cell"), col("cnt"))
+      .count().filter(col("count") =!= 2).isEmpty,
+      "summed half-corpus sketches differ from the whole-corpus sketch")
+  }
+
   test("events can be consumed as a file stream (readStream over the testdata layout)") {
     import org.apache.spark.sql.functions._
     // copy a parquet file into a stream-source dir (file streams read dirs)
