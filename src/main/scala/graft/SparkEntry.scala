@@ -164,6 +164,7 @@ object SparkEntry {
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(Tables.documents(s, d))),
     "mm_decode" -> ((s, d) => Multimodal.mmDecode(Tables.documents(s, d))),
     "mm_png" -> ((s, d) => Multimodal.mmPng(Tables.documents(s, d))),
+    "mm_phash" -> ((s, d) => Multimodal.mmPhash(Tables.documents(s, d))),
     "mm_mulaw" -> ((s, d) => Multimodal.mmMulaw(Tables.documents(s, d))),
     "mm_alaw" -> ((s, d) => Multimodal.mmAlaw(Tables.documents(s, d))),
     "mm_jpeg" -> ((s, d) => Multimodal.mmJpeg(Tables.documents(s, d))),
@@ -3094,6 +3095,51 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  round(CAST(sb AS DOUBLE) / (w * h), 4) AS mean_b,
         |  CAST(3 * w * h AS BIGINT) AS decoded_bytes
         |FROM s ORDER BY doc_id""".stripMargin,
+    "mm_phash" ->
+      // dHash perceptual near-dup: the oracle replays the WHOLE chain
+      // closed-form — generator pixels -> 9x8 nn luma grid -> gradient
+      // bits -> four 16-bit band keys -> sorted-neighborhood lead
+      // pairing per band bucket -> bit_count hamming. Any defect in
+      // the real decode, the grid sampling, or the banding hash-fails.
+      """WITH im AS (
+        |  SELECT doc_id, 12 + (doc_id % 5) * 4 AS w, 12 + (doc_id % 7) * 4 AS h
+        |  FROM documents
+        |), g AS (
+        |  SELECT im.doc_id, t.i // 9 AS gy, t.i % 9 AS gx,
+        |    299 * ((im.doc_id*11 + (3*((((t.i//9)*im.h)//8)*im.w + ((t.i%9)*im.w)//9))*29) % 256)
+        |    + 587 * ((im.doc_id*11 + (3*((((t.i//9)*im.h)//8)*im.w + ((t.i%9)*im.w)//9)+1)*29) % 256)
+        |    + 114 * ((im.doc_id*11 + (3*((((t.i//9)*im.h)//8)*im.w + ((t.i%9)*im.w)//9)+2)*29) % 256) AS l
+        |  FROM im, LATERAL unnest(range(0, 72)) t(i)
+        |), bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND b.l > a.l
+        |), sig AS (
+        |  SELECT im.doc_id,
+        |    COALESCE(sum(CASE WHEN bit < 16 THEN (CAST(1 AS BIGINT) << bit) END), 0) AS b0,
+        |    COALESCE(sum(CASE WHEN bit >= 16 AND bit < 32 THEN (CAST(1 AS BIGINT) << (bit-16)) END), 0) AS b1,
+        |    COALESCE(sum(CASE WHEN bit >= 32 AND bit < 48 THEN (CAST(1 AS BIGINT) << (bit-32)) END), 0) AS b2,
+        |    COALESCE(sum(CASE WHEN bit >= 48 THEN (CAST(1 AS BIGINT) << (bit-48)) END), 0) AS b3
+        |  FROM im LEFT JOIN bits ON bits.doc_id = im.doc_id
+        |  GROUP BY im.doc_id
+        |), bands AS (
+        |  SELECT doc_id, b0, b1, b2, b3, t.band,
+        |    CASE t.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+        |  FROM sig, (SELECT unnest(range(4)) AS band) t
+        |), nbr AS (
+        |  SELECT doc_id AS doc_a, b0, b1, b2, b3,
+        |    lead(doc_id) OVER w AS doc_b,
+        |    lead(b0) OVER w AS nb0, lead(b1) OVER w AS nb1,
+        |    lead(b2) OVER w AS nb2, lead(b3) OVER w AS nb3
+        |  FROM bands WINDOW w AS (PARTITION BY band, key ORDER BY doc_id)
+        |), p AS (
+        |  SELECT DISTINCT doc_a, doc_b,
+        |    bit_count(xor(b0, nb0)) + bit_count(xor(b1, nb1))
+        |    + bit_count(xor(b2, nb2)) + bit_count(xor(b3, nb3)) AS hamming
+        |  FROM nbr WHERE doc_b IS NOT NULL
+        |)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin,
     "mm_frames" ->
       """WITH d AS (SELECT doc_id, strlen(text) AS nb FROM documents WHERE doc_id % 3 = 2),
         |f AS (

@@ -530,4 +530,67 @@ object Multimodal {
       .withColumn("mean_abs_out", round(col("mean_abs_out"), 4))
       .orderBy(col("doc_id"))
   }
+
+  /** Perceptual near-duplicate detection (dHash) over the REAL decode
+    * path: each PNG is decoded ([[Codecs.decodePngPixels]] — CRC walk,
+    * inflate, unfilter), its integer-milli luma is nearest-neighbor
+    * sampled onto the classic 9×8 dHash grid, and adjacent-column
+    * gradient signs form a 64-bit signature carried as four 16-bit
+    * band keys. Candidate generation is SORTED-NEIGHBORHOOD banding
+    * (Hernández & Stolfo): within each band bucket only ADJACENT
+    * doc_ids pair via `lead` — candidate volume is O(docs·bands) BY
+    * CONSTRUCTION, immune to the degenerate-bucket blowup a pairwise
+    * band join suffers on self-similar corpora (this generator's ramp
+    * images collapse ~2.5 % of all pairs into shared buckets; a
+    * quadratic expansion would be the exact §9 banding failure mode).
+    * Hamming distance is four codegen'd bit_counts — row-local, no
+    * shuffle after the one band-bucket window. The oracle replays the
+    * whole chain — closed-form pixels, grid, gradient bits, banding,
+    * lead pairing, bit_count — in SQL. */
+  def mmPhash(documents: DataFrame, hammingMax: Int = 10): DataFrame = {
+    import documents.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sig = mediaTablePng(documents).mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = Codecs.decodePngPixels(r.content)
+          .getOrElse(sys.error(s"PNG decode failed for doc ${r.doc_id}"))
+        def lum(x: Int, y: Int): Long = {
+          val j = 3 * (y * w + x)
+          299L * (rgb(j) & 0xFF) + 587L * (rgb(j + 1) & 0xFF) +
+            114L * (rgb(j + 2) & 0xFF)
+        }
+        val g = Array.tabulate(8, 9)((y, x) => lum((x * w) / 9, (y * h) / 8))
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (g(y)(x + 1) > g(y)(x)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (r.doc_id, hash & 0xFFFFL, (hash >>> 16) & 0xFFFFL,
+          (hash >>> 32) & 0xFFFFL, (hash >>> 48) & 0xFFFFL)
+      }
+    }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    val byBucket = Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
+    sig
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "key")))
+      .withColumn("doc_b", lead(col("doc_id"), 1).over(byBucket))
+      .withColumn("nb0", lead(col("b0"), 1).over(byBucket))
+      .withColumn("nb1", lead(col("b1"), 1).over(byBucket))
+      .withColumn("nb2", lead(col("b2"), 1).over(byBucket))
+      .withColumn("nb3", lead(col("b3"), 1).over(byBucket))
+      .filter(col("doc_b").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        (expr("bit_count(b0 ^ nb0) + bit_count(b1 ^ nb1)") +
+          expr("bit_count(b2 ^ nb2) + bit_count(b3 ^ nb3)"))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hammingMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

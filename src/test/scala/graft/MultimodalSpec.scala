@@ -772,4 +772,23 @@ class WavResampleSpec extends org.scalatest.funsuite.AnyFunSuite {
     val mulaw = Codecs.encodeWavMuLaw(Array[Short](1, 2, 3))
     assert(Codecs.resampleWav2x(mulaw).isEmpty, "companded input must be transcoded first")
   }
+
+  test("mm_phash: sorted-neighborhood candidates stay linear; hamming bounded; pairs ordered") {
+    val docs = Tables.documents(TestSpark.spark, TestSpark.sf)
+    val pairs = Multimodal.mmPhash(docs).collect()
+    assert(pairs.nonEmpty, "ramp-generator images must yield near-dup pairs")
+    val n = docs.count()
+    // each doc contributes at most one lead-pair per band, so the
+    // candidate ceiling (before the hamming cut) is 4n — the reported
+    // set can only be smaller
+    assert(pairs.length <= 4 * n, s"${pairs.length} pairs exceeds the 4n banding ceiling")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "lead pairing must order doc_a < doc_b")
+      assert(r.getLong(2) <= 10 && r.getLong(2) >= 0)
+    }
+    // a doc is trivially a near-dup of itself: identical signatures
+    // must produce hamming 0 through the whole banding+bit_count chain
+    val dup = pairs.filter(_.getLong(2) == 0)
+    assert(dup.nonEmpty, "identical-signature docs must surface at hamming 0")
+  }
 }
