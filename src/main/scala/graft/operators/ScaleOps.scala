@@ -267,4 +267,46 @@ object ScaleOps {
       .groupBy(col("row"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Ingest-time SKETCH MAINTENANCE — the stream half of the CMS
+    * lifecycle: each micro-batch's ≤ depth·width-row delta sketch is
+    * written as `delta-b<epoch>`; a replayed epoch OVERWRITES its own
+    * delta dir (the dedupIncrementalStream replay-idempotency rule),
+    * and because CMS merge IS cell-wise sum, the merged view over all
+    * epochs equals the sketch of the full corpus — no read-modify-
+    * write of shared state, each epoch is an independent append. */
+  def countMinStream(events: DataFrame, sketchDir: String, depth: Int = 4,
+                     width: Int = 512)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      countMinTable(batch, depth, width)
+        .write.mode("overwrite").parquet(s"$sketchDir/delta-b$batchId")
+    }
+
+  /** The merged sketch: cell-wise sum over every ingested delta epoch
+    * — ≤ depth·width rows regardless of corpus size or epoch count. */
+  def countMinMerged(spark: SparkSession, sketchDir: String): DataFrame = {
+    val deltas = Option(new java.io.File(sketchDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b"))
+      .sortBy(_.getName)
+    require(deltas.nonEmpty, s"no delta sketches under $sketchDir")
+    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+      .groupBy(col("row"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point estimates against the stored sketch: keys fan to their
+    * `depth` cells row-locally, the ≤ depth·width-row merged sketch
+    * broadcasts, est = min over cells (0 for never-seen keys — an
+    * absent cell is an exact zero counter, hence the left join). */
+  def countMinEstimate(keys: DataFrame, sketchDir: String, depth: Int = 4,
+                       width: Int = 512): DataFrame = {
+    val merged = countMinMerged(keys.sparkSession, sketchDir)
+    keys.select(col("k").cast("string").as("k"))
+      .select(col("k"), posexplode(array((0 until depth).map(i =>
+          cmCell(col("k"), i, width)): _*)).as(Seq("row", "cell")))
+      .join(broadcast(merged), Seq("row", "cell"), "left")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
 }

@@ -77,6 +77,49 @@ class ScaleOpsSpec extends AnyFunSuite {
       "summed half-corpus sketches differ from the whole-corpus sketch")
   }
 
+  test("count-min stream: delta epochs merge to the full-corpus sketch; replay overwrites") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val all = (0 until 300).map(i => (i.toLong, (i % 23).toLong)) // (event_id, user_id)
+    val mem = MemoryStream[(Long, Long)]
+    val q = ScaleOps.countMinStream(mem.toDF().toDF("event_id", "user_id"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cms-ck").toString)
+      .start()
+    try {
+      mem.addData(all.take(150): _*); q.processAllAvailable()
+      mem.addData(all.drop(150): _*); q.processAllAvailable()
+    } finally q.stop()
+    // merged epochs == single-shot sketch of the whole corpus
+    val whole = ScaleOps.countMinTable(all.toDF("event_id", "user_id"))
+    val merged = ScaleOps.countMinMerged(spark, dir)
+    assert(whole.unionAll(merged).groupBy(col("row"), col("cell"), col("cnt"))
+      .count().filter(col("count") =!= 2).isEmpty,
+      "merged delta sketches differ from the whole-corpus sketch")
+    // point estimates: every user appears ceil/floor(300/23) times; a
+    // never-seen key estimates 0 through the left join
+    val est = ScaleOps.countMinEstimate(
+        (Seq(0L, 7L, 999L)).toDF("k"), dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("0") >= 14 && est("7") >= 13, s"underestimate: $est")
+    assert(est("999") == 0, s"never-seen key must estimate 0: $est")
+    // replayed epoch 0 overwrites, not doubles
+    val d0 = spark.read.parquet(s"$dir/delta-b0")
+      .agg(sum(col("cnt"))).head().getLong(0)
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = ScaleOps.countMinStream(mem2.toDF().toDF("event_id", "user_id"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cms-ck2").toString)
+      .start()
+    try { mem2.addData(all.take(150): _*); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/delta-b0")
+      .agg(sum(col("cnt"))).head().getLong(0) == d0,
+      "a replayed epoch must overwrite its delta dir, not double it")
+  }
+
   test("events can be consumed as a file stream (readStream over the testdata layout)") {
     import org.apache.spark.sql.functions._
     // copy a parquet file into a stream-source dir (file streams read dirs)
