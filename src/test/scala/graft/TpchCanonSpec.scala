@@ -130,4 +130,156 @@ class TpchCanonSpec extends AnyFunSuite {
       s"supplier+nation sides must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q57 (Q21): the collapsed per-order aggregate equals the literal exists/not-exists dataflow") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val orders = Tables.orders(spark, TestSpark.sf)
+    val supplier = Tables.supplier(spark, TestSpark.sf)
+    // naive shape: distinct (order, supplier) pairs; late pairs; sole-late
+    // via anti join against other-supplier late pairs; multi-supplier via
+    // semi join — three joins where q57 runs one aggregate
+    val joined = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val allPairs = joined.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val latePairs = joined
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val multi = allPairs.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ns")).filter(col("ns") >= 2).select(col("l_orderkey"))
+    val naive = latePairs.as("a")
+      .join(latePairs.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"), "left_anti")
+      .join(multi, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .collect().toSeq
+    val fused = Relational.q57TpchQ21(li, orders, supplier).collect().toSeq
+    assert(fused == naive, s"fused:\n$fused\nnaive:\n$naive")
+  }
+
+  test("q51 (Q2): the window-min formulation equals groupBy-min + join") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val part = Tables.part(spark, TestSpark.sf)
+    val supplier = Tables.supplier(spark, TestSpark.sf)
+    val nation = Tables.nation(spark, TestSpark.sf)
+    val region = Tables.region(spark, TestSpark.sf)
+    val out = Relational.q51TpchQ2(li, part, supplier, nation, region).collect().toSeq
+    // re-derive with the subquery shape: per-part min over the SAME
+    // qualified (cost x part x regional supplier) table, then equi-join
+    val unitMc = expr(
+      "(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000) div CAST(l_quantity AS BIGINT)")
+    val cost = li.select(col("l_partkey"), col("l_suppkey"), unitMc.as("unit_mc"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_mc")).as("cost_mc"))
+    val supp = supplier
+      .join(nation.join(region.filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val qual = cost
+      .join(part.filter(col("p_type") === "SMALL" && col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+    val mins = qual.groupBy(col("p_partkey").as("mk")).agg(min(col("cost_mc")).as("min_mc"))
+    val naive = qual.join(mins,
+        col("p_partkey") === col("mk") && col("cost_mc") === col("min_mc"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost_mc"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100).collect().toSeq
+    assert(out == naive, s"window-min and join-min disagree")
+  }
+
+  test("q53 (Q11): the above-average cut is strict and nation-scoped") {
+    val spark = this.spark
+    import spark.implicits._
+    // nation 3 suppliers 1,2; nation 0 supplier 9 (excluded). Part
+    // values from nation-3 lines: p100=20.00, p101=2.00, p102=1.00,
+    // p103=1.00 -> n=4, total=24.00: only 20.00*4 > 3*24 qualifies.
+    // p104 has value ONLY from the excluded nation and must not appear.
+    val li = Seq(
+      (100L, 1L, 20.0), (101L, 2L, 2.0), (102L, 1L, 1.0), (103L, 2L, 1.0),
+      (104L, 9L, 500.0)
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val supplier = Seq((1L, 3L), (2L, 3L), (9L, 0L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((3L, "NATION_3"), (0L, "NATION_0")).toDF("n_nationkey", "n_name")
+    val out = Relational.q53TpchQ11(li, supplier, nation).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((100L, 2000L)), s"got $out")
+  }
+
+  test("q54 (Q12): lag buckets split on exact day boundaries; priority split is total") {
+    val spark = this.spark
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val d0 = "2000-01-01T00:00:00Z"
+    def shift(days: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse(d0).plus(java.time.Duration.ofDays(days.toLong)))
+    val orders = Seq(
+      (1L, ts(d0), "1-URGENT"), (2L, ts(d0), "5-LOW"), (3L, ts(d0), "2-HIGH"),
+      (4L, ts(d0), "3-MEDIUM"), (5L, ts(d0), "4-NOT SPECIFIED")
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, shift(30)),   // fast (boundary), high
+      (2L, shift(31)),   // normal (boundary), low
+      (3L, shift(90)),   // normal (boundary), high
+      (4L, shift(91)),   // late (boundary), low
+      (5L, shift(-1))    // early, low
+    ).toDF("l_orderkey", "l_shipdate")
+    val out = Relational.q54TpchQ12(li, orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("early", 0L, 1L), ("fast", 1L, 0L),
+      ("late", 0L, 1L), ("normal", 1L, 1L)), s"got $out")
+  }
+
+  test("q56 (Q20): dominance is strict — an exact half does not qualify") {
+    val spark = this.spark
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val d = ts("1997-06-01T00:00:00Z")
+    val li = Seq(
+      // part 100: supplier 1 ships 6 of 10 -> 12 > 10 qualifies
+      (100L, 1L, 6.0, d), (100L, 2L, 4.0, d),
+      // part 101: suppliers split 5/5 -> 10 > 10 is FALSE for both
+      (101L, 1L, 5.0, d), (101L, 2L, 5.0, d),
+      // part 102: outside the ship year -> ignored entirely
+      (102L, 2L, 50.0, ts("1995-01-01T00:00:00Z"))
+    ).toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val part = Seq((100L, "blue bolt"), (101L, "blue gear"), (102L, "blue cog"))
+      .toDF("p_partkey", "p_name")
+    val supplier = Seq((1L, "s1", 3L), (2L, "s2", 3L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((3L, "NATION_3")).toDF("n_nationkey", "n_name")
+    val out = Relational.q56TpchQ20(li, part, supplier, nation).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 1L)), s"only supplier 1 dominates exactly one part: $out")
+  }
+
+  test("q52 (Q9): the 80% cost stand-in truncates exactly like the oracle's integer div") {
+    val spark = this.spark
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // retail 9.99 -> 999 cents -> *4 div 5 = 799 (exact trunc, not 799.2)
+    // one line: qty 2, ext 100.00, disc 0 -> rev 10000c, cost 1598c
+    val li = Seq((1L, 100L, 1L, 2.0, 100.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val orders = Seq((1L, ts("1996-03-01T00:00:00Z"))).toDF("o_orderkey", "o_orderdate")
+    val part = Seq((100L, "red widget", 9.99)).toDF("p_partkey", "p_name", "p_retailprice")
+    val supplier = Seq((1L, 3L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((3L, "NATION_3")).toDF("n_nationkey", "n_name")
+    val r = Relational.q52TpchQ9(li, orders, part, supplier, nation).collect()(0)
+    assert(r.getString(0) == "NATION_3" && r.getLong(1) == 1996L)
+    assert(math.abs(r.getDouble(2) - 84.02) < 1e-9, s"(10000 - 1598)/100: $r")
+  }
 }
