@@ -79,6 +79,7 @@ object SparkEntry {
       Tables.part(s, d))),
     "q50_tpch_q22" -> ((s, d) => Relational.q50TpchQ22(Tables.customer(s, d),
       Tables.orders(s, d))),
+    "q58_scd2" -> ((s, d) => Relational.q58Scd2(Tables.events(s, d))),
     "q51_tpch_q2" -> ((s, d) => Relational.q51TpchQ2(Tables.lineitem(s, d),
       Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
       Tables.region(s, d))),
@@ -1331,6 +1332,32 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_scd2" ->
+      // SCD2 dimension versioning: maximal same-state runs with
+      // half-open [valid_from, valid_to) intervals in exact epoch-us
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS us
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, state, us,
+        |    CASE WHEN lag(state) OVER w IS NULL OR lag(state) OVER w <> state
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), v AS (
+        |  SELECT user_id, state, us,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM m
+        |), g AS (
+        |  SELECT user_id, version, min(state) AS state,
+        |    min(us) AS valid_from_us, count(*) AS n_events
+        |  FROM v GROUP BY 1, 2
+        |)
+        |SELECT user_id, version, state, valid_from_us,
+        |  lead(valid_from_us) OVER w2 AS valid_to_us, n_events,
+        |  lead(valid_from_us) OVER w2 IS NULL AS is_current
+        |FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
     "q51_tpch_q2" ->
       // canonical TPC-H Q2 adapted (no partsupp: supply cost stood in
       // by min unit price ever charged, exact integer milli-cents)

@@ -1079,6 +1079,39 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** SCD2 dimension versioning — collapse a change log into the
+    * classic slowly-changing-dimension type-2 shape: one row per
+    * maximal run of a user's state with [valid_from, valid_to)
+    * validity and an is_current flag (the warehouse-maintenance face
+    * beside q22_upsert's MERGE). Consecutive same-state events
+    * collapse via lag + running-sum versioning; valid_to is the NEXT
+    * version's valid_from (half-open intervals — the convention that
+    * makes point-in-time lookups a single BETWEEN). Both windows and
+    * the rollup share ONE user_id shuffle; interval bounds are exact
+    * epoch-microsecond integers (the q32 precedent), and (ts,
+    * event_id) ordering pins run boundaries under equal timestamps. */
+  def q58Scd2(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("state"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_state", lag(col("state"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev_state").isNull || col("prev_state") =!= col("state"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(byUser))
+      .groupBy(col("user_id"), col("version"))
+      .agg(first(col("state")).as("state"),
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** TPC-H Q2 (minimum-cost supplier, adapted — no partsupp table, so
     * "supply cost" is stood in by the minimum unit price a supplier
     * ever charged for the part, in exact milli-cents via integer

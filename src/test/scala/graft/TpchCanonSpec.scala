@@ -265,6 +265,29 @@ class TpchCanonSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L)), s"only supplier 1 dominates exactly one part: $out")
   }
 
+  test("q58 (SCD2): intervals tile half-open per user, exactly one current version") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q58Scd2(Tables.events(spark, TestSpark.sf))
+    // exactly one open-ended (current) version per user
+    val perUser = out.groupBy(col("user_id"))
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("n_cur"),
+        count(lit(1)).as("n_ver"), max(col("version")).as("max_ver"))
+    assert(perUser.filter(col("n_cur") =!= 1L).isEmpty, "each user needs exactly one current row")
+    // versions are dense 1..n
+    assert(perUser.filter(col("n_ver") =!= col("max_ver")).isEmpty, "versions must be dense")
+    // half-open tiling: every non-current valid_to equals the next
+    // version's valid_from, and intervals never overlap or gap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("version"))
+    val bad = out.withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .filter(col("next_from").isNotNull && col("valid_to_us") =!= col("next_from"))
+    assert(bad.isEmpty, "valid_to must equal the successor's valid_from")
+    // consecutive versions never share a state (runs are maximal)
+    val same = out.withColumn("next_state", lead(col("state"), 1).over(w))
+      .filter(col("next_state").isNotNull && col("state") === col("next_state"))
+    assert(same.isEmpty, "adjacent versions with equal state mean a run failed to collapse")
+  }
+
   test("q52 (Q9): the 80% cost stand-in truncates exactly like the oracle's integer div") {
     val spark = this.spark
     import spark.implicits._
