@@ -135,6 +135,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Ann.graphPagerankStored(e, Ann.ensureAnnIndex(e, Ann.defaultIndexDir(e, d)))
     }),
+    "graph_triangles" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.graphTriangles(e, Ann.ensureAnnIndex(e, Ann.defaultIndexDir(e, d)))
+    }),
     "embedding_hard_negatives" -> ((s, d) => Ann.hardNegatives(Tables.embeddings(s, d))),
     "embedding_pca" -> ((s, d) => Ann.embeddingPca(Tables.embeddings(s, d))),
     "embedding_kmeans" -> ((s, d) => Ann.embeddingKmeans(Tables.embeddings(s, d))),
@@ -619,6 +623,29 @@ object SparkEntry {
        |  FROM r$iters)
        |WHERE rn <= $topN ORDER BY rank""".stripMargin
   }
+
+  /** Oracle for graph_triangles: the shared graph CTEs + undirected
+    * dedup (least/greatest + DISTINCT), wedge self-join on the middle
+    * node with a<b<c canonical ordering, EXISTS closure of the third
+    * edge, and the 3-way per-node unroll — every triangle counts once
+    * per corner in both engines. */
+  private def trianglesOracleSql(topN: Int = 50, numPlanes: Int = 5,
+                                 tables: Int = 2, degree: Int = 6): String =
+    graphCtes(numPlanes, tables, degree) + s""",
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+       |  FROM adj WHERE node <> nbr
+       |), tri AS (
+       |  SELECT w.a, w.b, w.c
+       |  FROM (SELECT e1.a, e1.b, e2.b AS c
+       |        FROM und e1 JOIN und e2 ON e2.a = e1.b) w
+       |  WHERE EXISTS (SELECT 1 FROM und u WHERE u.a = w.a AND u.b = w.c)
+       |)
+       |SELECT vec_id, count(*) AS n_triangles FROM (
+       |  SELECT a AS vec_id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |GROUP BY 1 ORDER BY n_triangles DESC, vec_id LIMIT $topN""".stripMargin
 
   /** Oracle for ann_mmr: the greedy MMR loop UNROLLED — one generated
     * CTE block per pick (the tokenizer_bpe idiom; a recursive CTE
@@ -2210,6 +2237,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // build+search CTEs
     "ann_graph_probe" -> graphOracleSql(5),
     "graph_pagerank" -> pagerankOracleSql(),
+    "graph_triangles" -> trianglesOracleSql(),
     "embedding_hard_negatives" ->
       // bruteforce scores in basis points; near-dup ceiling (9900 bp)
       // and rank order both integer-exact

@@ -985,6 +985,36 @@ object Ann {
     pagerankRanks(embeddings.select(col("vec_id").as("node")), adj, iters, topN)
   }
 
+  /** Triangle counting over the stored k-NN adjacency — the third
+    * classic graph workload beside components (dedup_clusters) and
+    * PageRank: per-node triangle participation, the numerator of the
+    * local clustering coefficient (the "how cliquish is this
+    * document's neighborhood" curation signal). Node-iterator
+    * algorithm on the UNDIRECTED edge set with the a<b<c canonical
+    * ordering: wedges come from one self-join of the deduped edge
+    * list on the middle node, closed by a LEFT-SEMI probe of the
+    * third edge — every triangle counted exactly once. Scale shape:
+    * the k-NN degree cap bounds wedge volume at nodes·degree² BY
+    * CONSTRUCTION (the same knob that bounds the graph build), both
+    * joins key on node ids, and the top-N compiles to TakeOrdered. */
+  def graphTriangles(embeddings: DataFrame, indexDir: String,
+                     topN: Int = 50): DataFrame = {
+    val adj = embeddings.sparkSession.read.parquet(s"$indexDir/adjacency")
+    val und = adj.filter(col("node") =!= col("nbr"))
+      .select(least(col("node"), col("nbr")).as("a"),
+        greatest(col("node"), col("nbr")).as("b"))
+      .distinct()
+    val tri = und
+      .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("vec_id"))
+      .limit(topN)
+  }
+
   /** MMR diversity re-rank (Carbonell & Goldstein 1998, "The Use of
     * MMR, Diversity-Based Reranking"): retrieval's standard second
     * stage — from each query's top-`poolSize` relevance candidates,

@@ -560,6 +560,25 @@ class AnnStoredIndexSpec extends AnyFunSuite {
     val pr = graft.operators.Ann.graphPagerank(df).collect().toSeq
     assert(prStored == pr, "pagerank over the stored adjacency must equal the rebuild face")
   }
+
+  test("graph_triangles: K4 plus pendant counts each clique corner in 3 triangles, once each") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // hand-built adjacency: K4 on {1,2,3,4} stored DIRECTED both ways
+    // (the k-NN layout) + pendant 5-1; K4 has exactly 4 triangles and
+    // every clique node sits in 3 of them; the pendant is in none
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    val adj = (k4 ++ Seq((1L, 5L), (5L, 1L))).toDF("node", "nbr")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    adj.write.mode("overwrite").parquet(s"$dir/adjacency")
+    val out = graft.operators.Ann
+      .graphTriangles(Seq((0L, Array(0f))).toDF("vec_id", "embedding"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)),
+      s"K4 corners count 3 each (12 corner-slots / 4 triangles): $out")
+  }
 }
 
 class QuantizeInt8Spec extends AnyFunSuite {
