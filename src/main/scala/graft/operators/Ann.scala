@@ -1091,24 +1091,41 @@ object Ann {
       transform(col("embedding"),
         x => round(x.cast("double") * lit(1e4), 0).cast("long")).as("xb"))
 
-  /** Row-local nearest-centroid struct vs. centroid LITERALS:
+  /** Row-local nearest-centroid struct vs. a centroid ARRAY COLUMN:
     * array_min over (dist, id) structs = exact integer argmin, ties →
-    * lowest id. NOTE: struct() inside array() drops aliases, so the
-    * fields are positional col1 (dist) / col2 (id). */
-  private def kmeansNearest(cents: Array[Array[Long]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, id) =>
-      val cl = array(c.map(lit(_)): _*)
+    * lowest id. The centroids ride as broadcast DATA (`cents`,
+    * array<array<long>>), NOT as literals — inlined literals change
+    * the generated codegen source every Lloyd iteration, so each
+    * round (and each centroid refresh) paid a multi-second Janino
+    * recompile of a 512-literal expression (measured: embedding_
+    * kmeans ~23 s wall, effective parallelism 1.1 — compile-bound,
+    * not data-bound). With data-driven centroids the source is
+    * byte-identical across iterations and the compile caches. NOTE:
+    * struct() inside transform() drops aliases, so the fields are
+    * positional col1 (dist) / col2 (id). */
+  private def kmeansNearestData(nlist: Int): Column =
+    array_min(transform(sequence(lit(0), lit(nlist - 1)), k =>
       struct(
-        aggregate(zip_with(col("xb"), cl, (x, cc) => (x - cc) * (x - cc)),
-          lit(0L), (acc, d) => acc + d),
-        lit(id.toLong))
-    }: _*))
+        aggregate(zip_with(col("xb"), element_at(col("cents"), k + 1),
+          (x, cc) => (x - cc) * (x - cc)), lit(0L), (acc, d) => acc + d),
+        k.cast("long"))))
+
+  /** The trained centroids as a 1-row broadcast frame (`cents`:
+    * array<array<long>>) — k×dims longs, metadata-scale. */
+  private def centsRow(spark: org.apache.spark.sql.SparkSession,
+                       cents: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(cents.map(_.toSeq).toSeq)).toDF("cents")
+  }
 
   /** Zero-state assignment of a (vec_id, embedding) frame against
-    * frozen centroids — row-local, no join, no shuffle; shared by the
-    * batch faces and [[kmeansAssignStream]]. */
+    * frozen centroids — row-local after a 1-row broadcast (a
+    * stream-static broadcast join in the stream face), no shuffle;
+    * shared by the batch faces and [[kmeansAssignStream]]. */
   private def kmeansAssign(vecs: DataFrame, cents: Array[Array[Long]]): DataFrame =
-    bpCoords(vecs).select(col("vec_id"), kmeansNearest(cents).as("a"))
+    bpCoords(vecs)
+      .crossJoin(broadcast(centsRow(vecs.sparkSession, cents)))
+      .select(col("vec_id"), kmeansNearestData(cents.length).as("a"))
       .select(col("vec_id"), col("a.col2").as("list_id"),
         col("a.col1").as("dist_sq"))
 
@@ -1127,9 +1144,19 @@ object Ann {
       .orderBy(col("h"), col("vec_id")).limit(nlist)
       .collect().map(_.getSeq[Long](1).toArray)
     for (_ <- 1 to iters) {
-      val upd = xb
-        .select(kmeansNearest(cents).getField("col2").as("list_id"),
-          posexplode(col("xb")).as(Seq("i", "x")))
+      // localCheckpoint between assignment and explode: Catalyst
+      // collapses the projection ABOVE the Generate otherwise, and the
+      // k×dims argmin kernel then re-evaluates once per EXPLODED dim
+      // row (dims× the work — measured 12.5 s vs 1 s per round at
+      // sf0.1). The checkpoint pins the nodes-sized assigned frame so
+      // the kernel runs exactly once per vector.
+      val assigned = xb
+        .crossJoin(broadcast(centsRow(embeddings.sparkSession, cents)))
+        .select(kmeansNearestData(cents.length).getField("col2").as("list_id"),
+          col("xb"))
+        .localCheckpoint(true)
+      val upd = assigned
+        .select(col("list_id"), posexplode(col("xb")).as(Seq("i", "x")))
         .groupBy(col("list_id"), col("i"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()

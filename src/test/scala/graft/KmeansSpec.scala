@@ -28,14 +28,21 @@ class KmeansSpec extends AnyFunSuite {
       s"blobs must land in two distinct clusters: $out")
   }
 
-  test("assignment pass is row-local: no join, no corpus shuffle before the sort") {
+  test("assignment pass is row-local: centroids broadcast, no corpus shuffle before the sort") {
     val df = Tables.embeddings(spark, TestSpark.sf)
     val p = Ann.embeddingKmeans(df, nlist = 4, iters = 1)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("Join"), s"assignment must not join the corpus:\n$p")
-    // the only exchange is the final orderBy's range partitioning
-    val ex = "Exchange".r.findAllIn(p).size
-    assert(ex <= 1, s"assignment pass must not shuffle the corpus (got $ex):\n$p")
+    // the ONLY join is the 1-row centroid broadcast (centroids ride as
+    // data, not literals — literals would recompile codegen per Lloyd
+    // round); the corpus itself must never join or sort-merge
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle into a join:\n$p")
+    assert("Join".r.findAllIn(p).size <= 1 && p.contains("BroadcastExchange"),
+      s"only the 1-row centroid broadcast may join:\n$p")
+    // the only shuffle exchange is the final orderBy's range partitioning
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1 &&
+      !p.contains("Exchange hashpartitioning"),
+      s"assignment pass must not shuffle the corpus:\n$p")
   }
 
   test("deterministic: two runs produce identical assignments") {
