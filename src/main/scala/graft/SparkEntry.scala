@@ -170,6 +170,7 @@ object SparkEntry {
     "mm_decode" -> ((s, d) => Multimodal.mmDecode(Tables.documents(s, d))),
     "mm_png" -> ((s, d) => Multimodal.mmPng(Tables.documents(s, d))),
     "mm_phash" -> ((s, d) => Multimodal.mmPhash(Tables.documents(s, d))),
+    "pipeline_mm_curation" -> ((s, d) => Multimodal.mmCuration(Tables.documents(s, d))),
     "mm_mulaw" -> ((s, d) => Multimodal.mmMulaw(Tables.documents(s, d))),
     "mm_alaw" -> ((s, d) => Multimodal.mmAlaw(Tables.documents(s, d))),
     "mm_jpeg" -> ((s, d) => Multimodal.mmJpeg(Tables.documents(s, d))),
@@ -3195,6 +3196,68 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
         |FROM p WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin,
+    "pipeline_mm_curation" ->
+      // the multimodal curation capstone: dHash near-dup drop (higher
+      // doc_id of each near pair), text-quality gate, per-resolution
+      // manifest — the ENTIRE cross-family chain replayed closed-form
+      """WITH im AS (
+        |  SELECT doc_id, 12 + (doc_id % 5) * 4 AS w, 12 + (doc_id % 7) * 4 AS h
+        |  FROM documents
+        |), g AS (
+        |  SELECT im.doc_id, t.i // 9 AS gy, t.i % 9 AS gx,
+        |    299 * ((im.doc_id*11 + (3*((((t.i//9)*im.h)//8)*im.w + ((t.i%9)*im.w)//9))*29) % 256)
+        |    + 587 * ((im.doc_id*11 + (3*((((t.i//9)*im.h)//8)*im.w + ((t.i%9)*im.w)//9)+1)*29) % 256)
+        |    + 114 * ((im.doc_id*11 + (3*((((t.i//9)*im.h)//8)*im.w + ((t.i%9)*im.w)//9)+2)*29) % 256) AS l
+        |  FROM im, LATERAL unnest(range(0, 72)) t(i)
+        |), bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND b.l > a.l
+        |), sig AS (
+        |  SELECT im.doc_id,
+        |    COALESCE(sum(CASE WHEN bit < 16 THEN (CAST(1 AS BIGINT) << bit) END), 0) AS b0,
+        |    COALESCE(sum(CASE WHEN bit >= 16 AND bit < 32 THEN (CAST(1 AS BIGINT) << (bit-16)) END), 0) AS b1,
+        |    COALESCE(sum(CASE WHEN bit >= 32 AND bit < 48 THEN (CAST(1 AS BIGINT) << (bit-32)) END), 0) AS b2,
+        |    COALESCE(sum(CASE WHEN bit >= 48 THEN (CAST(1 AS BIGINT) << (bit-48)) END), 0) AS b3
+        |  FROM im LEFT JOIN bits ON bits.doc_id = im.doc_id
+        |  GROUP BY im.doc_id
+        |), bands AS (
+        |  SELECT doc_id, b0, b1, b2, b3, t.band,
+        |    CASE t.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+        |  FROM sig, (SELECT unnest(range(4)) AS band) t
+        |), nbr AS (
+        |  SELECT doc_id AS doc_a, b0, b1, b2, b3,
+        |    lead(doc_id) OVER w AS doc_b,
+        |    lead(b0) OVER w AS nb0, lead(b1) OVER w AS nb1,
+        |    lead(b2) OVER w AS nb2, lead(b3) OVER w AS nb3
+        |  FROM bands WINDOW w AS (PARTITION BY band, key ORDER BY doc_id)
+        |), p AS (
+        |  SELECT DISTINCT doc_a, doc_b,
+        |    bit_count(xor(b0, nb0)) + bit_count(xor(b1, nb1))
+        |    + bit_count(xor(b2, nb2)) + bit_count(xor(b3, nb3)) AS hamming
+        |  FROM nbr WHERE doc_b IS NOT NULL
+        |), dropped AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM p WHERE hamming <= 10
+        |), feat AS (
+        |  SELECT d.doc_id,
+        |    regexp_split_to_array(trim(lower(d.text)), '\s+') AS toks,
+        |    CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(d.text) AS punct_ratio
+        |  FROM documents d LEFT JOIN dropped ON dropped.doc_id = d.doc_id
+        |  WHERE dropped.doc_id IS NULL
+        |), q AS (
+        |  SELECT doc_id,
+        |    least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5
+        |    + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / len(toks) * 5.0, 1.0) * 0.3
+        |    + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS q
+        |  FROM feat
+        |)
+        |SELECT CAST(im.w AS INT) AS width, CAST(im.h AS INT) AS height,
+        |  count(*) AS n_docs, round(avg(q.q) + 1e-9, 4) AS avg_quality
+        |FROM q JOIN im ON im.doc_id = q.doc_id
+        |WHERE q.q >= 0.5
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mm_frames" ->
       """WITH d AS (SELECT doc_id, strlen(text) AS nb FROM documents WHERE doc_id % 3 = 2),
         |f AS (

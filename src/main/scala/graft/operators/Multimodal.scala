@@ -547,10 +547,13 @@ object Multimodal {
     * shuffle after the one band-bucket window. The oracle replays the
     * whole chain — closed-form pixels, grid, gradient bits, banding,
     * lead pairing, bit_count — in SQL. */
-  def mmPhash(documents: DataFrame, hammingMax: Int = 10): DataFrame = {
+  /** dHash signatures through the REAL decode: per doc the decoded
+    * dimensions and the 64-bit gradient hash as four 16-bit band keys.
+    * Shared by the pairs face ([[mmPhash]]) and the curation capstone
+    * ([[mmCuration]]). */
+  private def phashSignatures(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val sig = mediaTablePng(documents).mapPartitions { rows =>
+    mediaTablePng(documents).mapPartitions { rows =>
       rows.map { r =>
         val (w, h, rgb) = Codecs.decodePngPixels(r.content)
           .getOrElse(sys.error(s"PNG decode failed for doc ${r.doc_id}"))
@@ -570,10 +573,16 @@ object Multimodal {
           }
           y += 1
         }
-        (r.doc_id, hash & 0xFFFFL, (hash >>> 16) & 0xFFFFL,
+        (r.doc_id, w, h, hash & 0xFFFFL, (hash >>> 16) & 0xFFFFL,
           (hash >>> 32) & 0xFFFFL, (hash >>> 48) & 0xFFFFL)
       }
-    }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    }.toDF("doc_id", "width", "height", "b0", "b1", "b2", "b3")
+  }
+
+  /** Sorted-neighborhood near-dup pairs over the band keys (see
+    * [[mmPhash]] for the shape argument). */
+  private def phashPairs(sig: DataFrame, hammingMax: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
     sig
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
@@ -591,6 +600,39 @@ object Multimodal {
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= hammingMax)
+  }
+
+  def mmPhash(documents: DataFrame, hammingMax: Int = 10): DataFrame =
+    phashPairs(phashSignatures(documents), hammingMax)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The MULTIMODAL curation capstone — the image-side analog of
+    * pipeline_assembly, composing three operator families in one
+    * plan: (1) REAL PNG decode → dHash signatures, (2) perceptual
+    * near-dup removal (sorted-neighborhood pairs; the higher doc_id
+    * of each near pair drops — the dedup family's keep-min
+    * convention), (3) the text-quality gate over the surviving docs
+    * (same row-local composite score as pipeline_curation), then a
+    * per-resolution manifest of what survives for training. Scale:
+    * dedup volume is O(docs·bands) by construction, the drop list
+    * joins as a LEFT-ANTI on doc_id, quality is a zero-shuffle
+    * row-local expression, and the final rollup has
+    * width×height-bounded cardinality. Dimensions come from the
+    * DECODE, not metadata — a decoder defect shifts the manifest and
+    * hash-fails. */
+  def mmCuration(documents: DataFrame, hammingMax: Int = 10,
+                 minQuality: Double = 0.5): DataFrame = {
+    val sig = phashSignatures(documents)
+    val dropped = phashPairs(sig, hammingMax)
+      .select(col("doc_b").as("doc_id")).distinct()
+    documents
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .filter(TextOps.rawQualityScore >= minQuality)
+      .select(col("doc_id"), TextOps.rawQualityScore.as("q"))
+      .join(sig.select(col("doc_id"), col("width"), col("height")), Seq("doc_id"))
+      .groupBy(col("width"), col("height"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("q")) + lit(1e-9), 4).as("avg_quality"))
+      .orderBy(col("width"), col("height"))
   }
 }
