@@ -171,6 +171,7 @@ object SparkEntry {
     "mm_png" -> ((s, d) => Multimodal.mmPng(Tables.documents(s, d))),
     "mm_phash" -> ((s, d) => Multimodal.mmPhash(Tables.documents(s, d))),
     "pipeline_mm_curation" -> ((s, d) => Multimodal.mmCuration(Tables.documents(s, d))),
+    "mm_phash_incremental" -> ((s, d) => Multimodal.mmPhashIncremental(Tables.documents(s, d))),
     "mm_mulaw" -> ((s, d) => Multimodal.mmMulaw(Tables.documents(s, d))),
     "mm_alaw" -> ((s, d) => Multimodal.mmAlaw(Tables.documents(s, d))),
     "mm_jpeg" -> ((s, d) => Multimodal.mmJpeg(Tables.documents(s, d))),
@@ -3196,6 +3197,56 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
         |FROM p WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin,
+    "mm_phash_incremental" ->
+      // incremental image dedup: batch docs (doc_id % 10 = 0) probe
+      // the standing corpus signatures on shared band keys; nearest
+      // partner by (hamming, old_id); the corpus never self-joins
+      """WITH im AS (
+        |  SELECT doc_id, 12 + (doc_id % 5) * 4 AS w, 12 + (doc_id % 7) * 4 AS h
+        |  FROM documents
+        |), g AS (
+        |  SELECT im.doc_id, t.i // 9 AS gy, t.i % 9 AS gx,
+        |    299 * ((im.doc_id*11 + (3*((((t.i//9)*im.h)//8)*im.w + ((t.i%9)*im.w)//9))*29) % 256)
+        |    + 587 * ((im.doc_id*11 + (3*((((t.i//9)*im.h)//8)*im.w + ((t.i%9)*im.w)//9)+1)*29) % 256)
+        |    + 114 * ((im.doc_id*11 + (3*((((t.i//9)*im.h)//8)*im.w + ((t.i%9)*im.w)//9)+2)*29) % 256) AS l
+        |  FROM im, LATERAL unnest(range(0, 72)) t(i)
+        |), bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND b.l > a.l
+        |), sig AS MATERIALIZED (
+        |  SELECT im.doc_id,
+        |    COALESCE(sum(CASE WHEN bit < 16 THEN (CAST(1 AS BIGINT) << bit) END), 0) AS b0,
+        |    COALESCE(sum(CASE WHEN bit >= 16 AND bit < 32 THEN (CAST(1 AS BIGINT) << (bit-16)) END), 0) AS b1,
+        |    COALESCE(sum(CASE WHEN bit >= 32 AND bit < 48 THEN (CAST(1 AS BIGINT) << (bit-32)) END), 0) AS b2,
+        |    COALESCE(sum(CASE WHEN bit >= 48 THEN (CAST(1 AS BIGINT) << (bit-48)) END), 0) AS b3
+        |  FROM im LEFT JOIN bits ON bits.doc_id = im.doc_id
+        |  GROUP BY im.doc_id
+        |), bands AS (
+        |  SELECT doc_id, b0, b1, b2, b3, t.band,
+        |    CASE t.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+        |  FROM sig, (SELECT unnest(range(4)) AS band) t
+        |), cand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
+        |    n.b0 AS nb0, n.b1 AS nb1, n.b2 AS nb2, n.b3 AS nb3,
+        |    o.b0 AS ob0, o.b1 AS ob1, o.b2 AS ob2, o.b3 AS ob3
+        |  FROM bands n JOIN bands o ON o.band = n.band AND o.key = n.key
+        |  WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+        |), top AS (
+        |  SELECT new_id, old_id, hamming,
+        |    row_number() OVER (PARTITION BY new_id ORDER BY hamming, old_id) AS rn
+        |  FROM (
+        |    SELECT new_id, old_id,
+        |      bit_count(xor(nb0, ob0)) + bit_count(xor(nb1, ob1))
+        |      + bit_count(xor(nb2, ob2)) + bit_count(xor(nb3, ob3)) AS hamming
+        |    FROM cand)
+        |  WHERE hamming <= 10
+        |)
+        |SELECT d.doc_id, t.old_id AS dup_of, CAST(t.hamming AS BIGINT) AS hamming,
+        |  t.old_id IS NULL AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON t.new_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "pipeline_mm_curation" ->
       // the multimodal curation capstone: dHash near-dup drop (higher
       // doc_id of each near pair), text-quality gate, per-resolution

@@ -606,6 +606,101 @@ object Multimodal {
     phashPairs(phashSignatures(documents), hammingMax)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Incremental perceptual dedup — the image analog of
+    * [[Dedup.dedupIncremental]]: new docs (doc_id % batchMod == 0)
+    * probe the STANDING corpus signatures on shared band keys; the
+    * corpus never self-joins. One materialized signature pass feeds
+    * both sides here (self-contained + oracle-reproducible);
+    * production stores the corpus side ([[mmPhashStream]]). */
+  def mmPhashIncremental(documents: DataFrame, batchMod: Int = 10,
+                         hammingMax: Int = 10): DataFrame = {
+    val sig = Dedup.materialized(phashSignatures(documents))
+    val isNew = pmod(col("doc_id"), lit(batchMod.toLong)) === 0L
+    probePhash(sig.filter(isNew), sig.filter(!isNew), hammingMax)
+  }
+
+  /** Probe core of [[mmPhashIncremental]] / [[mmPhashStream]]:
+    * band-key equi-join of the batch against the standing index
+    * (candidate volume = batch bands × bucket occupancy — a probe
+    * must see every bucket member, so unlike the batch pairs face the
+    * sorted-neighborhood trick doesn't apply; the band width is the
+    * occupancy knob), hamming row-local via four bit_counts, nearest
+    * partner per new doc (hamming asc, old_id asc), keep = no partner
+    * within `hammingMax`. */
+  def probePhash(batchSigs: DataFrame, corpusSigs: DataFrame,
+                 hammingMax: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def banded(s: DataFrame, pre: String) = s.select(
+      col("doc_id").as(s"${pre}_id"),
+      col("b0").as(s"${pre}b0"), col("b1").as(s"${pre}b1"),
+      col("b2").as(s"${pre}b2"), col("b3").as(s"${pre}b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "key")))
+    val cands = banded(batchSigs, "new")
+      .join(banded(corpusSigs, "old"), Seq("band", "key"))
+      // self-pair guard: on an epoch REPLAY the probed index already
+      // contains the batch's own docs — a doc must never dup itself,
+      // or replay would drop everything it kept the first time
+      .filter(col("new_id") =!= col("old_id"))
+      .select(col("new_id"), col("old_id"),
+        col("newb0"), col("newb1"), col("newb2"), col("newb3"),
+        col("oldb0"), col("oldb1"), col("oldb2"), col("oldb3"))
+      .distinct()
+    val top = cands
+      .withColumn("hamming",
+        (expr("bit_count(newb0 ^ oldb0) + bit_count(newb1 ^ oldb1)") +
+          expr("bit_count(newb2 ^ oldb2) + bit_count(newb3 ^ oldb3)"))
+          .cast("long"))
+      .filter(col("hamming") <= hammingMax)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("new_id")).orderBy(col("hamming"), col("old_id"))))
+      .filter(col("rn") === 1)
+      .select(col("new_id").as("doc_id"), col("old_id").as("dup_of"),
+        col("hamming"))
+    batchSigs.select(col("doc_id"))
+      .join(top, Seq("doc_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Seed the standing image-signature index ([[mmPhashStream]] reads
+    * every epoch dir under `indexDir`; this writes the corpus as
+    * `base`). */
+  def phashIndexSeed(documents: DataFrame, indexDir: String): Unit =
+    phashSignatures(documents).write.mode("overwrite").parquet(s"$indexDir/base")
+
+  /** Ingest-stream face of [[mmPhashIncremental]]: per micro-batch
+    * (1) decode + sign the batch, (2) probe every signature epoch
+    * under `indexDir` (seed it with the corpus signatures first),
+    * (3) hand verdicts to `onVerdicts`, (4) append the KEPT docs'
+    * signatures as `indexDir/b<batchId>` — the self-growing image
+    * index, with the same overwrite-on-replay idempotency rule as
+    * dedupIncrementalStream. No streaming state, no watermark. */
+  def mmPhashStream(docs: DataFrame, indexDir: String, hammingMax: Int = 10)
+                   (onVerdicts: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val batchSigs = phashSignatures(batch)
+      val epochs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+        .filter(_.isDirectory).sortBy(_.getName)
+      val corpus = epochs.map(d => spark.read.parquet(d.getPath))
+        .reduce(_ unionByName _)
+      val verdicts = probePhash(batchSigs, corpus, hammingMax)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        onVerdicts(verdicts, batchId)
+        // materialize BEFORE the write: on a replayed epoch the target
+        // dir is also a probe input, and a lazy overwrite would delete
+        // its own source mid-job
+        val kept = batchSigs
+          .join(verdicts.filter(col("keep")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        kept.write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+      } finally verdicts.unpersist()
+    }
+
   /** The MULTIMODAL curation capstone — the image-side analog of
     * pipeline_assembly, composing three operator families in one
     * plan: (1) REAL PNG decode → dHash signatures, (2) perceptual

@@ -791,4 +791,57 @@ class WavResampleSpec extends org.scalatest.funsuite.AnyFunSuite {
     val dup = pairs.filter(_.getLong(2) == 0)
     assert(dup.nonEmpty, "identical-signature docs must surface at hamming 0")
   }
+
+  test("mm_phash stream: exact image dup caught across batches; replayed epoch overwrites") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-phidx").toString
+    // corpus = docs 0..49; the generator makes doc_id and doc_id+8960
+    // pixel-identical (8960 = lcm(5,7) * 256 — same dims, ramp offset
+    // 11*8960 ≡ 0 mod 256), so 8965 is an EXACT dup of corpus doc 5
+    graft.operators.Multimodal.phashIndexSeed(
+      (0L until 50L).toDF("doc_id"), dir)
+    // hammingMax = 0: on this self-similar ramp corpus everything sits
+    // within a few bits of something, so the spec pins EXACT dups only —
+    // 8965 dups corpus doc 5, 100000 has no exact partner and survives,
+    // and batch-2's 108960 exact-dups ONLY the batch-1 kept 100000
+    var verdicts = Map.empty[Long, Seq[(Long, Option[Long], Boolean)]]
+    val mem = MemoryStream[Long]
+    val q = graft.operators.Multimodal
+      .mmPhashStream(mem.toDF().toDF("doc_id"), dir, hammingMax = 0) { (v, id) =>
+        verdicts += id -> v.collect().toSeq.map(r =>
+          (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(3)))
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-phidx-ck").toString)
+      .start()
+    try {
+      mem.addData(8965L, 100000L); q.processAllAvailable()
+      // batch 2: a dup of the batch-1 KEPT doc 100000 (100000+8960)
+      mem.addData(108960L); q.processAllAvailable()
+    } finally q.stop()
+    val b0 = verdicts(0L).map { case (k, v, _) => k -> v }.toMap
+    assert(b0(8965L).contains(5L), s"8965 must dup corpus doc 5: $verdicts")
+    val b1 = verdicts(1L)
+    assert(b1 == Seq((108960L, Some(100000L), false)),
+      s"cross-batch exact dup of the batch-1 kept doc must be caught: $b1")
+    // only KEPT signatures append: epoch 0 holds 100000 alone (8965 dropped)
+    val ep0 = spark.read.parquet(s"$dir/b0").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ep0 == Seq(100000L), s"only kept docs append to the index: $ep0")
+    // replay: a fresh stream re-delivers batch 0 — same verdicts, same
+    // epoch content, no double-append
+    val mem2 = MemoryStream[Long]
+    val q2 = graft.operators.Multimodal
+      .mmPhashStream(mem2.toDF().toDF("doc_id"), dir, hammingMax = 0) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-phidx-ck2").toString)
+      .start()
+    try { mem2.addData(8965L, 100000L); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/b0").count() == 1,
+      "a replayed epoch must overwrite its dir, not double it")
+  }
 }
