@@ -213,7 +213,12 @@ object Dedup {
     val cands = banded(batchSigs).as("x")
       .join(banded(corpusSigs).as("y"),
         col("x.band_id") === col("y.band_id") &&
-        col("x.band_hash") === col("y.band_hash"))
+        col("x.band_hash") === col("y.band_hash") &&
+        // self-pair guard: on an epoch REPLAY the probed index already
+        // holds the batch's own kept docs — a doc must never dup
+        // itself, or the replayed epoch would drop everything it kept
+        // the first time and rewrite itself empty
+        col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
       .distinct()
     val inter = F.sortedIntersect(col("shh_a"), col("shh_b"))
@@ -261,7 +266,11 @@ object Dedup {
           probeCorpus(batchSigs, index, numPerm, bands, threshold))
         try {
           onVerdicts(verdicts, batchId)
+          // materialize BEFORE the write: on a replayed epoch the target
+          // dir is also a probe input (indexDir/*), and a lazy
+          // overwrite would delete its own source mid-job
           batchSigs.join(verdicts.filter(col("keep")).select(col("doc_id")), "doc_id")
+            .localCheckpoint(true)
             .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
         } finally verdicts.unpersist()
       } finally batchSigs.unpersist()

@@ -322,6 +322,25 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
     val ids = spark.read.parquet(s"$indexDir/*").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 102L, 202L), s"got $ids")
+    // REPLAY: a fresh stream re-delivers batch 0 while the index
+    // already holds 102's signature — without the self-pair guard 102
+    // would dup ITSELF and the replayed epoch would rewrite empty
+    // (silent index data loss on recovery); with it the epoch
+    // overwrites with identical content
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = graft.operators.Dedup.dedupIncrementalStream(
+        mem2.toDF().toDF("doc_id", "text"), indexDir) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-incdedup-ck2").toString)
+      .start()
+    try {
+      mem2.addData((101L, corpusText1), (102L, novelText1))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val b0 = spark.read.parquet(s"$indexDir/b0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(b0 == Set(102L),
+      s"a replayed epoch must rewrite its own content, not empty itself: $b0")
   }
 }
 
