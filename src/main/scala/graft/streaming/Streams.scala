@@ -28,6 +28,17 @@ case class FiredBatch(key: String, n: Long, bytes: Long, reason: String)
 
 private[streaming] case class PendingBatch(n: Long, bytes: Long, anchorMillis: Long)
 
+/** One keyed state-change event heading into the SCD2 ledger. */
+case class StateEvent(user_id: Long, event_type: String,
+                      eventMicros: Long, event_id: Long)
+
+/** A CLOSED SCD2 version: [valid_from_us, valid_to_us) half-open. */
+case class Scd2Version(user_id: Long, state: String, valid_from_us: Long,
+                       valid_to_us: Long, n_events: Long)
+
+private[streaming] case class Scd2Open(state: String, validFromUs: Long,
+                                       nEvents: Long)
+
 object Streams {
 
   /** Event-time tumbling window aggregate. Streaming: watermark bounds
@@ -133,6 +144,44 @@ object Streams {
             }
             fired.iterator
           }
+      }
+  }
+
+  /** Ingest face of `Relational.q58Scd2` — the SCD2 dimension ledger
+    * maintained AT ingest: `flatMapGroupsWithState` keeps each user's
+    * current (open) version in state; a state CHANGE emits the closed
+    * version with its half-open [valid_from, valid_to) interval, so
+    * downstream sees exactly the immutable rows a warehouse MERGE
+    * would append. Same-state arrivals fold into the open version's
+    * event count (O(1) state per user — one open version, never the
+    * history). Within a micro-batch rows sort by (eventMicros,
+    * event_id) — the batch face's determinism rule; ACROSS batches
+    * the ledger assumes in-order ingest per user (the append-only
+    * CDC contract; out-of-order reprocessing is the batch face's
+    * job). */
+  def scd2Stream(events: Dataset[StateEvent]): Dataset[Scd2Version] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Open, Scd2Version](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[StateEvent], state: GroupState[Scd2Open]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.eventMicros, r.event_id))
+          val out = scala.collection.mutable.Buffer.empty[Scd2Version]
+          var cur = state.getOption
+          sorted.foreach { r =>
+            cur match {
+              case Some(s) if s.state == r.event_type =>
+                cur = Some(s.copy(nEvents = s.nEvents + 1))
+              case Some(s) =>
+                out += Scd2Version(uid, s.state, s.validFromUs, r.eventMicros, s.nEvents)
+                cur = Some(Scd2Open(r.event_type, r.eventMicros, 1L))
+              case None =>
+                cur = Some(Scd2Open(r.event_type, r.eventMicros, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
       }
   }
 

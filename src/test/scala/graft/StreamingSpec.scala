@@ -497,3 +497,52 @@ class StreamingGrandAssemblySpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class Scd2StreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("scd2 stream emits exactly the batch face's CLOSED versions, spanning batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{StateEvent, Streams}
+    val b1 = Seq(
+      StateEvent(1L, "a", 1000L, 1L), StateEvent(1L, "a", 2000L, 2L),
+      StateEvent(1L, "b", 3000L, 3L), // closes (a, 1000, 3000, 2)
+      StateEvent(2L, "x", 1500L, 10L))
+    val b2 = Seq(
+      StateEvent(1L, "b", 4000L, 4L),
+      StateEvent(1L, "c", 5000L, 5L), // closes (b, 3000, 5000, 2) ACROSS batches
+      StateEvent(2L, "x", 2500L, 11L)) // user 2 never changes -> nothing emitted
+    val mem = MemoryStream[StateEvent]
+    val closed = scala.collection.mutable.Buffer.empty[(Long, String, Long, Long, Long)]
+    val sink: (org.apache.spark.sql.Dataset[graft.streaming.Scd2Version], Long) => Unit =
+      (out, _) => closed ++= out.collect().map(v =>
+        (v.user_id, v.state, v.valid_from_us, v.valid_to_us, v.n_events))
+    val q = Streams.scd2Stream(mem.toDS()).writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-scd2-ck").toString)
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the batch face over ALL events: its closed rows (valid_to set)
+    // must equal the stream's emissions exactly
+    val events = (b1 ++ b2).toDF()
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("eventMicros")).as("ts"),
+        col("event_type"))
+    val batchClosed = graft.operators.Relational.q58Scd2(events)
+      .filter(col("valid_to_us").isNotNull)
+      .select(col("user_id"), col("state"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(closed.toSet == batchClosed,
+      s"stream: ${closed.toSet}\nbatch: $batchClosed")
+    assert(closed.toSet == Set(
+      (1L, "a", 1000L, 3000L, 2L), (1L, "b", 3000L, 5000L, 2L)))
+  }
+}
