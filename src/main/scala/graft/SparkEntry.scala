@@ -80,6 +80,7 @@ object SparkEntry {
     "q50_tpch_q22" -> ((s, d) => Relational.q50TpchQ22(Tables.customer(s, d),
       Tables.orders(s, d))),
     "q58_scd2" -> ((s, d) => Relational.q58Scd2(Tables.events(s, d))),
+    "q59_gapfill" -> ((s, d) => Relational.q59Gapfill(Tables.events(s, d))),
     "q51_tpch_q2" -> ((s, d) => Relational.q51TpchQ2(Tables.lineitem(s, d),
       Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
       Tables.region(s, d))),
@@ -1361,6 +1362,35 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q59_gapfill" ->
+      // gap fill + LOCF: global day grid x users, zero-filled counts,
+      // last event type carried forward; per-day last state picked by
+      // (ts, event_id) descending row_number
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), daily AS (
+        |  SELECT user_id, day, count(*) AS n_events, sum(cents) AS value_cents,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS day_last_type
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM e)
+        |  GROUP BY 1, 2
+        |), span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+        |grid AS (
+        |  SELECT u.user_id, CAST(g.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM events) u,
+        |    (SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS day FROM span s) g
+        |)
+        |SELECT g.user_id, g.day,
+        |  COALESCE(d.n_events, 0) AS n_events,
+        |  COALESCE(d.value_cents, 0) AS value_cents,
+        |  last_value(d.day_last_type IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
+        |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
     "q58_scd2" ->
       // SCD2 dimension versioning: maximal same-state runs with
       // half-open [valid_from, valid_to) intervals in exact epoch-us

@@ -1112,6 +1112,42 @@ object Relational {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Time-series gap fill + LOCF — the metrics-dashboard primitive the
+    * BI suite was missing: every (user, day) cell of the corpus's
+    * global day span gets a row; days without events fill with zero
+    * counts and the FORWARD-FILLED last event type (last observation
+    * carried forward). The day grid is built ONCE from a 1-row
+    * global-span aggregate (sequence + explode — no per-user range
+    * scan) and cross-joins the distinct-user list as a broadcast; the
+    * daily rollup and the LOCF window share one user_id shuffle.
+    * Per-day last state picks by (ts, event_id) row_number — the
+    * repo-wide determinism rule — and money sums in exact cents. */
+  def q59Gapfill(events: DataFrame): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val byDayDesc = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), col("event_type"), cents.as("cents"))
+      .withColumn("rn", row_number().over(byDayDesc))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"),
+        max(when(col("rn") === 1, col("event_type"))).as("day_last_type"))
+    val span = events.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val grid = events.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span.select(
+        explode(sequence(col("d0"), col("d1"))).as("day"))))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("value_cents"), lit(0L)).as("value_cents"),
+        last(col("day_last_type"), ignoreNulls = true).over(byUser).as("last_type"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** TPC-H Q2 (minimum-cost supplier, adapted — no partsupp table, so
     * "supply cost" is stood in by the minimum unit price a supplier
     * ever charged for the part, in exact milli-cents via integer

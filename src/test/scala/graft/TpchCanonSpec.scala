@@ -288,6 +288,37 @@ class TpchCanonSpec extends AnyFunSuite {
     assert(same.isEmpty, "adjacent versions with equal state mean a run failed to collapse")
   }
 
+  test("q59 (gapfill): full grid, zero-filled gaps, LOCF carries the last state forward") {
+    val spark = this.spark
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val events = Seq(
+      // user 1: events on day 1 and day 4 of a 5-day global span
+      (1L, 1L, ts("2024-01-01T10:00:00Z"), "view", 1.0),
+      (1L, 2L, ts("2024-01-01T11:00:00Z"), "click", 2.5),
+      (1L, 3L, ts("2024-01-04T09:00:00Z"), "purchase", 10.0),
+      // user 2: a single event on day 5 (defines the span's far edge)
+      (2L, 4L, ts("2024-01-05T08:00:00Z"), "view", 0.5)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Relational.q59Gapfill(events).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), Option(r.getString(4)))).toSeq
+    assert(out.length == 10, s"2 users x 5 days: $out")
+    val u1 = out.filter(_._1 == 1L)
+    // day 1: two events, 350 cents, last state = click (latest ts wins)
+    assert(u1(0) == ((1L, "2024-01-01", 2L, 350L, Some("click"))), s"$u1")
+    // days 2-3: zero-filled, click carried forward
+    assert(u1(1) == ((1L, "2024-01-02", 0L, 0L, Some("click"))))
+    assert(u1(2) == ((1L, "2024-01-03", 0L, 0L, Some("click"))))
+    // day 4: purchase becomes the new carried state through day 5
+    assert(u1(3) == ((1L, "2024-01-04", 1L, 1000L, Some("purchase"))))
+    assert(u1(4) == ((1L, "2024-01-05", 0L, 0L, Some("purchase"))))
+    // user 2: leading gap days have NO state to carry -> null
+    val u2 = out.filter(_._1 == 2L)
+    assert(u2.take(4).forall(r => r._3 == 0L && r._5.isEmpty), s"$u2")
+    assert(u2(4) == ((2L, "2024-01-05", 1L, 50L, Some("view"))))
+  }
+
   test("q52 (Q9): the 80% cost stand-in truncates exactly like the oracle's integer div") {
     val spark = this.spark
     import spark.implicits._
