@@ -1148,8 +1148,13 @@ object Ann {
       // collapses the projection ABOVE the Generate otherwise, and the
       // k×dims argmin kernel then re-evaluates once per EXPLODED dim
       // row (dims× the work — measured 12.5 s vs 1 s per round at
-      // sf0.1). The checkpoint pins the nodes-sized assigned frame so
-      // the kernel runs exactly once per vector.
+      // sf0.1). A persist barrier gives the same plan shape but
+      // measured 3× slower end to end, so the checkpoint stays; its
+      // blocks are freed by the ContextCleaner once the iteration's
+      // frame is unreferenced, and total retention is bounded by
+      // iters × (nodes × dims) longs — at 100 TB training runs on a
+      // sample (the documented quantizer rule), so this stays
+      // metadata-scale.
       val assigned = xb
         .crossJoin(broadcast(centsRow(embeddings.sparkSession, cents)))
         .select(kmeansNearestData(cents.length).getField("col2").as("list_id"),

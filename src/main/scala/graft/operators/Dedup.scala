@@ -261,16 +261,26 @@ object Dedup {
       val spark = batch.sparkSession
       val batchSigs = materialized(corpusSignatures(batch, numPerm))
       try {
-        val index = spark.read.parquet(indexDir + "/*")
+        // exclude this epoch's OWN delta dir from the probe input: on a
+        // REPLAY it already holds the batch's kept signatures, and
+        // probing it would let batch-mates dup each other (both kept
+        // the first time, both dropped on replay — the epoch rewrites
+        // empty, silent index data loss). Excluding it makes the
+        // replayed probe see exactly the first run's index — and,
+        // since the write target is then never a probe input, the
+        // overwrite is safe without an eager materialization.
+        val epochs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName != s"b$batchId")
+          .sortBy(_.getName)
+        require(epochs.nonEmpty, s"no signature epochs under $indexDir — " +
+          "seed the index with the corpus signatures before streaming")
+        val index = epochs.map(d => spark.read.parquet(d.getPath))
+          .reduce(_ unionByName _)
         val verdicts = materialized(
           probeCorpus(batchSigs, index, numPerm, bands, threshold))
         try {
           onVerdicts(verdicts, batchId)
-          // materialize BEFORE the write: on a replayed epoch the target
-          // dir is also a probe input (indexDir/*), and a lazy
-          // overwrite would delete its own source mid-job
           batchSigs.join(verdicts.filter(col("keep")).select(col("doc_id")), "doc_id")
-            .localCheckpoint(true)
             .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
         } finally verdicts.unpersist()
       } finally batchSigs.unpersist()

@@ -682,22 +682,27 @@ object Multimodal {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val batchSigs = phashSignatures(batch)
+      // exclude this epoch's OWN delta dir from the probe input: on a
+      // REPLAY it already holds the batch's kept signatures, and
+      // probing it would let batch-mate near-dups drop each other
+      // (kept the first time, dropped on replay — the epoch rewrites
+      // empty). Excluding it also keeps the overwrite target out of
+      // the probe's input set, so the lazy write is safe as-is.
       val epochs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-        .filter(_.isDirectory).sortBy(_.getName)
+        .filter(f => f.isDirectory && f.getName != s"b$batchId")
+        .sortBy(_.getName)
+      require(epochs.nonEmpty, s"no signature epochs under $indexDir — " +
+        "seed the index with phashIndexSeed before streaming")
       val corpus = epochs.map(d => spark.read.parquet(d.getPath))
         .reduce(_ unionByName _)
       val verdicts = probePhash(batchSigs, corpus, hammingMax)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         onVerdicts(verdicts, batchId)
-        // materialize BEFORE the write: on a replayed epoch the target
-        // dir is also a probe input, and a lazy overwrite would delete
-        // its own source mid-job
-        val kept = batchSigs
+        batchSigs
           .join(verdicts.filter(col("keep")).select(col("doc_id")),
             Seq("doc_id"), "left_semi")
-          .localCheckpoint(true)
-        kept.write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+          .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
       } finally verdicts.unpersist()
     }
 
@@ -717,7 +722,9 @@ object Multimodal {
     * hash-fails. */
   def mmCuration(documents: DataFrame, hammingMax: Int = 10,
                  minQuality: Double = 0.5): DataFrame = {
-    val sig = phashSignatures(documents)
+    // materialized: sig feeds both the pairs pass and the dims join —
+    // without it the full PNG decode of every document runs twice
+    val sig = Dedup.materialized(phashSignatures(documents))
     val dropped = phashPairs(sig, hammingMax)
       .select(col("doc_b").as("doc_id")).distinct()
     documents

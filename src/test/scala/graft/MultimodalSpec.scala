@@ -843,5 +843,29 @@ class WavResampleSpec extends org.scalatest.funsuite.AnyFunSuite {
     try { mem2.addData(8965L, 100000L); q2.processAllAvailable() } finally q2.stop()
     assert(spark.read.parquet(s"$dir/b0").count() == 1,
       "a replayed epoch must overwrite its dir, not double it")
+    // BATCH-MATE replay: 100001 and 108961 are pixel-identical to each
+    // other but exact-dup nothing standing; both keep on first run
+    // (batch-internal dups are out of scope), and on replay the
+    // epoch's own delta dir must be excluded from the probe or each
+    // would drop the other
+    val mem3 = MemoryStream[Long]
+    val q3 = graft.operators.Multimodal
+      .mmPhashStream(mem3.toDF().toDF("doc_id"), dir, hammingMax = 0) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-phidx-ck3").toString)
+      .start()
+    try { mem3.addData(100001L, 108961L); q3.processAllAvailable() } finally q3.stop()
+    assert(spark.read.parquet(s"$dir/b0").count() == 2, "first run keeps both mates")
+    val mem4 = MemoryStream[Long]
+    val q4 = graft.operators.Multimodal
+      .mmPhashStream(mem4.toDF().toDF("doc_id"), dir, hammingMax = 0) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-phidx-ck4").toString)
+      .start()
+    try { mem4.addData(100001L, 108961L); q4.processAllAvailable() } finally q4.stop()
+    val mates = spark.read.parquet(s"$dir/b0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(mates == Set(100001L, 108961L),
+      s"replayed batch-mates must not drop each other: $mates")
   }
 }

@@ -341,6 +341,38 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(b0 == Set(102L),
       s"a replayed epoch must rewrite its own content, not empty itself: $b0")
+    // BATCH-MATE replay: a batch whose two docs are near-dups of each
+    // other but of nothing standing. First run keeps both (batch-
+    // internal dups are out of scope by contract); on replay both sit
+    // in the epoch's own delta dir — which must be EXCLUDED from the
+    // probe, or each would drop the other and the epoch rewrites empty
+    val mateText = (1 to 30).map(i => s"mate$i").mkString(" ")
+    val mem3 = MemoryStream[(Long, String)]
+    val q3 = graft.operators.Dedup.dedupIncrementalStream(
+        mem3.toDF().toDF("doc_id", "text"), indexDir) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-incdedup-ck3").toString)
+      .start()
+    try {
+      mem3.addData((301L, mateText), (302L, mateText + " tailword"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(spark.read.parquet(s"$indexDir/b0").count() == 2,
+      "first run keeps both batch-mates")
+    val mem4 = MemoryStream[(Long, String)]
+    val q4 = graft.operators.Dedup.dedupIncrementalStream(
+        mem4.toDF().toDF("doc_id", "text"), indexDir) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-incdedup-ck4").toString)
+      .start()
+    try {
+      mem4.addData((301L, mateText), (302L, mateText + " tailword"))
+      q4.processAllAvailable()
+    } finally q4.stop()
+    val replayed = spark.read.parquet(s"$indexDir/b0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(replayed == Set(301L, 302L),
+      s"replayed batch-mates must not drop each other: $replayed")
   }
 }
 
