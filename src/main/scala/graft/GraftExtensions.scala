@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => WinnowFingerprint(args(0), intArg(args(1), "k"), intArg(args(2), "w")))
     inject("graft_cosine", "graft_cosine(a, b) - cosine similarity of float vectors",
       args => CosineSim(args(0), args(1)))
+    inject("graft_nearest_centroid",
+      "graft_nearest_centroid(xb, cents) - exact-integer nearest centroid (dist_sq, list_id)",
+      args => NearestCentroid(args(0), args(1)))
     inject("graft_sorted_intersect", "graft_sorted_intersect(a, b) - sorted long array intersection size",
       args => SortedIntersectCount(args(0), args(1)))
     inject("graft_topk", "graft_topk(score, id, k) - top-k (score,id) pairs",

@@ -28,6 +28,11 @@ object F {
   def cosine(a: Column, b: Column): Column =
     Shims.column(CosineSim(Shims.expression(a), Shims.expression(b)))
 
+  /** Exact-integer nearest centroid of a bp-quantized vector against
+    * an array<array<long>> centroid column → struct(dist_sq, list_id). */
+  def nearestCentroid(xb: Column, cents: Column): Column =
+    Shims.column(NearestCentroid(Shims.expression(xb), Shims.expression(cents)))
+
   /** Hashed k-token shingles straight from a string column.
     * `sortedDistinct` fuses `sort_array(array_distinct(...))` into the
     * kernel pass. */

@@ -640,4 +640,30 @@ object HashImpls {
     }
     new GenericArrayData(out)
   }
+
+  /** Exact-integer nearest centroid: argmin of Σ(x−c)² over the
+    * centroid list (ties → lowest index, the strict `<` rule — same
+    * pick as array_min over (dist, id) structs). Inputs are
+    * basis-point quantized longs, so every distance is exact and the
+    * argmin is engine-portable. Returns (dist_sq, list_id). */
+  def nearestCentroid(xb: ArrayData, cents: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val dims = xb.numElements()
+    val k = cents.numElements()
+    var bestD = Long.MaxValue
+    var bestI = 0L
+    var c = 0
+    while (c < k) {
+      val cv = cents.getArray(c)
+      var d = 0L
+      var j = 0
+      while (j < dims) {
+        val t = xb.getLong(j) - cv.getLong(j)
+        d += t * t
+        j += 1
+      }
+      if (d < bestD) { bestD = d; bestI = c.toLong }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestD, bestI)
+  }
 }

@@ -187,6 +187,25 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int, planeOffset: Int 
     copy(child = newChild)
 }
 
+/** (array<long> xb, array<array<long>> cents) →
+  * struct<dist_sq: long, list_id: long>: exact-integer nearest
+  * centroid (ties → lowest index). The codegen'd static call replaces
+  * an interpreted aggregate/zip_with/transform chain whose cold-JIT
+  * warmup dominated the k-means Lloyd loop. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist_sq", LongType, nullable = false),
+    StructField("list_id", LongType, nullable = false)))
+  override def prettyName: String = "graft_nearest_centroid"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.nearestCentroid(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpls.nearestCentroid($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroid =
+    copy(left = l, right = r)
+}
+
 /** (array<long> ids, array<double> cosines, array<array<float>> vecs)
   * → array<struct<score2,id>>: greedy MMR selection (λ = 1/2) over one
   * query's candidate pool, all comparisons in integer basis points so

@@ -1091,24 +1091,19 @@ object Ann {
       transform(col("embedding"),
         x => round(x.cast("double") * lit(1e4), 0).cast("long")).as("xb"))
 
-  /** Row-local nearest-centroid struct vs. a centroid ARRAY COLUMN:
-    * array_min over (dist, id) structs = exact integer argmin, ties →
-    * lowest id. The centroids ride as broadcast DATA (`cents`,
+  /** Row-local nearest centroid vs. a centroid ARRAY COLUMN via the
+    * codegen'd [[graft.functions.F.nearestCentroid]] kernel (exact
+    * integer argmin, ties → lowest id). Two perf lessons are baked in
+    * here: (1) the centroids ride as broadcast DATA (`cents`,
     * array<array<long>>), NOT as literals — inlined literals change
     * the generated codegen source every Lloyd iteration, so each
-    * round (and each centroid refresh) paid a multi-second Janino
-    * recompile of a 512-literal expression (measured: embedding_
-    * kmeans ~23 s wall, effective parallelism 1.1 — compile-bound,
-    * not data-bound). With data-driven centroids the source is
-    * byte-identical across iterations and the compile caches. NOTE:
-    * struct() inside transform() drops aliases, so the fields are
-    * positional col1 (dist) / col2 (id). */
-  private def kmeansNearestData(nlist: Int): Column =
-    array_min(transform(sequence(lit(0), lit(nlist - 1)), k =>
-      struct(
-        aggregate(zip_with(col("xb"), element_at(col("cents"), k + 1),
-          (x, cc) => (x - cc) * (x - cc)), lit(0L), (acc, d) => acc + d),
-        k.cast("long"))))
+    * round paid a multi-second Janino recompile of a 512-literal
+    * expression (measured: ~23 s wall, effective parallelism 1.1);
+    * (2) the argmin is a static-call codegen Expression, not an
+    * interpreted aggregate/zip_with/transform chain — the HOF chain's
+    * cold-JIT warmup alone cost multiple seconds per fresh JVM. */
+  private def kmeansNearestData: Column =
+    F.nearestCentroid(col("xb"), col("cents"))
 
   /** The trained centroids as a 1-row broadcast frame (`cents`:
     * array<array<long>>) — k×dims longs, metadata-scale. */
@@ -1125,9 +1120,9 @@ object Ann {
   private def kmeansAssign(vecs: DataFrame, cents: Array[Array[Long]]): DataFrame =
     bpCoords(vecs)
       .crossJoin(broadcast(centsRow(vecs.sparkSession, cents)))
-      .select(col("vec_id"), kmeansNearestData(cents.length).as("a"))
-      .select(col("vec_id"), col("a.col2").as("list_id"),
-        col("a.col1").as("dist_sq"))
+      .select(col("vec_id"), kmeansNearestData.as("a"))
+      .select(col("vec_id"), col("a.list_id").as("list_id"),
+        col("a.dist_sq").as("dist_sq"))
 
   /** Driver-side Lloyd loop: md5-sampled deterministic seeds, then
     * `iters` rounds of (row-local exact-integer assignment → k×dims
@@ -1144,24 +1139,17 @@ object Ann {
       .orderBy(col("h"), col("vec_id")).limit(nlist)
       .collect().map(_.getSeq[Long](1).toArray)
     for (_ <- 1 to iters) {
-      // localCheckpoint between assignment and explode: Catalyst
-      // collapses the projection ABOVE the Generate otherwise, and the
-      // k×dims argmin kernel then re-evaluates once per EXPLODED dim
-      // row (dims× the work — measured 12.5 s vs 1 s per round at
-      // sf0.1). A persist barrier gives the same plan shape but
-      // measured 3× slower end to end, so the checkpoint stays; its
-      // blocks are freed by the ContextCleaner once the iteration's
-      // frame is unreferenced, and total retention is bounded by
-      // iters × (nodes × dims) longs — at 100 TB training runs on a
-      // sample (the documented quantizer rule), so this stays
-      // metadata-scale.
-      val assigned = xb
+      // One job per round, no barrier needed: Catalyst collapses the
+      // argmin projection above the Generate (so the kernel runs once
+      // per EXPLODED dim row), but with the codegen'd static-call
+      // kernel that re-evaluation is ~dims×k×dims integer ops per
+      // vector — microseconds, cheaper than the extra job +
+      // checkpoint a materialization barrier costs. (The barrier WAS
+      // load-bearing for the interpreted HOF chain this replaced.)
+      val upd = xb
         .crossJoin(broadcast(centsRow(embeddings.sparkSession, cents)))
-        .select(kmeansNearestData(cents.length).getField("col2").as("list_id"),
-          col("xb"))
-        .localCheckpoint(true)
-      val upd = assigned
-        .select(col("list_id"), posexplode(col("xb")).as(Seq("i", "x")))
+        .select(kmeansNearestData.getField("list_id").as("list_id"),
+          posexplode(col("xb")).as(Seq("i", "x")))
         .groupBy(col("list_id"), col("i"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
