@@ -203,7 +203,10 @@ object Ann {
   private def ivfLists(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): DataFrame = {
     val deltas = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b"))
+      // _SUCCESS = completed-write sentinel: a torn delta (crash
+      // mid-write) is invisible until its epoch replays and rewrites it
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        new java.io.File(f, "_SUCCESS").exists)
       .sortBy(_.getName)
     deltas.foldLeft(spark.read.parquet(s"$indexDir/lists")) { (acc, d) =>
       acc.unionByName(spark.read.parquet(d.getPath))
@@ -219,7 +222,10 @@ object Ann {
     * replayed epoch OVERWRITES its own delta dir instead of
     * double-appending — the dedupIncrementalStream replay-idempotency
     * rule. [[ivfProbeQueries]] reads base + deltas, so new vectors
-    * are searchable from the next batch on. */
+    * are searchable from the next batch on. OWNERSHIP CONTRACT: delta
+    * dirs are keyed by the stream's batchId — one logical stream (one
+    * checkpoint) per indexDir; a different stream against the same
+    * dir would restart at batch 0 and overwrite delta-b0. */
   def ivfAppendStream(vecs: DataFrame, indexDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -816,8 +822,16 @@ object Ann {
                          entries: DataFrame, k: Int, beam: Int,
                          hops: Int): DataFrame = {
     val qvecs = qs.select(col("q_id"), col("q_vec"))
-    var frontier = qs.join(entries, "b0")
-      .select(col("q_id"), col("entry").as("vec_id"))
+    // LEFT join + global-min fallback: a probe vector hashing to a
+    // bucket the stored index never saw (possible in the build-once/
+    // probe-forever pattern when querying vectors outside the indexed
+    // corpus) must start somewhere deterministic, not silently vanish
+    // from the results — an inner join dropped such queries with no
+    // signal. Known buckets behave identically.
+    val globalEntry = entries.agg(min(col("entry")).as("global_entry"))
+    var frontier = qs.join(entries, Seq("b0"), "left")
+      .crossJoin(broadcast(globalEntry))
+      .select(col("q_id"), coalesce(col("entry"), col("global_entry")).as("vec_id"))
     for (_ <- 1 to hops) {
       val expanded = frontier.unionByName(
           frontier.join(adj, frontier("vec_id") === adj("node"))
@@ -877,9 +891,13 @@ object Ann {
   }
 
   /** Default on-disk location for a corpus's stored k-NN index, keyed
-    * by corpus identity (source key + row count — the count is a
-    * parquet-metadata read) and the build parameters, so a stale index
-    * from other data or settings can never be probed by mistake. */
+    * by (source key, row count — a parquet-metadata read) and the
+    * build parameters: the strongest identity available without
+    * hashing the corpus. A key collision requires rewriting the SAME
+    * path with the SAME row count — if data is regenerated in place
+    * like that, pass an explicit fresh indexDir (content-hash keys
+    * would cost a corpus scan per lookup, defeating the stored-index
+    * point). */
   def defaultIndexDir(embeddings: DataFrame, sfKey: String,
                       numPlanes: Int = 5, tables: Int = 2,
                       degree: Int = 6): String = {

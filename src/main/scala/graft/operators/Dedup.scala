@@ -251,7 +251,13 @@ object Dedup {
     * with overwrite mode, so a replayed epoch rewrites the same path
     * instead of double-appending (same idempotency rule as the
     * exactly-once sink's epoch ledger). Probing is per-batch bounded
-    * work against a stored index; no streaming state, no watermark. */
+    * work against a stored index; no streaming state, no watermark.
+    * OWNERSHIP CONTRACT: epoch dirs are keyed by the stream's
+    * batchId, so the index belongs to ONE logical stream (identified
+    * by its checkpoint). Starting a DIFFERENT stream against the same
+    * indexDir restarts at batch 0 and overwrites earlier epochs — on
+    * restart reuse the original checkpointLocation, or point a new
+    * stream at a fresh indexDir. */
   def dedupIncrementalStream(docs: DataFrame, indexDir: String,
                              numPerm: Int = 192, bands: Int = 24,
                              threshold: Double = 0.5)
@@ -270,7 +276,10 @@ object Dedup {
         // since the write target is then never a probe input, the
         // overwrite is safe without an eager materialization.
         val epochs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-          .filter(f => f.isDirectory && f.getName != s"b$batchId")
+          // own-epoch exclusion (replay safety) + _SUCCESS sentinel (a
+          // torn epoch write is invisible until its replay rewrites it)
+          .filter(f => f.isDirectory && f.getName != s"b$batchId" &&
+            new java.io.File(f, "_SUCCESS").exists)
           .sortBy(_.getName)
         require(epochs.nonEmpty, s"no signature epochs under $indexDir — " +
           "seed the index with the corpus signatures before streaming")

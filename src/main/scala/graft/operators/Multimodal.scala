@@ -675,7 +675,11 @@ object Multimodal {
     * (3) hand verdicts to `onVerdicts`, (4) append the KEPT docs'
     * signatures as `indexDir/b<batchId>` — the self-growing image
     * index, with the same overwrite-on-replay idempotency rule as
-    * dedupIncrementalStream. No streaming state, no watermark. */
+    * dedupIncrementalStream. No streaming state, no watermark.
+    * OWNERSHIP CONTRACT: epoch dirs are keyed by the stream's
+    * batchId — one logical stream (one checkpoint) per indexDir; a
+    * different stream against the same dir would restart at batch 0
+    * and overwrite earlier epochs. */
   def mmPhashStream(docs: DataFrame, indexDir: String, hammingMax: Int = 10)
                    (onVerdicts: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -689,7 +693,10 @@ object Multimodal {
       // empty). Excluding it also keeps the overwrite target out of
       // the probe's input set, so the lazy write is safe as-is.
       val epochs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName != s"b$batchId")
+        // own-epoch exclusion (replay safety) + _SUCCESS sentinel (a
+        // torn epoch write is invisible until its replay rewrites it)
+        .filter(f => f.isDirectory && f.getName != s"b$batchId" &&
+          new java.io.File(f, "_SUCCESS").exists)
         .sortBy(_.getName)
       require(epochs.nonEmpty, s"no signature epochs under $indexDir — " +
         "seed the index with phashIndexSeed before streaming")

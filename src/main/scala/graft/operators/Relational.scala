@@ -26,7 +26,11 @@ object Relational {
     sum(round(c * 100, 0).cast("long")) / 100.0
 
 
-  private def disc(c: Column): Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  /** `c` discounted by l_discount — the argument is now actually used
+    * (it was previously ignored in favor of a hardcoded
+    * l_extendedprice, a silent wrong-revenue trap for any future
+    * caller passing a different column). */
+  private def disc(c: Column): Column = c * (lit(1.0) - col("l_discount"))
 
   /** TPC-H Q1 pricing summary. Partial agg on 2 low-cardinality keys —
     * at 100 TB this is a near-pure map-side combine, ~6 output rows. */
@@ -272,7 +276,7 @@ object Relational {
     val w = Window.partitionBy(col("n_name"))
       .orderBy(col("revenue").desc, col("s_suppkey").asc)
     bySupp
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topK)
@@ -561,8 +565,10 @@ object Relational {
     * customer's and supplier's nations must match). Revenue sums in
     * exact integer cents (the moneySum discipline — double sums of
     * 1e8-scale money drift across engines). Filters (region, order
-    * year) reach the scans; the dims stay broadcast at any corpus
-    * size because they are bounded by geography, not data volume. */
+    * year) reach the scans. Nation/region are geography-bounded and
+    * broadcast at ANY scale (hinted); supplier-sized dims scale with
+    * the corpus, so their join strategy is left to the planner/AQE —
+    * broadcast while they fit the threshold, shuffle beyond it. */
   def q36TpchQ5(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
                 supplier: DataFrame, nation: DataFrame, region: DataFrame,
                 regionName: String = "ASIA", year: Int = 1996): DataFrame = {
@@ -582,7 +588,7 @@ object Relational {
     ord.join(cust, col("o_custkey") === col("c_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey"), cents.as("cents")),
         col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg((sum(col("cents")).cast("double") / 100.0).as("revenue"))
@@ -634,12 +640,18 @@ object Relational {
       .withColumn("n", count(lit(1)).over(all))
       .withColumn("s", sum(col("n_events")).over(all))
       .withColumn("ss", sum(col("n_events") * col("n_events")).over(all))
+      // DECIMAL(38,0) arithmetic, not long: the variance terms grow
+      // quadratically-to-cubically in the corpus total (s², (n·x−s)²·n)
+      // and silently wrap 2^63 around s ≈ 1e10 — decimal keeps the
+      // verdict exact to 38 digits (DuckDB's sum already promotes to
+      // HUGEINT, so only the Spark side needed widening)
       .withColumn("z", round(
         (col("n_events").cast("double") - col("s").cast("double") / col("n")) /
-          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+          sqrt(expr("CAST(CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)") /
             (col("n") * (col("n") - 1))) + lit(1e-9), 4))
       .withColumn("is_anomaly", expr(
-        "(n * n_events - s) * (n * n_events - s) * (n - 1) > 4 * n * (n * ss - s * s)"))
+        """(CAST(n AS DECIMAL(38,0)) * n_events - s) * (CAST(n AS DECIMAL(38,0)) * n_events - s)
+           * (n - 1) > 4 * CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)"""))
       .select(col("day"), col("n_events"), col("z"), col("is_anomaly"))
       .orderBy(col("day"))
   }
@@ -800,7 +812,7 @@ object Relational {
         col("l_shipdate") < lit(s"${yearTo + 1}-01-01"))
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).cast("long").as("l_year"), cents.as("cents"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
@@ -876,7 +888,7 @@ object Relational {
       .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("cents"))
       .withColumn("max_cents", max(col("cents")).over(all))
       .filter(col("cents") === col("max_cents"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         (col("cents").cast("double") / 100.0).as("total_revenue"))
@@ -985,7 +997,7 @@ object Relational {
       .join(customer.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(regNat), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
       .agg(
         sum(when(col("supp_nation") === shareNation, col("cents")).otherwise(0L))
@@ -1181,7 +1193,7 @@ object Relational {
           col("p_size") <= maxSize)
         .select(col("p_partkey"), col("p_name"))),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .withColumn("min_mc", min(col("cost_mc")).over(byPart))
       .filter(col("cost_mc") === col("min_mc"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
@@ -1213,9 +1225,9 @@ object Relational {
       .join(orders.select(col("o_orderkey"),
           year(col("o_orderdate")).cast("long").as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supplier.join(broadcast(nation),
+      .join(supplier.join(broadcast(nation),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name"))),
+        .select(col("s_suppkey"), col("n_name")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"), col("o_year"))
       .agg((sum(col("rev_cents") - col("qty") * col("cost_unit")).cast("double") / 100.0)
@@ -1241,7 +1253,7 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val perPart = lineitem
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .select(col("l_partkey"), cents.as("cents"))
       .groupBy(col("l_partkey"))
       .agg(sum(col("cents")).as("value_cents"))
@@ -1327,9 +1339,9 @@ object Relational {
       .filter(col("s_qty") * 2 > col("tot_qty"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_parts"))
-      .join(broadcast(supplier.join(broadcast(nation),
+      .join(supplier.join(broadcast(nation),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_name"), col("n_name"))),
+        .select(col("s_suppkey"), col("s_name"), col("n_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"), col("n_parts"))
       .orderBy(col("s_suppkey"))
@@ -1361,7 +1373,7 @@ object Relational {
     perOrder
       .groupBy(col("late_supp"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
         col("late_supp") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

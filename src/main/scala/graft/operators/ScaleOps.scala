@@ -274,7 +274,9 @@ object ScaleOps {
     * delta dir (the dedupIncrementalStream replay-idempotency rule),
     * and because CMS merge IS cell-wise sum, the merged view over all
     * epochs equals the sketch of the full corpus — no read-modify-
-    * write of shared state, each epoch is an independent append. */
+    * write of shared state, each epoch is an independent append.
+    * OWNERSHIP CONTRACT: delta dirs are keyed by the stream's batchId
+    * — one logical stream (one checkpoint) per sketchDir. */
   def countMinStream(events: DataFrame, sketchDir: String, depth: Int = 4,
                      width: Int = 512)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -287,7 +289,10 @@ object ScaleOps {
     * — ≤ depth·width rows regardless of corpus size or epoch count. */
   def countMinMerged(spark: SparkSession, sketchDir: String): DataFrame = {
     val deltas = Option(new java.io.File(sketchDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b"))
+      // _SUCCESS = completed-write sentinel (torn deltas invisible
+      // until their epoch replays)
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        new java.io.File(f, "_SUCCESS").exists)
       .sortBy(_.getName)
     require(deltas.nonEmpty, s"no delta sketches under $sketchDir")
     deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)

@@ -876,9 +876,14 @@ object TextOps {
   def textEntropy(documents: DataFrame): DataFrame = {
     val chars = regexp_extract_all(lower(col("text")), lit("(?s)."), lit(0))
     val n = size(chars).cast("double")
-    val h = aggregate(array_distinct(chars), lit(0.0), (acc, ch) =>
-      acc - (size(filter(chars, c => c === ch)).cast("double") / n) *
-        log2(size(filter(chars, c => c === ch)).cast("double") / n))
+    // count each distinct char ONCE, then fold entropy over the counts
+    // — the naive fold re-scanned the char array twice per distinct
+    // character (once for p, once inside log2), doubling the
+    // O(len·alphabet) work for identical output
+    val counts = transform(array_distinct(chars),
+      ch => size(filter(chars, c => c === ch)).cast("double"))
+    val h = aggregate(counts, lit(0.0), (acc, cnt) =>
+      acc - (cnt / n) * log2(cnt / n))
     documents.select(
       col("doc_id"),
       size(chars).cast("long").as("n_chars_total"),
@@ -1000,10 +1005,14 @@ object TextOps {
   }
 
   /** Content-keyed default location for a corpus's stored model. */
-  def defaultQualityModelDir(documents: DataFrame, sfKey: String): String = {
+  def defaultQualityModelDir(documents: DataFrame, sfKey: String,
+                             iters: Int = 32, lrDen: Long = 40L): String = {
     val safe = sfKey.replaceAll("[^A-Za-z0-9._-]", "_")
     val n = documents.count()
-    s"${System.getProperty("java.io.tmpdir")}/graft-quality-model/$safe-n$n"
+    // iters/lrDen belong in the content key (the sibling helpers all
+    // key their build params): without them a model trained with
+    // different settings would be silently reused
+    s"${System.getProperty("java.io.tmpdir")}/graft-quality-model/$safe-n$n-i$iters-d$lrDen"
   }
 
   /** The STORED-MODEL face of [[textQualityLrTrained]]: load the
