@@ -170,20 +170,15 @@ object Ann {
     * [[ensureAnnIndex]] pattern: centroids are written last, their
     * _SUCCESS is the completed-build sentinel). */
   def ensureIvfIndex(embeddings: DataFrame, indexDir: String,
-                     nlist: Int = 16): String = {
-    if (!new java.io.File(s"$indexDir/centroids/_SUCCESS").exists())
-      buildIvfIndex(embeddings, indexDir, nlist)
-    indexDir
-  }
+                     nlist: Int = 16): String =
+    StoredArtifacts.ensureBuilt(indexDir, "centroids")(
+      buildIvfIndex(embeddings, indexDir, nlist))
 
   /** Content-keyed default location for a corpus's stored IVF index
     * (see [[defaultIndexDir]]). */
   def defaultIvfIndexDir(embeddings: DataFrame, sfKey: String,
-                         nlist: Int = 16): String = {
-    val safe = sfKey.replaceAll("[^A-Za-z0-9._-]", "_")
-    val n = embeddings.count()
-    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index/$safe-n$n-l$nlist"
-  }
+                         nlist: Int = 16): String =
+    StoredArtifacts.contentKeyedDir("graft-ivf-index", embeddings, sfKey, s"-l$nlist")
 
   /** The PROBE face of [[annIvfSampled]]: rank each query's `nprobe`
     * nearest stored centroids (a broadcast of nlist tiny rows), then
@@ -900,12 +895,9 @@ object Ann {
     * point). */
   def defaultIndexDir(embeddings: DataFrame, sfKey: String,
                       numPlanes: Int = 5, tables: Int = 2,
-                      degree: Int = 6): String = {
-    val safe = sfKey.replaceAll("[^A-Za-z0-9._-]", "_")
-    val n = embeddings.count()
-    s"${System.getProperty("java.io.tmpdir")}/graft-ann-index/" +
-      s"$safe-n$n-p$numPlanes-t$tables-d$degree"
-  }
+                      degree: Int = 6): String =
+    StoredArtifacts.contentKeyedDir("graft-ann-index", embeddings, sfKey,
+      s"-p$numPlanes-t$tables-d$degree")
 
   /** Build-if-absent guard for [[buildAnnIndex]]: the parquet
     * `_SUCCESS` marker of the last-written table is the completed-
@@ -913,11 +905,9 @@ object Ann {
     * rebuilt). Returns `indexDir` for call chaining. */
   def ensureAnnIndex(embeddings: DataFrame, indexDir: String,
                      numPlanes: Int = 5, tables: Int = 2,
-                     degree: Int = 6): String = {
-    if (!new java.io.File(s"$indexDir/entries/_SUCCESS").exists())
-      buildAnnIndex(embeddings, indexDir, numPlanes, tables, degree)
-    indexDir
-  }
+                     degree: Int = 6): String =
+    StoredArtifacts.ensureBuilt(indexDir, "entries")(
+      buildAnnIndex(embeddings, indexDir, numPlanes, tables, degree))
 
   /** The PROBE face of [[annGraph]]: read the stored index and run
     * ONLY beam search — what every query after the first pays at
@@ -1212,11 +1202,9 @@ object Ann {
   /** Content-keyed default location for a corpus's stored k-means
     * model (see [[defaultIvfIndexDir]]). */
   def defaultKmeansModelDir(embeddings: DataFrame, sfKey: String,
-                            nlist: Int = 8, iters: Int = 3): String = {
-    val safe = sfKey.replaceAll("[^A-Za-z0-9._-]", "_")
-    val n = embeddings.count()
-    s"${System.getProperty("java.io.tmpdir")}/graft-kmeans/$safe-n$n-k$nlist-i$iters"
-  }
+                            nlist: Int = 8, iters: Int = 3): String =
+    StoredArtifacts.contentKeyedDir("graft-kmeans", embeddings, sfKey,
+      s"-k$nlist-i$iters")
 
   /** Load stored centroids back into driver arrays (k×dims longs —
     * metadata-scale, like the BPE vocab load). */

@@ -457,19 +457,15 @@ object TextOps {
   /** Build-if-absent guard for [[buildVocabIndex]] (parquet _SUCCESS
     * sentinel, content-keyed dir — the ensureAnnIndex pattern). */
   def ensureVocabIndex(documents: DataFrame, indexDir: String,
-                       merges: Int = 8): String = {
-    if (!new java.io.File(s"$indexDir/vocab/_SUCCESS").exists())
-      buildVocabIndex(documents, indexDir, merges)
-    indexDir
-  }
+                       merges: Int = 8): String =
+    StoredArtifacts.ensureBuilt(indexDir, "vocab")(
+      buildVocabIndex(documents, indexDir, merges))
 
   /** Content-keyed default location for a corpus's stored vocab. */
   def defaultVocabDir(documents: DataFrame, sfKey: String,
-                      merges: Int = 8): String = {
-    val safe = sfKey.replaceAll("[^A-Za-z0-9._-]", "_")
-    val n = documents.count()
-    s"${System.getProperty("java.io.tmpdir")}/graft-vocab-index/$safe-n$n-m$merges"
-  }
+                      merges: Int = 8): String =
+    StoredArtifacts.contentKeyedDir("graft-vocab-index", documents, sfKey,
+      s"-m$merges")
 
   /** The STORED-VOCAB face of [[tokenizerApply]]: load the
     * written-once vocab and score — no merge rounds in-query (what
@@ -998,22 +994,15 @@ object TextOps {
 
   /** Build-if-absent guard for [[buildQualityModel]]. */
   def ensureQualityModel(documents: DataFrame, indexDir: String,
-                         iters: Int = 32, lrDen: Long = 40L): String = {
-    if (!new java.io.File(s"$indexDir/weights/_SUCCESS").exists())
-      buildQualityModel(documents, indexDir, iters, lrDen)
-    indexDir
-  }
+                         iters: Int = 32, lrDen: Long = 40L): String =
+    StoredArtifacts.ensureBuilt(indexDir, "weights")(
+      buildQualityModel(documents, indexDir, iters, lrDen))
 
   /** Content-keyed default location for a corpus's stored model. */
   def defaultQualityModelDir(documents: DataFrame, sfKey: String,
-                             iters: Int = 32, lrDen: Long = 40L): String = {
-    val safe = sfKey.replaceAll("[^A-Za-z0-9._-]", "_")
-    val n = documents.count()
-    // iters/lrDen belong in the content key (the sibling helpers all
-    // key their build params): without them a model trained with
-    // different settings would be silently reused
-    s"${System.getProperty("java.io.tmpdir")}/graft-quality-model/$safe-n$n-i$iters-d$lrDen"
-  }
+                             iters: Int = 32, lrDen: Long = 40L): String =
+    StoredArtifacts.contentKeyedDir("graft-quality-model", documents, sfKey,
+      s"-i$iters-d$lrDen")
 
   /** The STORED-MODEL face of [[textQualityLrTrained]]: load the
     * written-once weight vector and score — no training in-query
