@@ -81,6 +81,7 @@ object SparkEntry {
       Tables.orders(s, d))),
     "q58_scd2" -> ((s, d) => Relational.q58Scd2(Tables.events(s, d))),
     "q59_gapfill" -> ((s, d) => Relational.q59Gapfill(Tables.events(s, d))),
+    "q60_scd2_pit" -> ((s, d) => Relational.q60Scd2Pit(Tables.events(s, d))),
     "q51_tpch_q2" -> ((s, d) => Relational.q51TpchQ2(Tables.lineitem(s, d),
       Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
       Tables.region(s, d))),
@@ -1391,6 +1392,45 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
         |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+    "q60_scd2_pit" ->
+      // point-in-time lookup against the SCD2 ledger: exact quartile
+      // probe instants (integer-us div), half-open interval probe,
+      // LEFT join keeps pre-first-event probes as NULL state
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS us
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, state, us,
+        |    CASE WHEN lag(state) OVER w IS NULL OR lag(state) OVER w <> state
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), v AS (
+        |  SELECT user_id, state, us,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM m
+        |), g AS (
+        |  SELECT user_id, version, min(state) AS state,
+        |    min(us) AS valid_from_us
+        |  FROM v GROUP BY 1, 2
+        |), ledger AS (
+        |  SELECT user_id, version, state, valid_from_us,
+        |    lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us
+        |  FROM g
+        |), span AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+        |), probes AS (
+        |  SELECT CAST(k AS BIGINT) AS k, s.lo + ((s.hi - s.lo) * k) // 4 AS probe_us
+        |  FROM (SELECT unnest([1, 2, 3]) AS k), span s
+        |), grid AS (
+        |  SELECT u.user_id, p.k, p.probe_us
+        |  FROM (SELECT DISTINCT user_id FROM events) u, probes p
+        |)
+        |SELECT g.user_id, g.k, g.probe_us, l.version, l.state
+        |FROM grid g LEFT JOIN ledger l
+        |  ON l.user_id = g.user_id AND l.valid_from_us <= g.probe_us
+        |  AND (l.valid_to_us IS NULL OR g.probe_us < l.valid_to_us)
+        |ORDER BY g.user_id, g.k""".stripMargin,
     "q58_scd2" ->
       // SCD2 dimension versioning: maximal same-state runs with
       // half-open [valid_from, valid_to) intervals in exact epoch-us

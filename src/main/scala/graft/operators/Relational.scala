@@ -1160,6 +1160,41 @@ object Relational {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Point-in-time (PIT) lookup against the SCD2 ledger — the read
+    * face of [[q58Scd2]] and the reason the ledger keeps half-open
+    * [valid_from, valid_to) intervals: "what was every user's state at
+    * instant T" becomes ONE interval probe per (user, T), the query
+    * every feature-store / training-snapshot join runs (point-in-time
+    * correctness is what keeps future data out of training features).
+    *
+    * Probe instants are the corpus span's exact quartile points
+    * (integer-µs div — engine-portable), broadcast as a 3-row frame;
+    * the probe grid is users × 3. The join is equi on user_id (the
+    * ledger's own shuffle grain — versions tile disjointly, so at most
+    * one row matches) with the interval as residual; a LEFT join keeps
+    * probes before a user's first event as NULL state — the honest PIT
+    * answer, not a silently dropped row. Scale: ledger and grid both
+    * partition on user_id; per-user work is versions × 3. */
+  def q60Scd2Pit(events: DataFrame): DataFrame = {
+    val ledger = q58Scd2(events)
+      .select(col("user_id").as("l_user"), col("version"), col("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    val span = events.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val probes = span
+      .select(explode(array(lit(1L), lit(2L), lit(3L))).as("k"), col("lo"), col("hi"))
+      .select(col("k"), expr("lo + ((hi - lo) * k) div 4").as("probe_us"))
+    val grid = events.select(col("user_id")).distinct()
+      .crossJoin(broadcast(probes))
+    grid.join(ledger,
+        col("user_id") === col("l_user") &&
+        col("valid_from_us") <= col("probe_us") &&
+        (col("valid_to_us").isNull || col("probe_us") < col("valid_to_us")),
+        "left")
+      .select(col("user_id"), col("k"), col("probe_us"), col("version"), col("state"))
+      .orderBy(col("user_id"), col("k"))
+  }
+
   /** TPC-H Q2 (minimum-cost supplier, adapted — no partsupp table, so
     * "supply cost" is stood in by the minimum unit price a supplier
     * ever charged for the part, in exact milli-cents via integer

@@ -319,6 +319,31 @@ class TpchCanonSpec extends AnyFunSuite {
     assert(u2(4) == ((2L, "2024-01-05", 1L, 50L, Some("view"))))
   }
 
+  test("q60 (SCD2 PIT): interval probes hit the right version, pre-history probes are NULL") {
+    val spark = this.spark
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // span 00:00 .. 08:00 -> probes at exactly 02:00, 04:00, 06:00
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01T00:00:00Z"), "a"),
+      (1L, 2L, ts("2024-01-01T03:00:00Z"), "b"),
+      (1L, 3L, ts("2024-01-01T08:00:00Z"), "b"),
+      // user 2 appears only at 05:00 -> probes 1 & 2 predate history
+      (2L, 4L, ts("2024-01-01T05:00:00Z"), "x")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Relational.q60Scd2Pit(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        Option(r.getString(4)))).toSeq
+    assert(out.length == 6, s"2 users x 3 probes, one row each: $out")
+    assert(out(0) == ((1L, 1L, Some(1L), Some("a"))), s"probe inside v1: $out")
+    assert(out(1) == ((1L, 2L, Some(2L), Some("b"))), s"probe inside open v2: $out")
+    assert(out(2) == ((1L, 3L, Some(2L), Some("b"))))
+    assert(out(3) == ((2L, 1L, None, None)), s"pre-history probe must be NULL: $out")
+    assert(out(4) == ((2L, 2L, None, None)))
+    assert(out(5) == ((2L, 3L, Some(1L), Some("x"))))
+  }
+
   test("q52 (Q9): the 80% cost stand-in truncates exactly like the oracle's integer div") {
     val spark = this.spark
     import spark.implicits._
