@@ -194,6 +194,7 @@ object SparkEntry {
         TextOps.ensureVocabIndex(docs, TextOps.defaultVocabDir(docs, d)))
     }),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(Tables.documents(s, d))),
+    "text_bm25" -> ((s, d) => TextOps.textBm25(Tables.documents(s, d))),
     "pipeline_mix" -> ((s, d) => TextOps.mixDomains(Tables.documents(s, d))),
     "pipeline_shuffle" -> ((s, d) => TextOps.shuffleOrder(Tables.documents(s, d))),
     "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
@@ -2888,6 +2889,45 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT doc_id, rank, term, tf, df, tfidf
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_bm25" ->
+      // BM25 k1=1.2 b=0.75: idf rounded to micro-units at the 12-row
+      // query-term table; length normalizer + per-term contribution
+      // are exact integer arithmetic (half-up via (2n+d)//(2d), then
+      // truncating div) so scores hash-match with no tolerance
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tk
+        |  WHERE len(term) > 0 GROUP BY doc_id, term
+        |), dl AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM dt GROUP BY term
+        |), g AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |         (SELECT CAST(sum(tf) AS BIGINT) FROM dt) AS t_tokens
+        |), qt AS (
+        |  SELECT term, CAST((rn - 1) // 3 AS BIGINT) AS q_id,
+        |    CAST(round(ln((g.n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000000 + 1e-9)
+        |      AS BIGINT) AS idf_micro
+        |  FROM (SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+        |        FROM df) q, g
+        |  WHERE rn <= 12
+        |), sc AS (
+        |  SELECT qt.q_id, dt.doc_id,
+        |    CAST(sum((qt.idf_micro * dt.tf * 2200000)
+        |      // (1000000*dt.tf + 300000 +
+        |         (2*900000*dl.dl*g.n_docs + g.t_tokens) // (2*g.t_tokens))) AS BIGINT) AS s
+        |  FROM dt JOIN qt USING (term) JOIN dl USING (doc_id), g
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT q_id, doc_id, s,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id ASC) AS rank
+        |  FROM sc
+        |)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, s AS bm25_micro
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "pipeline_mix" ->
       // temperature mixing: rate_d = tok_d^(-0.3) / max_d(tok_d^(-0.3)),
       // acceptance = md5 bucket (8 hex chars % 10000) under

@@ -685,6 +685,69 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** BM25 lexical retrieval (Robertson/Sparck Jones, k1=1.2 b=0.75) —
+    * the classic keyword-search face the retrieval family was missing
+    * next to the vector ANN faces: score docs for a fixed query set,
+    * top-k per query. Query sets are derived deterministically from
+    * the corpus (the `nQueries`·`termsPerQuery` most frequent terms by
+    * (df desc, term) — present at every scale factor), so the query is
+    * self-contained like the stride-derived ANN query sets.
+    *
+    * Determinism: the ONLY doubles are the idf values, rounded to
+    * integer micro-units at the query-term table (≤ 12 roundings —
+    * the dsir lr_micro idiom); everything downstream is exact integer
+    * arithmetic. The length normalizer k1·(1−b+b·dl/avgdl) becomes
+    * 300000 + round(900000·dl·N/T) via exact integer half-up rounding
+    * ((2·num+den) div (2·den)), and each term's contribution is one
+    * integer div — both engines truncate identically, so scores
+    * hash-match with no tolerance hedging.
+    *
+    * Scale shape: the doc-term frame is built once (map-side
+    * combinable agg — the same materialized IR index textTfidf
+    * stores); df is vocab-sized; query terms + idf broadcast (12
+    * rows); the scoring join narrows dt to candidate docs BEFORE the
+    * doc-length join, so the only doc-grain shuffle carries
+    * docs-with-hits × query terms; the per-query top-k is a
+    * graft_topk heap with map-side partials — never a global sort. */
+  def textBm25(documents: DataFrame, k: Int = 5, nQueries: Int = 4,
+               termsPerQuery: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = Dedup.materialized(
+      documents.select(col("doc_id"), explode(tokens).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val dl = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dft = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val globals = documents.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("t_tokens")))
+    // global row_number window: dft is vocab-sized by construction
+    val byDf = Window.orderBy(col("df").desc, col("term").asc)
+    val qterms = dft
+      .withColumn("rn", row_number().over(byDf))
+      .filter(col("rn") <= nQueries * termsPerQuery)
+      .withColumn("q_id", expr(s"CAST((rn - 1) div $termsPerQuery AS BIGINT)"))
+      .crossJoin(broadcast(globals))
+      .withColumn("idf_micro",
+        round(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6) + lit(1e-9)).cast("long"))
+      .select(col("term"), col("q_id"), col("idf_micro"))
+    dt.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(globals))
+      .withColumn("dlnorm_micro",
+        expr("300000L + (2L*900000L*dl*n_docs + t_tokens) div (2L*t_tokens)"))
+      .withColumn("contrib_micro",
+        expr("(idf_micro * tf * 2200000L) div (1000000L*tf + dlnorm_micro)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib_micro")).as("s"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.F.topk(col("s").cast("double"), col("doc_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("bm25_micro"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Held-out bigram LM scoring with stupid backoff (Brants et al.
     * 2007): train bigram/unigram counts on the 90% shard, score the
     * held-out 10% by mean negative log S(w2|w1), where S backs off to

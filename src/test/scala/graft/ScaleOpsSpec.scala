@@ -551,6 +551,28 @@ class PiiRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out((3L, 3)) == (("banana", 0.0)))
   }
 
+  test("bm25 ranks by tf, demotes long docs, and omits docs without query terms") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w w x"),          // tf_w=2, dl=3
+      (2L, "w x y"),          // tf_w=1, dl=3
+      (3L, "w x y z a b"),    // tf_w=1, dl=6 (length-normalized below doc 2)
+      (4L, "q r s")).toDF("doc_id", "text") // no query term -> absent
+    // query = single most frequent term: df w=3 x=3, 'w' wins the
+    // (df desc, term asc) tiebreak
+    val out = graft.operators.TextOps.textBm25(docs, k = 5,
+      nQueries = 1, termsPerQuery = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L),
+      s"expect tf then length normalization to order docs 1,2,3: ${out.toSeq}")
+    assert(out.forall(_._1 == 0L) && out.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    val scores = out.map(_._4).toSeq
+    assert(scores == scores.sorted.reverse && scores.distinct == scores,
+      s"scores must strictly decrease: $scores")
+    assert(scores.forall(_ > 0L))
+  }
+
   test("bigram LM scores held-out docs, backing off on unseen bigrams") {
     val spark = TestSpark.spark
     import spark.implicits._
