@@ -226,6 +226,11 @@ object SparkEntry {
       Ann.pipelineRetrieval(e, Tables.documents(s, d),
         Ann.ensureIvfIndex(e, Ann.defaultIvfIndexDir(e, d)))
     }),
+    "pipeline_hybrid_retrieval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.pipelineHybridRetrieval(e, Tables.documents(s, d),
+        Ann.ensureIvfIndex(e, Ann.defaultIvfIndexDir(e, d)))
+    }),
     "pipeline_assembly" -> ((s, d) => TextOps.assemblyPipeline(Tables.documents(s, d))),
     "embedding_cluster_hist" -> ((s, d) => Ann.embeddingClusterHist(Tables.embeddings(s, d))),
     "pipeline_decontaminate" -> ((s, d) => TextOps.decontaminate(Tables.documents(s, d))),
@@ -2303,6 +2308,66 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  round(r.cos, 4) AS cosine, substr(d.text, 1, 40) AS snippet
         |FROM r JOIN documents d ON d.doc_id = r.neighbor_id
         |WHERE r.rank <= 3 ORDER BY r.q_id, r.rank""".stripMargin),
+    "pipeline_hybrid_retrieval" ->
+      // RRF fusion (K=60) of the IVF rank chain and doc-as-query BM25:
+      // both sides' credits are exact integer micro-units
+      // (1000000 // (60+rank)), fused over a FULL OUTER join
+      (ivfSampledCtes + """,
+        |vec AS (
+        |  SELECT q_id, neighbor_id AS doc_id, 1000000 // (60 + rank) AS rrf_v
+        |  FROM r WHERE rank <= 5
+        |), tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tk
+        |  WHERE len(term) > 0 GROUP BY doc_id, term
+        |), dl AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id
+        |), dfr AS (
+        |  SELECT term, count(*) AS df FROM dt GROUP BY term
+        |), g AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |         (SELECT CAST(sum(tf) AS BIGINT) FROM dt) AS t_tokens
+        |), qterms AS (
+        |  SELECT doc_id AS q_id, term FROM (
+        |    SELECT doc_id, term,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rn
+        |    FROM dt WHERE doc_id % 50 = 0) WHERE rn <= 3
+        |), qt AS (
+        |  SELECT qterms.q_id, qterms.term,
+        |    CAST(round(ln((g.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0) * 1000000
+        |      + 1e-9) AS BIGINT) AS idf_micro
+        |  FROM qterms JOIN dfr USING (term), g
+        |), sc AS (
+        |  SELECT qt.q_id, dt.doc_id,
+        |    CAST(sum((qt.idf_micro * dt.tf * 2200000)
+        |      // (1000000*dt.tf + 300000 +
+        |         (2*900000*dl.dl*g.n_docs + g.t_tokens) // (2*g.t_tokens))) AS BIGINT) AS s
+        |  FROM dt JOIN qt USING (term) JOIN dl USING (doc_id), g
+        |  WHERE dt.doc_id <> qt.q_id
+        |  GROUP BY 1, 2
+        |), lr AS (
+        |  SELECT q_id, doc_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id ASC) AS rank
+        |  FROM sc
+        |), lex AS (
+        |  SELECT q_id, doc_id, 1000000 // (60 + rank) AS rrf_l
+        |  FROM lr WHERE rank <= 5
+        |), fused AS (
+        |  SELECT COALESCE(v.q_id, l.q_id) AS q_id,
+        |    COALESCE(v.doc_id, l.doc_id) AS doc_id,
+        |    COALESCE(v.rrf_v, 0) + COALESCE(l.rrf_l, 0) AS rrf_micro
+        |  FROM vec v FULL OUTER JOIN lex l
+        |    ON v.q_id = l.q_id AND v.doc_id = l.doc_id
+        |), fr AS (
+        |  SELECT q_id, doc_id, rrf_micro,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+        |  FROM fused
+        |)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(rrf_micro AS BIGINT) AS rrf_micro
+        |FROM fr WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     "ann_mmr" -> mmrOracleSql(5),
     "ann_graph" -> graphOracleSql(5),
     // identical result by construction: the stored index's content is

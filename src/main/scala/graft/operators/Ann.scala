@@ -318,6 +318,50 @@ object Ann {
     * the corpus, so the documents table streams through with no
     * shuffle. Gated end to end by the sampled-IVF CTE chain composed
     * with the document join. */
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009,
+    * K=60) of the two retrieval faces the library already serves:
+    * vector ANN over the STORED IVF index and BM25 lexical search.
+    * Query docs are the stride set (vec_id aligns with doc_id in the
+    * corpus); each query's lexical form is its own top-`termsPerQuery`
+    * terms by (tf desc, term) — the doc-as-query idiom of near-dup /
+    * related-document search. Fusion credit is exact integer
+    * micro-units (1e6 div (K+rank)), so a doc found by both sides
+    * outranks single-side hits deterministically and the whole fused
+    * ranking hash-matches the oracle.
+    *
+    * Scale shape: both candidate sets are queries × poolK rows — the
+    * fusion full-outer join and re-rank run on frames that never grow
+    * with the corpus. The corpus pays one IVF probe (partition-pruned
+    * stored lists) and one BM25 pass over the shared doc-term frame. */
+  def pipelineHybridRetrieval(embeddings: DataFrame, documents: DataFrame,
+                              indexDir: String, k: Int = 5, stride: Int = 50,
+                              termsPerQuery: Int = 3, poolK: Int = 5,
+                              rrfK: Int = 60, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vec = ivfProbeQueries(querySet(embeddings, stride), indexDir, poolK, nprobe)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        expr(s"1000000L div ($rrfK + rank)").as("rrf_v"))
+    val dt = TextOps.docTermFrame(documents)
+    val byTf = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term").asc)
+    val qterms = dt.filter(col("doc_id") % stride === 0)
+      .withColumn("rn", row_number().over(byTf))
+      .filter(col("rn") <= termsPerQuery)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val lex = TextOps.bm25Core(documents, dt, qterms, poolK, excludeSelf = true)
+      .select(col("q_id"), col("doc_id"),
+        expr(s"1000000L div ($rrfK + rank)").as("rrf_l"))
+    vec.join(lex, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(col("rrf_v"), lit(0L)) + coalesce(col("rrf_l"), lit(0L))).as("rrf_micro"))
+      .groupBy(col("q_id"))
+      .agg(F.topk(col("rrf_micro").cast("double"), col("doc_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("rrf_micro"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def pipelineRetrieval(embeddings: DataFrame, documents: DataFrame,
                         indexDir: String, k: Int = 3, stride: Int = 50,
                         nprobe: Int = 4): DataFrame = {

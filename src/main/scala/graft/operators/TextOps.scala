@@ -712,26 +712,46 @@ object TextOps {
   def textBm25(documents: DataFrame, k: Int = 5, nQueries: Int = 4,
                termsPerQuery: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dt = Dedup.materialized(
-      documents.select(col("doc_id"), explode(tokens).as("term"))
-        .filter(length(col("term")) > 0)
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
-    val dl = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dt = docTermFrame(documents)
     val dft = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val globals = documents.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(sum(col("dl")).as("t_tokens")))
     // global row_number window: dft is vocab-sized by construction
     val byDf = Window.orderBy(col("df").desc, col("term").asc)
     val qterms = dft
       .withColumn("rn", row_number().over(byDf))
       .filter(col("rn") <= nQueries * termsPerQuery)
       .withColumn("q_id", expr(s"CAST((rn - 1) div $termsPerQuery AS BIGINT)"))
+      .select(col("q_id"), col("term"))
+    bm25Core(documents, dt, qterms, k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The materialized doc-term frame (doc_id, term, tf) — the IR index
+    * textTfidf/textBm25/the hybrid retrieval share. Built once per
+    * caller (persisted) and read by every downstream agg. */
+  private[operators] def docTermFrame(documents: DataFrame): DataFrame =
+    Dedup.materialized(
+      documents.select(col("doc_id"), explode(tokens).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+
+  /** BM25 scoring core over an EXPLICIT (q_id, term) query frame —
+    * shared by the corpus-derived-query face ([[textBm25]]) and the
+    * hybrid retrieval's doc-as-query face. `dt` is the caller's
+    * doc-term frame so the corpus is tokenized exactly once. Output:
+    * (q_id, rank, doc_id, bm25_micro), unordered. */
+  private[operators] def bm25Core(documents: DataFrame, dt: DataFrame,
+      qterms: DataFrame, k: Int, excludeSelf: Boolean = false): DataFrame = {
+    val dl = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dft = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val globals = documents.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("t_tokens")))
+    val qt = qterms.join(dft, "term")
       .crossJoin(broadcast(globals))
       .withColumn("idf_micro",
         round(log((col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6) + lit(1e-9)).cast("long"))
       .select(col("term"), col("q_id"), col("idf_micro"))
-    dt.join(broadcast(qterms), "term")
+    val base = dt.join(broadcast(qt), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(globals))
       .withColumn("dlnorm_micro",
@@ -740,12 +760,12 @@ object TextOps {
         expr("(idf_micro * tf * 2200000L) div (1000000L*tf + dlnorm_micro)"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("contrib_micro")).as("s"))
+    (if (excludeSelf) base.filter(col("doc_id") =!= col("q_id")) else base)
       .groupBy(col("q_id"))
       .agg(graft.functions.F.topk(col("s").cast("double"), col("doc_id"), k).as("nn"))
       .select(col("q_id"), posexplode(col("nn")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("doc_id"), col("col.score").cast("long").as("bm25_micro"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Held-out bigram LM scoring with stupid backoff (Brants et al.

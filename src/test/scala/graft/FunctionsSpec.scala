@@ -431,6 +431,37 @@ class IvfStoredIndexSpec extends AnyFunSuite {
   }
 }
 
+class HybridRetrievalSpec extends AnyFunSuite {
+  test("RRF fusion emits dense per-query ranks with credits from the achievable set") {
+    val spark = TestSpark.spark
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid").toString
+    graft.operators.Ann.ensureIvfIndex(emb, dir)
+    val out = graft.operators.Ann.pipelineHybridRetrieval(emb, docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // per query: ranks dense from 1, fused credit non-increasing
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"q$q ranks: ${sorted.toSeq}")
+      val cr = sorted.map(_._4).toSeq
+      assert(cr == cr.sorted.reverse, s"q$q credits must be non-increasing: $cr")
+      // no query doc retrieves itself through either side
+      assert(rows.forall(_._3 != q), s"q$q must not retrieve itself")
+    }
+    // every fused credit is a sum of 1-2 per-side credits 1e6/(60+r), r in 1..5
+    val singles = (1 to 5).map(r => 1000000L / (60 + r)).toSet
+    val achievable = singles ++ (for (a <- singles; b <- singles) yield a + b)
+    assert(out.forall(r => achievable(r._4)),
+      s"unexpected fused credit: ${out.filterNot(r => achievable(r._4)).toSeq}")
+    // at least one doc must carry a two-side (summed) credit somewhere
+    // in the corpus-scale run OR all credits are single-side — record
+    // which, but require the max credit to be at least the best single
+    assert(out.map(_._4).max >= singles.max)
+  }
+}
+
 class VocabStoredSpec extends AnyFunSuite {
   test("apply over the stored vocab matches the self-contained retrain face") {
     val spark = TestSpark.spark
