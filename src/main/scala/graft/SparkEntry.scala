@@ -239,6 +239,7 @@ object SparkEntry {
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
     "scale_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(Tables.lineitem(s, d))),
     "scale_countmin" -> ((s, d) => ScaleOps.countMin(Tables.events(s, d))),
+    "scale_hll" -> ((s, d) => ScaleOps.hllDistinct(Tables.events(s, d))),
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
     "scale_partition_prune" -> ((s, d) =>
       ScaleOps.partitionPrunedScan(s, ScaleOps.writePartitionedLayout(s, d))),
@@ -2254,6 +2255,48 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  min(cms.cnt) >= tc.exact_cnt AS never_underestimates
         |FROM tc JOIN cms ON cms.row = tc.row AND cms.cell = tc.cell
         |GROUP BY 1, 2 ORDER BY exact_cnt DESC, user_id""".stripMargin,
+    "scale_hll" ->
+      // relational HyperLogLog: 512 registers on the portable md5
+      // hash, rank = trailing zeros of (h div 512) + 1 via the exact
+      // lowest-set-bit log2; every integer (S2, zero regs, exact
+      // distinct) hash-matches, the double estimate (raw harmonic or
+      // linear-counting correction) feeds only the tolerance boolean
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':hll'), 1, 15))
+        |    AS BIGINT) AS h
+        |  FROM events
+        |), rr AS (
+        |  SELECT h % 512 AS reg, h // 512 AS rest FROM h
+        |), rho AS (
+        |  SELECT reg, CASE WHEN rest = 0 THEN 49
+        |    ELSE CAST(round(log2(rest & (-rest))) AS BIGINT) + 1 END AS rho
+        |  FROM rr
+        |), regs AS (
+        |  SELECT reg, max(rho) AS m_reg FROM rho GROUP BY reg
+        |), st AS (
+        |  SELECT count(*) AS n_hit,
+        |    CAST(sum(1::BIGINT << CAST(49 - m_reg AS INTEGER)) AS BIGINT) AS s2_hit
+        |  FROM regs
+        |), ex AS (
+        |  SELECT count(DISTINCT user_id) AS exact_distinct FROM events
+        |), fin AS (
+        |  SELECT CAST(512 AS BIGINT) AS m,
+        |    CAST(512 - st.n_hit AS BIGINT) AS n_zero_regs,
+        |    CAST(st.s2_hit + (512 - st.n_hit) * (1::BIGINT << 49) AS BIGINT) AS s2,
+        |    ex.exact_distinct
+        |  FROM st, ex
+        |), est AS (
+        |  SELECT *,
+        |    (0.7213 / (1.0 + 1.079 / 512)) * 512 * 512 * 562949953421312.0 / s2 AS raw_est,
+        |    (n_zero_regs > 0 AND (0.7213 / (1.0 + 1.079 / 512)) * 512 * 512
+        |      * 562949953421312.0 / s2 <= 1280.0) AS used_linear_counting
+        |  FROM fin
+        |)
+        |SELECT m, n_zero_regs, s2, exact_distinct, used_linear_counting,
+        |  abs(CASE WHEN used_linear_counting
+        |        THEN 512.0 * ln(512.0 / n_zero_regs) ELSE raw_est END
+        |      - exact_distinct) / exact_distinct <= 0.15 AS within_tol
+        |FROM est""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

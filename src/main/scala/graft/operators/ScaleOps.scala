@@ -300,6 +300,90 @@ object ScaleOps {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** HyperLogLog register table as a RELATIONAL artifact — the
+    * distinct-count sibling of [[countMinTable]]: one corpus scan
+    * hashes each key with the portable 60-bit md5 idiom, splits it
+    * into (register = h mod m, rest = h div m), and keeps per-register
+    * max rank, where rank = trailing-zero count of `rest` + 1 (a
+    * geometric variable, like the classic leading-zero rank). The
+    * groupBy is bounded by m rows, max is the map-side combiner, and
+    * HLL MERGE IS per-register max — idempotent AND commutative, so
+    * replayed epochs can't even double-count (stronger than CMS's
+    * sum). The rank extraction is engine-portable with no CASE chain:
+    * `rest & -rest` isolates the lowest set bit exactly, and
+    * round(log2(2^t)) recovers t through a <1e-10 error — never near
+    * the .5 boundary. */
+  private[graft] def hllTable(events: DataFrame, p: Int = 9): DataFrame = {
+    val m = 1L << p
+    val h = conv(substring(md5(concat(col("user_id").cast("string"),
+      lit(":hll"))), 1, 15), 16, 10).cast("long")
+    events.select(h.as("h"))
+      .select(expr(s"h % $m").as("reg"), expr(s"h div $m").as("rest"))
+      .select(col("reg"),
+        when(col("rest") === 0L, lit(49L))
+          .otherwise(round(log2(expr("rest & (-rest)"))).cast("long") + 1L).as("rho"))
+      .groupBy(col("reg")).agg(max(col("rho")).as("m_reg"))
+  }
+
+  /** The HLL distinct estimate next to the exact count — the
+    * [[approxDistinct]] idiom with the sketch OWNED by the library
+    * instead of Spark's opaque HLL++ buffer: every exact quantity
+    * (register sum S2 = Σ 2^(49−M_j) scaled to integers, zero-register
+    * count, exact distinct) is hash-matched bit-for-bit, and the
+    * Flajolet estimate — raw harmonic mean, or linear counting when
+    * the raw estimate is under 2.5m with empty registers (the standard
+    * small-range correction) — feeds only a within-tolerance BOOLEAN,
+    * because its ln/division chain is the one place doubles appear.
+    * At 100 TB the register table is the stored artifact
+    * ([[hllStream]] maintains it per ingest epoch); this query is the
+    * audit face. */
+  def hllDistinct(events: DataFrame, p: Int = 9, tol: Double = 0.15): DataFrame = {
+    val m = 1L << p
+    val stats = hllTable(events, p).agg(
+      count(lit(1)).as("n_hit"),
+      sum(expr("shiftleft(1L, CAST(49 - m_reg AS INT))")).as("s2_hit"))
+    val exact = events.agg(countDistinct(col("user_id")).as("exact_distinct"))
+    stats.crossJoin(exact)
+      .select(lit(m).as("m"), (lit(m) - col("n_hit")).as("n_zero_regs"),
+        (col("s2_hit") + (lit(m) - col("n_hit")) * lit(1L << 49)).as("s2"),
+        col("exact_distinct"))
+      .withColumn("raw_est",
+        expr(s"(0.7213 / (1.0 + 1.079 / $m)) * $m * $m * 562949953421312.0 / s2"))
+      .withColumn("used_linear_counting",
+        col("n_zero_regs") > 0L && col("raw_est") <= lit(2.5 * m))
+      .withColumn("est",
+        when(col("used_linear_counting"),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs")))
+          .otherwise(col("raw_est")))
+      .select(col("m"), col("n_zero_regs"), col("s2"), col("exact_distinct"),
+        col("used_linear_counting"),
+        (abs(col("est") - col("exact_distinct")) / col("exact_distinct")
+          <= lit(tol)).as("within_tol"))
+  }
+
+  /** Ingest-time HLL maintenance — per-epoch delta register tables,
+    * replay-idempotent by overwrite (and by max itself). Same
+    * ownership contract as [[countMinStream]]: delta dirs keyed by the
+    * stream's batchId, one logical stream per sketchDir. */
+  def hllStream(events: DataFrame, sketchDir: String, p: Int = 9)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      hllTable(batch, p)
+        .write.mode("overwrite").parquet(s"$sketchDir/delta-b$batchId")
+    }
+
+  /** Merged register table over every ingested epoch: per-register max
+    * — ≤ m rows regardless of corpus size or epoch count. */
+  def hllMerged(spark: SparkSession, sketchDir: String): DataFrame = {
+    val deltas = Option(new java.io.File(sketchDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        new java.io.File(f, "_SUCCESS").exists)
+      .sortBy(_.getName)
+    require(deltas.nonEmpty, s"no delta sketches under $sketchDir")
+    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+      .groupBy(col("reg")).agg(max(col("m_reg")).as("m_reg"))
+  }
+
   /** Point estimates against the stored sketch: keys fan to their
     * `depth` cells row-locally, the ≤ depth·width-row merged sketch
     * broadcasts, est = min over cells (0 for never-seen keys — an

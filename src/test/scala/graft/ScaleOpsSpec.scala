@@ -120,6 +120,59 @@ class ScaleOpsSpec extends AnyFunSuite {
       "a replayed epoch must overwrite its delta dir, not double it")
   }
 
+  test("hll: registers merge by max, both estimate regimes hold tolerance, stream replays idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, TestSpark.sf)
+    // audit face on real data: exact integers sane, estimate in tolerance
+    val r = ScaleOps.hllDistinct(events).head()
+    assert(r.getLong(0) == 512L && r.getLong(2) > 0L)
+    assert(r.getBoolean(5), s"estimate outside tolerance: $r")
+    // merge IS per-register max: two disjoint halves max-merged == whole
+    val whole = ScaleOps.hllTable(events)
+    val halves = ScaleOps.hllTable(events.filter(col("event_id") % 2 === 0))
+      .unionAll(ScaleOps.hllTable(events.filter(col("event_id") % 2 =!= 0)))
+      .groupBy(col("reg")).agg(max(col("m_reg")).as("m_reg"))
+    assert(whole.unionAll(halves).groupBy(col("reg"), col("m_reg"))
+      .count().filter(col("count") =!= 2).isEmpty,
+      "max-merged half-corpus registers differ from the whole-corpus table")
+    // raw (harmonic) regime: 20k distinct keys >> 2.5*m forces the
+    // non-linear-counting path; HLL's 3-sigma envelope is ~14% at m=512
+    val big = (0 until 20000).map(i => (i.toLong, i.toLong)).toDF("event_id", "user_id")
+    val rb = ScaleOps.hllDistinct(big).head()
+    assert(!rb.getBoolean(4), s"20k keys must use the raw estimator: $rb")
+    assert(rb.getBoolean(5), s"raw estimate outside tolerance: $rb")
+    // stream face: delta epochs max-merge to the whole-corpus table
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val all = (0 until 300).map(i => (i.toLong, (i % 57).toLong))
+    val mem = MemoryStream[(Long, Long)]
+    val q = ScaleOps.hllStream(mem.toDF().toDF("event_id", "user_id"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-hll-ck").toString)
+      .start()
+    try {
+      mem.addData(all.take(150): _*); q.processAllAvailable()
+      mem.addData(all.drop(150): _*); q.processAllAvailable()
+    } finally q.stop()
+    val wholeS = ScaleOps.hllTable(all.toDF("event_id", "user_id"))
+    val merged = ScaleOps.hllMerged(spark, dir)
+    assert(wholeS.unionAll(merged).groupBy(col("reg"), col("m_reg"))
+      .count().filter(col("count") =!= 2).isEmpty,
+      "merged delta registers differ from the whole-corpus table")
+    // replay epoch 0: registers unchanged (overwrite + max idempotence)
+    val d0 = spark.read.parquet(s"$dir/delta-b0").collect().toSet
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = ScaleOps.hllStream(mem2.toDF().toDF("event_id", "user_id"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-hll-ck2").toString)
+      .start()
+    try { mem2.addData(all.take(150): _*); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/delta-b0").collect().toSet == d0,
+      "a replayed epoch must reproduce its delta registers exactly")
+  }
+
   test("events can be consumed as a file stream (readStream over the testdata layout)") {
     import org.apache.spark.sql.functions._
     // copy a parquet file into a stream-source dir (file streams read dirs)
