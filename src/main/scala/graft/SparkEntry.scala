@@ -240,6 +240,7 @@ object SparkEntry {
     "scale_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(Tables.lineitem(s, d))),
     "scale_countmin" -> ((s, d) => ScaleOps.countMin(Tables.events(s, d))),
     "scale_hll" -> ((s, d) => ScaleOps.hllDistinct(Tables.events(s, d))),
+    "scale_profile" -> ((s, d) => ScaleOps.profile(Tables.documents(s, d))),
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
     "scale_partition_prune" -> ((s, d) =>
       ScaleOps.partitionPrunedScan(s, ScaleOps.writePartitionedLayout(s, d))),
@@ -804,6 +805,21 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     .updated("ann_ivf_probe", oracleSqlBase("ann_ivf_sampled"))
     .updated("tokenizer_apply_stored", oracleSqlBase("tokenizer_apply"))
     .updated("text_quality_score_stored", lrTrainedScoreOracleSql())
+
+  /** Oracle for scale_profile: one UNION ALL block per profiled
+    * column — counts/nulls/distincts exact, native-typed min/max
+    * rendered to VARCHAR, total string length. */
+  private def profileOracleSql(
+      cols: Seq[String] = Seq("doc_id", "lang", "n_chars", "source", "text")): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, count($c) AS n_values,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_str,
+         |  CAST(max($c) AS VARCHAR) AS max_str,
+         |  CAST(sum(len(CAST($c AS VARCHAR))) AS BIGINT) AS total_strlen
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
   /** Shared IVF-sampled CTE chain (centroids/assignment/probes/rank)
     * for the ann_ivf_sampled, ann_ivf_probe and pipeline_retrieval
@@ -2297,6 +2313,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |        THEN 512.0 * ln(512.0 / n_zero_regs) ELSE raw_est END
         |      - exact_distinct) / exact_distinct <= 0.15 AS within_tol
         |FROM est""".stripMargin,
+    "scale_profile" -> profileOracleSql(),
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

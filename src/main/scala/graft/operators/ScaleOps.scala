@@ -217,6 +217,35 @@ object ScaleOps {
       (abs(col("asu") - col("exact_supps")).cast("double") / col("exact_supps")
         <= lit(3 * rsd)).as("supps_within_tol"))
 
+  /** One-pass column profiler — the data-quality audit every 100 TB
+    * ingest runs before anything else (the Deequ/profiling niche):
+    * per-column row/null/distinct counts, native-typed min/max
+    * (rendered to strings so one schema fits every column type), and
+    * total string length. ONE scan of the table: all per-column
+    * aggregates ride a single agg node (the distinct counts expand the
+    * scan internally — Catalyst's Expand — but the input is still read
+    * once), then a stack() unpivot reshapes the 1-row result to a
+    * row-per-column report. Output is corpus-size-independent
+    * (|columns| rows). */
+  def profile(documents: DataFrame,
+              cols: Seq[String] = Seq("doc_id", "lang", "n_chars", "source", "text"))
+      : DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx"),
+      sum(length(col(c).cast("string")).cast("long")).as(s"${c}__tl"))
+    }
+    val one = documents.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
+      s"'$c', ${c}__n, ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx, ${c}__tl")
+      .mkString(", ") +
+      ") as (col_name, n_values, n_null, n_distinct, min_str, max_str, total_strlen)"
+    one.select(expr(stackExpr)).orderBy(col("col_name"))
+  }
+
   /** Count-min cell for hash row `r`: portable 60-bit md5 hash of the
     * key salted with the row index, mod `width`. The md5 derivation is
     * the repo-wide portable idiom, so a SQL oracle replays the whole

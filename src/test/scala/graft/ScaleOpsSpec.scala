@@ -120,6 +120,21 @@ class ScaleOpsSpec extends AnyFunSuite {
       "a replayed epoch must overwrite its delta dir, not double it")
   }
 
+  test("profile: per-column stats count nulls, keep native-typed min/max, one row per column") {
+    import spark.implicits._
+    val t = Seq((1L, Option("b"), 10L), (2L, Option.empty[String], 2L),
+      (3L, Option("a"), 2L)).toDF("id", "s", "v")
+    val out = ScaleOps.profile(t, Seq("id", "s", "v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getLong(6))).toMap
+    assert(out("id") == ((3L, 0L, 3L, "1", "3", 3L)))
+    // count()/distinct/strlen skip the null; n_null counts it
+    assert(out("s") == ((2L, 1L, 2L, "a", "b", 2L)))
+    // numeric min is 2, NOT the lexicographic "10" — min/max run on the
+    // native type and only the rendering is a string
+    assert(out("v") == ((3L, 0L, 2L, "2", "10", 4L)))
+  }
+
   test("hll: registers merge by max, both estimate regimes hold tolerance, stream replays idempotently") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
