@@ -82,6 +82,8 @@ object SparkEntry {
     "q58_scd2" -> ((s, d) => Relational.q58Scd2(Tables.events(s, d))),
     "q59_gapfill" -> ((s, d) => Relational.q59Gapfill(Tables.events(s, d))),
     "q60_scd2_pit" -> ((s, d) => Relational.q60Scd2Pit(Tables.events(s, d))),
+    "q61_merge_upsert" -> ((s, d) =>
+      Relational.q61MergeUpsert(Tables.customer(s, d), Tables.orders(s, d))),
     "q51_tpch_q2" -> ((s, d) => Relational.q51TpchQ2(Tables.lineitem(s, d),
       Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
       Tables.region(s, d))),
@@ -1454,6 +1456,30 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  ON l.user_id = g.user_id AND l.valid_from_us <= g.probe_us
         |  AND (l.valid_to_us IS NULL OR g.probe_us < l.valid_to_us)
         |ORDER BY g.user_id, g.k""".stripMargin,
+    "q61_merge_upsert" ->
+      // full MERGE INTO semantics over one full-outer join: matched
+      // upserts add the delta, matched tombstones drop the row,
+      // unmatched upserts insert, unmatched tombstones no-op,
+      // untouched snapshot rows pass through; exact integer cents
+      """WITH snap AS (
+        |  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |), chg AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS delta,
+        |    CASE WHEN o_custkey % 17 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM orders
+        |  WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+        |  GROUP BY 1
+        |)
+        |SELECT COALESCE(s.k, c.ck) AS c_custkey,
+        |  COALESCE(s.bal, 0) + COALESCE(c.delta, 0) AS bal_cents,
+        |  CASE WHEN s.k IS NOT NULL AND c.ck IS NOT NULL THEN 'updated'
+        |       WHEN s.k IS NOT NULL THEN 'kept'
+        |       ELSE 'inserted' END AS action
+        |FROM snap s FULL JOIN chg c ON s.k = c.ck
+        |WHERE c.op IS NULL OR c.op <> 'delete'
+        |ORDER BY c_custkey""".stripMargin,
     "q58_scd2" ->
       // SCD2 dimension versioning: maximal same-state runs with
       // half-open [valid_from, valid_to) intervals in exact epoch-us

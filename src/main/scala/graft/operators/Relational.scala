@@ -1195,6 +1195,42 @@ object Relational {
       .orderBy(col("user_id"), col("k"))
   }
 
+  /** CDC MERGE (upsert + tombstone) applied as ONE set operation — the
+    * warehouse maintenance primitive next to [[q58Scd2]]'s versioning:
+    * a change batch (per-customer 1997 order deltas, with a
+    * deterministic tombstone subset standing in for CDC deletes) is
+    * merged into a balance snapshot with full MERGE INTO semantics —
+    * matched+update adds the delta, matched+delete drops the row,
+    * unmatched+insert creates it, unmatched+delete is a no-op, and
+    * untouched snapshot rows pass through.
+    *
+    * Scale shape: the snapshot is touched by exactly ONE full-outer
+    * join on its key (at 100 TB the snapshot side is
+    * bucketed/partitioned by key so the exchange is one-sided;
+    * change batches are ingest-sized and AQE broadcasts them when
+    * small). Balances are exact integer cents; every action label is
+    * decided row-locally from join-side presence. */
+  def q61MergeUpsert(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val snap = customer.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal"))
+    val chg = orders
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("delta"))
+      .select(col("ck"), col("delta"),
+        when(col("ck") % 17 === 0, lit("delete")).otherwise(lit("upsert")).as("op"))
+    snap.join(chg, col("k") === col("ck"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(coalesce(col("k"), col("ck")).as("c_custkey"),
+        (coalesce(col("bal"), lit(0L)) + coalesce(col("delta"), lit(0L))).as("bal_cents"),
+        when(col("k").isNotNull && col("ck").isNotNull, lit("updated"))
+          .when(col("k").isNotNull, lit("kept"))
+          .otherwise(lit("inserted")).as("action"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** TPC-H Q2 (minimum-cost supplier, adapted — no partsupp table, so
     * "supply cost" is stood in by the minimum unit price a supplier
     * ever charged for the part, in exact milli-cents via integer

@@ -344,6 +344,25 @@ class TpchCanonSpec extends AnyFunSuite {
     assert(out(5) == ((2L, 3L, Some(1L), Some("x"))))
   }
 
+  test("q61 (MERGE): update adds deltas, matched tombstone drops, unmatched inserts and no-ops") {
+    val spark = this.spark
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val customer = Seq((2L, 100.00), (4L, 50.00), (34L, 75.00), (5L, 20.00))
+      .toDF("c_custkey", "c_acctbal") // snapshot keeps even keys: 2, 4, 34
+    val orders = Seq(
+      (2L, 10.00, ts("1997-06-01T00:00:00Z")),   // matched upsert
+      (3L, 7.50, ts("1997-02-01T00:00:00Z")),    // unmatched -> insert
+      (34L, 5.00, ts("1997-03-01T00:00:00Z")),   // 34 % 17 = 0: matched tombstone -> drop
+      (17L, 9.00, ts("1997-04-01T00:00:00Z")),   // unmatched tombstone -> no-op
+      (4L, 99.00, ts("1996-06-01T00:00:00Z")))   // outside the window -> 4 stays 'kept'
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val out = Relational.q61MergeUpsert(customer, orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq((2L, 11000L, "updated"), (3L, 750L, "inserted"),
+      (4L, 5000L, "kept")), s"merge actions wrong: $out")
+  }
+
   test("q52 (Q9): the 80% cost stand-in truncates exactly like the oracle's integer div") {
     val spark = this.spark
     import spark.implicits._
