@@ -243,6 +243,7 @@ object SparkEntry {
     "scale_countmin" -> ((s, d) => ScaleOps.countMin(Tables.events(s, d))),
     "scale_hll" -> ((s, d) => ScaleOps.hllDistinct(Tables.events(s, d))),
     "scale_profile" -> ((s, d) => ScaleOps.profile(Tables.documents(s, d))),
+    "scale_histogram" -> ((s, d) => ScaleOps.histQuantiles(Tables.orders(s, d))),
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
     "scale_partition_prune" -> ((s, d) =>
       ScaleOps.partitionPrunedScan(s, ScaleOps.writePartitionedLayout(s, d))),
@@ -2340,6 +2341,34 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |      - exact_distinct) / exact_distinct <= 0.15 AS within_tol
         |FROM est""".stripMargin,
     "scale_profile" -> profileOracleSql(),
+    "scale_histogram" ->
+      // equi-width histogram quantile sketch: exact-integer buckets,
+      // ceil-rank targets, estimate = first bucket whose cumulative
+      // count reaches the rank; contains_exact re-checks the theorem
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        |), hist AS (
+        |  SELECT cents // 200000 AS bucket, count(*) AS cnt FROM c GROUP BY 1
+        |), cum AS (
+        |  SELECT bucket, cnt, CAST(sum(cnt) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM hist
+        |), n AS (SELECT count(*) AS n FROM c),
+        |quants AS (
+        |  SELECT CAST(q AS BIGINT) AS q_pct, (q * n.n + 99) // 100 AS rank
+        |  FROM (SELECT unnest([25, 50, 75, 95, 99]) AS q), n
+        |), est AS (
+        |  SELECT q.q_pct, q.rank, min(cum.bucket) AS b
+        |  FROM quants q JOIN cum ON cum.cum >= q.rank
+        |  GROUP BY 1, 2
+        |), sorted AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c
+        |)
+        |SELECT e.q_pct, e.rank, e.b * 200000 AS est_lo_cents,
+        |  e.b * 200000 + 200000 AS est_hi_cents, s.cents AS exact_cents,
+        |  (s.cents >= e.b * 200000 AND s.cents < e.b * 200000 + 200000) AS contains_exact
+        |FROM est e JOIN sorted s ON s.rn = e.rank
+        |ORDER BY e.q_pct""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

@@ -217,6 +217,74 @@ object ScaleOps {
       (abs(col("asu") - col("exact_supps")).cast("double") / col("exact_supps")
         <= lit(3 * rsd)).as("supps_within_tol"))
 
+  /** Equi-width histogram over integer cents — the quantile member of
+    * the sketch trio (counts → count-min, distincts → HLL, quantiles →
+    * here): one corpus scan buckets each value with an exact integer
+    * div, the groupBy is bounded by range/width buckets, count is the
+    * map-side combiner, and histogram MERGE IS cell-wise sum (the CMS
+    * rule — spec-proven on halves and stream epochs). */
+  private[graft] def histTable(orders: DataFrame, widthCents: Long = 200000L): DataFrame =
+    orders.select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .select(expr(s"cents div $widthCents").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from the histogram next to the exact order
+    * statistics — the audit face: for each requested percentile the
+    * rank is the exact ceil(q·n/100), the estimate is the half-open
+    * [bucket·w, bucket·w + w) bucket whose cumulative count first
+    * reaches that rank, and `contains_exact` re-checks the sketch
+    * theorem (the rank-th value MUST lie in that bucket) in both
+    * engines. Every output is an exact integer or a theorem boolean —
+    * no doubles anywhere. The exact side's global sort exists only for
+    * this audit; at 100 TB the histogram (cum table ≤ range/width
+    * rows, broadcast) answers quantile queries alone, which is the
+    * point of the sketch. */
+  def histQuantiles(orders: DataFrame, widthCents: Long = 200000L,
+                    qs: Seq[Int] = Seq(25, 50, 75, 95, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tiny-table windows/sorts: the histogram is bucket-bounded
+    val cum = histTable(orders, widthCents)
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val quants = orders.agg(count(lit(1)).as("n"))
+      .select(explode(array(qs.map(q => lit(q.toLong)): _*)).as("q_pct"), col("n"))
+      .select(col("q_pct"), expr("(q_pct * n + 99) div 100").as("rank"))
+    val est = quants.join(broadcast(cum), col("cum") >= col("rank"))
+      .groupBy(col("q_pct"), col("rank")).agg(min(col("bucket")).as("b"))
+    val sorted = orders
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("cents"))))
+    est.join(sorted, col("rn") === col("rank"))
+      .select(col("q_pct"), col("rank"),
+        (col("b") * widthCents).as("est_lo_cents"),
+        (col("b") * widthCents + widthCents).as("est_hi_cents"),
+        col("cents").as("exact_cents"),
+        (col("cents") >= col("b") * widthCents &&
+          col("cents") < col("b") * widthCents + widthCents).as("contains_exact"))
+      .orderBy(col("q_pct"))
+  }
+
+  /** Ingest-time histogram maintenance — per-epoch delta bucket
+    * tables, merge = cell-wise sum, replay-idempotent by overwrite.
+    * Same ownership contract as [[countMinStream]]. */
+  def histStream(orders: DataFrame, sketchDir: String, widthCents: Long = 200000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    orders.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      histTable(batch, widthCents)
+        .write.mode("overwrite").parquet(s"$sketchDir/delta-b$batchId")
+    }
+
+  /** Merged histogram over every ingested epoch: bucket-wise sum. */
+  def histMerged(spark: SparkSession, sketchDir: String): DataFrame = {
+    val deltas = Option(new java.io.File(sketchDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        new java.io.File(f, "_SUCCESS").exists)
+      .sortBy(_.getName)
+    require(deltas.nonEmpty, s"no delta histograms under $sketchDir")
+    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** One-pass column profiler — the data-quality audit every 100 TB
     * ingest runs before anything else (the Deequ/profiling niche):
     * per-column row/null/distinct counts, native-typed min/max

@@ -135,6 +135,56 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out("v") == ((3L, 0L, 2L, "2", "10", 4L)))
   }
 
+  test("histogram sketch: ceil-rank quantiles land in their bucket; deltas sum-merge like CMS") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hand-check: buckets(w=1000) 0:{500} 1:{1500,1500} 2:{2500}, n=4
+    val tiny = Seq(5.00, 15.00, 15.00, 25.00).map(Tuple1(_)).toDF("o_totalprice")
+    val t = ScaleOps.histQuantiles(tiny, widthCents = 1000L, qs = Seq(50, 99))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getBoolean(5))).toSeq
+    assert(t == Seq((50L, 2L, 1000L, 1500L, true), (99L, 4L, 2000L, 2500L, true)), s"$t")
+    // corpus audit: theorem holds for every percentile
+    val orders = Tables.orders(spark, TestSpark.sf)
+    assert(ScaleOps.histQuantiles(orders).collect().forall(_.getBoolean(5)))
+    // merge IS bucket-wise sum
+    val whole = ScaleOps.histTable(orders)
+    val halves = ScaleOps.histTable(orders.filter(col("o_orderkey") % 2 === 0))
+      .unionAll(ScaleOps.histTable(orders.filter(col("o_orderkey") % 2 =!= 0)))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    assert(whole.unionAll(halves).groupBy(col("bucket"), col("cnt"))
+      .count().filter(col("count") =!= 2).isEmpty,
+      "summed half-corpus histograms differ from the whole-corpus one")
+    // stream face: delta epochs sum-merge to the whole; replay overwrites
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    val all = (0 until 200).map(i => (i.toLong, (i * 37 % 400) * 10.0))
+    val mem = MemoryStream[(Long, Double)]
+    val q = ScaleOps.histStream(mem.toDF().toDF("o_orderkey", "o_totalprice"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-hist-ck").toString)
+      .start()
+    try {
+      mem.addData(all.take(100): _*); q.processAllAvailable()
+      mem.addData(all.drop(100): _*); q.processAllAvailable()
+    } finally q.stop()
+    val wholeS = ScaleOps.histTable(all.toDF("o_orderkey", "o_totalprice"))
+    val merged = ScaleOps.histMerged(spark, dir)
+    assert(wholeS.unionAll(merged).groupBy(col("bucket"), col("cnt"))
+      .count().filter(col("count") =!= 2).isEmpty,
+      "merged delta histograms differ from the whole-corpus one")
+    val d0 = spark.read.parquet(s"$dir/delta-b0").collect().toSet
+    val mem2 = MemoryStream[(Long, Double)]
+    val q2 = ScaleOps.histStream(mem2.toDF().toDF("o_orderkey", "o_totalprice"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-hist-ck2").toString)
+      .start()
+    try { mem2.addData(all.take(100): _*); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/delta-b0").collect().toSet == d0,
+      "a replayed epoch must reproduce its delta histogram exactly")
+  }
+
   test("hll: registers merge by max, both estimate regimes hold tolerance, stream replays idempotently") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
