@@ -244,6 +244,7 @@ object SparkEntry {
     "scale_hll" -> ((s, d) => ScaleOps.hllDistinct(Tables.events(s, d))),
     "scale_profile" -> ((s, d) => ScaleOps.profile(Tables.documents(s, d))),
     "scale_histogram" -> ((s, d) => ScaleOps.histQuantiles(Tables.orders(s, d))),
+    "scale_skew_report" -> ((s, d) => ScaleOps.skewReport(Tables.events(s, d))),
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
     "scale_partition_prune" -> ((s, d) =>
       ScaleOps.partitionPrunedScan(s, ScaleOps.writePartitionedLayout(s, d))),
@@ -2369,6 +2370,31 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  (s.cents >= e.b * 200000 AND s.cents < e.b * 200000 + 200000) AS contains_exact
         |FROM est e JOIN sorted s ON s.rn = e.rank
         |ORDER BY e.q_pct""".stripMargin,
+    "scale_skew_report" ->
+      // key-skew pre-flight: exact integer distribution stats over the
+      // reduced per-key count table; ceil-rank order statistics,
+      // max/avg ratio x100 and top-10 share in basis points
+      """WITH pk AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+        |), base AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys, max(cnt) AS max_cnt
+        |  FROM pk
+        |), top AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS top10_rows
+        |  FROM (SELECT cnt FROM pk ORDER BY cnt DESC, user_id ASC LIMIT 10)
+        |), ranked AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rn FROM pk
+        |), rk AS (
+        |  SELECT (50 * n_keys + 99) // 100 AS r50,
+        |         (99 * n_keys + 99) // 100 AS r99 FROM base
+        |)
+        |SELECT b.n_rows, b.n_keys, b.max_cnt,
+        |  (SELECT cnt FROM ranked, rk WHERE rn = r50) AS p50_cnt,
+        |  (SELECT cnt FROM ranked, rk WHERE rn = r99) AS p99_cnt,
+        |  (100 * b.max_cnt * b.n_keys) // b.n_rows AS maxavg_x100,
+        |  (10000 * t.top10_rows) // b.n_rows AS top10_share_bp
+        |FROM base b, top t""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

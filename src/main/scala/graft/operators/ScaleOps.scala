@@ -314,6 +314,49 @@ object ScaleOps {
     one.select(expr(stackExpr)).orderBy(col("col_name"))
   }
 
+  /** Key-skew diagnostics — the pre-flight a 100 TB engineer runs
+    * BEFORE picking a join/agg strategy (broadcast? salt? AQE skew
+    * split?), reported as exact integers: row/key counts, the hottest
+    * key's count, exact p50/p99 of the per-key distribution
+    * (ceil-rank order statistics), max-to-average ratio ×100, and the
+    * top-10 keys' share of all rows in basis points (tie-invariant:
+    * equal-count keys contribute equal sums whichever is picked).
+    *
+    * Scale shape: the corpus is touched once by the per-key count agg
+    * (map-side combinable); everything after runs on the REDUCED
+    * key-count table — the top-10 rides a graft_topk heap with
+    * partials, and the percentile sort orders only that table (the
+    * diagnostic's own cost, #keys rows, not #rows). */
+  def skewReport(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perKey = materializedKeys(events)
+    val base = perKey.agg(
+        sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        graft.functions.F.topk(col("cnt").cast("double"), col("user_id"), 10).as("top"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        expr("aggregate(top, 0L, (a, x) -> a + CAST(x.score AS LONG))").as("top10_rows"),
+        expr("(50 * n_keys + 99) div 100").as("r50"),
+        expr("(99 * n_keys + 99) div 100").as("r99"))
+    val ranked = perKey.withColumn("rn",
+      row_number().over(Window.orderBy(col("cnt"), col("user_id"))))
+    val p50 = ranked.join(broadcast(base.select(col("r50"))), col("rn") === col("r50"))
+      .select(col("cnt").as("p50_cnt"))
+    val p99 = ranked.join(broadcast(base.select(col("r99"))), col("rn") === col("r99"))
+      .select(col("cnt").as("p99_cnt"))
+    base.crossJoin(p50).crossJoin(p99)
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        col("p50_cnt"), col("p99_cnt"),
+        expr("(100 * max_cnt * n_keys) div n_rows").as("maxavg_x100"),
+        expr("(10000 * top10_rows) div n_rows").as("top10_share_bp"))
+  }
+
+  /** The persisted per-key count table [[skewReport]] reads three
+    * times (stats agg, rank window, percentile joins). */
+  private def materializedKeys(events: DataFrame): DataFrame =
+    Dedup.materialized(
+      events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt")))
+
   /** Count-min cell for hash row `r`: portable 60-bit md5 hash of the
     * key salted with the row index, mod `width`. The md5 derivation is
     * the repo-wide portable idiom, so a SQL oracle replays the whole

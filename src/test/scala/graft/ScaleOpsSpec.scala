@@ -135,6 +135,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out("v") == ((3L, 0L, 2L, "2", "10", 4L)))
   }
 
+  test("skew report: a planted hot key dominates max/avg and top-10 share") {
+    import spark.implicits._
+    // 1 hot key with 90 rows + 10 cold keys with 1 row each: n=100, k=11
+    val rows = (0 until 90).map(i => (i.toLong, 7L)) ++
+      (0 until 10).map(i => (100L + i, 1000L + i))
+    val r = ScaleOps.skewReport(rows.toDF("event_id", "user_id")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((100L, 11L, 90L)))
+    // ceil ranks: r50 = ceil(550/100) = 6 -> cnt 1; r99 = ceil(1089/100) = 11 -> cnt 90
+    assert((r.getLong(3), r.getLong(4)) == ((1L, 90L)))
+    // max/avg = 90/(100/11) = 9.9 -> 990; top10 = 90 + 9*1 = 99% -> 9900 bp
+    assert(r.getLong(5) == 990L && r.getLong(6) == 9900L, s"$r")
+  }
+
   test("histogram sketch: ceil-rank quantiles land in their bucket; deltas sum-merge like CMS") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
