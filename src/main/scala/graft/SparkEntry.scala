@@ -118,6 +118,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     "dedup_minhash_fast" -> ((s, d) => Dedup.dedupMinhashLshFast(Tables.documents(s, d))),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(Tables.documents(s, d))),
+    "dedup_cross_corpus" -> ((s, d) => Dedup.dedupCrossCorpus(Tables.documents(s, d))),
     "dedup_semantic" -> ((s, d) => Dedup.dedupSemantic(Tables.embeddings(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d), portable = true)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccardBlocked(Tables.documents(s, d))),
@@ -2712,6 +2713,34 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  (m.partner IS NULL) AS keep
         |FROM nw LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
         |ORDER BY nw.doc_id""".stripMargin,
+    "dedup_cross_corpus" ->
+      // held-out docs (doc_id % 7 = 3) vs the training corpus: the
+      // doc-level train-test contamination audit over the true pair
+      // space the LSH bands prune
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+        |    ELSE [concat_ws(' ', toks)] END AS sh
+        |  FROM t
+        |), hd AS (SELECT * FROM s WHERE doc_id % 7 = 3
+        |), tr AS (SELECT * FROM s WHERE doc_id % 7 <> 3
+        |), p AS (
+        |  SELECT h.doc_id, r.doc_id AS partner,
+        |    CAST(len(list_intersect(h.sh, r.sh)) AS DOUBLE)
+        |      / (len(h.sh) + len(r.sh) - len(list_intersect(h.sh, r.sh))) AS j
+        |  FROM hd h CROSS JOIN tr r
+        |), m AS (
+        |  SELECT doc_id, partner, j,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY partner) AS rn
+        |  FROM p WHERE j >= 0.5
+        |)
+        |SELECT hd.doc_id, m.partner AS contaminated_by, round(m.j, 4) AS jaccard,
+        |  (m.partner IS NOT NULL) AS contaminated
+        |FROM hd LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+        |ORDER BY hd.doc_id""".stripMargin,
     "dedup_ngram_composed" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,

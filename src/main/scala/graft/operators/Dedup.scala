@@ -183,6 +183,28 @@ object Dedup {
       numPerm, bands, threshold)
   }
 
+  /** Doc-level CROSS-CORPUS contamination — the document-granularity
+    * complement of the span-level `pipeline_decontaminate`: is a
+    * held-out/benchmark doc a near-duplicate of anything in the
+    * training corpus? (The train-test leak auditors check before any
+    * eval number is trusted.) Docs with `doc_id % heldMod == heldRes`
+    * stand in for the held-out set; the rest is the training corpus.
+    * Pure composition of the [[probeCorpus]] machinery — the held-out
+    * side probes the training side's banded LSH index, the training
+    * corpus never self-joins, and per-audit cost scales with
+    * |held-out| + matched buckets (the benchmark is the small side,
+    * exactly like the decontaminate broadcast argument). */
+  def dedupCrossCorpus(documents: DataFrame, heldMod: Int = 7, heldRes: Int = 3,
+                       numPerm: Int = 192, bands: Int = 24,
+                       threshold: Double = 0.5): DataFrame = {
+    val isHeld = pmod(col("doc_id"), lit(heldMod.toLong)) === lit(heldRes.toLong)
+    val sigs = materialized(corpusSignatures(documents, numPerm))
+    probeCorpus(sigs.filter(isHeld), sigs.filter(!isHeld), numPerm, bands, threshold)
+      .select(col("doc_id"), col("dup_of").as("contaminated_by"), col("jaccard"),
+        col("dup_of").isNotNull.as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The stored-LSH-index row for a corpus: per doc its sorted distinct
     * 3-shingle hash set and minhash signature. This is the table a
     * production pipeline writes once and appends per ingest batch;

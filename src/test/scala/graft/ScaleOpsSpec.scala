@@ -1119,6 +1119,24 @@ class IncrementalDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(20L) == ((None, true)) && out(30L) == ((None, true)))
     assert(out(40L) == ((None, true)))
   }
+
+  test("cross-corpus audit flags held-out docs near-duplicated in training data") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val leak = (1 to 30).map(i => s"w$i").mkString(" ")
+    // held-out = ids % 7 == 3; train = the rest
+    val docs = Seq(
+      (1L, leak),                                       // train (the leaked source)
+      (2L, (1 to 30).map(i => s"q$i").mkString(" ")),   // train, unrelated
+      (3L, s"$leak extra"),                             // held-out, near-dup of train 1
+      (10L, (1 to 30).map(i => s"u$i").mkString(" "))   // held-out, clean
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupCrossCorpus(docs).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(3L, 10L))
+    assert(out(3L)._1.contains(1L) && out(3L)._2, s"leak not flagged: $out")
+    assert(out(10L) == ((None, false)))
+  }
 }
 
 class DsirSpec extends org.scalatest.funsuite.AnyFunSuite {
