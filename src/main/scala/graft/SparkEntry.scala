@@ -220,6 +220,8 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => Ann.annPq(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => Ann.annIvfPq(Tables.embeddings(s, d))),
     "ann_ivf_sampled" -> ((s, d) => Ann.annIvfSampled(Tables.embeddings(s, d))),
+    "ann_recall_audit" -> ((s, d) => Ann.annRecallAudit(Tables.embeddings(s, d))),
+    "embedding_outliers" -> ((s, d) => Ann.embeddingOutliers(Tables.embeddings(s, d))),
     "ann_ivf_probe" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Ann.annIvfProbe(e, Ann.ensureIvfIndex(e, Ann.defaultIvfIndexDir(e, d)))
@@ -2450,6 +2452,52 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  round(r.cos, 4) AS cosine, substr(d.text, 1, 40) AS snippet
         |FROM r JOIN documents d ON d.doc_id = r.neighbor_id
         |WHERE r.rank <= 3 ORDER BY r.q_id, r.rank""".stripMargin),
+    "embedding_outliers" ->
+      // top ceil(n/100) vectors by exact-integer squared distance to
+      // the bp-quantized corpus mean; (2S+n)//(2n) mean rounding and
+      // truncating div agree across engines
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS MATERIALIZED (
+        |  SELECT vec_id, i.i AS i, CAST(round(v[i.i + 1] * 1e4) AS BIGINT) AS xb
+        |  FROM e, range(0, 64) i(i)
+        |), mn AS (
+        |  SELECT i, (2 * sum(xb) + count(*)) // (2 * count(*)) AS mb
+        |  FROM c GROUP BY i
+        |), d AS (
+        |  SELECT c.vec_id,
+        |    CAST(sum((c.xb - mn.mb) * (c.xb - mn.mb)) AS BIGINT) AS dist2
+        |  FROM c JOIN mn USING (i) GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM e),
+        |r AS (
+        |  SELECT vec_id, dist2,
+        |    row_number() OVER (ORDER BY dist2 DESC, vec_id) AS rank
+        |  FROM d
+        |)
+        |SELECT CAST(rank AS BIGINT) AS rank, vec_id, dist2
+        |FROM r, n WHERE rank <= (n.n + 99) // 100 ORDER BY rank""".stripMargin,
+    "ann_recall_audit" ->
+      // recall@5 of the IVF probe vs exact bruteforce ground truth,
+      // in basis points — both rank chains are deterministic so the
+      // audit is pure integers
+      (ivfSampledCtes + """,
+        |bfs AS (
+        |  SELECT q.q_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, e.v) AS cos
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
+        |), bft AS (
+        |  SELECT q_id, neighbor_id FROM (
+        |    SELECT q_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        |    FROM bfs) WHERE rk <= 5
+        |), ivt AS (
+        |  SELECT q_id, neighbor_id FROM r WHERE rank <= 5
+        |), hits AS (
+        |  SELECT q_id, count(*) AS h FROM ivt JOIN bft USING (q_id, neighbor_id)
+        |  GROUP BY 1
+        |)
+        |SELECT q.q_id, COALESCE(h.h, 0) AS hits,
+        |  10000 * COALESCE(h.h, 0) // 5 AS recall_bp
+        |FROM q LEFT JOIN hits h ON h.q_id = q.q_id ORDER BY q.q_id""".stripMargin),
     "pipeline_hybrid_retrieval" ->
       // RRF fusion (K=60) of the IVF rank chain and doc-as-query BM25:
       // both sides' credits are exact integer micro-units

@@ -318,6 +318,71 @@ object Ann {
     * the corpus, so the documents table streams through with no
     * shuffle. Gated end to end by the sampled-IVF CTE chain composed
     * with the document join. */
+  /** Embedding outlier report — the top ~1% of vectors by squared
+    * distance to the corpus MEAN vector: the cheap global-outlier
+    * curation signal (mis-embedded docs, encoder glitches, off-
+    * distribution content) a pipeline runs before the heavier
+    * cluster-based audits. All arithmetic is exact integers on
+    * bp-quantized coordinates: the per-dim mean rounds once via
+    * (2·Σ+n) div (2n) (both engines truncate identically), distances
+    * are integer sums of squared deviations, and the cut is the exact
+    * ceil-rank count ⌈n/100⌉ by (dist² desc, vec_id).
+    *
+    * Scale shape: the mean is a dims-group combinable aggregate (the
+    * Gram/PCA idiom — no corpus shuffle before it); distance is one
+    * row-local pass against the 64-row broadcast mean; only the final
+    * flagged-set ranking sorts, and at 100 TB that cut comes from
+    * [[graft.operators.ScaleOps.histTable]]-style distance histograms
+    * instead of a global sort (documented trade — the audit face pins
+    * exact ranks for the oracle). */
+  def embeddingOutliers(embeddings: DataFrame, pctDen: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coords = embeddings
+      .select(col("vec_id"), posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * lit(1e4), 0).cast("long"))).as(Seq("i", "xb")))
+    val mean = coords.groupBy(col("i"))
+      .agg(expr("(2 * sum(xb) + count(1)) div (2 * count(1))").as("mb"))
+    val dist = coords.join(broadcast(mean), "i")
+      .groupBy(col("vec_id"))
+      .agg(sum((col("xb") - col("mb")) * (col("xb") - col("mb"))).as("dist2"))
+    val n = embeddings.agg(count(lit(1)).as("n"))
+    dist.withColumn("rank",
+        row_number().over(Window.orderBy(col("dist2").desc, col("vec_id"))))
+      .crossJoin(broadcast(n))
+      .filter(col("rank") <= expr(s"(n + ${pctDen - 1}) div $pctDen"))
+      .select(col("rank").cast("long").as("rank"), col("vec_id"), col("dist2"))
+      .orderBy(col("rank"))
+  }
+
+  /** ANN recall audit — recall@k of the IVF probe against the exact
+    * bruteforce ground truth, per query and in basis points: the QA
+    * number every ANN deployment tracks (an index is only as good as
+    * its measured recall, and a recall regression is the first sign
+    * of a drifted quantizer or an under-probed index). Pure integer
+    * output (hit counts, 10000·hits div k) — the two rank chains are
+    * already deterministic, so the audit hash-matches end to end.
+    *
+    * Scale shape: both sides emit queries × k rows; the audit join,
+    * count, and left join against the query list are all
+    * corpus-size-independent. The ground-truth side is the one
+    * corpus-linear pass (bounded per-partition heaps) — at 100 TB
+    * recall is audited on a query SAMPLE, which is exactly what this
+    * stride-derived query set is. */
+  def annRecallAudit(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+                     nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val truth = annBruteforce(embeddings, k, stride)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = annIvfSampled(embeddings, k, stride, nlist, nprobe)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = approx.join(truth, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    querySet(embeddings, stride).select(col("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("hits"),
+        expr(s"10000L * coalesce(h, 0L) div $k").as("recall_bp"))
+      .orderBy(col("q_id"))
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009,
     * K=60) of the two retrieval faces the library already serves:
     * vector ANN over the STORED IVF index and BM25 lexical search.

@@ -431,6 +431,43 @@ class IvfStoredIndexSpec extends AnyFunSuite {
   }
 }
 
+class AnnAuditSpec extends AnyFunSuite {
+  test("recall audit reports 100% when the probe covers every list, and honest bp otherwise") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian() * 0.3).toFloat)))
+      .toDF("vec_id", "embedding")
+    // nprobe = nlist: the IVF scan covers the whole corpus, so its
+    // top-k IS the bruteforce top-k and recall must be exactly 10000
+    val full = graft.operators.Ann.annRecallAudit(df, k = 5, stride = 20,
+      nlist = 8, nprobe = 8).collect()
+    assert(full.nonEmpty && full.forall(_.getLong(2) == 10000L),
+      s"full probe must recall everything: ${full.toSeq}")
+    // under-probed: recall is between 0 and 10000 and hits*2000 = bp
+    val part = graft.operators.Ann.annRecallAudit(df, k = 5, stride = 20,
+      nlist = 8, nprobe = 2).collect()
+    assert(part.forall(r => r.getLong(2) == r.getLong(1) * 2000L))
+    assert(part.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 10000L))
+  }
+
+  test("outlier report flags the planted far vector first, ceil(n/100) rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // 149 tight vectors around the origin + 1 planted far point
+    val base = (0 until 149).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextGaussian() * 0.01).toFloat)))
+    val far = Seq((999L, Array.fill(8)(3.0f)))
+    val out = graft.operators.Ann.embeddingOutliers((base ++ far)
+      .toDF("vec_id", "embedding")).collect()
+    assert(out.length == 2, s"ceil(150/100) = 2 flagged rows: ${out.toSeq}") // 150 vecs
+    assert(out.head.getLong(1) == 999L && out.head.getLong(0) == 1L,
+      s"planted outlier must rank first: ${out.toSeq}")
+  }
+}
+
 class HybridRetrievalSpec extends AnyFunSuite {
   test("RRF fusion emits dense per-query ranks with credits from the achievable set") {
     val spark = TestSpark.spark
