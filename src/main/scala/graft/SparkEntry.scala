@@ -140,6 +140,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Ann.graphPagerankStored(e, Ann.ensureAnnIndex(e, Ann.defaultIndexDir(e, d)))
     }),
+    "graph_communities" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.graphCommunities(e, Ann.ensureAnnIndex(e, Ann.defaultIndexDir(e, d)))
+    }),
     "graph_triangles" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Ann.graphTriangles(e, Ann.ensureAnnIndex(e, Ann.defaultIndexDir(e, d)))
@@ -641,6 +645,36 @@ object SparkEntry {
        |  SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rn
        |  FROM r$iters)
        |WHERE rn <= $topN ORDER BY rank""".stripMargin
+  }
+
+  /** Oracle for graph_communities: the shared graph CTEs + N unrolled
+    * synchronous label-propagation rounds (most frequent neighbor
+    * label, ties to the smallest, isolated nodes keep their label) —
+    * all integer labels, every round replays bit-for-bit. */
+  private def communitiesOracleSql(rounds: Int = 3, numPlanes: Int = 5,
+                                   tables: Int = 2, degree: Int = 6): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""v$t AS (
+         |  SELECT a.node, l.label, count(*) AS c
+         |  FROM adj a JOIN l${t - 1} l ON l.node = a.nbr
+         |  GROUP BY 1, 2
+         |), w$t AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |    FROM v$t) WHERE rn = 1
+         |), l$t AS (
+         |  SELECT p.node, COALESCE(w.label, p.label) AS label
+         |  FROM l${t - 1} p LEFT JOIN w$t w USING (node)
+         |)""".stripMargin
+    }.mkString(",\n")
+    graphCtes(numPlanes, tables, degree) + s""",
+       |l0 AS (SELECT vec_id AS node, vec_id AS label FROM e),
+       |$steps,
+       |sz AS (SELECT label, count(*) AS community_size FROM l$rounds GROUP BY 1)
+       |SELECT l.node AS vec_id, l.label AS community, sz.community_size
+       |FROM l$rounds l JOIN sz USING (label)
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** Oracle for graph_triangles: the shared graph CTEs + undirected
@@ -2565,6 +2599,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // build+search CTEs
     "ann_graph_probe" -> graphOracleSql(5),
     "graph_pagerank" -> pagerankOracleSql(),
+    "graph_communities" -> communitiesOracleSql(),
     "graph_triangles" -> trianglesOracleSql(),
     "embedding_hard_negatives" ->
       // bruteforce scores in basis points; near-dup ceiling (9900 bp)

@@ -1102,6 +1102,50 @@ object Ann {
     pagerankRanks(embeddings.select(col("vec_id").as("node")), adj, iters, topN)
   }
 
+  /** Community detection over the stored k-NN adjacency — synchronous
+    * label propagation (Raghavan et al. 2007), the fourth classic
+    * graph workload beside components/PageRank/triangles and the
+    * topic-grouping face a curation pipeline uses when it wants
+    * CLUSTERS OF RELATED DOCS rather than connectivity (components
+    * merge everything touching; LPA keeps dense neighborhoods
+    * apart). Deterministic by construction: every node starts as its
+    * own label; each round every node adopts the most frequent label
+    * among its out-neighbors with ties to the SMALLEST label, and
+    * isolated nodes keep their label — so N unrolled rounds replay
+    * bit-for-bit in SQL (the pagerank discipline; async/randomized
+    * LPA variants are not oracle-able and buy nothing here).
+    *
+    * Scale shape: per round one join of the label table against the
+    * degree-capped adjacency (both node-partitioned) + one combinable
+    * (node, label) count + a per-node argmax window on ≤ degree
+    * labels; per-iteration localCheckpoint keeps plan depth constant
+    * (the pagerankRanks rule). */
+  def graphCommunities(embeddings: DataFrame, indexDir: String,
+                       rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = embeddings.sparkSession.read.parquet(s"$indexDir/adjacency")
+    val nodes = embeddings.select(col("vec_id").as("node"))
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      val byVote = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("label").asc)
+      val upd = votes.withColumn("rn", row_number().over(byVote))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label").as("new_label"))
+      labels = labels.join(upd, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("vec_id"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Triangle counting over the stored k-NN adjacency — the third
     * classic graph workload beside components (dedup_clusters) and
     * PageRank: per-node triangle participation, the numerator of the

@@ -647,6 +647,22 @@ class AnnStoredIndexSpec extends AnyFunSuite {
     assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)),
       s"K4 corners count 3 each (12 corner-slots / 4 triangles): $out")
   }
+
+  test("graph_communities: two triangles converge to min labels, isolated node keeps its own") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def tri(a: Long, b: Long, c: Long) =
+      Seq(a -> b, b -> a, a -> c, c -> a, b -> c, c -> b)
+    val adj = (tri(1L, 2L, 3L) ++ tri(5L, 6L, 7L)).toDF("node", "nbr")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa").toString
+    adj.write.mode("overwrite").parquet(s"$dir/adjacency")
+    val nodes = (1L to 7L).map(i => (i, Array(0f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Ann.graphCommunities(nodes, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (4L, 4L, 1L),
+      (5L, 5L, 3L), (6L, 5L, 3L), (7L, 5L, 3L)),
+      s"min-tie sync LPA must settle each triangle on its smallest id: $out")
+  }
 }
 
 class QuantizeInt8Spec extends AnyFunSuite {
