@@ -84,6 +84,8 @@ object SparkEntry {
     "q60_scd2_pit" -> ((s, d) => Relational.q60Scd2Pit(Tables.events(s, d))),
     "q61_merge_upsert" -> ((s, d) =>
       Relational.q61MergeUpsert(Tables.customer(s, d), Tables.orders(s, d))),
+    "pipeline_feature_matrix" -> ((s, d) =>
+      Relational.pipelineFeatureMatrix(Tables.events(s, d))),
     "q51_tpch_q2" -> ((s, d) => Relational.q51TpchQ2(Tables.lineitem(s, d),
       Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
       Tables.region(s, d))),
@@ -1519,6 +1521,56 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM snap s FULL JOIN chg c ON s.k = c.ck
         |WHERE c.op IS NULL OR c.op <> 'delete'
         |ORDER BY c_custkey""".stripMargin,
+    "pipeline_feature_matrix" ->
+      // PIT training snapshot: features strictly <= T (SCD2 state,
+      // trailing-7d count, LTV cents), label strictly > T (acted
+      // within (T, T+7d]) — the leakage-proof feature-store join
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS us
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, state, us,
+        |    CASE WHEN lag(state) OVER w IS NULL OR lag(state) OVER w <> state
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), v AS (
+        |  SELECT user_id, state, us,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM m
+        |), g AS (
+        |  SELECT user_id, version, min(state) AS state,
+        |    min(us) AS valid_from_us
+        |  FROM v GROUP BY 1, 2
+        |), ledger AS (
+        |  SELECT user_id, version, state, valid_from_us,
+        |    lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us
+        |  FROM g
+        |), span AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+        |), probes AS (
+        |  SELECT CAST(k AS BIGINT) AS k, s.lo + ((s.hi - s.lo) * k) // 4 AS probe_us
+        |  FROM (SELECT unnest([1, 2, 3]) AS k), span s
+        |), ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), feats AS (
+        |  SELECT ev.user_id, p.k, p.probe_us,
+        |    CAST(sum(CASE WHEN ev.us > p.probe_us - 604800000000
+        |      AND ev.us <= p.probe_us THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+        |    CAST(sum(CASE WHEN ev.us <= p.probe_us THEN ev.cents ELSE 0 END)
+        |      AS BIGINT) AS ltv_cents,
+        |    CAST(max(CASE WHEN ev.us > p.probe_us
+        |      AND ev.us <= p.probe_us + 604800000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS label
+        |  FROM ev CROSS JOIN probes p GROUP BY 1, 2, 3
+        |)
+        |SELECT f.user_id, f.k, f.probe_us, l.state, f.n_7d, f.ltv_cents, f.label
+        |FROM feats f LEFT JOIN ledger l
+        |  ON l.user_id = f.user_id AND l.valid_from_us <= f.probe_us
+        |  AND (l.valid_to_us IS NULL OR f.probe_us < l.valid_to_us)
+        |ORDER BY f.user_id, f.k""".stripMargin,
     "q58_scd2" ->
       // SCD2 dimension versioning: maximal same-state runs with
       // half-open [valid_from, valid_to) intervals in exact epoch-us

@@ -1195,6 +1195,55 @@ object Relational {
       .orderBy(col("user_id"), col("k"))
   }
 
+  /** Point-in-time TRAINING FEATURE MATRIX — the feature-store
+    * composition the SCD2 machinery exists to serve: for every user
+    * at each probe instant T, assemble features computed STRICTLY
+    * from data ≤ T (current SCD2 state, trailing-7-day activity
+    * count, lifetime value in cents) next to a label computed
+    * STRICTLY from data > T (did the user act within (T, T+7d]?).
+    * The features-before/label-after split IS point-in-time
+    * correctness — the leakage bug this operator makes structurally
+    * impossible is the one that silently inflates every offline
+    * metric.
+    *
+    * Scale shape: probe instants are a 3-row broadcast (the q60
+    * quartile points); the trailing/future aggregates come from ONE
+    * events × probes pass with row-local window predicates and a
+    * combinable (user, probe) aggregate; the state column joins the
+    * ledger on user_id with the interval residual — every join
+    * shares the user_id grain. */
+  def pipelineFeatureMatrix(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val ledger = q58Scd2(events)
+      .select(col("user_id").as("l_user"), col("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    val span = events.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val probes = span
+      .select(explode(array(lit(1L), lit(2L), lit(3L))).as("k"), col("lo"), col("hi"))
+      .select(col("k"), expr("lo + ((hi - lo) * k) div 4").as("probe_us"))
+    val cents = round(col("value") * 100, 0).cast("long")
+    val feats = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), cents.as("cents"))
+      .crossJoin(broadcast(probes))
+      .groupBy(col("user_id"), col("k"), col("probe_us"))
+      .agg(
+        sum(when(col("us") > col("probe_us") - weekUs &&
+          col("us") <= col("probe_us"), 1L).otherwise(0L)).as("n_7d"),
+        sum(when(col("us") <= col("probe_us"), col("cents"))
+          .otherwise(0L)).as("ltv_cents"),
+        max(when(col("us") > col("probe_us") &&
+          col("us") <= col("probe_us") + weekUs, 1L).otherwise(0L)).as("label"))
+    feats.join(ledger,
+        col("user_id") === col("l_user") &&
+        col("valid_from_us") <= col("probe_us") &&
+        (col("valid_to_us").isNull || col("probe_us") < col("valid_to_us")),
+        "left")
+      .select(col("user_id"), col("k"), col("probe_us"), col("state"),
+        col("n_7d"), col("ltv_cents"), col("label"))
+      .orderBy(col("user_id"), col("k"))
+  }
+
   /** CDC MERGE (upsert + tombstone) applied as ONE set operation — the
     * warehouse maintenance primitive next to [[q58Scd2]]'s versioning:
     * a change batch (per-customer 1997 order deltas, with a

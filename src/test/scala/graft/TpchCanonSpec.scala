@@ -363,6 +363,37 @@ class TpchCanonSpec extends AnyFunSuite {
       (4L, 5000L, "kept")), s"merge actions wrong: $out")
   }
 
+  test("feature matrix: features see only data <= T, the label only (T, T+7d]") {
+    val spark = this.spark
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def at(days: Double) = java.sql.Timestamp.from(t0.plusSeconds((days * 86400).toLong))
+    // span 0..40d -> probes at exactly +10d, +20d, +30d
+    val events = Seq(
+      (1L, 1L, at(0), "a", 1.00),
+      (1L, 2L, at(9.5), "b", 2.00),
+      (1L, 3L, at(24), "c", 4.00),
+      (1L, 4L, at(40), "d", 8.00),
+      (2L, 5L, at(35), "x", 16.00)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Relational.pipelineFeatureMatrix(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.getString(3)), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // user 1 @+10d: trailing (3d,10d] has e2; LTV e1+e2; next event at
+    // +24d is beyond the 7d label window -> label 0
+    assert(out((1L, 1L)) == ((Some("b"), 1L, 300L, 0L)), s"$out")
+    // @+20d: quiet week, but e3 at +24d lands in (20d,27d] -> label 1
+    assert(out((1L, 2L)) == ((Some("b"), 0L, 300L, 1L)))
+    // @+30d: e3 in the trailing week and in LTV; e4 at +40d is past
+    // the label window -> 0
+    assert(out((1L, 3L)) == ((Some("c"), 1L, 700L, 0L)))
+    // user 2 exists only at +35d: all-zero features, NULL state,
+    // label fires only for the +30d probe
+    assert(out((2L, 1L)) == ((None, 0L, 0L, 0L)))
+    assert(out((2L, 2L)) == ((None, 0L, 0L, 0L)))
+    assert(out((2L, 3L)) == ((None, 0L, 0L, 1L)))
+  }
+
   test("q52 (Q9): the 80% cost stand-in truncates exactly like the oracle's integer div") {
     val spark = this.spark
     import spark.implicits._
