@@ -357,6 +357,71 @@ object ScaleOps {
     Dedup.materialized(
       events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt")))
 
+  /** INGEST-time profile maintenance — the mergeable face of
+    * [[profile]] for a corpus that arrives in epochs: the additive
+    * stats (row/null/strlen counts) and order stats (min/max strings)
+    * merge trivially, and the one NON-mergeable column —
+    * countDistinct — is replaced by per-column HLL REGISTER tables
+    * (47d's artifact), because distinct-count mergeability is exactly
+    * what HLL exists for. Each epoch writes `delta-b<id>/{stats,regs}`
+    * (replay-idempotent overwrite); the merged profile is exact on
+    * every field except distinct, which carries the HLL estimate. */
+  def profileStream(df: DataFrame, profDir: String,
+                    cols: Seq[String] = Seq("doc_id", "lang", "n_chars", "source", "text"))
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val aggs = cols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"),
+        sum(length(col(c).cast("string")).cast("long")).as(s"${c}__tl"))
+      }
+      val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
+        s"'$c', ${c}__n, ${c}__nn, ${c}__mn, ${c}__mx, ${c}__tl").mkString(", ") +
+        ") as (col_name, n_values, n_null, min_str, max_str, total_strlen)"
+      batch.agg(aggs.head, aggs.tail: _*).select(expr(stackExpr))
+        .write.mode("overwrite").parquet(s"$profDir/delta-b$batchId/stats")
+      cols.map { c =>
+        hllTable(batch.select(col(c).as("k")), keyCol = "k")
+          .select(lit(c).as("col_name"), col("reg"), col("m_reg"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$profDir/delta-b$batchId/regs")
+    }
+
+  /** The merged profile over every ingested epoch: exact sums/min/max
+    * plus the HLL distinct estimate per column. */
+  def profileMerged(spark: SparkSession, profDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val deltas = Option(new java.io.File(profDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        new java.io.File(f, "stats/_SUCCESS").exists &&
+        new java.io.File(f, "regs/_SUCCESS").exists)
+      .sortBy(_.getName)
+    require(deltas.nonEmpty, s"no profile deltas under $profDir")
+    val stats = deltas.map(d => spark.read.parquet(s"${d.getPath}/stats"))
+      .reduce(_ unionByName _)
+      .groupBy(col("col_name"))
+      .agg(sum(col("n_values")).as("n_values"), sum(col("n_null")).as("n_null"),
+        min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"),
+        sum(col("total_strlen")).as("total_strlen"))
+    val regRows = deltas.map(d => spark.read.parquet(s"${d.getPath}/regs"))
+      .reduce(_ unionByName _)
+      .groupBy(col("col_name"), col("reg")).agg(max(col("m_reg")).as("m_reg"))
+      .collect()  // ≤ columns × m rows — metadata-scale
+    val ests = regRows.groupBy(_.getString(0)).map { case (c, rows) =>
+      (c, hllEstimate(rows.map(_.getLong(2)).toSeq))
+    }
+    val estDf = stats.sparkSession.createDataFrame(
+      ests.toSeq.map { case (c, e) => org.apache.spark.sql.Row(c, e) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("col_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("est_distinct",
+          org.apache.spark.sql.types.LongType))))
+    stats.join(broadcast(estDf), "col_name").orderBy(col("col_name"))
+  }
+
   /** Count-min cell for hash row `r`: portable 60-bit md5 hash of the
     * key salted with the row index, mod `width`. The md5 derivation is
     * the repo-wide portable idiom, so a SQL oracle replays the whole
@@ -453,16 +518,31 @@ object ScaleOps {
     * `rest & -rest` isolates the lowest set bit exactly, and
     * round(log2(2^t)) recovers t through a <1e-10 error — never near
     * the .5 boundary. */
-  private[graft] def hllTable(events: DataFrame, p: Int = 9): DataFrame = {
+  private[graft] def hllTable(events: DataFrame, p: Int = 9,
+                              keyCol: String = "user_id"): DataFrame = {
     val m = 1L << p
-    val h = conv(substring(md5(concat(col("user_id").cast("string"),
+    val h = conv(substring(md5(concat(col(keyCol).cast("string"),
       lit(":hll"))), 1, 15), 16, 10).cast("long")
-    events.select(h.as("h"))
+    events.filter(col(keyCol).isNotNull).select(h.as("h"))
       .select(expr(s"h % $m").as("reg"), expr(s"h div $m").as("rest"))
       .select(col("reg"),
         when(col("rest") === 0L, lit(49L))
           .otherwise(round(log2(expr("rest & (-rest)"))).cast("long") + 1L).as("rho"))
       .groupBy(col("reg")).agg(max(col("rho")).as("m_reg"))
+  }
+
+  /** The register → estimate step of [[hllDistinct]] factored for
+    * reuse: given (m_reg) rows, the double estimate with the standard
+    * linear-counting small-range correction. Driver-side on ≤ m
+    * values — callers hold the registers already. */
+  private[graft] def hllEstimate(regs: Seq[Long], p: Int = 9): Long = {
+    val m = 1L << p
+    val nZero = m - regs.length
+    val s2 = regs.map(r => 1L << (49 - r).toInt).sum + nZero * (1L << 49)
+    val raw = (0.7213 / (1.0 + 1.079 / m)) * m * m * 562949953421312.0 / s2
+    val est = if (nZero > 0 && raw <= 2.5 * m) m * math.log(m.toDouble / nZero)
+      else raw
+    math.round(est)
   }
 
   /** The HLL distinct estimate next to the exact count — the
