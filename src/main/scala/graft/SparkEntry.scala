@@ -254,6 +254,7 @@ object SparkEntry {
     "scale_profile" -> ((s, d) => ScaleOps.profile(Tables.documents(s, d))),
     "scale_histogram" -> ((s, d) => ScaleOps.histQuantiles(Tables.orders(s, d))),
     "scale_skew_report" -> ((s, d) => ScaleOps.skewReport(Tables.events(s, d))),
+    "scale_bloom" -> ((s, d) => ScaleOps.bloomAudit(Tables.customer(s, d))),
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
     "scale_partition_prune" -> ((s, d) =>
       ScaleOps.partitionPrunedScan(s, ScaleOps.writePartitionedLayout(s, d))),
@@ -2484,6 +2485,54 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  (100 * b.max_cnt * b.n_keys) // b.n_rows AS maxavg_x100,
         |  (10000 * t.top10_rows) // b.n_rows AS top10_share_bp
         |FROM base b, top t""".stripMargin,
+    "scale_bloom" ->
+      // relational Bloom filter: sparse set-cell table on the portable
+      // md5 hash; no-false-negatives theorem re-checked, measured fp
+      // count gated by 2x the (1-e^{-kn/m})^k expectation + 10
+      """WITH keys AS (SELECT c_custkey AS key FROM customer),
+        |cells AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':bf' || r.r), 1, 15))
+        |      AS BIGINT) % 131072 AS cell
+        |  FROM keys, (SELECT unnest(range(3)) AS r) r
+        |), probe_in AS (
+        |  SELECT key,
+        |    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':bf' || r.r), 1, 15))
+        |      AS BIGINT) % 131072 AS cell
+        |  FROM keys, (SELECT unnest(range(3)) AS r) r
+        |), in_m AS (
+        |  SELECT p.key,
+        |    CASE WHEN count(c.cell) = 3 THEN 1 ELSE 0 END AS member
+        |  FROM probe_in p LEFT JOIN cells c ON c.cell = p.cell
+        |  GROUP BY p.key
+        |), probe_out AS (
+        |  SELECT key + 10000000 AS key FROM keys
+        |), out_c AS (
+        |  SELECT key,
+        |    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':bf' || r.r), 1, 15))
+        |      AS BIGINT) % 131072 AS cell
+        |  FROM probe_out, (SELECT unnest(range(3)) AS r) r
+        |), out_m AS (
+        |  SELECT p.key,
+        |    CASE WHEN count(c.cell) = 3 THEN 1 ELSE 0 END AS member
+        |  FROM out_c p LEFT JOIN cells c ON c.cell = p.cell
+        |  GROUP BY p.key
+        |), agg AS (
+        |  SELECT
+        |    (SELECT count(*) FROM keys) AS n_set,
+        |    (SELECT count(*) FROM cells) AS n_cells_set,
+        |    (SELECT CAST(sum(member) AS BIGINT) FROM in_m) AS n_in_found,
+        |    (SELECT count(*) FROM out_m) AS n_out,
+        |    (SELECT CAST(sum(member) AS BIGINT) FROM out_m) AS n_false_pos
+        |)
+        |SELECT CAST(131072 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k,
+        |  n_set, n_cells_set, n_in_found,
+        |  (n_in_found = n_set) AS no_false_negatives,
+        |  n_out, n_false_pos,
+        |  (CAST(n_false_pos AS DOUBLE) <=
+        |    2.0 * pow(1.0 - exp(-3.0 * n_set / 131072.0), 3.0) * n_out + 10.0)
+        |    AS fp_within_tol
+        |FROM agg""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

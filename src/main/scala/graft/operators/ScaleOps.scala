@@ -422,6 +422,83 @@ object ScaleOps {
     stats.join(broadcast(estDf), "col_name").orderBy(col("col_name"))
   }
 
+  /** Bloom-filter bit cell `i` for a key: portable 60-bit md5, mod the
+    * bit-array size — the cmCell idiom with the filter's own salt. */
+  private def bloomCell(key: org.apache.spark.sql.Column, i: Int, mBits: Int) =
+    pmod(conv(substring(md5(concat(key, lit(s":bf$i"))), 1, 15), 16, 10)
+      .cast("long"), lit(mBits.toLong))
+
+  /** Bloom filter as a RELATIONAL artifact — the membership member of
+    * the sketch family (counts → CMS, distincts → HLL, quantiles →
+    * histogram, membership → here) and the relational twin of the
+    * Catalyst-injected runtime bloom join pruning (§2e-49b): the bit
+    * array is a sparse (cell) table — one scan fans each key into `k`
+    * cells, distinct bounds the table by mBits, and Bloom MERGE IS
+    * set union (idempotent like HLL's max — replay cannot
+    * double-set a bit). */
+  private[graft] def bloomTable(keys: DataFrame, mBits: Int = 131072,
+                                k: Int = 3): DataFrame =
+    keys.filter(col("key").isNotNull)
+      .select(posexplode(array((0 until k).map(i =>
+        bloomCell(col("key").cast("string"), i, mBits)): _*)).as(Seq("i", "cell")))
+      .select(col("cell")).distinct()
+
+  /** The Bloom membership audit: build the filter over the customer
+    * key set, then probe (a) every set key — `no_false_negatives`
+    * re-checks the Bloom theorem in both engines — and (b) an
+    * equal-sized guaranteed-absent key set, measuring the false-
+    * positive count against the standard (1−e^{−kn/m})^k expectation
+    * (the one double, feeding only the tolerance boolean). Every
+    * count is an exact integer. Scale: the filter is SMALL BY DESIGN
+    * (≤ mBits cells — that is the point of a Bloom filter), so the
+    * probe join broadcasts it; probes fan row-locally into k cells
+    * and reduce with a combinable per-key count. */
+  def bloomAudit(customer: DataFrame, mBits: Int = 131072, k: Int = 3): DataFrame = {
+    val keys = Dedup.materialized(customer.select(col("c_custkey").as("key")))
+    val cells = bloomTable(keys, mBits, k)
+    def probe(p: DataFrame): DataFrame =
+      p.select(col("key"), posexplode(array((0 until k).map(i =>
+          bloomCell(col("key").cast("string"), i, mBits)): _*)).as(Seq("i", "cell")))
+        .join(broadcast(cells.withColumn("hit", lit(1L))), Seq("cell"), "left")
+        .groupBy(col("key"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) === k).cast("long").as("member"))
+    val inStats = probe(keys)
+      .agg(count(lit(1)).as("n_in"), sum(col("member")).as("n_in_found"))
+    val outStats = probe(keys.select((col("key") + 10000000L).as("key")))
+      .agg(count(lit(1)).as("n_out"), sum(col("member")).as("n_false_pos"))
+    val nCells = cells.agg(count(lit(1)).as("n_cells_set"))
+    inStats.crossJoin(outStats).crossJoin(nCells)
+      .select(lit(mBits.toLong).as("m_bits"), lit(k.toLong).as("k"),
+        col("n_in").as("n_set"), col("n_cells_set"),
+        col("n_in_found"), (col("n_in_found") === col("n_in")).as("no_false_negatives"),
+        col("n_out"), col("n_false_pos"),
+        (col("n_false_pos").cast("double") <=
+          lit(2.0) * pow(lit(1.0) - exp(lit(-k.toDouble) * col("n_in") / lit(mBits.toDouble)), lit(k.toDouble))
+            * col("n_out") + lit(10.0)).as("fp_within_tol"))
+  }
+
+  /** Ingest-time Bloom maintenance — per-epoch delta cell sets,
+    * merge = union (idempotent), replay-idempotent by overwrite.
+    * Same ownership contract as [[countMinStream]]. */
+  def bloomStream(keys: DataFrame, bloomDir: String, mBits: Int = 131072,
+                  k: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    keys.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      bloomTable(batch, mBits, k)
+        .write.mode("overwrite").parquet(s"$bloomDir/delta-b$batchId")
+    }
+
+  /** Merged filter over every ingested epoch: the union of set cells. */
+  def bloomMerged(spark: SparkSession, bloomDir: String): DataFrame = {
+    val deltas = Option(new java.io.File(bloomDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        new java.io.File(f, "_SUCCESS").exists)
+      .sortBy(_.getName)
+    require(deltas.nonEmpty, s"no bloom deltas under $bloomDir")
+    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+      .distinct()
+  }
+
   /** Count-min cell for hash row `r`: portable 60-bit md5 hash of the
     * key salted with the row index, mod `width`. The md5 derivation is
     * the repo-wide portable idiom, so a SQL oracle replays the whole

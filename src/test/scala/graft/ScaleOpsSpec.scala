@@ -198,6 +198,56 @@ class ScaleOpsSpec extends AnyFunSuite {
       "a replayed epoch must reproduce its delta histogram exactly")
   }
 
+  test("bloom: no false negatives ever, fp rate in expectation, deltas union-merge idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // audit on real keys: theorem + tolerance booleans
+    val r = ScaleOps.bloomAudit(Tables.customer(spark, TestSpark.sf)).head()
+    assert(r.getBoolean(5), s"bloom must never miss a set key: $r")
+    assert(r.getBoolean(8), s"fp count outside expectation envelope: $r")
+    // a dense small filter (m=256) MUST show false positives yet still
+    // zero false negatives — proves the probe isn't an exact-set cheat
+    val dense = (0 until 300).map(i => Tuple1(i.toLong)).toDF("c_custkey")
+    val rd = ScaleOps.bloomAudit(dense, mBits = 256, k = 3).head()
+    assert(rd.getBoolean(5), "dense filter still has no false negatives")
+    assert(rd.getLong(7) > 0L, s"m=256 with 300 keys must produce false positives: $rd")
+    // merge IS set union: half-corpus cell sets unioned equal the whole
+    val keys = (0 until 500).map(i => Tuple1(i.toLong * 7)).toDF("key")
+    val whole = ScaleOps.bloomTable(keys)
+    val halves = ScaleOps.bloomTable(keys.filter(col("key") % 2 === 0))
+      .unionByName(ScaleOps.bloomTable(keys.filter(col("key") % 2 =!= 0)))
+      .distinct()
+    assert(whole.unionAll(halves).groupBy(col("cell"))
+      .count().filter(col("count") =!= 2).isEmpty,
+      "unioned half-corpus cell sets differ from the whole-corpus filter")
+    // stream face: epochs merge to the whole; replay reproduces deltas
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val all = (0 until 400).map(i => Tuple1(i.toLong * 3))
+    val mem = MemoryStream[Tuple1[Long]]
+    val q = ScaleOps.bloomStream(mem.toDF().toDF("key"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-bloom-ck").toString)
+      .start()
+    try {
+      mem.addData(all.take(200): _*); q.processAllAvailable()
+      mem.addData(all.drop(200): _*); q.processAllAvailable()
+    } finally q.stop()
+    val wholeS = ScaleOps.bloomTable(all.toDF("key"))
+    val merged = ScaleOps.bloomMerged(spark, dir)
+    assert(wholeS.unionAll(merged).groupBy(col("cell"))
+      .count().filter(col("count") =!= 2).isEmpty)
+    val d0 = spark.read.parquet(s"$dir/delta-b0").collect().toSet
+    val mem2 = MemoryStream[Tuple1[Long]]
+    val q2 = ScaleOps.bloomStream(mem2.toDF().toDF("key"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-bloom-ck2").toString)
+      .start()
+    try { mem2.addData(all.take(200): _*); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/delta-b0").collect().toSet == d0)
+  }
+
   test("profile stream: epochs merge exactly on sums/min/max, HLL stands in for distinct") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
