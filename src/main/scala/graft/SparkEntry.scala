@@ -204,6 +204,11 @@ object SparkEntry {
     }),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(Tables.documents(s, d))),
     "text_bm25" -> ((s, d) => TextOps.textBm25(Tables.documents(s, d))),
+    "text_bm25_stored" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.textBm25Stored(s,
+        TextOps.ensureLexIndex(docs, TextOps.defaultLexIndexDir(docs, d)))
+    }),
     "pipeline_mix" -> ((s, d) => TextOps.mixDomains(Tables.documents(s, d))),
     "pipeline_shuffle" -> ((s, d) => TextOps.shuffleOrder(Tables.documents(s, d))),
     "text_langid_confusion" -> ((s, d) => TextOps.langidConfusion(Tables.documents(s, d))),
@@ -848,6 +853,9 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // gates against the same oracle
     .updated("ann_ivf_probe", oracleSqlBase("ann_ivf_sampled"))
     .updated("tokenizer_apply_stored", oracleSqlBase("tokenizer_apply"))
+    // identical result by construction: the stored lexical index holds
+    // exactly the tables the self-contained face derives in-query
+    .updated("text_bm25_stored", oracleSqlBase("text_bm25"))
     .updated("text_quality_score_stored", lrTrainedScoreOracleSql())
 
   /** Oracle for scale_profile: one UNION ALL block per profiled

@@ -725,6 +725,55 @@ object TextOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Build the STORED lexical index — the doc-term matrix, doc
+    * lengths, document frequencies and corpus globals every IR system
+    * materializes once per corpus epoch (the write-once/score-forever
+    * face of [[textBm25]], completing the stored-index rule the IVF /
+    * graph / k-means / vocab / quality-weights families already
+    * follow). `globals` is written LAST — its parquet _SUCCESS is the
+    * completed-build sentinel. */
+  def buildLexIndex(documents: DataFrame, indexDir: String): Unit = {
+    val dt = docTermFrame(documents)
+    dt.write.mode("overwrite").parquet(s"$indexDir/dt")
+    val dl = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$indexDir/dl")
+    dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$indexDir/df")
+    documents.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("t_tokens")))
+      .write.mode("overwrite").parquet(s"$indexDir/globals")
+  }
+
+  def ensureLexIndex(documents: DataFrame, indexDir: String): String =
+    StoredArtifacts.ensureBuilt(indexDir, "globals")(
+      buildLexIndex(documents, indexDir))
+
+  def defaultLexIndexDir(documents: DataFrame, sfKey: String): String =
+    StoredArtifacts.contentKeyedDir("graft-lex-index", documents, sfKey, "")
+
+  /** [[textBm25]] over the stored lexical index: identical output (the
+    * driver gates it against the SAME oracle), but the corpus is never
+    * touched — scoring reads the written-once dt/dl/df/globals
+    * tables. The production shape at 100 TB: tokenize once per corpus
+    * epoch, serve every lexical query from the index. */
+  def textBm25Stored(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                     k: Int = 5, nQueries: Int = 4,
+                     termsPerQuery: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = spark.read.parquet(s"$indexDir/dt")
+    val dl = spark.read.parquet(s"$indexDir/dl")
+    val dft = spark.read.parquet(s"$indexDir/df")
+    val globals = spark.read.parquet(s"$indexDir/globals")
+    val byDf = Window.orderBy(col("df").desc, col("term").asc)
+    val qterms = dft
+      .withColumn("rn", row_number().over(byDf))
+      .filter(col("rn") <= nQueries * termsPerQuery)
+      .withColumn("q_id", expr(s"CAST((rn - 1) div $termsPerQuery AS BIGINT)"))
+      .select(col("q_id"), col("term"))
+    bm25Score(dt, dl, dft, globals, qterms, k, excludeSelf = false)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The materialized doc-term frame (doc_id, term, tf) — the IR index
     * textTfidf/textBm25/the hybrid retrieval share. Built once per
     * caller (persisted) and read by every downstream agg. */
@@ -745,6 +794,15 @@ object TextOps {
     val dft = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val globals = documents.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).as("t_tokens")))
+    bm25Score(dt, dl, dft, globals, qterms, k, excludeSelf)
+  }
+
+  /** The pure scoring half, over EXPLICIT index tables — shared by
+    * [[bm25Core]] (in-query build) and [[textBm25Stored]] (tables
+    * loaded from the stored lexical index). */
+  private def bm25Score(dt: DataFrame, dl: DataFrame, dft: DataFrame,
+      globals: DataFrame, qterms: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     val qt = qterms.join(dft, "term")
       .crossJoin(broadcast(globals))
       .withColumn("idf_micro",

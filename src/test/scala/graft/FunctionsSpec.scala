@@ -499,6 +499,27 @@ class HybridRetrievalSpec extends AnyFunSuite {
   }
 }
 
+class LexStoredSpec extends AnyFunSuite {
+  test("BM25 over the stored lexical index matches the self-contained face; ensure builds once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val docs = (0 until 80).map(i =>
+      (i.toLong, (0 until 25).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex").toString
+    graft.operators.TextOps.ensureLexIndex(docs, dir)
+    val marker = new java.io.File(s"$dir/globals/_SUCCESS")
+    assert(marker.exists(), "index build must leave the completed-build sentinel")
+    val built = marker.lastModified()
+    val stored = graft.operators.TextOps.textBm25Stored(spark, dir).collect().toSeq
+    val self = graft.operators.TextOps.textBm25(docs).collect().toSeq
+    assert(stored == self, "stored-index scoring must equal the self-contained face")
+    graft.operators.TextOps.ensureLexIndex(docs, dir)
+    assert(marker.lastModified() == built, "a finished index must never rebuild")
+  }
+}
+
 class VocabStoredSpec extends AnyFunSuite {
   test("apply over the stored vocab matches the self-contained retrain face") {
     val spark = TestSpark.spark
