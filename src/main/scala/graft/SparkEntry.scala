@@ -260,6 +260,7 @@ object SparkEntry {
     "scale_histogram" -> ((s, d) => ScaleOps.histQuantiles(Tables.orders(s, d))),
     "scale_skew_report" -> ((s, d) => ScaleOps.skewReport(Tables.events(s, d))),
     "scale_bloom" -> ((s, d) => ScaleOps.bloomAudit(Tables.customer(s, d))),
+    "scale_quantile_bins" -> ((s, d) => ScaleOps.quantileBins(Tables.orders(s, d))),
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
     "scale_partition_prune" -> ((s, d) =>
       ScaleOps.partitionPrunedScan(s, ScaleOps.writePartitionedLayout(s, d))),
@@ -2541,6 +2542,32 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |    2.0 * pow(1.0 - exp(-3.0 * n_set / 131072.0), 3.0) * n_out + 10.0)
         |    AS fp_within_tol
         |FROM agg""".stripMargin,
+    "scale_quantile_bins" ->
+      // histogram-driven quartile binning: ceil-rank bucket-edge
+      // thresholds, each row bins row-locally; all exact integers
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        |), hist AS (
+        |  SELECT cents // 200000 AS bucket, count(*) AS cnt FROM c GROUP BY 1
+        |), cum AS (
+        |  SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM hist
+        |), n AS (SELECT count(*) AS n FROM c),
+        |quants AS (
+        |  SELECT q, (q * n.n + 3) // 4 AS rank
+        |  FROM (SELECT unnest([1, 2, 3]) AS q), n
+        |), thr AS (
+        |  SELECT q.q, min(cum.bucket) * 200000 + 200000 AS thr
+        |  FROM quants q JOIN cum ON cum.cum >= q.rank GROUP BY 1
+        |), b AS (
+        |  SELECT cents,
+        |    1 + (SELECT count(*) FROM thr WHERE c2.cents >= thr.thr) AS bin
+        |  FROM c c2
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_rows,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

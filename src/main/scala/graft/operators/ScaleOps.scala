@@ -264,6 +264,40 @@ object ScaleOps {
       .orderBy(col("q_pct"))
   }
 
+  /** Quantile binning — the histogram sketch reused as a FEATURE
+    * TRANSFORMER (the ML-preprocessing face of [[histQuantiles]]):
+    * bucket-boundary thresholds at the exact ceil-rank quartile
+    * targets broadcast as ≤ nBins−1 values, and every row bins itself
+    * ROW-LOCALLY against them (an aggregate() fold — order-free, so
+    * the unordered collect_list is safe). The corpus pays one
+    * histogram scan + one binning scan; no sort, no shuffle beyond
+    * the bucket-bounded histogram agg. Bin populations are
+    * quantile-balanced up to bucket-width granularity — the
+    * histogram's documented resolution trade. */
+  def quantileBins(orders: DataFrame, widthCents: Long = 200000L,
+                   nBins: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = orders.select(round(col("o_totalprice") * 100, 0)
+      .cast("long").as("cents"))
+    val cum = histTable(orders, widthCents)
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val quants = orders.agg(count(lit(1)).as("n"))
+      .select(explode(array((1 until nBins).map(q => lit(q.toLong)): _*)).as("q"), col("n"))
+      .select(col("q"), expr(s"(q * n + ${nBins - 1}) div $nBins").as("rank"))
+    val thrs = quants.join(broadcast(cum), col("cum") >= col("rank"))
+      .groupBy(col("q"))
+      .agg((min(col("bucket")) * widthCents + widthCents).as("thr"))
+      .agg(collect_list(col("thr")).as("thrs"))
+    cents.crossJoin(broadcast(thrs))
+      .withColumn("bin", lit(1L) + expr(
+        "aggregate(thrs, 0L, (a, t) -> a + CASE WHEN cents >= t THEN 1L ELSE 0L END)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy(col("bin"))
+  }
+
   /** Ingest-time histogram maintenance — per-epoch delta bucket
     * tables, merge = cell-wise sum, replay-idempotent by overwrite.
     * Same ownership contract as [[countMinStream]]. */

@@ -198,6 +198,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       "a replayed epoch must reproduce its delta histogram exactly")
   }
 
+  test("quantile bins: threshold at the median bucket edge, near-balanced on real data") {
+    import spark.implicits._
+    // median rank 2 of {500,1500,1500,2500} -> bucket 1 -> thr 2000
+    val tiny = Seq(5.00, 15.00, 15.00, 25.00).map(Tuple1(_)).toDF("o_totalprice")
+    val t = ScaleOps.quantileBins(tiny, widthCents = 1000L, nBins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(t == Seq((1L, 3L, 500L, 1500L), (2L, 1L, 2500L, 2500L)), s"$t")
+    // real data: 4 bins, non-overlapping ranges, populations within
+    // 10% of n/4 (bucket-width granularity slack)
+    val out = ScaleOps.quantileBins(Tables.orders(spark, TestSpark.sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val n = out.map(_._2).sum
+    assert(out.forall(b => math.abs(b._2 - n / 4.0) <= n * 0.1), s"unbalanced: ${out.toSeq}")
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 < b._3, s"bin ranges must not overlap: ${out.toSeq}") }
+  }
+
   test("bloom: no false negatives ever, fp rate in expectation, deltas union-merge idempotently") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
