@@ -121,6 +121,7 @@ object SparkEntry {
     "dedup_minhash_fast" -> ((s, d) => Dedup.dedupMinhashLshFast(Tables.documents(s, d))),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(Tables.documents(s, d))),
     "dedup_cross_corpus" -> ((s, d) => Dedup.dedupCrossCorpus(Tables.documents(s, d))),
+    "dedup_threshold_curve" -> ((s, d) => Dedup.dedupThresholdCurve(Tables.documents(s, d))),
     "dedup_semantic" -> ((s, d) => Dedup.dedupSemantic(Tables.embeddings(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d), portable = true)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccardBlocked(Tables.documents(s, d))),
@@ -261,6 +262,7 @@ object SparkEntry {
     "scale_skew_report" -> ((s, d) => ScaleOps.skewReport(Tables.events(s, d))),
     "scale_bloom" -> ((s, d) => ScaleOps.bloomAudit(Tables.customer(s, d))),
     "scale_quantile_bins" -> ((s, d) => ScaleOps.quantileBins(Tables.orders(s, d))),
+    "scale_hll_grouped" -> ((s, d) => ScaleOps.hllGrouped(Tables.events(s, d))),
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
     "scale_partition_prune" -> ((s, d) =>
       ScaleOps.partitionPrunedScan(s, ScaleOps.writePartitionedLayout(s, d))),
@@ -2440,6 +2442,47 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |        THEN 512.0 * ln(512.0 / n_zero_regs) ELSE raw_est END
         |      - exact_distinct) / exact_distinct <= 0.15 AS within_tol
         |FROM est""".stripMargin,
+    "scale_hll_grouped" ->
+      // per-group HLL: registers keyed by (event_type, reg), same
+      // audit shape as scale_hll with one row per group
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':hll'), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM events
+        |), rr AS (
+        |  SELECT event_type, h % 512 AS reg, h // 512 AS rest FROM h
+        |), rho AS (
+        |  SELECT event_type, reg, CASE WHEN rest = 0 THEN 49
+        |    ELSE CAST(round(log2(rest & (-rest))) AS BIGINT) + 1 END AS rho
+        |  FROM rr
+        |), regs AS (
+        |  SELECT event_type, reg, max(rho) AS m_reg FROM rho GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, count(*) AS n_hit,
+        |    CAST(sum(1::BIGINT << CAST(49 - m_reg AS INTEGER)) AS BIGINT) AS s2_hit
+        |  FROM regs GROUP BY 1
+        |), ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY 1
+        |), fin AS (
+        |  SELECT st.event_type,
+        |    CAST(512 - st.n_hit AS BIGINT) AS n_zero_regs,
+        |    CAST(st.s2_hit + (512 - st.n_hit) * (1::BIGINT << 49) AS BIGINT) AS s2,
+        |    ex.exact_distinct
+        |  FROM st JOIN ex USING (event_type)
+        |), est AS (
+        |  SELECT *,
+        |    (0.7213 / (1.0 + 1.079 / 512)) * 512 * 512 * 562949953421312.0 / s2 AS raw_est,
+        |    (n_zero_regs > 0 AND (0.7213 / (1.0 + 1.079 / 512)) * 512 * 512
+        |      * 562949953421312.0 / s2 <= 1280.0) AS used_linear_counting
+        |  FROM fin
+        |)
+        |SELECT event_type, n_zero_regs, s2, exact_distinct, used_linear_counting,
+        |  abs(CASE WHEN used_linear_counting
+        |        THEN 512.0 * ln(512.0 / n_zero_regs) ELSE raw_est END
+        |      - exact_distinct) / exact_distinct <= 0.15 AS within_tol
+        |FROM est ORDER BY event_type""".stripMargin,
     "scale_profile" -> profileOracleSql(),
     "scale_histogram" ->
       // equi-width histogram quantile sketch: exact-integer buckets,
@@ -2960,6 +3003,27 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  (m.partner IS NOT NULL) AS contaminated
         |FROM hd LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
         |ORDER BY hd.doc_id""".stripMargin,
+    "dedup_threshold_curve" ->
+      // pair counts per rounded-jaccard decile over the true >= 0.5
+      // pair space (the band floor); 1.0 folds into the top bucket
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+        |    ELSE [concat_ws(' ', toks)] END AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS j
+        |  FROM s x JOIN s y ON x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+        |)
+        |SELECT least(CAST(floor(j * 10 + 1e-9) AS BIGINT), 9) * 1000 AS bucket_lo_bp,
+        |  count(*) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_ngram_composed" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,

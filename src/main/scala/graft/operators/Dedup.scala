@@ -183,6 +183,27 @@ object Dedup {
       numPerm, bands, threshold)
   }
 
+  /** Dedup threshold tuning curve — how many near-dup pairs would a
+    * given jaccard cutoff flag? The knob-tuning audit behind every
+    * "why 0.8?" review: one banded-candidate pass at the 0.5 floor
+    * (where band recall is ~1 — the same floor the production faces
+    * use), pairs bucketed by their ROUNDED jaccard decile. The curve
+    * is read top-down: a cutoff at bucket b flags Σ_{b'≥b} pairs.
+    * Bucketing uses the rounded-4dp jaccard (+1e-9 nudge, the tfidf
+    * boundary idiom) so both engines bucket identically; 1.0 folds
+    * into the top [0.9, 1.0] bucket via least(). Banding is 96×2
+    * (not the production 24×8): at the 0.5 floor 2-row bands leave a
+    * miss probability of (1−0.25)^96 ≈ 1e-12 where 8-row bands would
+    * miss ~91 % of j=0.5 pairs — the tuning audit must SEE the pairs
+    * the production cutoff is being tuned over. The wider candidate
+    * volume is the audit's price, paid once per tuning run. */
+  def dedupThresholdCurve(documents: DataFrame): DataFrame =
+    dedupMinhashLshFast(documents, bands = 96, threshold = 0.5)
+      .select(expr(
+        "least(CAST(floor(jaccard * 10 + 1e-9) AS BIGINT), 9L) * 1000").as("bucket_lo_bp"))
+      .groupBy(col("bucket_lo_bp")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket_lo_bp"))
+
   /** Doc-level CROSS-CORPUS contamination — the document-granularity
     * complement of the span-level `pipeline_decontaminate`: is a
     * held-out/benchmark doc a near-duplicate of anything in the

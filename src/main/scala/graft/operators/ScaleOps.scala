@@ -692,6 +692,46 @@ object ScaleOps {
           <= lit(tol)).as("within_tol"))
   }
 
+  /** GROUPED HLL — distinct users per event_type, the per-dimension
+    * form every real dashboard asks for ("distinct X by Y"): register
+    * tables keyed by (group, reg) — ≤ groups·m rows, max still the
+    * map-side combiner and the merge operator. Same audit shape as
+    * [[hllDistinct]], one row per group; the exact countDistinct
+    * column exists only for the gate. */
+  def hllGrouped(events: DataFrame, p: Int = 9, tol: Double = 0.15): DataFrame = {
+    val m = 1L << p
+    val h = conv(substring(md5(concat(col("user_id").cast("string"),
+      lit(":hll"))), 1, 15), 16, 10).cast("long")
+    val regs = events.select(col("event_type"), h.as("h"))
+      .select(col("event_type"), expr(s"h % $m").as("reg"), expr(s"h div $m").as("rest"))
+      .select(col("event_type"), col("reg"),
+        when(col("rest") === 0L, lit(49L))
+          .otherwise(round(log2(expr("rest & (-rest)"))).cast("long") + 1L).as("rho"))
+      .groupBy(col("event_type"), col("reg")).agg(max(col("rho")).as("m_reg"))
+    val stats = regs.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_hit"),
+      sum(expr("shiftleft(1L, CAST(49 - m_reg AS INT))")).as("s2_hit"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    stats.join(exact, "event_type")
+      .select(col("event_type"), (lit(m) - col("n_hit")).as("n_zero_regs"),
+        (col("s2_hit") + (lit(m) - col("n_hit")) * lit(1L << 49)).as("s2"),
+        col("exact_distinct"))
+      .withColumn("raw_est",
+        expr(s"(0.7213 / (1.0 + 1.079 / $m)) * $m * $m * 562949953421312.0 / s2"))
+      .withColumn("used_linear_counting",
+        col("n_zero_regs") > 0L && col("raw_est") <= lit(2.5 * m))
+      .withColumn("est",
+        when(col("used_linear_counting"),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs")))
+          .otherwise(col("raw_est")))
+      .select(col("event_type"), col("n_zero_regs"), col("s2"),
+        col("exact_distinct"), col("used_linear_counting"),
+        (abs(col("est") - col("exact_distinct")) / col("exact_distinct")
+          <= lit(tol)).as("within_tol"))
+      .orderBy(col("event_type"))
+  }
+
   /** Ingest-time HLL maintenance — per-epoch delta register tables,
     * replay-idempotent by overwrite (and by max itself). Same
     * ownership contract as [[countMinStream]]: delta dirs keyed by the

@@ -1233,6 +1233,21 @@ class IncrementalDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(40L) == ((None, true)))
   }
 
+  test("threshold curve buckets planted pairs at their exact jaccard deciles") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = (1 to 20).map(i => s"t$i")
+    val a = t.mkString(" ")                                  // 18 shingles
+    val c = (t.take(14) ++ (1 to 6).map(i => s"u$i")).mkString(" ") // 12 shared -> j 0.5
+    val d = (t.take(18) ++ Seq("v1", "v2")).mkString(" ")    // 16 shared -> j 0.8
+    val docs = Seq((1L, a), (2L, a), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupThresholdCurve(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // pairs: (1,2) j=1 -> 9000; (1,4),(2,4) j=.8 -> 8000;
+    // (1,3),(2,3),(3,4) j=.5 -> 5000
+    assert(out == Seq((5000L, 3L), (8000L, 2L), (9000L, 1L)), s"$out")
+  }
+
   test("cross-corpus audit flags held-out docs near-duplicated in training data") {
     val spark = TestSpark.spark
     import spark.implicits._
