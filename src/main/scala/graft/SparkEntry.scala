@@ -234,6 +234,8 @@ object SparkEntry {
     "ann_ivf_sampled" -> ((s, d) => Ann.annIvfSampled(Tables.embeddings(s, d))),
     "ann_recall_audit" -> ((s, d) => Ann.annRecallAudit(Tables.embeddings(s, d))),
     "embedding_outliers" -> ((s, d) => Ann.embeddingOutliers(Tables.embeddings(s, d))),
+    "embedding_drift" -> ((s, d) => Ann.embeddingDrift(Tables.embeddings(s, d))),
+    "pipeline_epoch_diff" -> ((s, d) => TextOps.pipelineEpochDiff(Tables.documents(s, d))),
     "ann_ivf_probe" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Ann.annIvfProbe(e, Ann.ensureIvfIndex(e, Ann.defaultIvfIndexDir(e, d)))
@@ -2688,6 +2690,55 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT CAST(rank AS BIGINT) AS rank, vec_id, dist2
         |FROM r, n WHERE rank <= (n.n + 99) // 100 ORDER BY rank""".stripMargin,
+    "embedding_drift" ->
+      // two-sample norm-histogram drift: exact-integer total variation
+      // TV_bp = sum|a_i*n_b - b_i*n_a| * 1e4 // (2*n_a*n_b)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nb AS (
+        |  SELECT vec_id,
+        |    CAST(round(sqrt(CAST((SELECT sum(xb * xb) FROM (
+        |      SELECT CAST(round(x * 1e4) AS BIGINT) AS xb
+        |      FROM unnest(v) AS u(x))) AS DOUBLE))) AS BIGINT) AS norm_bp
+        |  FROM e
+        |), ha AS (
+        |  SELECT norm_bp // 500 AS bucket, count(*) AS na
+        |  FROM nb WHERE vec_id % 2 = 0 GROUP BY 1
+        |), hb AS (
+        |  SELECT norm_bp // 500 AS bucket, count(*) AS nbc
+        |  FROM nb WHERE vec_id % 2 <> 0 GROUP BY 1
+        |), j AS (
+        |  SELECT COALESCE(ha.na, 0) AS na, COALESCE(hb.nbc, 0) AS nbc
+        |  FROM ha FULL JOIN hb ON ha.bucket = hb.bucket
+        |), tot AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nbc) AS BIGINT) AS n_b,
+        |    count(*) AS n_buckets FROM j
+        |)
+        |SELECT t.n_a, t.n_b, CAST(t.n_buckets AS BIGINT) AS n_buckets,
+        |  CAST((SELECT sum(abs(j.na * t.n_b - j.nbc * t.n_a)) FROM j) * 10000
+        |    // (2 * t.n_a * t.n_b) AS BIGINT) AS tv_bp,
+        |  (CAST((SELECT sum(abs(j.na * t.n_b - j.nbc * t.n_a)) FROM j) * 10000
+        |    // (2 * t.n_a * t.n_b) AS BIGINT) > 500) AS drifted
+        |FROM tot t""".stripMargin,
+    "pipeline_epoch_diff" ->
+      // snapshot diff on content hashes over ONE full-outer doc_id
+      // join: added/removed/changed/unchanged counts
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS ha FROM documents WHERE doc_id % 5 <> 4
+        |), b AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' v2' ELSE text END) AS hb
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |), d AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.ha IS NULL THEN 'added'
+        |         WHEN b.hb IS NULL THEN 'removed'
+        |         WHEN a.ha <> b.hb THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        |)
+        |SELECT status, count(*) AS n_docs, min(doc_id) AS min_doc,
+        |  max(doc_id) AS max_doc
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_recall_audit" ->
       // recall@5 of the IVF probe vs exact bruteforce ground truth,
       // in basis points — both rank chains are deterministic so the

@@ -318,6 +318,46 @@ object Ann {
     * the corpus, so the documents table streams through with no
     * shuffle. Gated end to end by the sampled-IVF CTE chain composed
     * with the document join. */
+  /** Two-sample embedding DRIFT TEST — the decision face on top of
+    * [[embeddingNormHist]]'s raw histogram: compare the norm
+    * distributions of two corpus halves (epoch stand-ins; production
+    * passes yesterday's and today's frames) by exact-integer total
+    * variation distance, TV_bp = Σ|aᵢ·n_b − bᵢ·n_a| · 10⁴ div
+    * (2·n_a·n_b) — the size-normalized L1 between the two empirical
+    * distributions, no doubles anywhere. A shifted/collapsed norm
+    * distribution (encoder change, data drift, degeneration) moves
+    * TV; the emitted boolean cuts at `threshBp`. One row-local pass
+    * per side + a bucket-bounded combinable histogram each; the
+    * compare is a full-outer join of two ≤ bucket-count tables. */
+  def embeddingDrift(embeddings: DataFrame, bucketBp: Long = 500L,
+                     threshBp: Long = 500L): DataFrame = {
+    val xb = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1e4), 0).cast("long"))
+    val s2 = aggregate(xb, lit(0L), (acc, v) => acc + v * v)
+    def hist(side: DataFrame) = side
+      .select(round(sqrt(s2.cast("double")), 0).cast("long").as("norm_bp"))
+      .select(expr(s"norm_bp div $bucketBp").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val a = hist(embeddings.filter(col("vec_id") % 2 === 0))
+      .select(col("bucket"), col("n").as("na"))
+    val b = hist(embeddings.filter(col("vec_id") % 2 =!= 0))
+      .select(col("bucket"), col("n").as("nb"))
+    a.join(b, Seq("bucket"), "full_outer")
+      .select(coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        count(lit(1)).as("n_buckets"),
+        // carried as an array fold would be; sum of per-bucket terms
+        // needs n_a/n_b — finish below after the totals exist
+        collect_list(struct(col("na"), col("nb"))).as("cells"))
+      .select(col("n_a"), col("n_b"), col("n_buckets"),
+        expr("""aggregate(cells, 0L,
+          (acc, c) -> acc + abs(c.na * n_b - c.nb * n_a))""").as("l1"))
+      .select(col("n_a"), col("n_b"), col("n_buckets"),
+        expr("(l1 * 10000) div (2 * n_a * n_b)").as("tv_bp"))
+      .withColumn("drifted", col("tv_bp") > lit(threshBp))
+  }
+
   /** Embedding outlier report — the top ~1% of vectors by squared
     * distance to the corpus MEAN vector: the cheap global-outlier
     * curation signal (mis-embedded docs, encoder glitches, off-

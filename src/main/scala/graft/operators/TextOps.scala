@@ -725,6 +725,35 @@ object TextOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Corpus EPOCH DIFF — what changed between two corpus snapshots
+    * (added / removed / changed / unchanged), the audit a training-
+    * data pipeline publishes with every refresh so downstream
+    * consumers know whether to retrain. Epoch stand-ins derive
+    * deterministically from one table (A drops doc_id%5==4, B drops
+    * %5==0 and rewrites %7==0 — disjoint add/remove sets plus edits);
+    * production passes two real snapshot frames. Scale shape: ONE
+    * full-outer join on doc_id — both snapshots co-partition on the
+    * key, and only 16-byte content HASHES travel, never the text;
+    * the report is a 4-row schema-bounded aggregate. */
+  def pipelineEpochDiff(documents: DataFrame): DataFrame = {
+    val a = documents.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), md5(col("text")).as("ha"))
+    val b = documents.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("hb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("ha").isNull, lit("added"))
+          .when(col("hb").isNull, lit("removed"))
+          .when(col("ha") =!= col("hb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("status"))
+  }
+
   /** Build the STORED lexical index — the doc-term matrix, doc
     * lengths, document frequencies and corpus globals every IR system
     * materializes once per corpus epoch (the write-once/score-forever

@@ -452,6 +452,38 @@ class AnnAuditSpec extends AnyFunSuite {
     assert(part.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 10000L))
   }
 
+  test("drift test: identical halves stay quiet, a scaled half trips the TV cut") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def vec(scale: Double) = Array.fill(8)((rnd.nextGaussian() * 0.05 + scale).toFloat)
+    // identical half multisets (row i carries base(i/2), so even and
+    // odd halves hold exactly the same vectors) -> TV exactly 0
+    val base = Array.fill(100)(vec(1.0))
+    val same = (0 until 200).map(i => (i.toLong, base(i / 2))).toDF("vec_id", "embedding")
+    val rs = graft.operators.Ann.embeddingDrift(same).head()
+    assert(rs.getLong(3) == 0L && !rs.getBoolean(4),
+      s"identical halves must not drift: $rs")
+    // odd ids scaled 3x -> disjoint norm buckets -> TV = 10000 bp
+    val drifted = (0 until 200).map(i =>
+      (i.toLong, vec(if (i % 2 == 0) 1.0 else 3.0))).toDF("vec_id", "embedding")
+    val rd = graft.operators.Ann.embeddingDrift(drifted).head()
+    assert(rd.getLong(3) == 10000L && rd.getBoolean(4),
+      s"disjoint norm distributions must show full TV: $rd")
+  }
+
+  test("epoch diff classifies added/removed/changed/unchanged exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (0L to 9L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.pipelineEpochDiff(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("added") == ((2L, 4L, 9L)))     // %5==4: ids 4, 9
+    assert(out("removed") == ((2L, 0L, 5L)))   // %5==0: ids 0, 5
+    assert(out("changed") == ((1L, 7L, 7L)))   // %7==0 survivor: id 7
+    assert(out("unchanged") == ((5L, 1L, 8L))) // 1, 2, 3, 6, 8
+  }
+
   test("outlier report flags the planted far vector first, ceil(n/100) rows") {
     val spark = TestSpark.spark
     import spark.implicits._
