@@ -265,6 +265,8 @@ object SparkEntry {
     "scale_bloom" -> ((s, d) => ScaleOps.bloomAudit(Tables.customer(s, d))),
     "scale_quantile_bins" -> ((s, d) => ScaleOps.quantileBins(Tables.orders(s, d))),
     "scale_hll_grouped" -> ((s, d) => ScaleOps.hllGrouped(Tables.events(s, d))),
+    "scale_integrity" -> ((s, d) => ScaleOps.integrityAudit(
+      Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
     "scale_bucketed_join" -> ((s, d) => { ScaleOps.writeBucketed(s, d); ScaleOps.bucketedJoin(s) }),
     "scale_partition_prune" -> ((s, d) =>
       ScaleOps.partitionPrunedScan(s, ScaleOps.writePartitionedLayout(s, d))),
@@ -2587,6 +2589,24 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |    2.0 * pow(1.0 - exp(-3.0 * n_set / 131072.0), 3.0) * n_out + 10.0)
         |    AS fp_within_tol
         |FROM agg""".stripMargin,
+    "scale_integrity" ->
+      // referential-integrity audit: exact violation counts per check
+      """SELECT 'childless_order' AS "check", count(*) AS n_bad
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |UNION ALL
+        |SELECT 'nonpositive_qty', count(*) FROM lineitem WHERE l_quantity <= 0
+        |UNION ALL
+        |SELECT 'null_lineitem_key', count(*) FROM lineitem WHERE l_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'orphan_lineitem', count(*)
+        |FROM lineitem l WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orphan_order_customer', count(*)
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY "check"""".stripMargin,
     "scale_quantile_bins" ->
       // histogram-driven quartile binning: ceil-rank bucket-edge
       // thresholds, each row bins row-locally; all exact integers

@@ -319,6 +319,33 @@ object ScaleOps {
       .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Referential-integrity audit — the constraint checks a warehouse
+    * runs on every load (orphan facts, childless parents, domain
+    * violations), reported as exact violation counts. Each FK check
+    * is ONE left-anti join on the key (at 100 TB the same join rides
+    * broadcast or runtime-bloom pruning — §2e-49b — since the
+    * violating side is expected tiny); domain checks are row-local
+    * filters. Output is a schema-bounded (check, n_bad) report. */
+  def integrityAudit(orders: DataFrame, lineitem: DataFrame,
+                     customer: DataFrame): DataFrame = {
+    def report(name: String, bad: DataFrame): DataFrame =
+      bad.agg(count(lit(1)).as("n_bad")).select(lit(name).as("check"), col("n_bad"))
+    report("childless_order",
+        orders.join(lineitem.select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_anti"))
+      .unionByName(report("nonpositive_qty",
+        lineitem.filter(col("l_quantity") <= 0)))
+      .unionByName(report("null_lineitem_key",
+        lineitem.filter(col("l_orderkey").isNull)))
+      .unionByName(report("orphan_lineitem",
+        lineitem.join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionByName(report("orphan_order_customer",
+        orders.join(customer.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")))
+      .orderBy(col("check"))
+  }
+
   /** One-pass column profiler — the data-quality audit every 100 TB
     * ingest runs before anything else (the Deequ/profiling niche):
     * per-column row/null/distinct counts, native-typed min/max

@@ -198,6 +198,23 @@ class ScaleOpsSpec extends AnyFunSuite {
       "a replayed epoch must reproduce its delta histogram exactly")
   }
 
+  test("integrity audit counts each planted violation class exactly") {
+    import spark.implicits._
+    val orders = Seq((1L, 10L), (2L, 99L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (Option(1L), 5.0),              // clean
+      (Option(1L), -1.0),             // nonpositive qty
+      (Option(3L), 2.0),              // orphan (no order 3)
+      (Option.empty[Long], 2.0))      // null key (also never matches -> orphan)
+      .toDF("l_orderkey", "l_quantity")
+    val customer = Seq(Tuple1(10L)).toDF("c_custkey")
+    val out = ScaleOps.integrityAudit(orders, lineitem, customer).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("childless_order" -> 1L, "nonpositive_qty" -> 1L,
+      "null_lineitem_key" -> 1L, "orphan_lineitem" -> 2L,
+      "orphan_order_customer" -> 1L), s"$out")
+  }
+
   test("quantile bins: threshold at the median bucket edge, near-balanced on real data") {
     import spark.implicits._
     // median rank 2 of {500,1500,1500,2500} -> bucket 1 -> thr 2000
