@@ -182,6 +182,7 @@ object SparkEntry {
     "mm_decode" -> ((s, d) => Multimodal.mmDecode(Tables.documents(s, d))),
     "mm_png" -> ((s, d) => Multimodal.mmPng(Tables.documents(s, d))),
     "mm_phash" -> ((s, d) => Multimodal.mmPhash(Tables.documents(s, d))),
+    "mm_phash_curve" -> ((s, d) => Multimodal.mmPhashCurve(Tables.documents(s, d))),
     "pipeline_mm_curation" -> ((s, d) => Multimodal.mmCuration(Tables.documents(s, d))),
     "mm_phash_incremental" -> ((s, d) => Multimodal.mmPhashIncremental(Tables.documents(s, d))),
     "mm_mulaw" -> ((s, d) => Multimodal.mmMulaw(Tables.documents(s, d))),
@@ -863,6 +864,10 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // identical result by construction: the stored lexical index holds
     // exactly the tables the self-contained face derives in-query
     .updated("text_bm25_stored", oracleSqlBase("text_bm25"))
+    // the hamming tuning curve aggregates the mm_phash oracle's own
+    // pair chain — same banded candidate space by construction
+    .updated("mm_phash_curve",
+      s"SELECT hamming, count(*) AS n_pairs FROM (\n${oracleSqlBase("mm_phash")}\n) GROUP BY 1 ORDER BY 1")
     .updated("text_quality_score_stored", lrTrainedScoreOracleSql())
 
   /** Oracle for scale_profile: one UNION ALL block per profiled

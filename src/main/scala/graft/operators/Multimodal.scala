@@ -606,6 +606,17 @@ object Multimodal {
     phashPairs(phashSignatures(documents), hammingMax)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Perceptual-dedup threshold tuning curve — pair counts per
+    * hamming distance over the banded candidate space (the image
+    * analog of [[Dedup.dedupThresholdCurve]]'s "why 0.8?" audit: why
+    * hamming ≤ 10?). Read bottom-up: a cutoff at distance d flags
+    * Σ_{d'≤d} pairs. Identical cost to one mm_phash pass — the curve
+    * is a ≤ hammingMax-row aggregate over its pairs. */
+  def mmPhashCurve(documents: DataFrame, hammingMax: Int = 10): DataFrame =
+    phashPairs(phashSignatures(documents), hammingMax)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+
   /** Incremental perceptual dedup — the image analog of
     * [[Dedup.dedupIncremental]]: new docs (doc_id % batchMod == 0)
     * probe the STANDING corpus signatures on shared band keys; the
