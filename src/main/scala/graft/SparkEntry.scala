@@ -248,8 +248,11 @@ object SparkEntry {
     }),
     "pipeline_hybrid_retrieval" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Ann.pipelineHybridRetrieval(e, Tables.documents(s, d),
-        Ann.ensureIvfIndex(e, Ann.defaultIvfIndexDir(e, d)))
+      val docs = Tables.documents(s, d)
+      Ann.pipelineHybridRetrieval(e, docs,
+        Ann.ensureIvfIndex(e, Ann.defaultIvfIndexDir(e, d)),
+        lexIndexDir = Some(TextOps.ensureLexIndex(docs,
+          TextOps.defaultLexIndexDir(docs, d))))
     }),
     "pipeline_assembly" -> ((s, d) => TextOps.assemblyPipeline(Tables.documents(s, d))),
     "embedding_cluster_hist" -> ((s, d) => Ann.embeddingClusterHist(Tables.embeddings(s, d))),

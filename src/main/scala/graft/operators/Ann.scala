@@ -441,19 +441,26 @@ object Ann {
   def pipelineHybridRetrieval(embeddings: DataFrame, documents: DataFrame,
                               indexDir: String, k: Int = 5, stride: Int = 50,
                               termsPerQuery: Int = 3, poolK: Int = 5,
-                              rrfK: Int = 60, nprobe: Int = 4): DataFrame = {
+                              rrfK: Int = 60, nprobe: Int = 4,
+                              lexIndexDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
     val vec = ivfProbeQueries(querySet(embeddings, stride), indexDir, poolK, nprobe)
       .select(col("q_id"), col("neighbor_id").as("doc_id"),
         expr(s"1000000L div ($rrfK + rank)").as("rrf_v"))
-    val dt = TextOps.docTermFrame(documents)
+    // with a stored lex index BOTH sides probe written-once indexes —
+    // the corpus is never rescanned, let alone re-tokenized
+    val dt = lexIndexDir.map(d => spark.read.parquet(s"$d/dt"))
+      .getOrElse(TextOps.docTermFrame(documents))
     val byTf = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("term").asc)
     val qterms = dt.filter(col("doc_id") % stride === 0)
       .withColumn("rn", row_number().over(byTf))
       .filter(col("rn") <= termsPerQuery)
       .select(col("doc_id").as("q_id"), col("term"))
-    val lex = TextOps.bm25Core(documents, dt, qterms, poolK, excludeSelf = true)
+    val lex = lexIndexDir
+      .map(d => TextOps.bm25ScoreStored(spark, d, qterms, poolK, excludeSelf = true))
+      .getOrElse(TextOps.bm25Core(documents, dt, qterms, poolK, excludeSelf = true))
       .select(col("q_id"), col("doc_id"),
         expr(s"1000000L div ($rrfK + rank)").as("rrf_l"))
     vec.join(lex, Seq("q_id", "doc_id"), "full_outer")

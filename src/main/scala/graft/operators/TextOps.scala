@@ -803,6 +803,18 @@ object TextOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Score an explicit (q_id, term) frame against the STORED lexical
+    * index — the probe core [[textBm25Stored]] and the hybrid
+    * retrieval share: every table reads from disk, the corpus is
+    * never re-tokenized. */
+  private[operators] def bm25ScoreStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, qterms: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame =
+    bm25Score(spark.read.parquet(s"$indexDir/dt"),
+      spark.read.parquet(s"$indexDir/dl"),
+      spark.read.parquet(s"$indexDir/df"),
+      spark.read.parquet(s"$indexDir/globals"), qterms, k, excludeSelf)
+
   /** The materialized doc-term frame (doc_id, term, tf) — the IR index
     * textTfidf/textBm25/the hybrid retrieval share. Built once per
     * caller (persisted) and read by every downstream agg. */
