@@ -86,6 +86,7 @@ object SparkEntry {
       Relational.q61MergeUpsert(Tables.customer(s, d), Tables.orders(s, d))),
     "pipeline_feature_matrix" -> ((s, d) =>
       Relational.pipelineFeatureMatrix(Tables.events(s, d))),
+    "q62_ab_test" -> ((s, d) => Relational.q62AbTest(Tables.events(s, d))),
     "q51_tpch_q2" -> ((s, d) => Relational.q51TpchQ2(Tables.lineitem(s, d),
       Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
       Tables.region(s, d))),
@@ -1545,6 +1546,29 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM snap s FULL JOIN chg c ON s.k = c.ck
         |WHERE c.op IS NULL OR c.op <> 'delete'
         |ORDER BY c_custkey""".stripMargin,
+    "q62_ab_test" ->
+      // hash-assigned arms, conversion = any purchase; two-proportion
+      // z^2 > 3.8416 as one cross-multiplied integer inequality
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM events GROUP BY user_id
+        |), arms AS (
+        |  SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c
+        |  FROM u GROUP BY arm
+        |), a AS (SELECT n AS n_a, c AS conv_a FROM arms WHERE arm = 0),
+        |b AS (SELECT n AS n_b, c AS conv_b FROM arms WHERE arm = 1)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  (10000 * conv_a) // n_a AS conv_a_bp,
+        |  (10000 * conv_b) // n_b AS conv_b_bp,
+        |  abs((10000 * conv_a) // n_a - (10000 * conv_b) // n_b) AS diff_bp,
+        |  ((conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)
+        |     * (n_a + n_b) * 10000 >
+        |   38416 * n_a * n_b * (conv_a + conv_b)
+        |     * (n_a + n_b - conv_a - conv_b)) AS significant
+        |FROM a, b""".stripMargin,
     "pipeline_feature_matrix" ->
       // PIT training snapshot: features strictly <= T (SCD2 state,
       // trailing-7d count, LTV cents), label strictly > T (acted

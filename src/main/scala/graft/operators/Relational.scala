@@ -1244,6 +1244,46 @@ object Relational {
       .orderBy(col("user_id"), col("k"))
   }
 
+  /** A/B experiment analysis with an EXACT-INTEGER significance test —
+    * the experimentation-platform readout: users assign to arms by
+    * the portable md5 hash (deterministic, uniform, replayable in
+    * SQL), conversion = any purchase event, and the two-proportion
+    * z² > 3.8416 (95 %) decision is evaluated as one cross-multiplied
+    * integer inequality — z² = (c₁n₂−c₂n₁)²·N / (n₁n₂·C·(N−C)), so
+    * z² > T becomes LHS·10⁴ > 38416·RHS with zero doubles anywhere
+    * (a new member of the rational-inequality idiom family; exact up
+    * to ~50k users per arm before the cross products leave the long
+    * range — beyond that the same inequality runs in decimal(38)).
+    * On hash-split arms of one population the test should (and does)
+    * come out NOT significant — the null calibration every experiment
+    * platform must pass before anyone trusts a positive.
+    *
+    * Scale shape: one per-user combinable aggregate (the only corpus
+    * shuffle, on the natural user grain), a 2-row arm rollup, and a
+    * 1-row cross of the two arm frames. */
+  def q62AbTest(events: DataFrame): DataFrame = {
+    val arm = pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+      lit(":ab"))), 1, 15), 16, 10).cast("long"), lit(2L))
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", arm)
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val a = arms.filter(col("arm") === 0L)
+      .select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = arms.filter(col("arm") === 1L)
+      .select(col("n").as("n_b"), col("c").as("conv_b"))
+    a.crossJoin(b)
+      .withColumn("conv_a_bp", expr("(10000L * conv_a) div n_a"))
+      .withColumn("conv_b_bp", expr("(10000L * conv_b) div n_b"))
+      .withColumn("diff_bp", abs(col("conv_a_bp") - col("conv_b_bp")))
+      .withColumn("significant", expr(
+        """(conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)
+          | * (n_a + n_b) * 10000L >
+          |38416L * n_a * n_b * (conv_a + conv_b)
+          | * (n_a + n_b - conv_a - conv_b)""".stripMargin))
+  }
+
   /** CDC MERGE (upsert + tombstone) applied as ONE set operation — the
     * warehouse maintenance primitive next to [[q58Scd2]]'s versioning:
     * a change batch (per-customer 1997 order deltas, with a

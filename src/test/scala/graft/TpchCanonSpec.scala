@@ -394,6 +394,33 @@ class TpchCanonSpec extends AnyFunSuite {
     assert(out((2L, 3L)) == ((None, 0L, 0L, 1L)))
   }
 
+  test("q62 (A/B): planted arm effect is significant; hash-split null is not") {
+    val spark = this.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // recover each user's hash arm, then give arm 0 a 100% effect
+    val ids = (1L to 200L)
+    val arms = ids.toDF("user_id")
+      .withColumn("arm", pmod(conv(substring(md5(concat(col("user_id")
+        .cast("string"), lit(":ab"))), 1, 15), 16, 10).cast("long"), lit(2L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val effect = ids.map(i => (i, i,
+      ts("2024-01-01T00:00:00Z"),
+      if (arms(i) == 0L) "purchase" else "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val r = Relational.q62AbTest(effect).head()
+    assert(r.getLong(4) == 10000L && r.getLong(5) == 0L,
+      s"arm 0 converts fully, arm 1 never: $r")
+    assert(r.getBoolean(7), s"a 100% effect must be significant: $r")
+    // null calibration: identical behavior in both arms -> NOT significant
+    val nul = ids.map(i => (i, i, ts("2024-01-01T00:00:00Z"),
+      if (i % 2 == 0) "purchase" else "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val rn = Relational.q62AbTest(nul).head()
+    assert(!rn.getBoolean(7), s"hash-independent 50/50 must not be significant: $rn")
+  }
+
   test("q52 (Q9): the 80% cost stand-in truncates exactly like the oracle's integer div") {
     val spark = this.spark
     import spark.implicits._
