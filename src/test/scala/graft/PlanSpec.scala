@@ -94,6 +94,40 @@ class PlanSpec extends AnyFunSuite {
       s"Gram plan should shuffle only the combined dims-squared partials:\n$p")
     assert(p.contains("partial_sum"), "Gram aggregate must map-side combine")
   }
+
+  test("hybrid retrieval over stored indexes never re-tokenizes the corpus") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val p = plan(Ann.pipelineHybridRetrieval(e, docs,
+      Ann.ensureIvfIndex(e, Ann.defaultIvfIndexDir(e, TestSpark.sf)),
+      lexIndexDir = Some(graft.operators.TextOps.ensureLexIndex(docs,
+        graft.operators.TextOps.defaultLexIndexDir(docs, TestSpark.sf)))))
+    // the tokenizer expression appearing anywhere means a corpus
+    // re-tokenization snuck back in past the stored lex index
+    assert(!p.contains("split(trim(lower("),
+      s"stored-index hybrid must not tokenize the corpus:\n$p")
+    assert(p.contains("graft-lex-index"), "lex side must scan the stored index")
+  }
+
+  test("SCD2 PIT probe rides the user_id equi join, not a nested-loop fan-out") {
+    val p = plan(Relational.q60Scd2Pit(Tables.events(spark, TestSpark.sf)))
+    // exactly ONE nested-loop join is legitimate: the 3-row probe
+    // broadcast; the ledger join degenerating to a second one means
+    // the equi key was lost and every probe scans every version
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"interval residual must ride the user_id equi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("integrity audit anti-joins never degenerate to cartesian") {
+    val p = plan(graft.operators.ScaleOps.integrityAudit(
+      Tables.orders(spark, TestSpark.sf), Tables.lineitem(spark, TestSpark.sf),
+      Tables.customer(spark, TestSpark.sf)))
+    assert(p.contains("LeftAnti"), "FK checks must compile to anti joins")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"anti joins must stay key-based:\n$p")
+  }
 }
 
 class CodegenCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
