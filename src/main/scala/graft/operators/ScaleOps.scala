@@ -560,6 +560,29 @@ object ScaleOps {
       .distinct()
   }
 
+  /** The COMPLETE sketch-maintenance stack as ONE ingest stream — the
+    * §2e capstone: every micro-batch writes its count-min, HLL,
+    * histogram and Bloom deltas in a single foreachBatch pass, each
+    * under the family's replay-idempotent delta-b<epoch> contract, so
+    * one stream keeps frequency, distinct, quantile and membership
+    * summaries of the corpus current at once (what a real ingest
+    * pipeline actually deploys — four summaries, one read of the
+    * batch). Merged views come from the per-family merge functions;
+    * the spec proves every one equals its whole-corpus build after
+    * two epochs AND after an epoch replay. */
+  def sketchStream(events: DataFrame, baseDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      countMinTable(batch)
+        .write.mode("overwrite").parquet(s"$baseDir/cms/delta-b$batchId")
+      hllTable(batch)
+        .write.mode("overwrite").parquet(s"$baseDir/hll/delta-b$batchId")
+      histTable(batch.select(col("value").as("o_totalprice")))
+        .write.mode("overwrite").parquet(s"$baseDir/hist/delta-b$batchId")
+      bloomTable(batch.select(col("user_id").as("key")))
+        .write.mode("overwrite").parquet(s"$baseDir/bloom/delta-b$batchId")
+    }
+
   /** Count-min cell for hash row `r`: portable 60-bit md5 hash of the
     * key salted with the row index, mod `width`. The md5 derivation is
     * the repo-wide portable idiom, so a SQL oracle replays the whole

@@ -198,6 +198,52 @@ class ScaleOpsSpec extends AnyFunSuite {
       "a replayed epoch must reproduce its delta histogram exactly")
   }
 
+  test("sketch stack stream: one ingest pass maintains all four summaries, replay-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketches").toString
+    val all = (0 until 300).map(i => (i.toLong, (i % 41).toLong, (i % 97) * 25.0))
+    def run(data: Seq[(Long, Long, Double)]): Unit = {
+      val mem = MemoryStream[(Long, Long, Double)]
+      val q = ScaleOps.sketchStream(
+          mem.toDF().toDF("event_id", "user_id", "value"), dir)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sk-ck").toString)
+        .start()
+      try {
+        mem.addData(data.take(150): _*); q.processAllAvailable()
+        if (data.length > 150) { mem.addData(data.drop(150): _*); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    run(all)
+    val whole = all.toDF("event_id", "user_id", "value")
+    def eq(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+           cols: Seq[String], what: String): Unit =
+      assert(a.unionAll(b).groupBy(cols.map(col): _*)
+        .count().filter(col("count") =!= 2).isEmpty, s"$what merge != whole")
+    eq(ScaleOps.countMinMerged(spark, s"$dir/cms"), ScaleOps.countMinTable(whole),
+      Seq("row", "cell", "cnt"), "cms")
+    eq(ScaleOps.hllMerged(spark, s"$dir/hll"), ScaleOps.hllTable(whole),
+      Seq("reg", "m_reg"), "hll")
+    eq(ScaleOps.histMerged(spark, s"$dir/hist"),
+      ScaleOps.histTable(whole.select(col("value").as("o_totalprice"))),
+      Seq("bucket", "cnt"), "hist")
+    eq(ScaleOps.bloomMerged(spark, s"$dir/bloom"),
+      ScaleOps.bloomTable(whole.select(col("user_id").as("key"))),
+      Seq("cell"), "bloom")
+    // replay epoch 0 (fresh checkpoint, same first batch): all four
+    // families must be byte-identical afterwards
+    val before = Seq("cms", "hll", "hist", "bloom").map(f =>
+      f -> spark.read.parquet(s"$dir/$f/delta-b0").collect().toSet).toMap
+    run(all.take(150))
+    Seq("cms", "hll", "hist", "bloom").foreach { f =>
+      assert(spark.read.parquet(s"$dir/$f/delta-b0").collect().toSet == before(f),
+        s"$f epoch replay must reproduce its delta exactly")
+    }
+  }
+
   test("integrity audit counts each planted violation class exactly") {
     import spark.implicits._
     val orders = Seq((1L, 10L), (2L, 99L)).toDF("o_orderkey", "o_custkey")
@@ -1281,6 +1327,51 @@ class IncrementalDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.keySet == Set(3L, 10L))
     assert(out(3L)._1.contains(1L) && out(3L)._2, s"leak not flagged: $out")
     assert(out(10L) == ((None, false)))
+  }
+}
+
+class Bm25RandomSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("bm25 matches a from-scratch recompute on random corpora") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    for (_ <- 0 until 3) {
+      val docs = (0 until 40).map(i => (i.toLong,
+        (0 until (5 + rnd.nextInt(20))).map(_ => s"w${rnd.nextInt(15)}").mkString(" ")))
+      val tf: Map[Long, Map[String, Long]] = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).groupBy(identity)
+          .map { case (k, v) => k -> v.length.toLong }
+      }.toMap
+      val dl = tf.map { case (id, m) => id -> m.values.sum }
+      val n = docs.length.toLong
+      val bigT = dl.values.sum
+      val df = tf.values.flatMap(_.keys).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val qterms = df.toSeq.sortBy { case (t, d) => (-d, t) }.take(12)
+        .zipWithIndex.map { case ((t, _), i) => (i / 3).toLong -> t }
+      def idfMicro(d: Long) =
+        math.round(math.log((n - d + 0.5) / (d + 0.5) + 1.0) * 1e6 + 1e-9)
+      val expected = qterms.groupBy(_._1).map { case (q, ts) =>
+        val scored = docs.flatMap { case (id, _) =>
+          val s = ts.map(_._2).map { t =>
+            val f = tf(id).getOrElse(t, 0L)
+            if (f == 0L) 0L else {
+              val dln = 300000L + (2L * 900000L * dl(id) * n + bigT) / (2L * bigT)
+              (idfMicro(df(t)) * f * 2200000L) / (1000000L * f + dln)
+            }
+          }.sum
+          if (s > 0L) Some((id, s)) else None
+        }
+        q -> scored.sortBy { case (id, s) => (-s, id) }.take(5)
+      }
+      val got = graft.operators.TextOps.textBm25(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (q, rows) => q -> rows.map(r => (r._2, r._3)).toSeq }
+      assert(got.keySet == expected.keySet)
+      got.keySet.foreach { q =>
+        assert(got(q) == expected(q), s"q$q: ${got(q)} vs ${expected(q)}")
+      }
+    }
   }
 }
 
