@@ -1330,6 +1330,52 @@ class IncrementalDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class SketchRandomSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("histogram quantiles bracket the true order statistic on random data") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    for (_ <- 0 until 3) {
+      val prices = (0 until 500).map(_ => rnd.nextInt(400000) / 100.0 + 10.0)
+      val out = ScaleOps.histQuantiles(prices.map(Tuple1(_)).toDF("o_totalprice"),
+        widthCents = 50000L).collect()
+      val sorted = prices.map(p => math.round(p * 100)).sorted
+      out.foreach { r =>
+        val (rank, lo, hi, exact, ok) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+        assert(exact == sorted((rank - 1).toInt),
+          s"exact_cents must be the rank-th smallest: $r")
+        assert(ok && exact >= lo && exact < hi, s"estimate bucket must bracket it: $r")
+      }
+    }
+  }
+
+  test("skew report matches a naive recompute on random key distributions") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 3) {
+      // zipf-ish: key k drawn with weight ~ 1/(k+1)
+      val keys = (0 until 400).map { _ =>
+        val r = rnd.nextDouble(); (10.0 / (r * 9.0 + 1.0)).toLong % 30
+      }
+      val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("event_id", "user_id")
+      val r = ScaleOps.skewReport(df).head()
+      val counts = keys.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      val n = keys.length.toLong
+      val byCnt = counts.toSeq.sortBy { case (k, c) => (c, k) }.map(_._2)
+      def rk(q: Long) = byCnt(((q * counts.size + 99) / 100 - 1).toInt)
+      val top10 = counts.values.toSeq.sorted.reverse.take(10).sum
+      assert(r.getLong(0) == n && r.getLong(1) == counts.size.toLong)
+      assert(r.getLong(2) == counts.values.max)
+      assert((r.getLong(3), r.getLong(4)) == ((rk(50), rk(99))), s"$r")
+      assert(r.getLong(5) == 100L * counts.values.max * counts.size / n)
+      assert(r.getLong(6) == 10000L * top10 / n)
+    }
+  }
+}
+
 class Bm25RandomSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("bm25 matches a from-scratch recompute on random corpora") {
     val spark = TestSpark.spark
