@@ -237,6 +237,10 @@ object SparkEntry {
     "ann_recall_audit" -> ((s, d) => Ann.annRecallAudit(Tables.embeddings(s, d))),
     "embedding_outliers" -> ((s, d) => Ann.embeddingOutliers(Tables.embeddings(s, d))),
     "embedding_drift" -> ((s, d) => Ann.embeddingDrift(Tables.embeddings(s, d))),
+    "embedding_centroid_shift" -> ((s, d) =>
+      Ann.embeddingCentroidShift(Tables.embeddings(s, d))),
+    "text_quality_calibration" -> ((s, d) =>
+      TextOps.textQualityCalibration(Tables.documents(s, d))),
     "pipeline_epoch_diff" -> ((s, d) => TextOps.pipelineEpochDiff(Tables.documents(s, d))),
     "ann_ivf_probe" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -872,6 +876,14 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // pair chain — same banded candidate space by construction
     .updated("mm_phash_curve",
       s"SELECT hamming, count(*) AS n_pairs FROM (\n${oracleSqlBase("mm_phash")}\n) GROUP BY 1 ORDER BY 1")
+    // calibration buckets the trained scorer's own (p_bp, label) chain
+    .updated("text_quality_calibration",
+      s"""SELECT CAST(p_bp // 1000 AS BIGINT) AS decile, count(*) AS n,
+         |  CAST(sum(label) AS BIGINT) AS n_pos,
+         |  (10000 * sum(label)) // count(*) AS pos_rate_bp
+         |FROM (
+         |${lrTrainedScoreOracleSql()}
+         |) GROUP BY 1 ORDER BY 1""".stripMargin)
     .updated("text_quality_score_stored", lrTrainedScoreOracleSql())
 
   /** Oracle for scale_profile: one UNION ALL block per profiled
@@ -2742,6 +2754,23 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT CAST(rank AS BIGINT) AS rank, vec_id, dist2
         |FROM r, n WHERE rank <= (n.n + 99) // 100 ORDER BY rank""".stripMargin,
+    "embedding_centroid_shift" ->
+      // per-dim means of the two epoch halves, single (2S+n)//(2n)
+      // rounding each; shift in exact basis points
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS MATERIALIZED (
+        |  SELECT vec_id, i.i AS dim, CAST(round(v[i.i + 1] * 1e4) AS BIGINT) AS xb
+        |  FROM e, range(0, 64) i(i)
+        |), ma AS (
+        |  SELECT dim, (2 * sum(xb) + count(*)) // (2 * count(*)) AS mean_a_bp
+        |  FROM c WHERE vec_id % 2 = 0 GROUP BY dim
+        |), mb AS (
+        |  SELECT dim, (2 * sum(xb) + count(*)) // (2 * count(*)) AS mean_b_bp
+        |  FROM c WHERE vec_id % 2 <> 0 GROUP BY dim
+        |)
+        |SELECT CAST(ma.dim AS BIGINT) AS dim, ma.mean_a_bp, mb.mean_b_bp,
+        |  mb.mean_b_bp - ma.mean_a_bp AS shift_bp
+        |FROM ma JOIN mb USING (dim) ORDER BY dim""".stripMargin,
     "embedding_drift" ->
       // two-sample norm-histogram drift: exact-integer total variation
       // TV_bp = sum|a_i*n_b - b_i*n_a| * 1e4 // (2*n_a*n_b)

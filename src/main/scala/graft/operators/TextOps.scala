@@ -725,6 +725,23 @@ object TextOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Classifier CALIBRATION CURVE — per score-decile positive rates
+    * for the trained quality classifier: the evaluation every model
+    * gate needs before its threshold is trusted (a well-calibrated
+    * curve rises monotonically; a flat curve means the score carries
+    * no signal at the decision boundary). Pure composition: the
+    * trained scorer's (p_bp, label) frame bucketed by integer decile
+    * with exact integer rates — ≤ 10 output rows. The heavy part
+    * (32-step training + scoring) is exactly the existing
+    * text_quality_trained_score pass. */
+  def textQualityCalibration(documents: DataFrame): DataFrame =
+    textQualityLrTrained(documents)
+      .select(expr("CAST(p_bp div 1000 AS BIGINT)").as("decile"), col("label"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
+      .withColumn("pos_rate_bp", expr("(10000L * n_pos) div n"))
+      .orderBy(col("decile"))
+
   /** Corpus EPOCH DIFF — what changed between two corpus snapshots
     * (added / removed / changed / unchanged), the audit a training-
     * data pipeline publishes with every refresh so downstream

@@ -472,6 +472,32 @@ class AnnAuditSpec extends AnyFunSuite {
       s"disjoint norm distributions must show full TV: $rd")
   }
 
+  test("centroid shift isolates the planted dimension exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // even ids at the origin; odd ids shifted +1.0 in dim 3 only
+    val rows = (0 until 100).map { i =>
+      val v = Array.fill(8)(0f); if (i % 2 == 1) v(3) = 1f; (i.toLong, v)
+    }
+    val out = graft.operators.Ann.embeddingCentroidShift(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(3L) == 10000L, s"dim 3 must shift exactly 1.0 = 10000 bp: $out")
+    assert((out - 3L).values.forall(_ == 0L), s"other dims must not move: $out")
+  }
+
+  test("calibration curve separates: high score deciles carry the positives") {
+    val spark = TestSpark.spark
+    val out = graft.operators.TextOps.textQualityCalibration(
+      Tables.documents(spark, TestSpark.sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length <= 11 && out.forall(r => r._4 >= 0L && r._4 <= 10000L))
+    val (hi, lo) = out.partition(_._1 >= 5)
+    def rate(rs: Array[(Long, Long, Long, Long)]) =
+      if (rs.map(_._2).sum == 0) 0.0 else rs.map(_._3).sum.toDouble / rs.map(_._2).sum
+    assert(rate(hi) > rate(lo) + 0.5,
+      s"trained scores above the threshold must concentrate positives: ${out.toSeq}")
+  }
+
   test("epoch diff classifies added/removed/changed/unchanged exactly") {
     val spark = TestSpark.spark
     import spark.implicits._
