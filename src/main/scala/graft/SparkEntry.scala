@@ -239,8 +239,11 @@ object SparkEntry {
     "embedding_drift" -> ((s, d) => Ann.embeddingDrift(Tables.embeddings(s, d))),
     "embedding_centroid_shift" -> ((s, d) =>
       Ann.embeddingCentroidShift(Tables.embeddings(s, d))),
-    "text_quality_calibration" -> ((s, d) =>
-      TextOps.textQualityCalibration(Tables.documents(s, d))),
+    "text_quality_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.textQualityCalibration(docs, Some(
+        TextOps.ensureQualityModel(docs, TextOps.defaultQualityModelDir(docs, d))))
+    }),
     "pipeline_epoch_diff" -> ((s, d) => TextOps.pipelineEpochDiff(Tables.documents(s, d))),
     "ann_ivf_probe" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -361,7 +364,7 @@ object SparkEntry {
       |cnt AS (SELECT list_id, count(*) AS n_vecs FROM af GROUP BY list_id),
       |q AS (SELECT (sum(n_vecs) // ${2L * nlist}) AS quota FROM cnt),
       |th AS (SELECT list_id, n_vecs,
-      |  least(1000, (q.quota * 1000) // n_vecs) AS thresh_permille FROM cnt, q)
+      |  CAST(least(1000, (q.quota * 1000) // n_vecs) AS BIGINT) AS thresh_permille FROM cnt, q)
       |SELECT CAST(a.list_id AS BIGINT) AS list_id, th.n_vecs, th.thresh_permille,
       |  CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || ':cbal'), 1, 8)) AS BIGINT) % 1000
       |    < th.thresh_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -482,7 +485,7 @@ object SparkEntry {
        |), cnt AS (SELECT band, count(*) AS n_vecs FROM bnd GROUP BY band),
        |q AS (SELECT (sum(n_vecs) // ${2L * bands}) AS quota FROM cnt),
        |th AS (SELECT band, n_vecs,
-       |  least(1000, (q.quota * 1000) // n_vecs) AS thresh_permille FROM cnt, q)
+       |  CAST(least(1000, (q.quota * 1000) // n_vecs) AS BIGINT) AS thresh_permille FROM cnt, q)
        |SELECT b.band, th.n_vecs, th.thresh_permille,
        |  CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(b.vec_id AS VARCHAR) || ':strat'), 1, 8)) AS BIGINT) % 1000
        |    < th.thresh_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -880,7 +883,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     .updated("text_quality_calibration",
       s"""SELECT CAST(p_bp // 1000 AS BIGINT) AS decile, count(*) AS n,
          |  CAST(sum(label) AS BIGINT) AS n_pos,
-         |  (10000 * sum(label)) // count(*) AS pos_rate_bp
+         |  CAST((10000 * sum(label)) // count(*) AS BIGINT) AS pos_rate_bp
          |FROM (
          |${lrTrainedScoreOracleSql()}
          |) GROUP BY 1 ORDER BY 1""".stripMargin)
@@ -1475,7 +1478,8 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |    CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events
         |), daily AS (
-        |  SELECT user_id, day, count(*) AS n_events, sum(cents) AS value_cents,
+        |  SELECT user_id, day, count(*) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS value_cents,
         |    max(CASE WHEN rn = 1 THEN event_type END) AS day_last_type
         |  FROM (SELECT *, row_number() OVER (
         |          PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
@@ -1576,10 +1580,12 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  (10000 * conv_a) // n_a AS conv_a_bp,
         |  (10000 * conv_b) // n_b AS conv_b_bp,
         |  abs((10000 * conv_a) // n_a - (10000 * conv_b) // n_b) AS diff_bp,
-        |  ((conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)
-        |     * (n_a + n_b) * 10000 >
-        |   38416 * n_a * n_b * (conv_a + conv_b)
-        |     * (n_a + n_b - conv_a - conv_b)) AS significant
+        |  (CAST(conv_a * n_b - conv_b * n_a AS DECIMAL(38,0))
+        |     * CAST(conv_a * n_b - conv_b * n_a AS DECIMAL(38,0))
+        |     * CAST((n_a + n_b) * 10000 AS DECIMAL(38,0)) >
+        |   CAST(38416 * (conv_a + conv_b) AS DECIMAL(38,0))
+        |     * CAST(n_a * n_b AS DECIMAL(38,0))
+        |     * CAST(n_a + n_b - conv_a - conv_b AS DECIMAL(38,0))) AS significant
         |FROM a, b""".stripMargin,
     "pipeline_feature_matrix" ->
       // PIT training snapshot: features strictly <= T (SCD2 state,
@@ -1699,7 +1705,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
       // HAVING is the exact integer inequality value*n > 3*total
       """WITH pp AS (
         |  SELECT l.l_partkey AS p_partkey,
-        |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS value_cents
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |  FROM lineitem l
         |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
         |  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
@@ -1715,10 +1721,10 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
         |  WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'normal'
         |  ELSE 'late' END AS lag_bucket,
-        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q55_tpch_q16" ->
@@ -1866,9 +1872,14 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM li WHERE qty * 5 * cnt < sum_qty""".stripMargin,
     "q46_tpch_q18" ->
       // canonical TPC-H Q18: large-volume customers, top 20 by
-      // (totalprice desc, orderkey); integral-quantity threshold
+      // (totalprice desc, orderkey); integral-quantity threshold.
+      // NB: every output column that passes through a DuckDB sum() is
+      // CAST back to BIGINT — sum(BIGINT) returns HUGEINT (int128),
+      // which the driver's fetch path canonicalizes differently from
+      // Spark's int64 (the r6 hash-mismatch root cause: the 8 red rows
+      // were exactly the 8 oracles with un-CAST HUGEINT outputs).
       """WITH big AS (
-        |  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         |  FROM lineitem GROUP BY l_orderkey
         |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300
         |)
@@ -2457,7 +2468,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
       """WITH h AS (
         |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':hll'), 1, 15))
         |    AS BIGINT) AS h
-        |  FROM events
+        |  FROM events WHERE user_id IS NOT NULL
         |), rr AS (
         |  SELECT h % 512 AS reg, h // 512 AS rest FROM h
         |), rho AS (
@@ -2497,7 +2508,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  SELECT event_type,
         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':hll'), 1, 15))
         |      AS BIGINT) AS h
-        |  FROM events
+        |  FROM events WHERE user_id IS NOT NULL
         |), rr AS (
         |  SELECT event_type, h % 512 AS reg, h // 512 AS rest FROM h
         |), rho AS (
@@ -2606,7 +2617,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  FROM probe_in p LEFT JOIN cells c ON c.cell = p.cell
         |  GROUP BY p.key
         |), probe_out AS (
-        |  SELECT key + 10000000 AS key FROM keys
+        |  SELECT key + (SELECT max(key) FROM keys) + 1 AS key FROM keys
         |), out_c AS (
         |  SELECT key,
         |    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':bf' || r.r), 1, 15))
@@ -2755,21 +2766,24 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |SELECT CAST(rank AS BIGINT) AS rank, vec_id, dist2
         |FROM r, n WHERE rank <= (n.n + 99) // 100 ORDER BY rank""".stripMargin,
     "embedding_centroid_shift" ->
-      // per-dim means of the two epoch halves, single (2S+n)//(2n)
-      // rounding each; shift in exact basis points
+      // per-dim means of the two epoch halves, rounded half-away-from-
+      // zero as sign(S)*((2|S|+n)//(2n)) — `//` only sees non-negative
+      // operands, where trunc and floor coincide (engine-portable);
+      // shift in exact basis points. Outer CASTs: sum() returns
+      // HUGEINT, which the driver's fetch path canonicalizes lossily.
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS MATERIALIZED (
         |  SELECT vec_id, i.i AS dim, CAST(round(v[i.i + 1] * 1e4) AS BIGINT) AS xb
         |  FROM e, range(0, 64) i(i)
         |), ma AS (
-        |  SELECT dim, (2 * sum(xb) + count(*)) // (2 * count(*)) AS mean_a_bp
+        |  SELECT dim, CAST(sign(sum(xb)) * ((2 * abs(sum(xb)) + count(*)) // (2 * count(*))) AS BIGINT) AS mean_a_bp
         |  FROM c WHERE vec_id % 2 = 0 GROUP BY dim
         |), mb AS (
-        |  SELECT dim, (2 * sum(xb) + count(*)) // (2 * count(*)) AS mean_b_bp
+        |  SELECT dim, CAST(sign(sum(xb)) * ((2 * abs(sum(xb)) + count(*)) // (2 * count(*))) AS BIGINT) AS mean_b_bp
         |  FROM c WHERE vec_id % 2 <> 0 GROUP BY dim
         |)
         |SELECT CAST(ma.dim AS BIGINT) AS dim, ma.mean_a_bp, mb.mean_b_bp,
-        |  mb.mean_b_bp - ma.mean_a_bp AS shift_bp
+        |  CAST(mb.mean_b_bp - ma.mean_a_bp AS BIGINT) AS shift_bp
         |FROM ma JOIN mb USING (dim) ORDER BY dim""".stripMargin,
     "embedding_drift" ->
       // two-sample norm-histogram drift: exact-integer total variation

@@ -362,17 +362,23 @@ object Ann {
     * directional complement of [[embeddingDrift]]'s distribution-level
     * TV test: which dimensions moved, and by how much (the probe that
     * distinguishes "the encoder rotated" from "the data changed").
-    * Exact integers end to end: per-half per-dim means via the single
-    * (2Σ+n) div (2n) rounding, shift = mean_b − mean_a in basis
-    * points. Two dims-group combinable aggregates (the Gram idiom —
-    * no corpus shuffle before them), a 64-row join, 64 output rows
-    * ordered by dimension. */
+    * Exact integers end to end: per-half per-dim means rounded
+    * half-away-from-zero via sign(Σ)·((2|Σ|+n) div (2n)) — the
+    * division only ever sees NON-NEGATIVE operands, where truncating
+    * and flooring integer division coincide, so no engine's `//`
+    * semantics (present or future) can flip a negative-sum dim (the
+    * r6 advice hazard: Spark `div` truncates toward zero while
+    * DuckDB's `//` semantics on negatives are version-dependent).
+    * Shift = mean_b − mean_a in basis points. Two dims-group
+    * combinable aggregates (the Gram idiom — no corpus shuffle before
+    * them), a 64-row join, 64 output rows ordered by dimension. */
   def embeddingCentroidShift(embeddings: DataFrame): DataFrame = {
     def meanByDim(side: DataFrame, out: String) = side
       .select(posexplode(transform(col("embedding"),
         x => round(x.cast("double") * lit(1e4), 0).cast("long"))).as(Seq("dim", "xb")))
       .groupBy(col("dim"))
-      .agg(expr("(2 * sum(xb) + count(1)) div (2 * count(1))").as(out))
+      .agg(expr("CAST(sign(sum(xb)) AS BIGINT) * " +
+        "((2 * abs(sum(xb)) + count(1)) div (2 * count(1)))").as(out))
     meanByDim(embeddings.filter(col("vec_id") % 2 === 0), "mean_a_bp")
       .join(meanByDim(embeddings.filter(col("vec_id") % 2 =!= 0), "mean_b_bp"), "dim")
       .select(col("dim").cast("long").as("dim"), col("mean_a_bp"), col("mean_b_bp"),

@@ -214,9 +214,15 @@ object Dedup {
     * side probes the training side's banded LSH index, the training
     * corpus never self-joins, and per-audit cost scales with
     * |held-out| + matched buckets (the benchmark is the small side,
-    * exactly like the decontaminate broadcast argument). */
+    * exactly like the decontaminate broadcast argument). Banding is
+    * 96×2 like [[dedupThresholdCurve]], NOT the production 24×8: this
+    * audit's contract is the 0.5 floor, where 8-row bands would miss
+    * ~91 % of j=0.5 pairs and silently report real contamination
+    * clean — 2-row bands leave a (1−0.25)⁹⁶ ≈ 1e-12 miss probability.
+    * The wider candidate volume is bounded by the small held-out
+    * side, the same price the tuning curve pays. */
   def dedupCrossCorpus(documents: DataFrame, heldMod: Int = 7, heldRes: Int = 3,
-                       numPerm: Int = 192, bands: Int = 24,
+                       numPerm: Int = 192, bands: Int = 96,
                        threshold: Double = 0.5): DataFrame = {
     val isHeld = pmod(col("doc_id"), lit(heldMod.toLong)) === lit(heldRes.toLong)
     val sigs = materialized(corpusSignatures(documents, numPerm))

@@ -525,7 +525,14 @@ object ScaleOps {
         .agg((sum(coalesce(col("hit"), lit(0L))) === k).cast("long").as("member"))
     val inStats = probe(keys)
       .agg(count(lit(1)).as("n_in"), sum(col("member")).as("n_in_found"))
-    val outStats = probe(keys.select((col("key") + 10000000L).as("key")))
+    // guaranteed-absent probe keys: key + max(key) + 1 — derived from
+    // the data, so the probe set stays disjoint from the member set at
+    // ANY scale factor (a fixed +10M offset overlaps once keys reach
+    // 10M, silently voiding n_false_pos; keys is materialized, so the
+    // 1-row max does not rescan customer)
+    val maxKey = keys.agg(max(col("key")).as("mx"))
+    val outStats = probe(keys.crossJoin(broadcast(maxKey))
+        .select((col("key") + col("mx") + 1L).as("key")))
       .agg(count(lit(1)).as("n_out"), sum(col("member")).as("n_false_pos"))
     val nCells = cells.agg(count(lit(1)).as("n_cells_set"))
     inStats.crossJoin(outStats).crossJoin(nCells)
@@ -752,7 +759,12 @@ object ScaleOps {
     val m = 1L << p
     val h = conv(substring(md5(concat(col("user_id").cast("string"),
       lit(":hll"))), 1, 15), 16, 10).cast("long")
-    val regs = events.select(col("event_type"), h.as("h"))
+    val regs = events
+      // same null-key filter as hllTable: a null user must hash into
+      // NO register in both the grouped and ungrouped faces (and in
+      // the oracle), or the two diverge on data with null keys
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), h.as("h"))
       .select(col("event_type"), expr(s"h % $m").as("reg"), expr(s"h div $m").as("rest"))
       .select(col("event_type"), col("reg"),
         when(col("rest") === 0L, lit(49L))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Shared mechanics of the stored-artifact lifecycle (k-NN adjacency,
   * IVF lists, k-means centroids, BPE vocab, LR quality weights): a
@@ -12,15 +13,41 @@ import org.apache.spark.sql.DataFrame
   * different settings). */
 private[operators] object StoredArtifacts {
 
-  /** `tmpdir/<family>/<safe(sfKey)>-n<rowCount><paramSuffix>` — keyed
-    * by (source key, row count — a parquet-metadata read) and the
-    * build parameters: the strongest identity available without
-    * hashing the corpus (see [[Ann.defaultIndexDir]]'s caveat). */
+  /** Bumped whenever ANY stored-artifact build algorithm changes in a
+    * way that alters artifact content for identical inputs. Baked into
+    * every artifact path, so an algorithm change can never silently
+    * serve a stale pre-change artifact (the r6 verdict's staleness
+    * hazard #4). Per-family algorithm changes should ALSO change that
+    * family's `paramSuffix`; this constant is the belt to that
+    * suspenders. */
+  val AlgoVersion = 2
+
+  /** `tmpdir/<family>/<safe(sfKey)>-v<algo>-n<rowCount>-f<fingerprint><paramSuffix>`
+    * — keyed by (source key, algorithm version, row count, content
+    * fingerprint) and the build parameters.
+    *
+    * The fingerprint is an order-independent xor-fold of a portable
+    * 60-bit md5 over a keyed 1/64 sample of the dataframe's first
+    * column: one single-column aggregate, cheap at any scale (column
+    * pruning means the scan touches one column; the md5 only runs on
+    * the 1/64 sample the xxhash64 gate admits; xor can never overflow
+    * under ANSI mode and ignores row order). Identical row counts
+    * with regenerated values — the real failure mode the testdata
+    * generator has produced between rounds (the events ns/µs layout
+    * change) — now produce a different key and a rebuild instead of a
+    * silently stale model. */
   def contentKeyedDir(family: String, df: DataFrame, sfKey: String,
                       paramSuffix: String): String = {
     val safe = sfKey.replaceAll("[^A-Za-z0-9._-]", "_")
-    val n = df.count()
-    s"${System.getProperty("java.io.tmpdir")}/$family/$safe-n$n$paramSuffix"
+    val first = col(df.columns.head)
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(when(pmod(xxhash64(first), lit(64)) === 0,
+        conv(substring(md5(first.cast("string")), 1, 15), 16, 10).cast("long"))
+        .otherwise(0L)), lit(0L)).as("fp")).head()
+    val n = row.getLong(0)
+    val fp = java.lang.Long.toHexString(row.getLong(1))
+    s"${System.getProperty("java.io.tmpdir")}/$family/$safe-v$AlgoVersion-n$n-f$fp$paramSuffix"
   }
 
   /** Build-if-absent: the parquet `_SUCCESS` of `sentinel` (the LAST

@@ -731,11 +731,16 @@ object TextOps {
     * curve rises monotonically; a flat curve means the score carries
     * no signal at the decision boundary). Pure composition: the
     * trained scorer's (p_bp, label) frame bucketed by integer decile
-    * with exact integer rates — ≤ 10 output rows. The heavy part
-    * (32-step training + scoring) is exactly the existing
-    * text_quality_trained_score pass. */
-  def textQualityCalibration(documents: DataFrame): DataFrame =
-    textQualityLrTrained(documents)
+    * with exact integer rates — ≤ 10 output rows. With `indexDir` the
+    * scores come from the STORED weight vector (the production shape:
+    * train once, every audit reads the model — no in-query retrain);
+    * without it the self-contained trained-score pass runs. Identical
+    * output either way (the stored weights ARE the trained weights),
+    * so both faces gate on one oracle. */
+  def textQualityCalibration(documents: DataFrame,
+                             indexDir: Option[String] = None): DataFrame =
+    indexDir.fold(textQualityLrTrained(documents))(
+        dir => textQualityScoreStored(documents, dir))
       .select(expr("CAST(p_bp div 1000 AS BIGINT)").as("decile"), col("label"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
