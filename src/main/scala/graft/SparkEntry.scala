@@ -307,6 +307,15 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))
     }),
+    "q63_asof_join" -> ((s, d) =>
+      Relational.q63AsofJoin(Tables.events(s, d), Tables.orders(s, d))),
+    "embedding_label_prop" -> ((s, d) =>
+      Ann.embeddingLabelProp(Tables.embeddings(s, d))),
+    "dedup_best_keeper" -> ((s, d) =>
+      Dedup.dedupBestKeeper(Tables.documents(s, d))),
+    "scale_join_preflight" -> ((s, d) => ScaleOps.joinPreflight(
+      Tables.lineitem(s, d), "l_orderkey",
+      Tables.orders(s, d), "o_orderkey", broadcastMax = 100000L)),
   )
 
   /** Oracle for embedding_pca: the integer power iteration UNROLLED —
@@ -879,6 +888,29 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // pair chain — same banded candidate space by construction
     .updated("mm_phash_curve",
       s"SELECT hamming, count(*) AS n_pairs FROM (\n${oracleSqlBase("mm_phash")}\n) GROUP BY 1 ORDER BY 1")
+    // label propagation votes over ann_bruteforce's own gated ballots
+    .updated("embedding_label_prop",
+      s"""WITH nn AS (
+         |  SELECT * FROM (
+         |${oracleSqlBase("ann_bruteforce")}
+         |  )
+         |), v AS (
+         |  SELECT nn.q_id, emb.label AS nbr_label,
+         |    CAST(count(*) AS BIGINT) AS votes, min(nn.rank) AS best_rank
+         |  FROM nn JOIN embeddings emb ON emb.vec_id = nn.neighbor_id
+         |  GROUP BY 1, 2
+         |), pick AS (
+         |  SELECT q_id, nbr_label, votes,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY votes DESC, best_rank ASC, nbr_label ASC) AS rk
+         |  FROM v
+         |)
+         |SELECT p.q_id, CAST(p.nbr_label AS BIGINT) AS predicted_label,
+         |  p.votes,
+         |  CAST(t.label AS BIGINT) AS true_label,
+         |  p.nbr_label = t.label AS correct
+         |FROM pick p JOIN embeddings t ON t.vec_id = p.q_id
+         |WHERE p.rk = 1 ORDER BY p.q_id""".stripMargin)
     // calibration buckets the trained scorer's own (p_bp, label) chain
     .updated("text_quality_calibration",
       s"""SELECT CAST(p_bp // 1000 AS BIGINT) AS decile, count(*) AS n,
@@ -1587,6 +1619,108 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |     * CAST(n_a * n_b AS DECIMAL(38,0))
         |     * CAST(n_a + n_b - conv_a - conv_b AS DECIMAL(38,0))) AS significant
         |FROM a, b""".stripMargin,
+    "q63_asof_join" ->
+      // as-of join via the union-window shape: running event count per
+      // key (grp) gives every probe the sequence number of its latest
+      // at-or-before event; event rows carry unique (k, grp), so one
+      // equi-join recovers the event payload. Events sort before
+      // probes at equal instants (inclusive at-or-before); event_id
+      // breaks equal-instant event ties.
+      """WITH u AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS us, 0 AS is_probe,
+        |    event_id, event_type, CAST(NULL AS BIGINT) AS o_orderkey
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey, epoch_us(o_orderdate), 1,
+        |    NULL, NULL, o_orderkey
+        |  FROM orders
+        |), w AS (
+        |  SELECT *, CAST(sum(CASE WHEN is_probe = 0 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY k ORDER BY us, is_probe, COALESCE(event_id, o_orderkey)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+        |  FROM u
+        |)
+        |SELECT p.o_orderkey, p.k AS o_custkey, p.us AS order_us,
+        |  e.event_id AS last_event_id, e.event_type AS last_event_type,
+        |  p.us - e.us AS staleness_us
+        |FROM (SELECT * FROM w WHERE is_probe = 1) p
+        |LEFT JOIN (SELECT * FROM w WHERE is_probe = 0) e
+        |  ON e.k = p.k AND e.grp = p.grp
+        |ORDER BY p.o_orderkey""".stripMargin,
+    "dedup_best_keeper" ->
+      // the dedup_clusters pair/component chain composed with the
+      // fixed-weight LR quality score: keeper = argmax (p_keep, then
+      // min doc_id) per cluster
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100) AS INT) AS lb,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |  FROM documents
+        |), pr AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
+        |    AND x.lb = y.lb AND x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+        |     / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) >= 0.8
+        |), e AS (
+        |  SELECT a_id, b_id FROM pr UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pr
+        |), walk(id, reach) AS (
+        |  SELECT a_id, a_id FROM e
+        |  UNION
+        |  SELECT w.id, e.b_id FROM walk w JOIN e ON e.a_id = w.reach
+        |), lab AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id),
+        |t AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |   regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |   length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |   length(regexp_replace(text, '\s+', '', 'g')) AS n_nonws
+        |  FROM documents
+        |), z AS (
+        |  SELECT doc_id,
+        |   -1.5
+        |   + least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 2.0
+        |   + (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks)) * 4.0
+        |   + (CAST(n_punct AS DOUBLE) / n_chars) * (-6.0)
+        |   + ((CAST(n_nonws AS DOUBLE) / len(toks)) / 10.0) * 1.0 AS logit
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, round(1.0 / (1.0 + exp(-logit)) + 1e-9, 4) AS p_keep FROM z
+        |), m AS (
+        |  SELECT lab.cluster_id, lab.doc_id, s.p_keep
+        |  FROM lab JOIN s USING (doc_id)
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY cluster_id ORDER BY p_keep DESC, doc_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |  FROM m
+        |)
+        |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  doc_id AS keep_id, p_keep AS keep_quality
+        |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+    "scale_join_preflight" ->
+      // exact join cardinality + skew pre-flight from per-key counts:
+      // |A join B| = sum over matched keys of ca*cb; advice from exact
+      // integer inequalities (thresholds mirror the Spark defaults)
+      """WITH a AS (SELECT l_orderkey AS key, count(*) AS ca FROM lineitem GROUP BY 1),
+        |b AS (SELECT o_orderkey AS key, count(*) AS cb FROM orders GROUP BY 1),
+        |j AS (SELECT a.ca, b.cb FROM a FULL JOIN b ON a.key = b.key),
+        |g AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN ca * cb ELSE 0 END) AS BIGINT) AS join_rows,
+        |    CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched_keys,
+        |    CAST(sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_only_keys,
+        |    CAST(sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS right_only_keys,
+        |    CAST(COALESCE(max(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN ca * cb END), 0) AS BIGINT) AS hot_key_rows,
+        |    CAST(sum(COALESCE(cb, 0)) AS BIGINT) AS right_rows
+        |  FROM j
+        |)
+        |SELECT join_rows, matched_keys, left_only_keys, right_only_keys,
+        |  hot_key_rows,
+        |  CASE WHEN join_rows > 0 THEN CAST((10000 * hot_key_rows) // join_rows AS BIGINT)
+        |       ELSE 0 END AS hot_share_bp,
+        |  CASE WHEN right_rows <= 100000 THEN 'broadcast'
+        |       WHEN hot_key_rows * 5 > join_rows THEN 'salt'
+        |       ELSE 'shuffle' END AS advice
+        |FROM g""".stripMargin,
     "pipeline_feature_matrix" ->
       // PIT training snapshot: features strictly <= T (SCD2 state,
       // trailing-7d count, LTV cents), label strictly > T (acted

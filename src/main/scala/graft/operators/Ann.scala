@@ -1494,4 +1494,42 @@ object Ann {
         max(col("dist_sq")).as("max_dist_sq"))
       .orderBy(col("list_id"))
   }
+
+  /** k-NN LABEL PROPAGATION — weak labeling by nearest-neighbor
+    * majority vote, the semi-supervised step every labeled-subset
+    * training pipeline runs to extend scarce human labels across an
+    * embedded corpus: each sampled query vector takes the majority
+    * label among its k nearest neighbors (ties by smaller best rank,
+    * then smaller label — fully deterministic), reported next to its
+    * own label so the output doubles as a leave-one-out quality audit
+    * of the embedding space (`correct` rate = labels agree with
+    * neighborhood structure).
+    *
+    * Pure composition over [[annBruteforce]]'s already-gated neighbor
+    * sets (same sampling, same tie rules), so both engines vote over
+    * bit-identical ballots; the vote itself is a labels-sized exact
+    * integer aggregate. At scale the neighbor source swaps for the
+    * stored-index [[annGraphProbe]]/[[annIvfProbe]] faces — the vote
+    * is the same tiny aggregate either way. */
+  def embeddingLabelProp(embeddings: DataFrame, k: Int = 5,
+                         stride: Int = 50): DataFrame = {
+    val nn = annBruteforce(embeddings, k, stride)
+    val nbrLabel = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("label").cast("long").as("nbr_label"))
+    val truth = embeddings.select(col("vec_id").as("q_id"),
+      col("label").cast("long").as("true_label"))
+    nn.join(nbrLabel, "neighbor_id")
+      .groupBy(col("q_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+      .groupBy(col("q_id"))
+      .agg(max(struct(col("votes"), (-col("best_rank")).as("nbr"),
+        (-col("nbr_label")).as("nl"))).as("b"))
+      .select(col("q_id"), (-col("b.nl")).as("predicted_label"),
+        col("b.votes").as("votes"))
+      .join(truth, "q_id")
+      .withColumn("correct", col("predicted_label") === col("true_label"))
+      .select(col("q_id"), col("predicted_label"), col("votes"),
+        col("true_label"), col("correct"))
+      .orderBy(col("q_id"))
+  }
 }

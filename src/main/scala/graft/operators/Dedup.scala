@@ -816,4 +816,33 @@ object Dedup {
         col("dup_partner"), col("dup_partner").isNotNull.as("is_dup"))
       .orderBy(col("vec_id"))
   }
+
+  /** QUALITY-AWARE cluster representative — pick the BEST document per
+    * near-dup cluster instead of [[dedupClusters]]' min-id keeper: the
+    * curation refinement that keeps the cleanest copy of every
+    * duplicated page (boilerplate-stripped mirrors, truncated
+    * re-crawls and OCR-damaged copies all lose to the original under
+    * a quality score; min-id keeps whichever crawled first). Keeper =
+    * argmax (p_keep, then min doc_id) over each cluster's members,
+    * with p_keep from the fixed-weight [[TextOps.textQualityLr]]
+    * scorer — engine-identical 4-dp doubles, so the argmax is
+    * deterministic on both sides.
+    *
+    * Scale shape: the cluster labeling is [[dupClusters]]' existing
+    * banded near-dup + connected-components machinery (never
+    * all-pairs); the quality score is row-local; the argmax is one
+    * clusters-sized struct-max aggregate. */
+  def dedupBestKeeper(documents: DataFrame): DataFrame = {
+    val labels = dupClusters(
+      dedupNgramJaccardBlocked(documents).select(col("a_id"), col("b_id")))
+    val quality = graft.operators.TextOps.textQualityLr(documents)
+      .select(col("doc_id"), col("p_keep"))
+    labels.join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("p_keep"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("b.nid")).as("keep_id"), col("b.p_keep").as("keep_quality"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -1584,4 +1584,50 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(topN)
   }
+
+  /** AS-OF JOIN — the temporal join Spark has no native operator for
+    * (kdb's `aj`, Pandas' `merge_asof`, Flink's temporal table join):
+    * for every probe row (an order, keyed by customer and order
+    * instant) find the keyed quote row (that user's event) with the
+    * LARGEST timestamp at-or-before the probe instant. The naive
+    * formulation is a range join that explodes to |probes|×|events|
+    * per key; this one is the UNION-WINDOW shape that makes as-of
+    * scale: tag both sides, union them, and run ONE window per key
+    * ordered by (instant, side, id) — the running `max` of a
+    * `(time, id, payload)` STRUCT over event rows only (Spark's max
+    * ignores nulls; struct comparison is lexicographic) carries the
+    * latest event forward into every probe row. One shuffle on the
+    * key, zero joins, per-row state O(1) — at 100 TB both sides
+    * co-partition on the key and the window streams.
+    *
+    * Event rows sort BEFORE probe rows at equal instants (at-or-before
+    * is inclusive), and equal-instant events resolve by event_id —
+    * fully deterministic. Probes with no prior event keep NULL event
+    * columns (the honest answer, not a dropped row). staleness_us is
+    * the exact integer-µs age of the joined quote at probe time. */
+  def q63AsofJoin(events: DataFrame, orders: DataFrame): DataFrame = {
+    val e = events.select(col("user_id").as("k"),
+      unix_micros(col("ts")).as("us"), lit(0L).as("is_probe"),
+      col("event_id"), col("event_type"), lit(null).cast("long").as("o_orderkey"))
+    val p = orders.select(col("o_custkey").as("k"),
+      // o_orderdate ships as TIMESTAMP_NTZ; the UTC-pinned session
+      // makes the NTZ->LTZ cast lossless (the Tables.events precedent)
+      unix_micros(col("o_orderdate").cast("timestamp")).as("us"), lit(1L).as("is_probe"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("string").as("event_type"), col("o_orderkey"))
+    val byK = Window.partitionBy(col("k"))
+      .orderBy(col("us"), col("is_probe"), coalesce(col("event_id"), col("o_orderkey")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(p)
+      .withColumn("last_ev", max(when(col("is_probe") === 0L,
+        struct(col("us").as("e_us"), col("event_id").as("e_id"),
+          col("event_type").as("e_type")))).over(byK))
+      .filter(col("is_probe") === 1L)
+      .select(col("o_orderkey"), col("k").as("o_custkey"),
+        col("us").as("order_us"),
+        col("last_ev.e_id").as("last_event_id"),
+        col("last_ev.e_type").as("last_event_type"),
+        (col("us") - col("last_ev.e_us")).as("staleness_us"))
+      .orderBy(col("o_orderkey"))
+  }
 }

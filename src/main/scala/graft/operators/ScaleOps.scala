@@ -831,4 +831,41 @@ object ScaleOps {
       .groupBy(col("k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
+
+  /** JOIN PRE-FLIGHT — exact output cardinality and skew profile of an
+    * equi-join BEFORE running it, from per-key count tables alone:
+    * |A ⋈ B| = Σ_k cA(k)·cB(k), the identity every cost-based
+    * optimizer estimates and this operator computes EXACTLY. The
+    * 100 TB companion to [[skewReport]]: two single-column scans (one
+    * per side, map-side combinable) and a keys-sized join decide the
+    * strategy — broadcast the small side, salt the hot key, or accept
+    * the shuffle — before committing a cluster to a join that
+    * explodes. Reported: exact join rows, matched/left-only/
+    * right-only key counts, the hottest key's contribution, its share
+    * of the output in basis points, and the advice verdict from exact
+    * integer inequalities (hot key > 20 % of output → salt; build
+    * side under `broadcastMax` rows → broadcast; else shuffle). */
+  def joinPreflight(left: DataFrame, leftKey: String,
+                    right: DataFrame, rightKey: String,
+                    broadcastMax: Long = 1000000L): DataFrame = {
+    val a = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("ca"))
+    val b = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("cb"))
+    val matched = col("ca").isNotNull && col("cb").isNotNull
+    a.join(b, Seq("key"), "full_outer")
+      .agg(
+        sum(when(matched, col("ca") * col("cb")).otherwise(0L)).as("join_rows"),
+        sum(when(matched, lit(1L)).otherwise(0L)).as("matched_keys"),
+        sum(when(col("cb").isNull, lit(1L)).otherwise(0L)).as("left_only_keys"),
+        sum(when(col("ca").isNull, lit(1L)).otherwise(0L)).as("right_only_keys"),
+        coalesce(max(when(matched, col("ca") * col("cb"))), lit(0L)).as("hot_key_rows"),
+        sum(coalesce(col("cb"), lit(0L))).as("right_rows"))
+      .select(col("join_rows"), col("matched_keys"),
+        col("left_only_keys"), col("right_only_keys"), col("hot_key_rows"),
+        when(col("join_rows") > 0L,
+          expr("(10000 * hot_key_rows) div join_rows")).otherwise(0L)
+          .as("hot_share_bp"),
+        when(col("right_rows") <= broadcastMax, "broadcast")
+          .when(col("hot_key_rows") * 5L > col("join_rows"), "salt")
+          .otherwise("shuffle").as("advice"))
+  }
 }
