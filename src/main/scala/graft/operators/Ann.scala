@@ -127,6 +127,15 @@ object Ann {
       .select(col("vec_id"), col("embedding"),
         element_at(col("top"), 1).getField("id").as("list_id"))
 
+  /** Assign a batch of vectors to STORED centroids in the delta-epoch
+    * layout (vec_id, embedding, list_id:int) — the batch-ingest
+    * counterpart of [[ivfAppendStream]]'s per-micro-batch body, and
+    * what [[compactIvfDeltas]]' spec writes its epochs with. */
+  def assignToCentroids(batch: DataFrame, cents: DataFrame): DataFrame =
+    sampledAssignments(batch, cents)
+      .select(col("vec_id"), col("embedding"),
+        col("list_id").cast("int").as("list_id"))
+
   def annIvfSampled(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
                     nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = sampledCentroids(embeddings, nlist)
@@ -231,6 +240,79 @@ object Ann {
         .write.partitionBy("list_id").mode("overwrite")
         .parquet(s"$indexDir/delta-b$batchId")
     }
+
+  /** COMPACTION — fold every ingested delta epoch back into the base
+    * `lists` table, the maintenance pass that bounds probe-time read
+    * amplification (a probe reads base + every delta dir; after N
+    * ingest epochs that is N+1 table reads per probed list — LSM
+    * compaction applied to the vector index). Content-identical by
+    * construction (the union of exactly the rows [[ivfLists]] already
+    * serves), so probes before and after hash-match — the spec's
+    * contract.
+    *
+    * Crash-safe two-phase swap on the _SUCCESS-sentinel discipline:
+    * (1) the merged table writes to `lists-compacting` together with
+    * an underscore-prefixed _FOLDED manifest (invisible to parquet readers, like _SUCCESS) naming the delta epochs it absorbed; (2) the
+    * dirs swap (lists → lists-old, lists-compacting → lists); (3) the
+    * manifest's deltas, lists-old and the manifest itself are
+    * removed. A crash in (1) leaves the old world untouched (no
+    * sentinel → next compaction rewrites); between (2)'s renames,
+    * [[recoverCompaction]] rolls the completed merge forward; in (3)
+    * the surviving manifest makes the deletes replayable — deltas
+    * are never deleted before the rows they hold are readable from
+    * the swapped-in base. Returns the number of folded epochs. */
+  def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): Int = {
+    recoverCompaction(spark, indexDir)
+    val deltas = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        new java.io.File(f, "_SUCCESS").exists)
+      .sortBy(_.getName)
+    if (deltas.isEmpty) return 0
+    val tmp = new java.io.File(s"$indexDir/lists-compacting")
+    // phase 1: merged table + manifest (deltas snapshotted NOW — an
+    // epoch arriving mid-compaction is simply not folded this round)
+    deltas.map(d => spark.read.parquet(d.getPath))
+      .foldLeft(spark.read.parquet(s"$indexDir/lists"))(_ unionByName _)
+      .write.partitionBy("list_id").mode("overwrite").parquet(tmp.getPath)
+    java.nio.file.Files.write(tmp.toPath.resolve("_FOLDED"),
+      deltas.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    // phase 2: swap
+    deleteRecursively(new java.io.File(s"$indexDir/lists-old"))
+    require(new java.io.File(s"$indexDir/lists")
+      .renameTo(new java.io.File(s"$indexDir/lists-old")), "swap-out failed")
+    require(tmp.renameTo(new java.io.File(s"$indexDir/lists")), "swap-in failed")
+    // phase 3: replayable cleanup driven by the manifest
+    finishCompaction(indexDir)
+    deltas.size
+  }
+
+  /** Roll a torn [[compactIvfDeltas]] forward: a completed merge whose
+    * swap or cleanup was interrupted finishes here; anything earlier
+    * (no swapped/sentineled artifact) is abandoned for the next
+    * compaction to rewrite. */
+  def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Unit = {
+    val lists = new java.io.File(s"$indexDir/lists")
+    val tmp = new java.io.File(s"$indexDir/lists-compacting")
+    if (!lists.exists() && tmp.exists() &&
+        new java.io.File(tmp, "_SUCCESS").exists())
+      require(tmp.renameTo(lists), "compaction roll-forward failed")
+    if (new java.io.File(lists, "_FOLDED").exists()) finishCompaction(indexDir)
+  }
+
+  private def finishCompaction(indexDir: String): Unit = {
+    val manifest = new java.io.File(s"$indexDir/lists/_FOLDED")
+    scala.io.Source.fromFile(manifest).getLines().filter(_.nonEmpty)
+      .foreach(d => deleteRecursively(new java.io.File(s"$indexDir/$d")))
+    deleteRecursively(new java.io.File(s"$indexDir/lists-old"))
+    manifest.delete()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete()
+  }
 
   /** Probe core over an EXPLICIT query frame (q_id, q_vec) — shared
     * by the batch face (stride-derived queries) and the ingest-stream

@@ -39,6 +39,21 @@ case class Scd2Version(user_id: Long, state: String, valid_from_us: Long,
 private[streaming] case class Scd2Open(state: String, validFromUs: Long,
                                        nEvents: Long)
 
+/** One tagged row entering the as-of enrichment stream: an event
+  * (isProbe = false, payload = event_type) or a probe to enrich
+  * (isProbe = true, id = the probe's own key, e.g. an order key). */
+case class AsofInput(key: Long, us: Long, isProbe: Boolean, id: Long,
+                     payload: String)
+
+/** An enriched probe: the latest at-or-before event's id/payload and
+  * its exact integer-µs staleness; None before the key's first event. */
+case class AsofEnriched(key: Long, probe_id: Long, probe_us: Long,
+                        last_event_id: Option[Long],
+                        last_event_type: Option[String],
+                        staleness_us: Option[Long])
+
+private[streaming] case class AsofState(us: Long, id: Long, payload: String)
+
 object Streams {
 
   /** Event-time tumbling window aggregate. Streaming: watermark bounds
@@ -178,6 +193,43 @@ object Streams {
                 cur = Some(Scd2Open(r.event_type, r.eventMicros, 1L))
               case None =>
                 cur = Some(Scd2Open(r.event_type, r.eventMicros, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Ingest face of `Relational.q63AsofJoin` — AS-OF ENRICHMENT at
+    * the stream: each key carries its latest event as O(1) state (the
+    * Flink temporal-table-function shape), and every probe row is
+    * emitted enriched with that at-or-before event + exact integer-µs
+    * staleness. The caller unions its event and probe streams into
+    * one tagged [[AsofInput]] stream (the batch face's union-window
+    * shape, keyed instead of windowed). Within a micro-batch rows
+    * sort by (us, isProbe, id) — inclusive at-or-before, event_id
+    * tie-breaks, the batch face's exact rule; ACROSS batches the
+    * state keeps the max-(us, id) event ever seen, so a late event
+    * can never regress the state, but probes already emitted are not
+    * retracted (at-ingest enrichment is append-only; full
+    * out-of-order correctness is the batch face's job). */
+  def asofStream(rows: Dataset[AsofInput]): Dataset[AsofEnriched] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: Long, it: Iterator[AsofInput], state: GroupState[AsofState]) =>
+          val sorted = it.toSeq.sortBy(r => (r.us, r.isProbe, r.id))
+          val out = scala.collection.mutable.Buffer.empty[AsofEnriched]
+          var cur = state.getOption
+          sorted.foreach { r =>
+            if (!r.isProbe) {
+              if (cur.forall(s => s.us < r.us || (s.us == r.us && s.id < r.id)))
+                cur = Some(AsofState(r.us, r.id, r.payload))
+            } else {
+              out += AsofEnriched(k, r.id, r.us, cur.map(_.id),
+                cur.map(_.payload), cur.map(r.us - _.us))
             }
           }
           cur.foreach(state.update)
