@@ -316,6 +316,8 @@ object SparkEntry {
     "scale_join_preflight" -> ((s, d) => ScaleOps.joinPreflight(
       Tables.lineitem(s, d), "l_orderkey",
       Tables.orders(s, d), "o_orderkey", broadcastMax = 100000L)),
+    "scale_profile_diff" -> ((s, d) => ScaleOps.profileDiff(Tables.documents(s, d))),
+    "scale_keyed_sample" -> ((s, d) => ScaleOps.sampleKeyed(Tables.events(s, d))),
   )
 
   /** Oracle for embedding_pca: the integer power iteration UNROLLED —
@@ -925,7 +927,8 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     * column — counts/nulls/distincts exact, native-typed min/max
     * rendered to VARCHAR, total string length. */
   private def profileOracleSql(
-      cols: Seq[String] = Seq("doc_id", "lang", "n_chars", "source", "text")): String =
+      cols: Seq[String] = Seq("doc_id", "lang", "n_chars", "source", "text"),
+      where: String = ""): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name, count($c) AS n_values,
          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
@@ -933,8 +936,28 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
          |  CAST(min($c) AS VARCHAR) AS min_str,
          |  CAST(max($c) AS VARCHAR) AS max_str,
          |  CAST(sum(len(CAST($c AS VARCHAR))) AS BIGINT) AS total_strlen
-         |FROM documents""".stripMargin
+         |FROM documents$where""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  /** Oracle for scale_profile_diff: two epoch-half profile chains
+    * joined per column; shifts divide non-negative operands only. */
+  private def profileDiffOracleSql(driftBp: Long = 500L): String =
+    s"""WITH a AS (
+       |${profileOracleSql(where = " WHERE doc_id % 2 = 0")}
+       |), b AS (
+       |${profileOracleSql(where = " WHERE doc_id % 2 <> 0")}
+       |)
+       |SELECT a.col_name, a.n_values AS n_a, b.n_values AS n_b,
+       |  a.n_distinct AS d_a, b.n_distinct AS d_b,
+       |  a.n_null AS null_a, b.n_null AS null_b,
+       |  CAST((10000 * b.n_distinct) // b.n_values
+       |    - (10000 * a.n_distinct) // a.n_values AS BIGINT) AS distinct_shift_bp,
+       |  CAST((10000 * b.total_strlen) // b.n_values
+       |    - (10000 * a.total_strlen) // a.n_values AS BIGINT) AS strlen_shift_bp,
+       |  (a.min_str <> b.min_str OR a.max_str <> b.max_str) AS minmax_moved,
+       |  abs((10000 * b.n_distinct) // b.n_values
+       |    - (10000 * a.n_distinct) // a.n_values) > $driftBp AS drifted
+       |FROM a JOIN b USING (col_name) ORDER BY col_name""".stripMargin
 
   /** Shared IVF-sampled CTE chain (centroids/assignment/probes/rank)
     * for the ann_ivf_sampled, ann_ivf_probe and pipeline_retrieval
@@ -2677,6 +2700,23 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |      - exact_distinct) / exact_distinct <= 0.15 AS within_tol
         |FROM est ORDER BY event_type""".stripMargin,
     "scale_profile" -> profileOracleSql(),
+    "scale_profile_diff" -> profileDiffOracleSql(),
+    "scale_keyed_sample" ->
+      // deterministic per-key sample: 48-bit portable md5 rank, k=3,
+      // ties by event_id (the graft_topk tie order)
+      """WITH h AS (
+        |  SELECT user_id, event_id,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':ks'), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY h ASC, event_id ASC)
+        |      AS sample_rank
+        |  FROM h
+        |)
+        |SELECT user_id, CAST(sample_rank AS BIGINT) AS sample_rank, event_id
+        |FROM r WHERE sample_rank <= 3 ORDER BY user_id, sample_rank""".stripMargin,
     "scale_histogram" ->
       // equi-width histogram quantile sketch: exact-integer buckets,
       // ceil-rank targets, estimate = first bucket whose cumulative

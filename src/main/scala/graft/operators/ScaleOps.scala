@@ -832,6 +832,64 @@ object ScaleOps {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** PROFILE DIFF — schema-stats drift between two corpus epochs, the
+    * audit a pipeline publishes when a refresh changes the SHAPE of
+    * the data rather than its rows (a source starts emitting nulls, a
+    * language column collapses to one value, text lengths halve): per
+    * column, both epochs' row/null/distinct/strlen counts, the exact
+    * integer rate shifts in basis points, whether the min/max moved,
+    * and a drift verdict. Pure composition of two [[profile]] passes
+    * (epoch stand-ins = doc_id parity halves, the embedding_drift
+    * convention; production passes two real snapshots) joined on
+    * col_name — output is columns-sized regardless of corpus.
+    * Shifts divide non-negative operands only (engine-portable). */
+  def profileDiff(documents: DataFrame,
+                  cols: Seq[String] = Seq("doc_id", "lang", "n_chars", "source", "text"),
+                  driftBp: Long = 500L): DataFrame = {
+    val a = profile(documents.filter(col("doc_id") % 2 === 0), cols)
+      .select(col("col_name"), col("n_values").as("n_a"),
+        col("n_null").as("null_a"), col("n_distinct").as("d_a"),
+        col("min_str").as("min_a"), col("max_str").as("max_a"),
+        col("total_strlen").as("len_a"))
+    val b = profile(documents.filter(col("doc_id") % 2 =!= 0), cols)
+      .select(col("col_name"), col("n_values").as("n_b"),
+        col("n_null").as("null_b"), col("n_distinct").as("d_b"),
+        col("min_str").as("min_b"), col("max_str").as("max_b"),
+        col("total_strlen").as("len_b"))
+    a.join(b, "col_name")
+      .select(col("col_name"), col("n_a"), col("n_b"),
+        col("d_a"), col("d_b"), col("null_a"), col("null_b"),
+        expr("(10000 * d_b) div n_b - (10000 * d_a) div n_a").as("distinct_shift_bp"),
+        expr("(10000 * len_b) div n_b - (10000 * len_a) div n_a").as("strlen_shift_bp"),
+        (col("min_a") =!= col("min_b") || col("max_a") =!= col("max_b"))
+          .as("minmax_moved"))
+      .withColumn("drifted", abs(col("distinct_shift_bp")) > lit(driftBp))
+      .orderBy(col("col_name"))
+  }
+
+  /** Deterministic PER-KEY SAMPLE — k rows per key selected by the
+    * portable md5 rank (hash-ordered "reservoir": stable across runs,
+    * partitionings and engines, unlike rand()-based sampling): the
+    * balanced debugging/eyeballing sample every key gets exactly
+    * min(k, its rows) of. The rank hash is 48-bit (12 hex chars) so
+    * its negation is exact in the top-k heap's double score, and ties
+    * break by event_id — the graft_topk tie order, mirrored by the
+    * oracle's (h ASC, id ASC). Scale shape: ONE map-side-combinable
+    * top-k aggregate (partitions × keys × k rows shuffle), never a
+    * per-key sort. */
+  def sampleKeyed(events: DataFrame, k: Int = 3): DataFrame = {
+    val h = conv(substring(md5(concat(col("event_id").cast("string"),
+      lit(":ks"))), 1, 12), 16, 10).cast("long")
+    events.select(col("user_id"), col("event_id"), h.as("h"))
+      .groupBy(col("user_id"))
+      .agg(graft.functions.F.topk((-col("h")).cast("double"),
+        col("event_id"), k).as("picks"))
+      .select(col("user_id"), posexplode(col("picks")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("sample_rank"),
+        col("col.id").as("event_id"))
+      .orderBy(col("user_id"), col("sample_rank"))
+  }
+
   /** JOIN PRE-FLIGHT — exact output cardinality and skew profile of an
     * equi-join BEFORE running it, from per-key count tables alone:
     * |A ⋈ B| = Σ_k cA(k)·cB(k), the identity every cost-based

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleOps
+
+/** Round-7 ops additions: per-column profile diff between epochs and
+  * the deterministic per-key sample. */
+class ProfileDiffSampleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("profile diff flags a collapsed column and only that column") {
+    val spark = this.spark
+    import spark.implicits._
+    // epoch A (even ids): 5 distinct langs; epoch B (odd ids): lang
+    // collapses to one value — the drift the audit exists to catch
+    val docs = (0 until 20).map { i =>
+      val lang = if (i % 2 == 0) s"l${i % 10 / 2}" else "xx"
+      (i.toLong, s"some text $i", lang, "web", 12L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = ScaleOps.profileDiff(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lang = out("lang")
+    assert(lang.getAs[Long]("distinct_shift_bp") == 1000L - 5000L,
+      s"lang: $lang")
+    assert(lang.getAs[Boolean]("drifted"), "collapsed lang must drift")
+    assert(!out("source").getAs[Boolean]("drifted"))
+    assert(out("doc_id").getAs[Boolean]("minmax_moved"),
+      "parity halves have different min/max ids")
+  }
+
+  test("keyed sample: exactly min(k, n) per key, deterministic") {
+    val spark = this.spark
+    import spark.implicits._
+    val events = ((0 until 10).map(i => (1L, 100L + i)) ++
+      Seq((2L, 200L), (2L, 201L)))
+      .toDF("user_id", "event_id")
+    val out = ScaleOps.sampleKeyed(events, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.count(_._1 == 1L) == 3 && out.count(_._1 == 2L) == 2)
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq(1L, 2L, 3L))
+    val again = ScaleOps.sampleKeyed(events, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq, "hash-ranked sample must be stable")
+  }
+}
