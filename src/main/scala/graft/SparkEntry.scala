@@ -318,6 +318,8 @@ object SparkEntry {
       Tables.orders(s, d), "o_orderkey", broadcastMax = 100000L)),
     "scale_profile_diff" -> ((s, d) => ScaleOps.profileDiff(Tables.documents(s, d))),
     "scale_keyed_sample" -> ((s, d) => ScaleOps.sampleKeyed(Tables.events(s, d))),
+    "pipeline_leakage_safe_split" -> ((s, d) =>
+      Dedup.leakageSafeSplit(Tables.documents(s, d))),
   )
 
   /** Oracle for embedding_pca: the integer power iteration UNROLLED —
@@ -1719,6 +1721,43 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
         |  doc_id AS keep_id, p_keep AS keep_quality
         |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+    "pipeline_leakage_safe_split" ->
+      // cluster-granular train/eval split: the dedup_clusters chain,
+      // singletons as their own cluster, split by md5 of the CLUSTER
+      // id; spanning_clusters gates the no-leak guarantee at 0
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100) AS INT) AS lb,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |  FROM documents
+        |), pr AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
+        |    AND x.lb = y.lb AND x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+        |     / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) >= 0.8
+        |), e AS (
+        |  SELECT a_id, b_id FROM pr UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pr
+        |), walk(id, reach) AS (
+        |  SELECT a_id, a_id FROM e
+        |  UNION
+        |  SELECT w.id, e.b_id FROM walk w JOIN e ON e.a_id = w.reach
+        |), lab AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id),
+        |a AS (
+        |  SELECT doc.doc_id, COALESCE(lab.cluster_id, doc.doc_id) AS cluster_id,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(COALESCE(lab.cluster_id, doc.doc_id)
+        |        AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 1000 < 800
+        |      THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents doc LEFT JOIN lab ON lab.doc_id = doc.doc_id
+        |), sp AS (
+        |  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS spanning_clusters
+        |  FROM (SELECT cluster_id, count(DISTINCT split) AS ns FROM a GROUP BY 1)
+        |)
+        |SELECT a.split, count(*) AS n_docs,
+        |  CAST(count(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+        |  sp.spanning_clusters
+        |FROM a, sp GROUP BY a.split, sp.spanning_clusters
+        |ORDER BY a.split""".stripMargin,
     "scale_join_preflight" ->
       // exact join cardinality + skew pre-flight from per-key counts:
       // |A join B| = sum over matched keys of ca*cb; advice from exact

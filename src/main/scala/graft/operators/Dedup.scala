@@ -832,6 +832,45 @@ object Dedup {
     * banded near-dup + connected-components machinery (never
     * all-pairs); the quality score is row-local; the argmax is one
     * clusters-sized struct-max aggregate. */
+  /** LEAKAGE-SAFE train/eval SPLIT — assign whole NEAR-DUP CLUSTERS
+    * to splits, not documents: a doc-granular hash split puts one
+    * copy of a duplicated page in train and another in eval, and the
+    * eval number silently measures memorization (the train-test leak
+    * the decontamination literature exists for — splitting at
+    * cluster granularity makes it structurally impossible).
+    * Singletons are their own cluster (cluster_id = doc_id); the
+    * split hash is the portable md5 of the CLUSTER id, so every
+    * member lands together by construction — and the output's
+    * `spanning_clusters` column (clusters seen in BOTH splits) gates
+    * that guarantee at exactly 0 through the oracle.
+    *
+    * Scale shape: cluster labeling is the existing banded+CC
+    * machinery; the assignment is row-local on the docs-sized
+    * (doc, cluster) frame (materialized once — the audit aggregates
+    * read it twice); both audits are split/cluster-sized combinable
+    * aggregates. */
+  def leakageSafeSplit(documents: DataFrame, trainPermille: Int = 800): DataFrame = {
+    val labels = dupClusters(
+      dedupNgramJaccardBlocked(documents).select(col("a_id"), col("b_id")))
+    val assigned = documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(pmod(conv(substring(md5(concat(col("cluster_id").cast("string"),
+          lit(":split"))), 1, 15), 16, 10).cast("long"), lit(1000L))
+          < trainPermille, "train").otherwise("eval"))
+      .localCheckpoint()
+    val spanning = assigned.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("spanning_clusters"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(broadcast(spanning))
+      .orderBy(col("split"))
+  }
+
   def dedupBestKeeper(documents: DataFrame): DataFrame = {
     val labels = dupClusters(
       dedupNgramJaccardBlocked(documents).select(col("a_id"), col("b_id")))

@@ -57,6 +57,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(10L)._2 == 11L, s"cluster 10 keeper: $out")
   }
 
+  test("leakage-safe split keeps whole dup clusters in one split") {
+    val spark = this.spark
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs to the " +
+      "river in the morning light where a bird is singing of summer"
+    val stops = " the a of and to in is the a of and to in is"
+    // one dup family (1, 2) + singletons spread over many ids so both
+    // splits are populated
+    val docs = (Seq((1L, base + " xq"), (2L, base + stops)) ++
+      (100 until 140).map(i => (i.toLong, s"unique document number $i with its own words $i")))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.leakageSafeSplit(docs).collect()
+    val bySplit = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.forall(_.getLong(3) == 0L),
+      s"no cluster may span splits: ${out.toSeq}")
+    assert(bySplit.values.map(_._1).sum == 42L, "every doc assigned")
+    // the dup family must be in ONE split: total docs - total clusters
+    // = 1 (the one merged pair), and that surplus sits inside a single
+    // split's (n_docs - n_clusters)
+    val surplus = bySplit.values.map(v => v._1 - v._2)
+    assert(surplus.sum == 1L && surplus.count(_ > 0) == 1,
+      s"the dup pair travels together: $bySplit")
+  }
+
   test("join pre-flight cardinality is exact and advice thresholds fire") {
     val spark = this.spark
     import spark.implicits._
