@@ -360,28 +360,45 @@ object Relational {
 
   /** Ordered funnel (view → click → purchase): each step's min
     * timestamp must follow the previous step's — the canonical event-
-    * analytics sequence query. Three per-user aggregates chained by
-    * equi-joins on user_id (one shuffle key throughout — the funnel
-    * never materializes event×event pairs); the summary is three
-    * 1-row aggregates, and the step-over-step conversion is a lag
-    * over that 3-row table, not the corpus. */
+    * analytics sequence query, in ONE events scan: a per-user ordered
+    * window carries the running "earliest qualifying previous step"
+    * (min view so far; min click-after-view so far), so each row
+    * decides its own step membership locally, and one per-user
+    * aggregate yields (t1, t2, t3). Equivalent to the chained
+    * per-step join formulation — a row qualifies for step n iff a
+    * qualifying step-(n−1) instant precedes it, and the running min
+    * at that row IS the global min whenever one precedes it — but the
+    * r6 chained shape re-executed each step's lineage and scanned
+    * events SIX times. The window and the rollup share one user_id
+    * shuffle; the summary is a 1-row agg exploded to 3 step rows. */
   def q24Funnel(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = events.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val c = events.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val p = events.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    def step(df: DataFrame, n: Int, name: String) =
-      df.agg(count(lit(1)).as("users"))
-        .select(lit(n.toLong).as("step"), lit(name).as("event_type"), col("users"))
-    val steps = step(v, 1, "view")
-      .unionByName(step(c, 2, "click"))
-      .unionByName(step(p, 3, "purchase"))
-    steps
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("v_min",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c_min",
+        min(when(col("event_type") === "click" && col("ts") > col("v_min"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t1"),
+        min(when(col("event_type") === "click" && col("ts") > col("v_min"),
+          col("ts"))).as("t2"),
+        min(when(col("event_type") === "purchase" && col("ts") > col("c_min"),
+          col("ts"))).as("t3"))
+    per
+      .agg(sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("u1"),
+        sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("u2"),
+        sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("u3"))
+      .select(explode(array(
+        struct(lit(1L).as("step"), lit("view").as("event_type"), col("u1").as("users")),
+        struct(lit(2L).as("step"), lit("click").as("event_type"), col("u2").as("users")),
+        struct(lit(3L).as("step"), lit("purchase").as("event_type"), col("u3").as("users")))).as("s"))
+      .select(col("s.step").as("step"), col("s.event_type").as("event_type"),
+        col("s.users").as("users"))
       .withColumn("conv_from_prev", round(col("users").cast("double") /
         lag(col("users"), 1).over(Window.orderBy(col("step"))), 4))
       .orderBy(col("step"))
