@@ -119,6 +119,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("funnel reads events exactly once (the r7 single-scan rewrite)") {
+    val p = plan(Relational.q24Funnel(Tables.events(spark, TestSpark.sf)))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"funnel must scan events once, not per step:\n$p")
+    assert(!p.contains("Join"), "step membership is window-local, never joined")
+  }
+
+  test("q53 global cut is a window over the rollup, not a second corpus pass") {
+    val p = plan(Relational.q53TpchQ11(Tables.lineitem(spark, TestSpark.sf),
+      Tables.supplier(spark, TestSpark.sf), Tables.nation(spark, TestSpark.sf)))
+    assert(p.contains("Window"), "total must come from a window over perPart")
+    assert("Scan parquet".r.findAllIn(p).size == 3,
+      s"exactly lineitem+supplier+nation scans expected:\n$p")
+  }
+
+  test("as-of join is the union-window shape: one window, zero joins") {
+    val p = plan(Relational.q63AsofJoin(Tables.events(spark, TestSpark.sf),
+      Tables.orders(spark, TestSpark.sf)))
+    assert(!p.contains("Join"), s"as-of must not range-join:\n$p")
+    assert(p.contains("Window"), "the running struct-max window is the operator")
+    assert("Scan parquet".r.findAllIn(p).size == 2, "one scan per side")
+  }
+
   test("integrity audit anti-joins never degenerate to cartesian") {
     val p = plan(graft.operators.ScaleOps.integrityAudit(
       Tables.orders(spark, TestSpark.sf), Tables.lineitem(spark, TestSpark.sf),
