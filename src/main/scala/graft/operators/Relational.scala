@@ -373,10 +373,15 @@ object Relational {
     * shuffle; the summary is a 1-row agg exploded to 3 step rows. */
   def q24Funnel(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // ordering ties by event_type only: the running-min step test is
+    // provably insensitive to equal-instant ordering (strict > means
+    // an equal-ts previous-step instant never qualifies either way),
+    // so the window needs no unique id — and funnel callers' frames
+    // often carry none
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_type"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val per = events
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), col("ts"), col("event_type"))
       .withColumn("v_min",
         min(when(col("event_type") === "view", col("ts"))).over(w))
       .withColumn("c_min",
