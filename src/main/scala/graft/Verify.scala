@@ -46,6 +46,25 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Spark-side environment provenance beside the dumps: engine
+    // version, session timezone, and every input table's schema AS
+    // SPARK READS IT (surfaces ns-vs-us timestamp and NTZ-vs-LTZ
+    // layout differences between testdata generations — the r6
+    // driver-vs-replica dispute would have been diagnosable from this
+    // file plus compare.py's compare_meta.json in one diff).
+    try {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+        .flatMap { t =>
+          scala.util.Try {
+            val raw = spark.read.parquet(s"$sfDir/$t.parquet")
+            s"${q(t)}: ${q(raw.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))}"
+          }.toOption
+        }
+      Files.writeString(Paths.get(s"$outDir/spark_meta.json"),
+        s"""{"spark": ${q(spark.version)}, "timezone": ${q(
+          spark.conf.get("spark.sql.session.timeZone"))}, "schemas": {${tables.mkString(",")}}}""")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
