@@ -134,9 +134,48 @@ object Probe {
     }
     println(s"""{"probe":"10x_embeddings","vecs":$nVecs}""")
 
+    // 10x EVENTS probe (round 7): the single-scan window shapes —
+    // funnel, as-of, keyed sample — at 10x the event volume (each copy
+    // shifts the user domain, so per-user group sizes stay realistic
+    // while user count scales 10x). Linear wall growth here is the
+    // evidence the one-scan rewrites scale by corpus, not by step
+    // count or probe count.
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+    val bigEv = (0 until 10).map { c =>
+      ev.select((col("user_id") + lit(c * 1000000L)).as("user_id"), col("ts"),
+        (col("event_id") + lit(c.toLong * 100000000L)).as("event_id"),
+        col("event_type"), col("value"))
+    }.reduce(_ unionAll _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEvents = bigEv.count()
+    def timedV(name: String)(action: => Long): (String, Double, Long) = {
+      val runs = (1 to 2).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        bigEv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        val t0 = System.nanoTime()
+        val rows = action
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (name, runs.map(_._1).min, runs.head._2)
+    }
+    val funnel = timedV("q24_funnel_10x") {
+      graft.operators.Relational.q24Funnel(bigEv).count()
+    }
+    val asof = timedV("q63_asof_join_10x") {
+      val orders = Tables.orders(spark, sfDir)
+      graft.operators.Relational.q63AsofJoin(bigEv, orders).count()
+    }
+    val ksample = timedV("scale_keyed_sample_10x") {
+      graft.operators.ScaleOps.sampleKeyed(bigEv).count()
+    }
+    println(s"""{"probe":"10x_events","events":$nEvents}""")
+
     val all = Seq(minhash, simhash, spanDedup, decontaminate, unigram,
       assembly, tfidf, bigram, mix, shuffleOrd, fingerprint, clusters,
-      spanRemoval, bpe, dsir, gopher, incremental, semantic, graph, pca)
+      spanRemoval, bpe, dsir, gopher, incremental, semantic, graph, pca,
+      funnel, asof, ksample)
     val qs = all.map { case (k, s, r) => f""""$k":{"sec":$s%.2f,"rows":$r}""" }
       .mkString("{", ",", "}")
     println(s"""{"probe":"10x","docs":$nDocs,"results":$qs}""")

@@ -61,9 +61,16 @@ object Verify {
             s"${q(t)}: ${q(raw.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))}"
           }.toOption
         }
-      Files.writeString(Paths.get(s"$outDir/spark_meta.json"),
+      val meta =
         s"""{"spark": ${q(spark.version)}, "timezone": ${q(
-          spark.conf.get("spark.sql.session.timeZone"))}, "schemas": {${tables.mkString(",")}}}""")
+          spark.conf.get("spark.sql.session.timeZone"))}, "sfDir": ${q(sfDir)}, "schemas": {${tables.mkString(",")}}}"""
+      Files.writeString(Paths.get(s"$outDir/spark_meta.json"), meta)
+      // Best-effort copy into the working directory (the repo, when
+      // the driver runs `sbt runMain` from it): the DRIVER's verify
+      // environment becomes inspectable next round even though its
+      // outDir never is — the r6 dispute took a full round to
+      // root-cause for want of exactly this file.
+      Files.writeString(Paths.get("verify_meta_last.json"), meta + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
   }
