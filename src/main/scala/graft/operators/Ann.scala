@@ -1056,19 +1056,28 @@ object Ann {
       col("vec_id") +: col("embedding") +:
         (0 until tables).map(t => F.hyperplaneBucket(col("embedding"),
           numPlanes, t * numPlanes, portable = true).as(s"b$t")): _*))
+    // candidates as UNDIRECTED a<b pairs: each pair's 64-dim similarity
+    // evaluates ONCE and then fans into both directed edges — the r6
+    // shape carried both (a,b) and (b,a) through the embedding joins
+    // and paid the dot product twice (measured ~2x of the build's cost
+    // at sf0.1). Same pair set, same sims, same per-node top-k.
     val pairs = (0 until tables).map { t =>
       bkt.select(col("vec_id").as("a"), col(s"b$t").as("bk"))
         .join(bkt.select(col("vec_id").as("b"), col(s"b$t").as("bk")), "bk")
-        .filter(col("a") =!= col("b"))
+        .filter(col("a") < col("b"))
         .select(col("a"), col("b"))
     }.reduce(_ unionByName _).distinct()
-    val adj = Dedup.materialized(pairs
+    val sims = pairs
       .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
       .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
       .select(col("a"), col("b"), simBp(col("va"), col("vb")).as("s"))
-      .groupBy(col("a"))
-      .agg(F.topk(col("s").cast("double"), col("b"), degree).as("nn"))
-      .select(col("a").as("node"), explode(col("nn")))
+    val adj = Dedup.materialized(sims
+      .select(explode(array(
+        struct(col("a").as("x"), col("b").as("y"), col("s")),
+        struct(col("b").as("x"), col("a").as("y"), col("s")))).as("e"))
+      .groupBy(col("e.x"))
+      .agg(F.topk(col("e.s").cast("double"), col("e.y"), degree).as("nn"))
+      .select(col("x").as("node"), explode(col("nn")))
       .select(col("node"), col("col.id").as("nbr")))
     (emb, bkt, adj)
   }
