@@ -55,5 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_collect_capped",
       "graft_collect_capped(id, aux, cap) - at most cap (id,aux) pairs per group",
       args => CollectCapped(args(0), args(1), intArg(args(2), "cap")).toAggregateExpression())
+
+    // optimizer rule: pin the broadcast of provably <=1-row join sides
+    // (global aggregates, LIMIT 1) at PLAN time — size estimates
+    // over-state them until AQE observes the real output
+    ext.injectOptimizerRule(_ => graft.plans.BroadcastScalarAgg)
   }
 }

@@ -18,6 +18,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the full graft surface: every graft_* SQL function plus the
+      // BroadcastScalarAgg optimizer rule (provably <=1-row join
+      // sides broadcast at plan time — semantics-neutral)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
