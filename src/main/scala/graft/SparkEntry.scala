@@ -320,6 +320,8 @@ object SparkEntry {
     "scale_keyed_sample" -> ((s, d) => ScaleOps.sampleKeyed(Tables.events(s, d))),
     "pipeline_leakage_safe_split" -> ((s, d) =>
       Dedup.leakageSafeSplit(Tables.documents(s, d))),
+    "q64_hierarchy_rollup" -> ((s, d) =>
+      Relational.q64HierarchyRollup(Tables.part(s, d))),
   )
 
   /** Oracle for embedding_pca: the integer power iteration UNROLLED —
@@ -1644,6 +1646,31 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |     * CAST(n_a * n_b AS DECIMAL(38,0))
         |     * CAST(n_a + n_b - conv_a - conv_b AS DECIMAL(38,0))) AS significant
         |FROM a, b""".stripMargin,
+    "q64_hierarchy_rollup" ->
+      // recursive ancestor closure on the decimal-trie hierarchy
+      // (parent = key // 10), then depth / height / exact subtree
+      // rollups from the closure; outputs CAST to BIGINT (HUGEINT rule)
+      """WITH RECURSIVE n AS (
+        |  SELECT p_partkey AS node,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part
+        |), paths AS (
+        |  SELECT node, node AS anc, 0 AS dist FROM n
+        |  UNION ALL
+        |  SELECT node, anc // 10 AS anc, dist + 1 AS dist
+        |  FROM paths WHERE anc >= 10
+        |), d AS (
+        |  SELECT node, CAST(max(dist) AS BIGINT) AS depth FROM paths GROUP BY node
+        |), r AS (
+        |  SELECT p.anc AS node,
+        |    CAST(sum(c.cents) AS BIGINT) AS subtree_cents,
+        |    count(*) AS subtree_n,
+        |    CAST(max(p.dist) AS BIGINT) AS height
+        |  FROM paths p JOIN n c ON c.node = p.node GROUP BY p.anc
+        |)
+        |SELECT n.node, d.depth, r.height, r.subtree_cents, r.subtree_n
+        |FROM n JOIN d USING (node) JOIN r USING (node)
+        |ORDER BY n.node""".stripMargin,
     "q63_asof_join" ->
       // as-of join via the union-window shape: running event count per
       // key (grp) gives every probe the sequence number of its latest

@@ -1607,6 +1607,55 @@ object Relational {
       .limit(topN)
   }
 
+  /** HIERARCHY CLOSURE + SUBTREE ROLLUP — the recursive-CTE workload
+    * (bill-of-materials explosion, org-chart rollups, category trees)
+    * Spark has no native operator for: per node, its depth, the
+    * height of its subtree, and the exact subtree value/count rollup
+    * over ALL descendants. The hierarchy stand-in is the decimal trie
+    * on part keys (parent = key div 10 — deterministic, dense,
+    * depth ≤ digits; production passes a real edge table and the same
+    * machinery runs unchanged).
+    *
+    * The ancestor CLOSURE builds by ITERATIVE DOUBLING — each round
+    * joins the path set with itself, so k rounds cover chains of
+    * 2^k: five rounds statically cover depth 32 > the 19 digits a
+    * long key can have, with no driver-side fixpoint check. Rounds
+    * localCheckpoint (the dupClusters iteration discipline) and the
+    * closure is |V|·depth rows, never |V|²; the rollup is then ONE
+    * groupBy(ancestor) over the closure — log-round shuffles where
+    * the naive per-level loop pays depth rounds (the 100 TB
+    * difference between 5 and 100 joins on a deep BOM). */
+  def q64HierarchyRollup(part: DataFrame): DataFrame = {
+    val cents = round(col("p_retailprice") * 100).cast("long")
+    val nodes = Dedup.materialized(
+      part.select(col("p_partkey").as("node"), cents.as("cents")))
+    val self = nodes.select(col("node"), col("node").as("anc"), lit(0L).as("dist"))
+    val edges = nodes.filter(col("node") >= 10L)
+      .select(col("node"), expr("node div 10").as("anc"), lit(1L).as("dist"))
+    var paths = self.unionByName(edges).localCheckpoint()
+    for (_ <- 1 to 5) {
+      val ext = paths.as("x")
+        .join(paths.as("y"),
+          col("x.anc") === col("y.node") && col("y.dist") > 0L)
+        .select(col("x.node").as("node"), col("y.anc").as("anc"),
+          (col("x.dist") + col("y.dist")).as("dist"))
+      paths = paths.unionByName(ext).distinct().localCheckpoint()
+    }
+    val depth = paths.groupBy(col("node")).agg(max(col("dist")).as("depth"))
+    val rollup = paths.join(nodes.select(col("node"), col("cents")), "node")
+      .groupBy(col("anc"))
+      .agg(sum(col("cents")).as("subtree_cents"),
+        count(lit(1)).as("subtree_n"),
+        max(col("dist")).as("height"))
+      .withColumnRenamed("anc", "node")
+    nodes.select(col("node"))
+      .join(depth, "node")
+      .join(rollup, "node")
+      .select(col("node"), col("depth"), col("height"),
+        col("subtree_cents"), col("subtree_n"))
+      .orderBy(col("node"))
+  }
+
   /** AS-OF JOIN — the temporal join Spark has no native operator for
     * (kdb's `aj`, Pandas' `merge_asof`, Flink's temporal table join):
     * for every probe row (an order, keyed by customer and order
