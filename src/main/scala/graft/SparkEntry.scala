@@ -322,6 +322,7 @@ object SparkEntry {
       Dedup.leakageSafeSplit(Tables.documents(s, d))),
     "q64_hierarchy_rollup" -> ((s, d) =>
       Relational.q64HierarchyRollup(Tables.part(s, d))),
+    "text_chunk" -> ((s, d) => TextOps.textChunk(Tables.documents(s, d))),
   )
 
   /** Oracle for embedding_pca: the integer power iteration UNROLLED —
@@ -1646,6 +1647,20 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |     * CAST(n_a * n_b AS DECIMAL(38,0))
         |     * CAST(n_a + n_b - conv_a - conv_b AS DECIMAL(38,0))) AS significant
         |FROM a, b""".stripMargin,
+    "text_chunk" ->
+      // fixed-window chunking with stride: chunk k covers tokens
+      // [k*24, k*24+32); content replayed as md5 of the joined window
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |  CAST(k * 24 AS BIGINT) AS start_tok,
+        |  CAST(least(32, len(toks) - k * 24) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(toks[k * 24 + 1 : k * 24 + 32], ' ')) AS chunk_md5
+        |FROM t, LATERAL unnest(range(0, (len(toks) + 23) // 24)) AS u(k)
+        |WHERE k * 24 < len(toks)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q64_hierarchy_rollup" ->
       // recursive ancestor closure on the decimal-trie hierarchy
       // (parent = key // 10), then depth / height / exact subtree

@@ -32,6 +32,35 @@ object TextOps {
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Fixed-window CHUNKING with stride — the RAG-ingestion primitive
+    * (split every document into overlapping token windows for
+    * embedding/indexing, with exact offsets so retrieved chunks map
+    * back into their source): chunk k covers tokens
+    * [k·stride, k·stride + window), one chunk per stride offset
+    * below the doc length, so every token is covered and consecutive
+    * chunks overlap by window − stride. Entirely row-local (explode
+    * of a per-row index sequence — no shuffle, the correct 100 TB
+    * ingestion shape); the chunk CONTENT travels as its md5 (the
+    * oracle replays it exactly; production would carry the text or
+    * feed an embedder). */
+  def textChunk(documents: DataFrame, window: Int = 32,
+                stride: Int = 24): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          s"sequence(0, (size(toks) + ${stride - 1}) div $stride - 1)")).as("k"))
+      .select(col("doc_id"),
+        col("k").cast("long").as("chunk_id"),
+        (col("k") * stride).cast("long").as("start_tok"),
+        least(lit(window), size(col("toks")) - col("k") * stride)
+          .cast("long").as("chunk_len"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("k") * stride + 1, lit(window)))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   private def punctRatioCol: Column = {
     val nChars = length(col("text"))
     (nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") / nChars

@@ -29,6 +29,23 @@ class ProfileDiffSampleSpec extends AnyFunSuite {
       "parity halves have different min/max ids")
   }
 
+  test("chunking covers every token with the documented overlap") {
+    val spark = this.spark
+    import spark.implicits._
+    // 50 tokens, window 32, stride 24 -> chunks at 0 (len 32), 24
+    // (len 26), 48 (len 2): full coverage, 8-token overlap
+    val text = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textChunk(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 0L, 32L), (1L, 24L, 26L), (2L, 48L, 2L)),
+      s"got ${out.toSeq}")
+    // a short doc still yields exactly one (whole-doc) chunk
+    val one = graft.operators.TextOps.textChunk(
+      Seq((1L, "a b c")).toDF("doc_id", "text")).collect()
+    assert(one.length == 1 && one(0).getLong(3) == 3L)
+  }
+
   test("keyed sample: exactly min(k, n) per key, deterministic") {
     val spark = this.spark
     import spark.implicits._
