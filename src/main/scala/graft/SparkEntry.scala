@@ -323,6 +323,7 @@ object SparkEntry {
     "q64_hierarchy_rollup" -> ((s, d) =>
       Relational.q64HierarchyRollup(Tables.part(s, d))),
     "text_chunk" -> ((s, d) => TextOps.textChunk(Tables.documents(s, d))),
+    "dedup_chunk_exact" -> ((s, d) => TextOps.dedupChunkExact(Tables.documents(s, d))),
   )
 
   /** Oracle for embedding_pca: the integer power iteration UNROLLED —
@@ -1661,6 +1662,27 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM t, LATERAL unnest(range(0, (len(toks) + 23) // 24)) AS u(k)
         |WHERE k * 24 < len(toks)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "dedup_chunk_exact" ->
+      // per-doc duplicated-chunk share over the text_chunk windows;
+      // chunks repeated ANYWHERE (across or within docs) count
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(toks[k * 24 + 1 : k * 24 + 32], ' ')) AS chunk_md5
+        |  FROM t, LATERAL unnest(range(0, (len(toks) + 23) // 24)) AS u(k)
+        |  WHERE k * 24 < len(toks)
+        |), occ AS (
+        |  SELECT chunk_md5, count(*) AS n_occ FROM c GROUP BY chunk_md5
+        |)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN occ.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST((10000 * sum(CASE WHEN occ.n_occ > 1 THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS dup_share_bp
+        |FROM c JOIN occ USING (chunk_md5)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "q64_hierarchy_rollup" ->
       // recursive ancestor closure on the decimal-trie hierarchy
       // (parent = key // 10), then depth / height / exact subtree

@@ -61,6 +61,31 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** CHUNK-level exact dedup — boilerplate measurement at paragraph
+    * grain: which fraction of each document's [[textChunk]] windows
+    * also appears elsewhere (another doc's navigation/footer block,
+    * or the same doc repeating itself — both are training junk the
+    * doc-level dedup family can't see when the surrounding text
+    * differs). One groupBy on the 16-byte chunk hash (never the
+    * text), then a doc-sized rollup with the duplicated share in
+    * exact basis points. */
+  def dedupChunkExact(documents: DataFrame, window: Int = 32,
+                      stride: Int = 24): DataFrame = {
+    val chunks = Dedup.materialized(
+      textChunk(documents, window, stride)
+        .select(col("doc_id"), col("chunk_md5")))
+    val dup = chunks.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1L)
+      .select(col("chunk_md5"), lit(1L).as("dup"))
+    chunks.join(dup, Seq("chunk_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_share_bp", expr("(10000 * n_dup_chunks) div n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
   private def punctRatioCol: Column = {
     val nChars = length(col("text"))
     (nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") / nChars

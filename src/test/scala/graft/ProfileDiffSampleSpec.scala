@@ -46,6 +46,24 @@ class ProfileDiffSampleSpec extends AnyFunSuite {
     assert(one.length == 1 && one(0).getLong(3) == 3L)
   }
 
+  test("chunk dedup flags shared boilerplate blocks, not unique text") {
+    val spark = this.spark
+    import spark.implicits._
+    // 32-token boilerplate block shared verbatim by docs 1 and 2,
+    // aligned at chunk 0; doc 3 is entirely unique
+    val boiler = (1 to 32).map(i => s"nav$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler + " " + (1 to 16).map(i => s"a$i").mkString(" ")),
+      (2L, boiler + " " + (1 to 16).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 48).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.dedupChunkExact(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L,
+      s"the shared chunk-0 block must flag in both docs: $out")
+    assert(out(3L) == ((2L, 0L, 0L)), s"unique doc stays clean: $out")
+  }
+
   test("keyed sample: exactly min(k, n) per key, deterministic") {
     val spark = this.spark
     import spark.implicits._
