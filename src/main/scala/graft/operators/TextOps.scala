@@ -44,7 +44,21 @@ object TextOps {
     * oracle replays it exactly; production would carry the text or
     * feed an embedder). */
   def textChunk(documents: DataFrame, window: Int = 32,
-                stride: Int = 24): DataFrame = {
+                stride: Int = 24): DataFrame =
+    chunkCore(documents, window, stride)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Ingest-stream face of [[textChunk]]: chunking is entirely
+    * row-local, so the SAME expression tree runs on a streaming frame
+    * with no state, no watermark and no sort (the dsirStream shape) —
+    * chunk-at-ingest is how a RAG pipeline actually feeds its
+    * embedder. */
+  def chunkStream(docs: DataFrame, window: Int = 32,
+                  stride: Int = 24): DataFrame =
+    chunkCore(docs, window, stride)
+
+  private def chunkCore(documents: DataFrame, window: Int,
+                        stride: Int): DataFrame = {
     val toks = split(trim(lower(col("text"))), "\\s+")
     documents
       .select(col("doc_id"), toks.as("toks"))
@@ -58,7 +72,6 @@ object TextOps {
           .cast("long").as("chunk_len"),
         md5(concat_ws(" ",
           slice(col("toks"), col("k") * stride + 1, lit(window)))).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   /** CHUNK-level exact dedup — boilerplate measurement at paragraph

@@ -46,6 +46,32 @@ class ProfileDiffSampleSpec extends AnyFunSuite {
     assert(one.length == 1 && one(0).getLong(3) == 3L)
   }
 
+  test("stream chunking equals batch chunking per micro-batch") {
+    val spark = this.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq((1L, (1 to 50).map(i => s"w$i").mkString(" ")),
+      (2L, "only three words"))
+    val expect = graft.operators.TextOps.textChunk(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+    val got = scala.collection.mutable.Set[(Long, Long, String)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps
+      .chunkStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got += ((r.getLong(0), r.getLong(1), r.getString(4))))
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-chunk-ck").toString)
+      .start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expect, s"stream $got vs batch $expect")
+  }
+
   test("chunk dedup flags shared boilerplate blocks, not unique text") {
     val spark = this.spark
     import spark.implicits._
