@@ -1684,18 +1684,24 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM c JOIN occ USING (chunk_md5)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "q64_hierarchy_rollup" ->
-      // recursive ancestor closure on the decimal-trie hierarchy
-      // (parent = key // 10), then depth / height / exact subtree
-      // rollups from the closure; outputs CAST to BIGINT (HUGEINT rule)
+      // recursive ancestor closure on the decimal-trie hierarchy with
+      // GRAPH semantics: an edge exists only FROM a PRESENT key >= 10
+      // (a real BOM links existing rows; a chain broken by an absent
+      // intermediate ends there — the recursion joins the edge
+      // relation, never raw arithmetic, mirroring the Spark doubling
+      // closure exactly on sparse key sets too). Outputs CAST to
+      // BIGINT (HUGEINT rule).
       """WITH RECURSIVE n AS (
         |  SELECT p_partkey AS node,
         |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
         |  FROM part
+        |), e AS (
+        |  SELECT node AS child, node // 10 AS parent FROM n WHERE node >= 10
         |), paths AS (
         |  SELECT node, node AS anc, 0 AS dist FROM n
         |  UNION ALL
-        |  SELECT node, anc // 10 AS anc, dist + 1 AS dist
-        |  FROM paths WHERE anc >= 10
+        |  SELECT p.node, e.parent AS anc, p.dist + 1 AS dist
+        |  FROM paths p JOIN e ON e.child = p.anc
         |), d AS (
         |  SELECT node, CAST(max(dist) AS BIGINT) AS depth FROM paths GROUP BY node
         |), r AS (
