@@ -794,6 +794,71 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** SLIDING-WINDOW HLL — rolling `windowDays`-day distinct users per
+    * day from DAILY register sketches, the scale-path twin of the
+    * exact WAU grid join (q26): each day contributes one ≤ m-row
+    * register table (the stored artifact [[hllStream]] maintains),
+    * and a trailing window merges by per-register max — so the
+    * rolling distinct costs days·m rows instead of re-touching the
+    * (day, user) grid per anchor. At 100 TB the daily sketches are
+    * written once at ingest; this query's raw-events pass exists only
+    * because it is self-contained, and the exact-WAU column exists
+    * only for the audit gate (same convention as [[hllDistinct]]:
+    * every integer — S2, zero registers, exact WAU — hash-matches,
+    * the double estimate feeds only the tolerance boolean). */
+  def hllSliding(events: DataFrame, p: Int = 9, windowDays: Int = 7,
+                 tol: Double = 0.15): DataFrame = {
+    val m = 1L << p
+    val h = conv(substring(md5(concat(col("user_id").cast("string"),
+      lit(":hll"))), 1, 15), 16, 10).cast("long")
+    // daily register tables — ≤ m rows per day regardless of volume;
+    // materialized because the anchor list and the window merge both
+    // read it (the corpus is register-reduced exactly once)
+    val daily = Dedup.materialized(events.filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), h.as("h"))
+      .select(col("day"), expr(s"h % $m").as("reg"), expr(s"h div $m").as("rest"))
+      .select(col("day"), col("reg"),
+        when(col("rest") === 0L, lit(49L))
+          .otherwise(round(log2(expr("rest & (-rest)"))).cast("long") + 1L).as("rho"))
+      .groupBy(col("day"), col("reg")).agg(max(col("rho")).as("m_reg")))
+    val anchors = daily.select(col("day").as("anchor")).distinct()
+    // trailing-window register merge: days·m rows join the tiny
+    // broadcast anchor list, max per (anchor, reg) — the HLL union
+    val win = daily.join(broadcast(anchors),
+        col("day") <= col("anchor") &&
+          col("day") >= date_sub(col("anchor"), windowDays - 1))
+      .groupBy(col("anchor"), col("reg")).agg(max(col("m_reg")).as("m_reg"))
+    val st = win.groupBy(col("anchor")).agg(
+      count(lit(1)).as("n_hit"),
+      sum(expr("shiftleft(1L, CAST(49 - m_reg AS INT))")).as("s2_hit"))
+    // exact rolling distinct — the AUDIT side only (at 100 TB this is
+    // the cost the sketch path exists to avoid)
+    val grid = events.filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val exact = grid.join(broadcast(anchors),
+        col("day") <= col("anchor") &&
+          col("day") >= date_sub(col("anchor"), windowDays - 1))
+      .groupBy(col("anchor")).agg(countDistinct(col("user_id")).as("exact_wau"))
+    st.join(exact, "anchor")
+      .select(col("anchor").as("day"),
+        (lit(m) - col("n_hit")).as("n_zero_regs"),
+        (col("s2_hit") + (lit(m) - col("n_hit")) * lit(1L << 49)).as("s2"),
+        col("exact_wau"))
+      .withColumn("raw_est",
+        expr(s"(0.7213 / (1.0 + 1.079 / $m)) * $m * $m * 562949953421312.0 / s2"))
+      .withColumn("used_linear_counting",
+        col("n_zero_regs") > 0L && col("raw_est") <= lit(2.5 * m))
+      .withColumn("est",
+        when(col("used_linear_counting"),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs")))
+          .otherwise(col("raw_est")))
+      .select(col("day"), col("n_zero_regs"), col("s2"), col("exact_wau"),
+        col("used_linear_counting"),
+        (abs(col("est") - col("exact_wau")) / col("exact_wau") <= lit(tol))
+          .as("within_tol"))
+      .orderBy(col("day"))
+  }
+
   /** Ingest-time HLL maintenance — per-epoch delta register tables,
     * replay-idempotent by overwrite (and by max itself). Same
     * ownership contract as [[countMinStream]]: delta dirs keyed by the
@@ -925,5 +990,34 @@ object ScaleOps {
         when(col("right_rows") <= broadcastMax, "broadcast")
           .when(col("hot_key_rows") * 5L > col("join_rows"), "salt")
           .otherwise("shuffle").as("advice"))
+  }
+
+  /** K-ANONYMITY audit over quasi-identifiers — the privacy pre-flight
+    * a pipeline runs before exporting user-adjacent rows: every
+    * (nation, market segment, account-balance band) combination is an
+    * equivalence class, and any class smaller than k re-identifies its
+    * members by intersection with outside knowledge. One groupBy at
+    * quasi-identifier grain (classes, not rows, shuffle — bounded by
+    * the attribute-domain product regardless of corpus size), then the
+    * rows-at-risk share from an unpartitioned window over the
+    * class-sized table. Production either suppresses the flagged
+    * classes or widens the generalization (coarser bands) until the
+    * share is acceptable; this is the measurement face. */
+  def kAnonymity(customer: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classes = customer.groupBy(
+        col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("acctbal_band"))
+      .agg(count(lit(1)).as("n_rows"))
+    val all = Window.partitionBy()
+    classes
+      .withColumn("k_anonymous", col("n_rows") >= k.toLong)
+      .withColumn("at_risk_rows",
+        sum(when(col("n_rows") < k.toLong, col("n_rows")).otherwise(0L)).over(all))
+      .withColumn("total_rows", sum(col("n_rows")).over(all))
+      .withColumn("at_risk_share_bp", expr("(10000 * at_risk_rows) div total_rows"))
+      .drop("at_risk_rows", "total_rows")
+      .orderBy(col("nationkey"), col("mktsegment"), col("acctbal_band"))
   }
 }
