@@ -318,6 +318,8 @@ object SparkEntry {
       Tables.orders(s, d), "o_orderkey", broadcastMax = 100000L)),
     "scale_profile_diff" -> ((s, d) => ScaleOps.profileDiff(Tables.documents(s, d))),
     "scale_keyed_sample" -> ((s, d) => ScaleOps.sampleKeyed(Tables.events(s, d))),
+    "scale_hll_sliding" -> ((s, d) => ScaleOps.hllSliding(Tables.events(s, d))),
+    "scale_k_anonymity" -> ((s, d) => ScaleOps.kAnonymity(Tables.customer(s, d))),
     "pipeline_leakage_safe_split" -> ((s, d) =>
       Dedup.leakageSafeSplit(Tables.documents(s, d))),
     "q64_hierarchy_rollup" -> ((s, d) =>
@@ -2826,6 +2828,81 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT user_id, CAST(sample_rank AS BIGINT) AS sample_rank, event_id
         |FROM r WHERE sample_rank <= 3 ORDER BY user_id, sample_rank""".stripMargin,
+    "scale_hll_sliding" ->
+      // rolling 7-day HLL from daily register sketches (scale_hll's
+      // register math per trailing window, q26's exact-WAU audit
+      // side): every integer (n_zero_regs, S2, exact WAU)
+      // hash-matches, the double estimate feeds only within_tol
+      """WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':hll'), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL
+        |), rr AS (
+        |  SELECT day, h % 512 AS reg, h // 512 AS rest FROM h
+        |), rho AS (
+        |  SELECT day, reg, CASE WHEN rest = 0 THEN 49
+        |    ELSE CAST(round(log2(rest & (-rest))) AS BIGINT) + 1 END AS rho
+        |  FROM rr
+        |), daily AS (
+        |  SELECT day, reg, max(rho) AS m_reg FROM rho GROUP BY 1, 2
+        |), anchors AS (SELECT DISTINCT day AS anchor FROM daily),
+        |win AS (
+        |  SELECT a.anchor, d.reg, max(d.m_reg) AS m_reg
+        |  FROM daily d JOIN anchors a
+        |    ON d.day <= a.anchor AND d.day >= a.anchor - 6
+        |  GROUP BY 1, 2
+        |), st AS (
+        |  SELECT anchor, count(*) AS n_hit,
+        |    CAST(sum(1::BIGINT << CAST(49 - m_reg AS INTEGER)) AS BIGINT) AS s2_hit
+        |  FROM win GROUP BY 1
+        |), grid AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), ex AS (
+        |  SELECT a.anchor, count(DISTINCT g.user_id) AS exact_wau
+        |  FROM grid g JOIN anchors a
+        |    ON g.day <= a.anchor AND g.day >= a.anchor - 6
+        |  GROUP BY 1
+        |), fin AS (
+        |  SELECT st.anchor AS day,
+        |    CAST(512 - st.n_hit AS BIGINT) AS n_zero_regs,
+        |    CAST(st.s2_hit + (512 - st.n_hit) * (1::BIGINT << 49) AS BIGINT) AS s2,
+        |    CAST(ex.exact_wau AS BIGINT) AS exact_wau
+        |  FROM st JOIN ex ON ex.anchor = st.anchor
+        |), est AS (
+        |  SELECT *,
+        |    (0.7213 / (1.0 + 1.079 / 512)) * 512 * 512 * 562949953421312.0 / s2 AS raw_est,
+        |    (n_zero_regs > 0 AND (0.7213 / (1.0 + 1.079 / 512)) * 512 * 512
+        |      * 562949953421312.0 / s2 <= 1280.0) AS used_linear_counting
+        |  FROM fin
+        |)
+        |SELECT day, n_zero_regs, s2, exact_wau, used_linear_counting,
+        |  abs(CASE WHEN used_linear_counting
+        |        THEN 512.0 * ln(512.0 / n_zero_regs) ELSE raw_est END
+        |      - exact_wau) / exact_wau <= 0.15 AS within_tol
+        |FROM est ORDER BY day""".stripMargin,
+    "scale_k_anonymity" ->
+      // k-anonymity audit: quasi-identifier equivalence classes
+      // (nation, segment, 2000-unit balance band), flag classes under
+      // k=10, rows-at-risk share in exact basis points
+      """WITH classes AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    c_mktsegment AS mktsegment,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS acctbal_band,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM customer GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT CAST(sum(CASE WHEN n_rows < 10 THEN n_rows ELSE 0 END) AS BIGINT)
+        |      AS at_risk,
+        |    CAST(sum(n_rows) AS BIGINT) AS total
+        |  FROM classes
+        |)
+        |SELECT c.nationkey, c.mktsegment, c.acctbal_band, c.n_rows,
+        |  c.n_rows >= 10 AS k_anonymous,
+        |  (10000 * t.at_risk) // t.total AS at_risk_share_bp
+        |FROM classes c, tot t
+        |ORDER BY nationkey, mktsegment, acctbal_band""".stripMargin,
     "scale_histogram" ->
       // equi-width histogram quantile sketch: exact-integer buckets,
       // ceil-rank targets, estimate = first bucket whose cumulative

@@ -427,6 +427,47 @@ class ScaleOpsSpec extends AnyFunSuite {
       "a replayed epoch must reproduce its delta registers exactly")
   }
 
+  test("sliding hll: each anchor's merged daily registers equal the whole-window sketch") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, TestSpark.sf)
+    val rows = ScaleOps.hllSliding(events).collect()
+    assert(rows.nonEmpty)
+    // spot-check first/middle/last anchors: max-merging the trailing
+    // window's DAILY register tables must equal sketching the window's
+    // events directly (max-merge is lossless), and the exact-WAU audit
+    // column must match a direct distinct over the same window
+    for (r <- Seq(rows.head, rows(rows.length / 2), rows.last)) {
+      val day = r.getDate(0)
+      val whole = ScaleOps.hllDistinct(events.filter(col("user_id").isNotNull &&
+        to_date(col("ts")) <= lit(day) &&
+        to_date(col("ts")) >= date_sub(lit(day), 6))).head()
+      assert(r.getLong(1) == whole.getLong(1), s"n_zero_regs mismatch at $day")
+      assert(r.getLong(2) == whole.getLong(2), s"s2 mismatch at $day")
+      assert(r.getLong(3) == whole.getLong(3), s"exact wau mismatch at $day")
+    }
+    assert(rows.count(_.getBoolean(5)) * 2 >= rows.length,
+      "HLL estimate misses the 15% tolerance on most anchors")
+  }
+
+  test("k-anonymity: planted size-(k-1) class is flagged and the risk share is exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 9 rows in one class (< k=10) and 20 in another: share = 9/29
+    val cust = ((0 until 9).map(i => (i.toLong, s"c$i", 1, -500.0, "BUILDING")) ++
+      (0 until 20).map(i => ((100 + i).toLong, s"d$i", 2, 2500.0, "MACHINERY")))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = ScaleOps.kAnonymity(cust).collect()
+    assert(r.length == 2)
+    val atRisk = r.find(_.getLong(0) == 1L).get
+    assert(atRisk.getLong(3) == 9L && !atRisk.getBoolean(4))
+    // floor(-500/2000) = -1: negative balances band toward -inf
+    assert(atRisk.getLong(2) == -1L)
+    val safe = r.find(_.getLong(0) == 2L).get
+    assert(safe.getLong(3) == 20L && safe.getBoolean(4))
+    assert(r.forall(_.getLong(5) == 10000L * 9 / 29), "share must be exact bp")
+    assert(ScaleOps.kAnonymity(Tables.customer(spark, TestSpark.sf)).count() > 0)
+  }
+
   test("events can be consumed as a file stream (readStream over the testdata layout)") {
     import org.apache.spark.sql.functions._
     // copy a parquet file into a stream-source dir (file streams read dirs)
