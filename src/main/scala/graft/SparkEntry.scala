@@ -249,6 +249,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Ann.annIvfProbe(e, Ann.ensureIvfIndex(e, Ann.defaultIvfIndexDir(e, d)))
     }),
+    "ann_pq_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.annPqProbe(e, Ann.ensurePqIndex(e, Ann.defaultPqIndexDir(e, d)))
+    }),
     "pipeline_retrieval" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Ann.pipelineRetrieval(e, Tables.documents(s, d),
@@ -890,6 +894,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // self-contained builds (deterministic index content), so each
     // gates against the same oracle
     .updated("ann_ivf_probe", oracleSqlBase("ann_ivf_sampled"))
+    .updated("ann_pq_probe", oracleSqlBase("ann_ivf_pq"))
     .updated("tokenizer_apply_stored", oracleSqlBase("tokenizer_apply"))
     // identical result by construction: the stored lexical index holds
     // exactly the tables the self-contained face derives in-query

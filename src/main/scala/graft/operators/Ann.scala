@@ -262,28 +262,28 @@ object Ann {
     * are never deleted before the rows they hold are readable from
     * the swapped-in base. Returns the number of folded epochs. */
   def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
-                       indexDir: String): Int = {
-    recoverCompaction(spark, indexDir)
+                       indexDir: String, table: String = "lists"): Int = {
+    recoverCompaction(spark, indexDir, table)
     val deltas = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
         new java.io.File(f, "_SUCCESS").exists)
       .sortBy(_.getName)
     if (deltas.isEmpty) return 0
-    val tmp = new java.io.File(s"$indexDir/lists-compacting")
+    val tmp = new java.io.File(s"$indexDir/$table-compacting")
     // phase 1: merged table + manifest (deltas snapshotted NOW — an
     // epoch arriving mid-compaction is simply not folded this round)
     deltas.map(d => spark.read.parquet(d.getPath))
-      .foldLeft(spark.read.parquet(s"$indexDir/lists"))(_ unionByName _)
+      .foldLeft(spark.read.parquet(s"$indexDir/$table"))(_ unionByName _)
       .write.partitionBy("list_id").mode("overwrite").parquet(tmp.getPath)
     java.nio.file.Files.write(tmp.toPath.resolve("_FOLDED"),
       deltas.map(_.getName).mkString("\n").getBytes("UTF-8"))
     // phase 2: swap
-    deleteRecursively(new java.io.File(s"$indexDir/lists-old"))
-    require(new java.io.File(s"$indexDir/lists")
-      .renameTo(new java.io.File(s"$indexDir/lists-old")), "swap-out failed")
-    require(tmp.renameTo(new java.io.File(s"$indexDir/lists")), "swap-in failed")
+    deleteRecursively(new java.io.File(s"$indexDir/$table-old"))
+    require(new java.io.File(s"$indexDir/$table")
+      .renameTo(new java.io.File(s"$indexDir/$table-old")), "swap-out failed")
+    require(tmp.renameTo(new java.io.File(s"$indexDir/$table")), "swap-in failed")
     // phase 3: replayable cleanup driven by the manifest
-    finishCompaction(indexDir)
+    finishCompaction(indexDir, table)
     deltas.size
   }
 
@@ -292,20 +292,21 @@ object Ann {
     * (no swapped/sentineled artifact) is abandoned for the next
     * compaction to rewrite. */
   def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
-                        indexDir: String): Unit = {
-    val lists = new java.io.File(s"$indexDir/lists")
-    val tmp = new java.io.File(s"$indexDir/lists-compacting")
-    if (!lists.exists() && tmp.exists() &&
+                        indexDir: String, table: String = "lists"): Unit = {
+    val base = new java.io.File(s"$indexDir/$table")
+    val tmp = new java.io.File(s"$indexDir/$table-compacting")
+    if (!base.exists() && tmp.exists() &&
         new java.io.File(tmp, "_SUCCESS").exists())
-      require(tmp.renameTo(lists), "compaction roll-forward failed")
-    if (new java.io.File(lists, "_FOLDED").exists()) finishCompaction(indexDir)
+      require(tmp.renameTo(base), "compaction roll-forward failed")
+    if (new java.io.File(base, "_FOLDED").exists())
+      finishCompaction(indexDir, table)
   }
 
-  private def finishCompaction(indexDir: String): Unit = {
-    val manifest = new java.io.File(s"$indexDir/lists/_FOLDED")
+  private def finishCompaction(indexDir: String, table: String): Unit = {
+    val manifest = new java.io.File(s"$indexDir/$table/_FOLDED")
     scala.io.Source.fromFile(manifest).getLines().filter(_.nonEmpty)
       .foreach(d => deleteRecursively(new java.io.File(s"$indexDir/$d")))
-    deleteRecursively(new java.io.File(s"$indexDir/lists-old"))
+    deleteRecursively(new java.io.File(s"$indexDir/$table-old"))
     manifest.delete()
   }
 
@@ -520,13 +521,18 @@ object Ann {
     * stride-derived query set is. */
   def annRecallAudit(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
                      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val truth = annBruteforce(embeddings, k, stride)
+    // both rank chains and the query list share ONE materialized
+    // (vec_id, embedding) frame — r7's composition re-scanned the
+    // embeddings parquet 7× through the two faces' lineages
+    val base = Dedup.materialized(
+      embeddings.select(col("vec_id"), col("embedding")))
+    val truth = annBruteforce(base, k, stride)
       .select(col("q_id"), col("neighbor_id"))
-    val approx = annIvfSampled(embeddings, k, stride, nlist, nprobe)
+    val approx = annIvfSampled(base, k, stride, nlist, nprobe)
       .select(col("q_id"), col("neighbor_id"))
     val hits = approx.join(truth, Seq("q_id", "neighbor_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
-    querySet(embeddings, stride).select(col("q_id"))
+    querySet(base, stride).select(col("q_id"))
       .join(hits, Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("h"), lit(0L)).as("hits"),
         expr(s"10000L * coalesce(h, 0L) div $k").as("recall_bp"))
@@ -717,9 +723,14 @@ object Ann {
             m: Int = 4, kCode: Int = 16, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
-    val codebook = pqCodebook(embeddings, kCode)
-    val coded = pqCodes(embeddings, codebook, m, sub)
-    val luts = pqLut(querySet(embeddings, stride), codebook, m, sub)
+    // the (vec_id, embedding) frame is read by the codebook sample,
+    // the encode pass and the query set — materialize so the corpus
+    // parquet is scanned ONCE (the knnGraph discipline)
+    val base = Dedup.materialized(
+      embeddings.select(col("vec_id"), col("embedding")))
+    val codebook = pqCodebook(base, kCode)
+    val coded = pqCodes(base, codebook, m, sub)
+    val luts = pqLut(querySet(base, stride), codebook, m, sub)
     pqRank(coded.crossJoin(broadcast(luts)), m, k)
   }
 
@@ -738,21 +749,111 @@ object Ann {
                m: Int = 4, kCode: Int = 16, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
-    val cents = sampledCentroids(embeddings, nlist)
-    val assigned = sampledAssignments(embeddings, cents)
+    // r7's shape scanned the embeddings parquet 8× (centroid +
+    // codebook samples, assignment, encode, query set ×2): the
+    // (vec_id, embedding) frame and the stride query set are each
+    // materialized once and every derivation reads the cached blocks
+    // — the corpus parquet is scanned exactly once. (Production skips
+    // even that: [[annPqProbe]] reads the STORED codes/codebook/
+    // centroids and pays probes only.)
+    val base = Dedup.materialized(
+      embeddings.select(col("vec_id"), col("embedding")))
+    val qs = Dedup.materialized(querySet(base, stride))
+    val cents = sampledCentroids(base, nlist)
+    val assigned = sampledAssignments(base, cents)
       .select(col("vec_id"), col("list_id"))
-    val probes = querySet(embeddings, stride).crossJoin(broadcast(cents))
+    val probes = qs.crossJoin(broadcast(cents))
       .select(col("q_id"), col("list_id"), F.cosine(col("q_vec"), col("c_vec")).as("ccos"))
       .groupBy(col("q_id"))
       .agg(F.topk(col("ccos"), col("list_id"), nprobe).as("pl"))
       .select(col("q_id"), explode(col("pl.id")).as("list_id"))
-    val codebook = pqCodebook(embeddings, kCode)
-    val coded = pqCodes(embeddings, codebook, m, sub)
-    val luts = pqLut(querySet(embeddings, stride), codebook, m, sub)
+    val codebook = pqCodebook(base, kCode)
+    val coded = pqCodes(base, codebook, m, sub)
+    val luts = pqLut(qs, codebook, m, sub)
     // each vector lives in exactly one list, so (q_id, vec_id) pairs
     // stay unique after the probe join
     val qside = luts.join(probes, "q_id")
     pqRank(coded.join(assigned, "vec_id").join(broadcast(qside), "list_id"), m, k)
+  }
+
+  /** Write the IVFPQ index ONCE to `indexDir` — the stored face FAISS's
+    * IVFPQ is actually about: the corpus persists as `codes` (m small
+    * ints per vector + its inverted-list id, PARTITIONED BY list_id so
+    * probes prune at the parquet partition level), beside the
+    * `codebook` (one row of kCode codewords per subspace) and the
+    * coarse `centroids`. Build cost is one materialized corpus pass;
+    * after that NO query ever re-encodes the corpus ([[annPqProbe]]).
+    * Deterministic content (md5-sampled codebook/centroids, rounded
+    * subspace distances) — the probe face hash-matches the
+    * self-contained [[annIvfPq]] oracle. Ingest appends ride the IVF
+    * delta lifecycle: encode the batch against the FROZEN codebook +
+    * centroids (broadcast, row-local) and write a `delta-b<epoch>`
+    * codes dir — the [[ivfAppendStream]]/[[compactIvfDeltas]] contract
+    * applies unchanged to the codes table. */
+  def buildPqIndex(embeddings: DataFrame, indexDir: String,
+                   nlist: Int = 16, m: Int = 4, kCode: Int = 16,
+                   dim: Int = 64): Unit = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val base = Dedup.materialized(
+      embeddings.select(col("vec_id"), col("embedding")))
+    val cents = sampledCentroids(base, nlist)
+    val codebook = pqCodebook(base, kCode)
+    val assigned = sampledAssignments(base, cents)
+      .select(col("vec_id"), col("list_id"))
+    pqCodes(base, codebook, m, sub)
+      .join(assigned, "vec_id")
+      .select(col("vec_id"), col("codes"), col("list_id").cast("int").as("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$indexDir/codes")
+    codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    // centroids last: their _SUCCESS is the completed-build sentinel
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    base.unpersist()
+  }
+
+  /** Build-if-absent guard for [[buildPqIndex]] (centroids written
+    * last = completed-build sentinel, the [[ensureIvfIndex]] pattern). */
+  def ensurePqIndex(embeddings: DataFrame, indexDir: String,
+                    nlist: Int = 16, m: Int = 4, kCode: Int = 16,
+                    dim: Int = 64): String =
+    StoredArtifacts.ensureBuilt(indexDir, "centroids")(
+      buildPqIndex(embeddings, indexDir, nlist, m, kCode, dim))
+
+  /** Content-keyed default location for a corpus's stored IVFPQ index. */
+  def defaultPqIndexDir(embeddings: DataFrame, sfKey: String,
+                        nlist: Int = 16, m: Int = 4, kCode: Int = 16): String =
+    StoredArtifacts.contentKeyedDir("graft-pq-index", embeddings, sfKey,
+      s"-l$nlist-m$m-k$kCode")
+
+  /** The PROBE face of [[annIvfPq]] over the STORED index: queries rank
+    * the broadcast centroids for their `nprobe` lists, build their ADC
+    * lookup tables against the broadcast stored codebook, and score
+    * ONLY the probed lists' stored codes — zero full-corpus encode
+    * scans; the corpus's floats are never touched (that is PQ's whole
+    * memory story: the scan reads m small ints per candidate).
+    * Bit-identical to the self-contained face (deterministic index
+    * content), gated by the same oracle. */
+  def annPqProbe(embeddings: DataFrame, indexDir: String,
+                 k: Int = 5, stride: Int = 50, nprobe: Int = 4,
+                 m: Int = 4, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val spark = embeddings.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    // the query set is the only embeddings read (2 columns, pruned);
+    // materialized because probes and LUTs both consume it
+    val qs = Dedup.materialized(querySet(embeddings, stride))
+    val probes = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("list_id"), F.cosine(col("q_vec"), col("c_vec")).as("ccos"))
+      .groupBy(col("q_id"))
+      .agg(F.topk(col("ccos"), col("list_id"), nprobe).as("pl"))
+      .select(col("q_id"), explode(col("pl.id")).as("lid"))
+      .select(col("q_id"), col("lid").cast("int").as("list_id"))
+    val luts = pqLut(qs, codebook, m, sub)
+    val qside = luts.join(probes, "q_id")
+    pqRank(codes.join(broadcast(qside), "list_id"), m, k)
   }
 
   /** Corpus diversity probe: mean/min/max pairwise cosine over a

@@ -513,13 +513,21 @@ object Relational {
     * Two shuffles total (first-event per user; cell distinct+count);
     * the cohort-size table is weeks-sized and broadcasts. */
   def q25Cohort(events: DataFrame): DataFrame = {
-    val first = events.groupBy(col("user_id"))
-      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    // ONE events scan (r7's shape re-scanned events three times): the
+    // corpus reduces to the distinct (user, week) grid up front, and
+    // cohort weeks, cohort sizes and week offsets all derive from that
+    // materialized users×weeks frame — the q53/q59 single-scan
+    // discipline. Each distinct week maps to a distinct offset within
+    // its user (weeks differ by whole 7-day steps), so counting grid
+    // rows per (cohort_week, offset) IS the distinct-user count.
+    val weeks = Dedup.materialized(events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct())
+    val first = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
     val sizes = first.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
-    events.join(first, "user_id")
-      .select(col("user_id"), col("cohort_week"),
-        expr("datediff(date_trunc('week', ts), cohort_week) div 7").as("week_offset"))
-      .distinct()
+    weeks.join(first, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(week, cohort_week) div 7").as("week_offset"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
       .join(broadcast(sizes), "cohort_week")
