@@ -200,22 +200,29 @@ object Ann {
                   k: Int = 5, stride: Int = 50, nprobe: Int = 4): DataFrame =
     ivfProbeQueries(querySet(embeddings, stride), indexDir, k, nprobe)
 
-  /** The stored inverted lists PLUS every ingested delta epoch
-    * ([[ivfAppendStream]] writes `delta-b<epoch>` dirs): each input
-    * is list_id-partitioned, so probes prune partitions in every
-    * union branch. */
-  private def ivfLists(spark: org.apache.spark.sql.SparkSession,
-                       indexDir: String): DataFrame = {
+  /** A stored index table PLUS every ingested delta epoch
+    * ([[ivfAppendStream]]/[[pqAppendStream]] write `delta-b<epoch>`
+    * dirs): each input is list_id-partitioned, so probes prune
+    * partitions in every union branch. An index dir holds ONE
+    * appendable table (IVF: `lists`; PQ: `codes`), so the delta dirs
+    * are unambiguous. */
+  private def storedWithDeltas(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String, table: String): DataFrame = {
     val deltas = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
       // _SUCCESS = completed-write sentinel: a torn delta (crash
       // mid-write) is invisible until its epoch replays and rewrites it
       .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
         new java.io.File(f, "_SUCCESS").exists)
       .sortBy(_.getName)
-    deltas.foldLeft(spark.read.parquet(s"$indexDir/lists")) { (acc, d) =>
+    deltas.foldLeft(spark.read.parquet(s"$indexDir/$table")) { (acc, d) =>
       acc.unionByName(spark.read.parquet(d.getPath))
     }
   }
+
+  /** The stored inverted lists with their delta epochs. */
+  private def ivfLists(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): DataFrame =
+    storedWithDeltas(spark, indexDir, "lists")
 
   /** Ingest-time INDEX MAINTENANCE — the append half of the stored
     * IVF lifecycle (build once → probe forever → APPEND per ingest
@@ -786,10 +793,10 @@ object Ann {
     * Deterministic content (md5-sampled codebook/centroids, rounded
     * subspace distances) — the probe face hash-matches the
     * self-contained [[annIvfPq]] oracle. Ingest appends ride the IVF
-    * delta lifecycle: encode the batch against the FROZEN codebook +
-    * centroids (broadcast, row-local) and write a `delta-b<epoch>`
-    * codes dir — the [[ivfAppendStream]]/[[compactIvfDeltas]] contract
-    * applies unchanged to the codes table. */
+    * delta lifecycle via [[pqAppendStream]] (encode against the FROZEN
+    * codebook + centroids, write a `delta-b<epoch>` codes dir);
+    * [[annPqProbe]] reads base + deltas and
+    * [[compactIvfDeltas]](…, table = "codes") folds them back. */
   def buildPqIndex(embeddings: DataFrame, indexDir: String,
                    nlist: Int = 16, m: Int = 4, kCode: Int = 16,
                    dim: Int = 64): Unit = {
@@ -819,11 +826,43 @@ object Ann {
     StoredArtifacts.ensureBuilt(indexDir, "centroids")(
       buildPqIndex(embeddings, indexDir, nlist, m, kCode, dim))
 
-  /** Content-keyed default location for a corpus's stored IVFPQ index. */
+  /** Content-keyed default location for a corpus's stored IVFPQ index.
+    * `dim` is part of the key: it sets the subspace width, so the same
+    * corpus encoded at a different dim is DIFFERENT stored content and
+    * must not reuse the other dim's directory. */
   def defaultPqIndexDir(embeddings: DataFrame, sfKey: String,
-                        nlist: Int = 16, m: Int = 4, kCode: Int = 16): String =
+                        nlist: Int = 16, m: Int = 4, kCode: Int = 16,
+                        dim: Int = 64): String =
     StoredArtifacts.contentKeyedDir("graft-pq-index", embeddings, sfKey,
-      s"-l$nlist-m$m-k$kCode")
+      s"-l$nlist-m$m-k$kCode-d$dim")
+
+  /** Ingest-time maintenance for the stored IVFPQ index — the PQ
+    * analog of [[ivfAppendStream]]: each micro-batch encodes against
+    * the FROZEN stored codebook and assigns to the FROZEN stored
+    * centroids (both broadcast; row-local work), then writes a
+    * `delta-b<epoch>` codes dir, list_id-partitioned like the base
+    * codes table. [[annPqProbe]] reads base + deltas, so appended
+    * vectors are searchable from the next batch on;
+    * [[compactIvfDeltas]](…, table = "codes") folds the epochs back
+    * into the base. Replay-idempotent and single-owner per indexDir —
+    * the [[ivfAppendStream]] contract verbatim. */
+  def pqAppendStream(vecs: DataFrame, indexDir: String,
+                     m: Int = 4, dim: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val cents = spark.read.parquet(s"$indexDir/centroids")
+      val codebook = spark.read.parquet(s"$indexDir/codebook")
+      pqCodes(batch, codebook, m, sub)
+        .join(sampledAssignments(batch, cents)
+          .select(col("vec_id"), col("list_id")), "vec_id")
+        .select(col("vec_id"), col("codes"), col("list_id").cast("int").as("list_id"))
+        .write.partitionBy("list_id").mode("overwrite")
+        .parquet(s"$indexDir/delta-b$batchId")
+    }
+  }
 
   /** The PROBE face of [[annIvfPq]] over the STORED index: queries rank
     * the broadcast centroids for their `nprobe` lists, build their ADC
@@ -841,7 +880,10 @@ object Ann {
     val spark = embeddings.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val codebook = spark.read.parquet(s"$indexDir/codebook")
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    // base codes PLUS un-compacted delta epochs ([[pqAppendStream]]):
+    // appended vectors are searchable before compaction runs, the
+    // same read contract as the IVF lists probe
+    val codes = storedWithDeltas(spark, indexDir, "codes")
     // the query set is the only embeddings read (2 columns, pruned);
     // materialized because probes and LUTs both consume it
     val qs = Dedup.materialized(querySet(embeddings, stride))
