@@ -324,6 +324,14 @@ object SparkEntry {
     "scale_keyed_sample" -> ((s, d) => ScaleOps.sampleKeyed(Tables.events(s, d))),
     "scale_hll_sliding" -> ((s, d) => ScaleOps.hllSliding(Tables.events(s, d))),
     "scale_k_anonymity" -> ((s, d) => ScaleOps.kAnonymity(Tables.customer(s, d))),
+    // threshold 80 sits below this dataset's hottest user at every SF
+    // (max 86–99 events/user), so the verdict exercises the salt path
+    "scale_window_preflight" -> ((s, d) =>
+      ScaleOps.windowPreflight(Tables.events(s, d), "user_id", hotThreshold = 80L)),
+    "scale_sessions_salted" -> ((s, d) =>
+      ScaleOps.sessionsSalted(Tables.events(s, d))),
+    "scale_asof_salted" -> ((s, d) =>
+      ScaleOps.asofSalted(Tables.events(s, d), Tables.orders(s, d))),
     "pipeline_leakage_safe_split" -> ((s, d) =>
       Dedup.leakageSafeSplit(Tables.documents(s, d))),
     "q64_hierarchy_rollup" -> ((s, d) =>
@@ -895,6 +903,11 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // gates against the same oracle
     .updated("ann_ivf_probe", oracleSqlBase("ann_ivf_sampled"))
     .updated("ann_pq_probe", oracleSqlBase("ann_ivf_pq"))
+    // the salted two-phase operators are hot-key re-plans of their
+    // single-window originals — identical output, gated by the SAME
+    // oracle (the strongest possible equivalence evidence)
+    .updated("scale_sessions_salted", oracleSqlBase("q32_sessions"))
+    .updated("scale_asof_salted", oracleSqlBase("q63_asof_join"))
     .updated("tokenizer_apply_stored", oracleSqlBase("tokenizer_apply"))
     // identical result by construction: the stored lexical index holds
     // exactly the tables the self-contained face derives in-query
@@ -1860,6 +1873,26 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |       WHEN hot_key_rows * 5 > join_rows THEN 'salt'
         |       ELSE 'shuffle' END AS advice
         |FROM g""".stripMargin,
+    "scale_window_preflight" ->
+      // keyed-window serialization pre-flight: exact per-key counts,
+      // hottest key (smallest id on ties), salt/window verdict at
+      // threshold 80 (below this dataset's hottest user at every SF)
+      """WITH c AS (
+        |  SELECT CAST(user_id AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(cnt) AS BIGINT) AS max_key_rows,
+        |    CAST(sum(CASE WHEN cnt >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys
+        |  FROM c
+        |)
+        |SELECT n_rows, n_keys, max_key_rows,
+        |  (SELECT key FROM c ORDER BY cnt DESC, key ASC LIMIT 1) AS hot_key,
+        |  hot_keys,
+        |  CAST((10000 * max_key_rows) // n_rows AS BIGINT) AS hot_share_bp,
+        |  CASE WHEN max_key_rows >= 80 THEN 'salt' ELSE 'window' END AS advice
+        |FROM a""".stripMargin,
     "pipeline_feature_matrix" ->
       // PIT training snapshot: features strictly <= T (SCD2 state,
       // trailing-7d count, LTV cents), label strictly > T (acted

@@ -1020,4 +1020,144 @@ object ScaleOps {
       .drop("at_risk_rows", "total_rows")
       .orderBy(col("nationkey"), col("mktsegment"), col("acctbal_band"))
   }
+
+  /** WINDOW PRE-FLIGHT — the keyed-window sibling of [[joinPreflight]]:
+    * exact per-key row counts decide BEFORE a keyed-window job
+    * (sessionization, as-of, per-key batching) whether a hot key would
+    * serialize a stage. Every `Window.partitionBy(key)` operator sorts
+    * each key's rows in ONE task; a pathologically hot key (a bot
+    * account, a null-ish default id) turns that task into the job's
+    * wall clock. One map-side-combinable count per key and a one-row
+    * rollup report: total rows, key count, the hottest key and its row
+    * count, its output share in basis points, how many keys exceed the
+    * threshold, and the verdict — `salt` (route to the two-phase
+    * salted operators, [[sessionsSalted]]/[[asofSalted]]) when any key
+    * crosses `hotThreshold`, else `window`. Exact integers only. */
+  def windowPreflight(df: DataFrame, keyCol: String,
+                      hotThreshold: Long = 1000000L): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_key_rows"),
+        // hottest key, smallest id on ties: lexicographic struct max
+        // over (cnt, -key)
+        max(struct(col("cnt"), (-col("key")).as("nk"))).as("hot"),
+        sum(when(col("cnt") >= hotThreshold, 1L).otherwise(0L)).as("hot_keys"))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        (-col("hot.nk")).as("hot_key"), col("hot_keys"),
+        expr("(10000 * max_key_rows) div n_rows").as("hot_share_bp"),
+        when(col("max_key_rows") >= hotThreshold, "salt")
+          .otherwise("window").as("advice"))
+  }
+
+  /** SALTED TWO-PHASE SESSIONIZATION — the hot-key mitigation for
+    * q32_sessions' single `Window.partitionBy(user_id)`: identical
+    * output (same oracle), but no task ever sorts more than one
+    * (key, time-bucket) slice. Phase 1 windows on (user_id, bucket) —
+    * the salt is the event's own time bucket, so a hot key's rows
+    * spread across as many tasks as buckets it spans — and collapses
+    * each bucket-local gaps-and-islands run to one row per LOCAL
+    * session. Phase 2 re-windows on user_id alone, but at SESSION
+    * grain: a bucket-boundary session pair glues when the gap between
+    * them is within `gapMinutes`, via the same gaps-and-islands idiom
+    * over (start_us, end_us) — a key with N events but S sessions
+    * costs the phase-2 task O(S + buckets), not O(N).
+    *
+    * Correctness is structural, not approximate: local sessions within
+    * a bucket are separated by > gap (so phase 2 never re-merges
+    * them), buckets partition the time axis (so cross-bucket session
+    * ordering by start_us is total and phase 2's lag sees exactly the
+    * chronologically previous local session), and the running-sum
+    * numbering reproduces q32's session_seq. `bucketMinutes` is the
+    * salt width knob: smaller = more parallelism, more phase-2 rows. */
+  def sessionsSalted(events: DataFrame, gapMinutes: Int = 30,
+                     bucketMinutes: Int = 1440): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val bucketUs = bucketMinutes * 60L * 1000000L
+    val byUB = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("ts"), col("event_id"))
+    val local = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("bkt", expr(s"us div $bucketUs"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUB))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("ls", sum(col("new_s")).over(byUB))
+      .groupBy(col("user_id"), col("bkt"), col("ls"))
+      .agg(count(lit(1)).as("n"), min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val byU = Window.partitionBy(col("user_id")).orderBy(col("s_us"))
+    local
+      .withColumn("prev_e", lag(col("e_us"), 1).over(byU))
+      .withColumn("new_g",
+        when(col("prev_e").isNull || col("s_us") - col("prev_e") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_g")).over(byU))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sum(col("n")).as("n_events"),
+        min(col("s_us")).as("start_us"), max(col("e_us")).as("end_us"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_us"), col("end_us"),
+        expr("(end_us - start_us) div 1000000").as("duration_sec"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** SALTED TWO-PHASE AS-OF JOIN — the hot-key mitigation for
+    * q63_asof_join's union-window (identical output, same oracle).
+    * Phase 1 runs the running struct-max on (key, time-bucket) — a hot
+    * key's window work spreads across its buckets. Phase 2 computes
+    * each bucket's LAST event struct (one row per (key, bucket) —
+    * map-side combinable) and prefix-maxes it across buckets at bucket
+    * grain, giving every bucket its carry-in: the latest event of all
+    * earlier buckets. The carry joins back on (key, bucket) — the
+    * exchange phase 1 already created, bucket-grain-sized — and each
+    * probe resolves `greatest(local running max, carry-in)` row-
+    * locally. Struct max is associative, so the split running max
+    * equals q63's single-window max exactly. */
+  def asofSalted(events: DataFrame, orders: DataFrame,
+                 bucketMinutes: Int = 1440): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketUs = bucketMinutes * 60L * 1000000L
+    val e = events.select(col("user_id").as("k"),
+      unix_micros(col("ts")).as("us"), lit(0L).as("is_probe"),
+      col("event_id"), col("event_type"), lit(null).cast("long").as("o_orderkey"))
+    val p = orders.select(col("o_custkey").as("k"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("us"), lit(1L).as("is_probe"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("string").as("event_type"), col("o_orderkey"))
+    // both phases consume the tagged union (phase-1 window + the
+    // bucket-grain carry aggregate): materialize so events/orders
+    // parquet scan ONCE (the annIvfPq multi-consumer discipline;
+    // cache lifecycle is caller-owned, see Dedup.materialized)
+    val u = Dedup.materialized(
+      e.unionByName(p).withColumn("bkt", expr(s"us div $bucketUs")))
+    val byKB = Window.partitionBy(col("k"), col("bkt"))
+      .orderBy(col("us"), col("is_probe"), coalesce(col("event_id"), col("o_orderkey")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val evStruct = when(col("is_probe") === 0L,
+      struct(col("us").as("e_us"), col("event_id").as("e_id"),
+        col("event_type").as("e_type")))
+    val local = u.withColumn("local_last", max(evStruct).over(byKB))
+    // bucket-grain carry: each (k, bkt)'s latest event, prefix-maxed
+    // over all EARLIER buckets of the key
+    val byKPrev = Window.partitionBy(col("k")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = u.groupBy(col("k"), col("bkt"))
+      .agg(max(evStruct).as("b_last"))
+      .withColumn("carry_in", max(col("b_last")).over(byKPrev))
+      .select(col("k"), col("bkt"), col("carry_in"))
+    local.join(carry, Seq("k", "bkt"))
+      .withColumn("last_ev", greatest(col("local_last"), col("carry_in")))
+      .filter(col("is_probe") === 1L)
+      .select(col("o_orderkey"), col("k").as("o_custkey"),
+        col("us").as("order_us"),
+        col("last_ev.e_id").as("last_event_id"),
+        col("last_ev.e_type").as("last_event_type"),
+        (col("us") - col("last_ev.e_us")).as("staleness_us"))
+      .orderBy(col("o_orderkey"))
+  }
 }
