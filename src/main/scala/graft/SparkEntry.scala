@@ -199,6 +199,8 @@ object SparkEntry {
     "text_unigram_lp" -> ((s, d) => TextOps.textUnigramLp(Tables.documents(s, d))),
     "text_bigram_lp" -> ((s, d) => TextOps.textBigramLp(Tables.documents(s, d))),
     "tokenizer_bpe" -> ((s, d) => TextOps.tokenizerBpe(Tables.documents(s, d))),
+    "tokenizer_bpe_batched" -> ((s, d) =>
+      TextOps.tokenizerBpeBatched(Tables.documents(s, d))),
     "tokenizer_apply" -> ((s, d) => TextOps.tokenizerApply(Tables.documents(s, d))),
     "tokenizer_apply_stored" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -847,6 +849,97 @@ SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
 FROM dw JOIN w$merges w USING (word)
 GROUP BY dw.doc_id ORDER BY dw.doc_id"""
 
+  /** Oracle for tokenizer_bpe_batched: replicates the batch-B
+    * disjoint-greedy selection EXACTLY — per static round, rank the
+    * snapshot's pairs (count desc, pair asc) into a `pool`-row
+    * candidate table, then an unrolled greedy chain (sb/ub CTEs) keeps
+    * up to `want` candidates whose {lhs, rhs, merged} symbol sets
+    * avoid everything already kept; the rewrite CTEs are the
+    * sequential oracle's, generalized from one pair to the selected
+    * set (candidate positions via EXISTS; the chain/alternation trick
+    * is unchanged because disjoint rules cannot produce adjacent
+    * candidate positions except equal-symbol runs). vocab_size is
+    * round-grain by contract. */
+  private def bpeBatchedOracleSql(merges: Int, batchB: Int, pool: Int): String = {
+    val rounds = (merges + batchB - 1) / batchB
+    def round(n: Int): String = {
+      val p = if (n == 1) "w0" else s"wb${n - 1}"
+      val want = math.min(batchB, merges - (n - 1) * batchB)
+      val selection = (1 to want).map { j =>
+        val guard = if (j == 1) ""
+          else s"""
+  WHERE l NOT IN (SELECT s FROM ub${n}_${j - 1})
+    AND r NOT IN (SELECT s FROM ub${n}_${j - 1})
+    AND l || r NOT IN (SELECT s FROM ub${n}_${j - 1})"""
+        val used = if (j == 1)
+          s"SELECT l AS s FROM sb${n}_1 UNION SELECT r FROM sb${n}_1 UNION SELECT l || r FROM sb${n}_1"
+        else
+          s"SELECT s FROM ub${n}_${j - 1} UNION SELECT l FROM sb${n}_$j UNION SELECT r FROM sb${n}_$j UNION SELECT l || r FROM sb${n}_$j"
+        s"""
+sb${n}_$j AS MATERIALIZED (
+  SELECT l, r, c, $j AS sj FROM tb$n$guard
+  ORDER BY c DESC, l ASC, r ASC LIMIT 1
+),
+ub${n}_$j AS MATERIALIZED ($used)"""
+      }.mkString(",")
+      val selUnion = (1 to want).map(j => s"SELECT * FROM sb${n}_$j").mkString(" UNION ALL ")
+      s"""
+pb$n AS MATERIALIZED (
+  SELECT syms[k] AS l, syms[k+1] AS r, sum(cnt) AS c
+  FROM $p, LATERAL unnest(range(1, len(syms))) AS u(k)
+  GROUP BY 1, 2
+),
+tb$n AS MATERIALIZED (SELECT l, r, c FROM pb$n ORDER BY c DESC, l ASC, r ASC LIMIT $pool),$selection,
+selb$n AS MATERIALIZED ($selUnion),
+cb$n AS MATERIALIZED (
+  SELECT word, k, k - row_number() OVER (PARTITION BY word ORDER BY k) AS chain
+  FROM (
+    SELECT w.word, u.k
+    FROM $p w, LATERAL unnest(range(1, len(w.syms))) AS u(k)
+    WHERE EXISTS (SELECT 1 FROM selb$n s
+                  WHERE s.l = w.syms[u.k] AND s.r = w.syms[u.k+1])
+  )
+),
+gb$n AS MATERIALIZED (
+  SELECT word, k FROM (
+    SELECT word, k, k - min(k) OVER (PARTITION BY word, chain) AS off FROM cb$n
+  ) WHERE off % 2 = 0
+),
+wb$n AS MATERIALIZED (
+  SELECT word, cnt, list(CASE WHEN gk IS NOT NULL THEN s || s2 ELSE s END ORDER BY k) AS syms
+  FROM (
+    SELECT e.word, e.cnt, e.k, e.s, e.s2, g.k AS gk
+    FROM (
+      SELECT w.word, w.cnt, u.k, w.syms[u.k] AS s, w.syms[u.k+1] AS s2
+      FROM $p w, LATERAL unnest(range(1, len(w.syms)+1)) AS u(k)
+    ) e
+    LEFT JOIN gb$n g ON g.word = e.word AND g.k = e.k
+    LEFT JOIN gb$n g2 ON g2.word = e.word AND g2.k = e.k - 1
+    WHERE g2.k IS NULL
+  ) GROUP BY word, cnt
+),
+vb$n AS MATERIALIZED (SELECT count(DISTINCT s) AS vs FROM wb$n, LATERAL unnest(syms) AS t(s)),
+mb$n AS MATERIALIZED (
+  SELECT $n AS rnd, sj, l AS lhs, r AS rhs, l || r AS merged,
+    CAST(c AS BIGINT) AS pair_count,
+    CAST((SELECT vs FROM vb$n) AS BIGINT) AS vocab_size
+  FROM selb$n
+)"""
+    }
+    """WITH w0 AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+      |    list_transform(range(1, length(word)+1), i -> word[i:i]) AS syms
+      |  FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS word FROM documents)
+      |  GROUP BY word
+      |),""".stripMargin +
+      (1 to rounds).map(round).mkString(",") +
+      "\nSELECT CAST(row_number() OVER (ORDER BY rnd, sj) AS BIGINT) AS merge_idx," +
+      "\n  lhs, rhs, merged, pair_count, CAST(rnd AS BIGINT) AS merge_round, vocab_size" +
+      "\nFROM (" +
+      (1 to rounds).map(n => s"SELECT * FROM mb$n").mkString(" UNION ALL ") +
+      ")\nORDER BY merge_idx"
+  }
+
   private def bpeCtes(merges: Int): String = {
     def round(i: Int): String = {
       val p = s"w${i - 1}"
@@ -1027,6 +1120,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "tokenizer_bpe" -> bpeOracleSql(8),
+    "tokenizer_bpe_batched" -> bpeBatchedOracleSql(8, 4, 128),
     "tokenizer_apply" -> bpeApplyOracleSql(8),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

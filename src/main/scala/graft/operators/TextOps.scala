@@ -592,13 +592,7 @@ object TextOps {
     var i = 1
     var exhausted = false
     while (i <= merges && !exhausted) {
-      val best = w
-        .select(col("cnt"), explode(expr(
-          "CASE WHEN size(syms) < 2 THEN array() ELSE " +
-            "transform(sequence(1, size(syms) - 1), " +
-            "k -> struct(element_at(syms, k) AS l, element_at(syms, k + 1) AS r)) END")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("c"))
+      val best = bpePairCounts(w)
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
@@ -624,6 +618,109 @@ object TextOps {
       }
     }
     (w, out.toSeq)
+  }
+
+  /** The adjacent-pair count table of a word/symbol frame — shared by
+    * the sequential and batched BPE trainers. */
+  private def bpePairCounts(w: DataFrame): DataFrame =
+    w.select(col("cnt"), explode(expr(
+        "CASE WHEN size(syms) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(syms) - 1), " +
+          "k -> struct(element_at(syms, k) AS l, element_at(syms, k + 1) AS r)) END")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+
+  /** BATCH-B BPE TRAINING — the round-count fix for [[tokenizerBpe]]'s
+    * one-merge-per-round structure (a production 32k-merge vocabulary
+    * under single-pair rounds is 32k sequential driver-coordinated
+    * jobs; with B=256 it is ~128). Each of the STATIC ceil(merges/B)
+    * rounds ranks the snapshot's pairs once ((count desc, pair asc),
+    * pool capped at `pool` rows — one bounded collect), greedily keeps
+    * up to B candidates whose symbol sets {lhs, rhs, merged} are
+    * MUTUALLY DISJOINT, and applies all of them in ONE rewrite pass.
+    *
+    * Disjointness is what makes the batch well-defined and every
+    * reported pair_count exact: a merge neither creates nor destroys
+    * adjacencies of symbols it doesn't touch, so each selected pair's
+    * snapshot count equals its count at apply time, the simultaneous
+    * greedy fold equals applying the B merges one at a time (at most
+    * one rule can fire per position), and candidate chains still only
+    * arise from equal-symbol runs. DOCUMENTED DIVERGENCE from the
+    * sequential policy: within a round, a chained pair (one consuming
+    * an earlier merge's output, e.g. (th,e) after (t,h)) or a
+    * non-disjoint snapshot pair can out-rank the next disjoint
+    * candidate in the sequential trainer — batching defers it to the
+    * next round's snapshot. That is the standard batched-BPE trade;
+    * the selection policy itself is deterministic and the query is
+    * gated by its own oracle replicating it exactly. vocab_size is
+    * reported at ROUND grain (the in-use symbol count after the
+    * round's batch — one distinct-count per round, not per merge).
+    *
+    * Scale shape: corpus touched once (the word-count agg); each round
+    * is a pair-count agg + one bounded pool collect + one rewrite of
+    * the vocab-sized word table with one-deep lineage. Round count —
+    * the 100 TB bottleneck — drops B-fold. */
+  def tokenizerBpeBatched(documents: DataFrame, merges: Int = 8,
+                          batchB: Int = 4, pool: Int = 128): DataFrame = {
+    val spark = documents.sparkSession
+    val words0 = documents
+      .select(explode(split(trim(lower(col("text"))), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    var w = words0.persist()
+    w.count()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, String, String, Long, Long)]
+    val rounds = (merges + batchB - 1) / batchB
+    for (n <- 1 to rounds) {
+      val want = math.min(batchB, merges - (n - 1) * batchB)
+      val cands = bpePairCounts(w)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(pool).collect()
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      for (row <- cands if sel.size < want) {
+        val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        if (!used(l) && !used(r) && !used(l + r)) {
+          sel += ((l, r, c)); used ++= Seq(l, r, l + r)
+        }
+      }
+      if (sel.nonEmpty) {
+        // one simultaneous greedy fold for the whole batch: at most
+        // one rule can match any position (disjoint symbol sets), so
+        // rule order is immaterial and the fold equals B single-rule
+        // passes. lit() columns, never SQL interpolation.
+        val w2 = w.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) => {
+            val repl = sel.foldLeft(lit(null).cast("string")) {
+              case (els, (l, r, _)) =>
+                when(element_at(acc, -1) === lit(l) && x === lit(r),
+                  lit(l + r)).otherwise(els)
+            }
+            when(size(acc) > 0 && repl.isNotNull,
+              concat(slice(acc, lit(1), size(acc) - 1), array(repl)))
+              .otherwise(concat(acc, array(x)))
+          }))
+          .persist()
+        val vocab = w2.select(explode(col("syms")).as("s"))
+          .agg(countDistinct(col("s"))).head().getLong(0)
+        w.unpersist()
+        w = w2
+        sel.zipWithIndex.foreach { case ((l, r, c), j) =>
+          out += ((n, j + 1, l, r, l + r, c, vocab))
+        }
+      }
+    }
+    w.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("round_i", "sel_j", "lhs", "rhs", "merged", "pair_count", "vocab_size")
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("round_i"), col("sel_j"))).cast("long").as("merge_idx"),
+        col("lhs"), col("rhs"), col("merged"), col("pair_count"),
+        col("round_i").cast("long").as("merge_round"), col("vocab_size"))
+      .orderBy(col("merge_idx"))
   }
 
   /** Sequence packing: greedily packs documents into training
