@@ -142,14 +142,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 2, "one scan per side")
   }
 
-  test("integrity audit anti-joins never degenerate to cartesian") {
+  test("integrity audit folds all five checks onto one scan per table") {
     val p = plan(graft.operators.ScaleOps.integrityAudit(
       Tables.orders(spark, TestSpark.sf), Tables.lineitem(spark, TestSpark.sf),
       Tables.customer(spark, TestSpark.sf)))
-    assert(p.contains("LeftAnti"), "FK checks must compile to anti joins")
+    assert("Scan parquet".r.findAllIn(p).size == 3,
+      s"one scan per table (orders/lineitem/customer):\n$p")
+    assert(p.contains("FullOuter"),
+      "the orderkey-grain presence join classifies every row")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"anti joins must stay key-based:\n$p")
+      s"joins must stay key-based:\n$p")
   }
 }
 
