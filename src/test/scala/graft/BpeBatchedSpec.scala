@@ -35,6 +35,12 @@ class BpeBatchedSpec extends AnyFunSuite {
     val rounds = batched.select("merge_round").distinct().collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(rounds == Seq(1L, 2L), s"ceil(8/4) = 2 driver rounds, got $rounds")
+    // B = merges -> ONE round, still the sequential merge set
+    val oneRound = graft.operators.TextOps
+      .tokenizerBpeBatched(docs, merges = 8, batchB = 8)
+    assert(oneRound.select("merge_round").distinct().count() == 1)
+    assert(oneRound.select("merge_idx", "lhs", "rhs", "merged", "pair_count")
+      .collect().toSeq.map(_.toString) == seqRows)
   }
 
   test("real corpus: in-round selections are symbol-disjoint, counts exact, vocab round-grain") {
