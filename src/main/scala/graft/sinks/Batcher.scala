@@ -73,4 +73,98 @@ object Batcher {
       }
     }(encoder)
   }
+
+  /** HOT-KEY-SALTED batch assembly — the sink-side analog of
+    * `ScaleOps.sessionsSalted` for when `scale_window_preflight` flags
+    * a sink key too hot for [[assignBatches]]' single ordered pass:
+    * phase 1 runs the greedy trigger independently per (key,
+    * `bucketCol`) slice — a hot key's records spread across as many
+    * tasks as buckets it spans — and phase 2 re-runs the SAME
+    * crossing-closes trigger at LOCAL-BATCH grain per key (rows =
+    * batches + buckets, not records), gluing bucket-boundary partial
+    * batches. A local batch that already crossed its budget closes
+    * alone in phase 2, so away from bucket boundaries the result
+    * converges to the unsalted policy, and with one bucket per key it
+    * EQUALS it (spec-pinned). Budget semantics at batch grain: a
+    * merged batch closes when it crosses, so overshoot is bounded by
+    * one LOCAL batch instead of one record — the documented trade for
+    * never serializing a key.
+    *
+    * Output = input columns + batch_id (final per-key id, numbered in
+    * (bucket, local batch) order). */
+  def assignBatchesSalted(df: DataFrame, keyCol: String, orderCol: String,
+                          sizeCol: String, bucketCol: String,
+                          maxCount: Long, maxBytes: Long = Long.MaxValue): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("batch_id", LongType, nullable = false))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val bktIdx = df.schema.fieldIndex(bucketCol)
+    val sizeIdx = df.schema.fieldIndex(sizeCol)
+    val encoder = RowEncoder.encoderFor(outSchema)
+    // phase 1: the record-grain trigger, salted on (key, bucket)
+    val localSchema = StructType(df.schema.fields :+ StructField("local_batch", LongType, nullable = false))
+    val local = df
+      .repartition(col(keyCol), col(bucketCol))
+      .sortWithinPartitions(col(keyCol), col(bucketCol), col(orderCol))
+      .mapPartitions { it =>
+        var curKey: (Any, Any) = null
+        var first = true
+        var count = 0L
+        var bytes = 0L
+        var batchId = 0L
+        it.map { row =>
+          val k = (row.get(keyIdx), row.get(bktIdx))
+          if (first || k != curKey) { curKey = k; first = false; count = 0; bytes = 0; batchId = 0 }
+          val sz = row.get(sizeIdx) match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case other => other.toString.toLong
+          }
+          count += 1
+          bytes += sz
+          val cur = batchId
+          if (count >= maxCount || bytes >= maxBytes) { batchId += 1; count = 0; bytes = 0 }
+          Row.fromSeq(row.toSeq :+ cur)
+        }
+      }(RowEncoder.encoderFor(localSchema))
+    // phase 2: the SAME trigger at local-batch grain — per key, scan
+    // batches in (bucket, local) order accumulating their record
+    // counts and bytes; rows here = batches + buckets per key
+    val grain = local.groupBy(col(keyCol), col(bucketCol), col("local_batch"))
+      .agg(count(lit(1)).as("b_count"), sum(col(sizeCol).cast("long")).as("b_bytes"))
+    val mapSchema = StructType(Seq(
+      grain.schema(keyCol), grain.schema(bucketCol), grain.schema("local_batch"),
+      StructField("batch_id", LongType, nullable = false)))
+    val gk = grain.schema.fieldIndex(keyCol)
+    val gb = grain.schema.fieldIndex(bucketCol)
+    val gl = grain.schema.fieldIndex("local_batch")
+    val gc = grain.schema.fieldIndex("b_count")
+    val gz = grain.schema.fieldIndex("b_bytes")
+    val mapping = grain
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(bucketCol), col("local_batch"))
+      .mapPartitions { it =>
+        var curKey: Any = null
+        var first = true
+        var count = 0L
+        var bytes = 0L
+        var batchId = 0L
+        it.map { row =>
+          val k = row.get(gk)
+          if (first || k != curKey) { curKey = k; first = false; count = 0; bytes = 0; batchId = 0 }
+          count += row.getLong(gc)
+          bytes += row.getLong(gz)
+          val cur = batchId
+          if (count >= maxCount || bytes >= maxBytes) { batchId += 1; count = 0; bytes = 0 }
+          Row.fromSeq(Seq(row.get(gk), row.get(gb), row.get(gl), cur))
+        }
+      }(RowEncoder.encoderFor(mapSchema))
+    // phase 3: records pick up their final id on the (key, bucket,
+    // local_batch) equi-join — batch-grain build side
+    local.join(mapping.withColumnRenamed(keyCol, "__mk")
+        .withColumnRenamed(bucketCol, "__mb")
+        .withColumnRenamed("local_batch", "__ml"),
+        col(keyCol) === col("__mk") && col(bucketCol) === col("__mb") &&
+          col("local_batch") === col("__ml"))
+      .select(df.columns.map(col) :+ col("batch_id"): _*)
+  }
 }
