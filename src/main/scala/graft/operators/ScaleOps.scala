@@ -1055,7 +1055,10 @@ object ScaleOps {
     * count, its output share in basis points, how many keys exceed the
     * threshold, and the verdict — `salt` (route to the two-phase
     * salted operators, [[sessionsSalted]]/[[asofSalted]]) when any key
-    * crosses `hotThreshold`, else `window`. Exact integers only. */
+    * crosses `hotThreshold`, else `window`. Exact integers only.
+    * `keyCol` must be numeric (the id-grain keys every keyed-window
+    * operator here partitions on); hash a string key to 64 bits
+    * (xxhash64) before calling — the report needs only identity. */
   def windowPreflight(df: DataFrame, keyCol: String,
                       hotThreshold: Long = 1000000L): DataFrame = {
     val counts = df.groupBy(col(keyCol).cast("long").as("key"))

@@ -142,6 +142,21 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 2, "one scan per side")
   }
 
+  test("salted sessions scan events once; salted as-of scans each side once") {
+    val ps = plan(graft.operators.ScaleOps.sessionsSalted(
+      Tables.events(spark, TestSpark.sf)))
+    assert("Scan parquet".r.findAllIn(ps).size == 1,
+      s"sessionsSalted must read events once:\n$ps")
+    assert(!ps.contains("Join"), "sessions salting is windows + aggs, no join")
+    val pa = plan(graft.operators.ScaleOps.asofSalted(
+      Tables.events(spark, TestSpark.sf), Tables.orders(spark, TestSpark.sf)))
+    // the materialized union frame feeds both phases: each source
+    // parquet appears in exactly one cache-build subtree
+    assert("Scan parquet".r.findAllIn(pa).size <= 2 ||
+      pa.contains("InMemoryTableScan"),
+      s"asofSalted must scan each side once (via the cached union):\n$pa")
+  }
+
   test("integrity audit folds all five checks onto one scan per table") {
     val p = plan(graft.operators.ScaleOps.integrityAudit(
       Tables.orders(spark, TestSpark.sf), Tables.lineitem(spark, TestSpark.sf),

@@ -96,6 +96,31 @@ class WindowSaltingSpec extends AnyFunSuite {
     }
   }
 
+  test("asofSalted equals q63AsofJoin on a randomized frame") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    val e = (0 until 600).map { i =>
+      (rnd.nextInt(6).toLong, i.toLong,
+        new java.sql.Timestamp(t0 + rnd.nextInt(10 * 24 * 3600) * 1000L),
+        if (rnd.nextBoolean()) "view" else "click")
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    // probe customers 0..7: ids 6,7 have no events at all
+    val o = (0 until 200).map { i =>
+      (1000L + i, rnd.nextInt(8).toLong,
+        new java.sql.Timestamp(t0 + rnd.nextInt(10 * 24 * 3600) * 1000L))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val plain = graft.operators.Relational.q63AsofJoin(e, o)
+      .collect().toSeq.map(_.toString)
+    for (bucketMinutes <- Seq(90, 1440)) {
+      val salted = graft.operators.ScaleOps
+        .asofSalted(e, o, bucketMinutes = bucketMinutes)
+        .collect().toSeq.map(_.toString)
+      assert(salted == plain, s"bucketMinutes=$bucketMinutes diverged")
+    }
+  }
+
   test("windowPreflight reports the planted hot key exactly and flips the verdict at the threshold") {
     val spark = TestSpark.spark
     import spark.implicits._
