@@ -342,12 +342,20 @@ object ScaleOps {
         sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("npq"))
     val ckeys = customer.select(col("c_custkey")).distinct()
       .withColumn("c_present", lit(1))
-    val okey = col("o_orderkey")
-    orders.select(okey, col("o_custkey"))
-      .join(lgrp, okey === col("lkey"), "full_outer")
+    // customer membership resolves at orders ROW grain, THEN orders
+    // collapses to orderkey grain — so the presence join below is 1:1
+    // even if the o_orderkey "primary key" is itself violated (an
+    // integrity auditor must not assume the integrity it audits):
+    // every check stays exact row-count semantics under duplicates
+    val ogrp = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(ckeys, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("o_orderkey").as("okey"))
+      .agg(count(lit(1)).as("ocnt"),
+        sum(when(col("c_present").isNull, 1L).otherwise(0L)).as("o_nocust"))
+    ogrp
+      .join(lgrp, col("okey") === col("lkey"), "full_outer")
       .agg(
-        coalesce(sum(when(okey.isNotNull && col("lcnt").isNull, 1L)), lit(0L))
+        coalesce(sum(when(col("lcnt").isNull, col("ocnt"))), lit(0L))
           .as("childless_order"),
         coalesce(sum(col("npq")), lit(0L)).as("nonpositive_qty"),
         // the NULL-key lineitem group never equality-matches an order:
@@ -355,10 +363,9 @@ object ScaleOps {
         // left-anti counted under both checks
         coalesce(sum(when(col("lkey").isNull && col("lcnt").isNotNull,
           col("lcnt"))), lit(0L)).as("null_lineitem_key"),
-        coalesce(sum(when(okey.isNull, col("lcnt"))), lit(0L))
+        coalesce(sum(when(col("okey").isNull, col("lcnt"))), lit(0L))
           .as("orphan_lineitem"),
-        coalesce(sum(when(okey.isNotNull && col("c_present").isNull, 1L)),
-          lit(0L)).as("orphan_order_customer"))
+        coalesce(sum(col("o_nocust")), lit(0L)).as("orphan_order_customer"))
       .select(expr("stack(5, " +
         "'childless_order', childless_order, " +
         "'nonpositive_qty', nonpositive_qty, " +

@@ -261,6 +261,22 @@ class ScaleOpsSpec extends AnyFunSuite {
       "orphan_order_customer" -> 1L), s"$out")
   }
 
+  test("integrity audit stays exact when the orderkey PK is itself violated") {
+    import spark.implicits._
+    // order 1 appears TWICE (one custkey known, one orphan): an
+    // auditor must not assume the integrity it audits — both rows
+    // count as childless-if-childless and the orphan custkey counts
+    val orders = Seq((1L, 10L), (1L, 99L), (2L, 10L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((Option(2L), 5.0), (Option(2L), -2.0))
+      .toDF("l_orderkey", "l_quantity")
+    val customer = Seq(Tuple1(10L)).toDF("c_custkey")
+    val out = ScaleOps.integrityAudit(orders, lineitem, customer).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("childless_order" -> 2L, "nonpositive_qty" -> 1L,
+      "null_lineitem_key" -> 0L, "orphan_lineitem" -> 0L,
+      "orphan_order_customer" -> 1L), s"$out")
+  }
+
   test("quantile bins: threshold at the median bucket edge, near-balanced on real data") {
     import spark.implicits._
     // median rank 2 of {500,1500,1500,2500} -> bucket 1 -> thr 2000
