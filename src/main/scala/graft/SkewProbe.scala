@@ -83,6 +83,24 @@ object SkewProbe {
       xSalted.getLong(0)
     }
     require(xPlain == xSalted, s"as-of rollups diverge: $xPlain vs $xSalted")
+
+    // sink batching under the same hot key (day buckets): different
+    // policies (batch-grain crossing-closes), so compare coverage +
+    // batch count, not ids
+    val sized = skewed.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      (pmod(col("event_id"), lit(900L)) + 100L).as("sz"))
+      .withColumn("bkt", expr("us div 86400000000"))
+    val bPlain = timed("batcher_hotkey") {
+      sinks.Batcher.assignBatches(sized, "user_id", "us", "sz",
+        maxCount = 1000L, maxBytes = 500000L).count()
+    }
+    val bSalted = timed("batcher_salted_hotkey") {
+      sinks.Batcher.assignBatchesSalted(sized, "user_id", "us", "sz", "bkt",
+        maxCount = 1000L, maxBytes = 500000L).count()
+    }
+    require(bPlain == bSalted && bPlain == total,
+      s"batchers must cover every record once: $bPlain vs $bSalted vs $total")
     println("[skewprobe] salted results verified equal to single-window plans")
     spark.stop()
   }
