@@ -240,12 +240,17 @@ object Ann {
   def ivfAppendStream(vecs: DataFrame, indexDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val cents = batch.sparkSession.read.parquet(s"$indexDir/centroids")
-      sampledAssignments(batch, cents)
-        .select(col("vec_id"), col("embedding"),
-          col("list_id").cast("int").as("list_id"))
-        .write.partitionBy("list_id").mode("overwrite")
-        .parquet(s"$indexDir/delta-b$batchId")
+      // no-data micro-batches are routine (noDataMicroBatches default):
+      // writing one would leave a parquet-file-less delta dir whose
+      // _SUCCESS passes the sentinel check and bricks every later read
+      if (!batch.isEmpty) {
+        val cents = batch.sparkSession.read.parquet(s"$indexDir/centroids")
+        sampledAssignments(batch, cents)
+          .select(col("vec_id"), col("embedding"),
+            col("list_id").cast("int").as("list_id"))
+          .write.partitionBy("list_id").mode("overwrite")
+          .parquet(s"$indexDir/delta-b$batchId")
+      }
     }
 
   /** COMPACTION — fold every ingested delta epoch back into the base
@@ -852,15 +857,19 @@ object Ann {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val cents = spark.read.parquet(s"$indexDir/centroids")
-      val codebook = spark.read.parquet(s"$indexDir/codebook")
-      pqCodes(batch, codebook, m, sub)
-        .join(sampledAssignments(batch, cents)
-          .select(col("vec_id"), col("list_id")), "vec_id")
-        .select(col("vec_id"), col("codes"), col("list_id").cast("int").as("list_id"))
-        .write.partitionBy("list_id").mode("overwrite")
-        .parquet(s"$indexDir/delta-b$batchId")
+      // skip no-data micro-batches — a parquet-file-less delta dir
+      // would pass the _SUCCESS sentinel and break every later read
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val cents = spark.read.parquet(s"$indexDir/centroids")
+        val codebook = spark.read.parquet(s"$indexDir/codebook")
+        pqCodes(batch, codebook, m, sub)
+          .join(sampledAssignments(batch, cents)
+            .select(col("vec_id"), col("list_id")), "vec_id")
+          .select(col("vec_id"), col("codes"), col("list_id").cast("int").as("list_id"))
+          .write.partitionBy("list_id").mode("overwrite")
+          .parquet(s"$indexDir/delta-b$batchId")
+      }
     }
   }
 

@@ -1074,12 +1074,13 @@ object ScaleOps {
         sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_keys"),
         max(col("cnt")).as("max_key_rows"),
-        // hottest key, smallest id on ties: lexicographic struct max
-        // over (cnt, -key)
-        max(struct(col("cnt"), (-col("key")).as("nk"))).as("hot"),
+        // hottest key, smallest id on ties: lexicographic struct MIN
+        // over (-cnt, key) — negating the count (>= 1, can't overflow)
+        // instead of the key keeps Long.MinValue keys legal under ANSI
+        min(struct((-col("cnt")).as("nc"), col("key"))).as("hot"),
         sum(when(col("cnt") >= hotThreshold, 1L).otherwise(0L)).as("hot_keys"))
       .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
-        (-col("hot.nk")).as("hot_key"), col("hot_keys"),
+        col("hot.key").as("hot_key"), col("hot_keys"),
         expr("(10000 * max_key_rows) div n_rows").as("hot_share_bp"),
         when(col("max_key_rows") >= hotThreshold, "salt")
           .otherwise("window").as("advice"))
@@ -1183,7 +1184,11 @@ object ScaleOps {
       .agg(max(evStruct).as("b_last"))
       .withColumn("carry_in", max(col("b_last")).over(byKPrev))
       .select(col("k"), col("bkt"), col("carry_in"))
-    local.join(carry, Seq("k", "bkt"))
+    // NULL-SAFE join keys: a NULL key (or NULL-instant row, bkt null)
+    // is a row q63's single window still processes in its NULL
+    // partition — a plain equi-join would silently drop it
+    local.join(carry.withColumnRenamed("k", "__ck").withColumnRenamed("bkt", "__cb"),
+        col("k") <=> col("__ck") && col("bkt") <=> col("__cb"))
       .withColumn("last_ev", greatest(col("local_last"), col("carry_in")))
       .filter(col("is_probe") === 1L)
       .select(col("o_orderkey"), col("k").as("o_custkey"),

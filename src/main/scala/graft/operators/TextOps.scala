@@ -673,11 +673,16 @@ object TextOps {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, String, String, String, Long, Long)]
     val rounds = (merges + batchB - 1) / batchB
-    for (n <- 1 to rounds) {
+    var exhausted = false
+    for (n <- 1 to rounds if !exhausted) {
       val want = math.min(batchB, merges - (n - 1) * batchB)
       val cands = bpePairCounts(w)
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(pool).collect()
+      // no pairs left (every word fully merged): stop paying a
+      // pair-count job per remaining static round — the sequential
+      // trainer's `exhausted` early-exit
+      if (cands.isEmpty) exhausted = true
       val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       val used = scala.collection.mutable.Set.empty[String]
       for (row <- cands if sel.size < want) {

@@ -1,7 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -39,39 +39,54 @@ object Batcher {
     }
   }
 
+  private def toLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => other.toString.toLong
+  }
+
+  /** THE crossing-closes trigger pass, shared by every batch-assembly
+    * face (unsalted, salted phase 1, salted phase 2 — one body, so the
+    * budget semantics cannot drift between them): repartition on
+    * `keyCols`, sort by (keys, order), then one stateful scan that
+    * accumulates `countOf`/`bytesOf` per key group and closes the
+    * batch the crossing element joined. */
+  private def greedyPass(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+                         countOf: Row => Long, bytesOf: Row => Long,
+                         maxCount: Long, maxBytes: Long,
+                         outSchema: StructType)(emit: (Row, Long) => Row): DataFrame = {
+    val keyIdxs = keyCols.map(df.schema.fieldIndex)
+    df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col) ++ orderCols: _*)
+      .mapPartitions { it =>
+        var curKey: Seq[Any] = null
+        var first = true
+        var count = 0L
+        var bytes = 0L
+        var batchId = 0L
+        it.map { row =>
+          val k = keyIdxs.map(row.get)
+          if (first || k != curKey) { curKey = k; first = false; count = 0; bytes = 0; batchId = 0 }
+          count += countOf(row)
+          bytes += bytesOf(row)
+          val cur = batchId
+          if (count >= maxCount || bytes >= maxBytes) { batchId += 1; count = 0; bytes = 0 }
+          emit(row, cur)
+        }
+      }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Assigns every record a `batch_id` within its key, firing on count
     * or byte size. `sizeCol` is the record's serialized-size estimate
     * (BigQueryRecord.getSize analog). Output = input columns + batch_id.
     */
   def assignBatches(df: DataFrame, keyCol: String, orderCol: String, sizeCol: String,
                     maxCount: Long, maxBytes: Long = Long.MaxValue): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+ StructField("batch_id", LongType, nullable = false))
-    val keyIdx = df.schema.fieldIndex(keyCol)
     val sizeIdx = df.schema.fieldIndex(sizeCol)
-    val encoder = RowEncoder.encoderFor(outSchema)
-    val sorted = df.repartition(col(keyCol)).sortWithinPartitions(col(keyCol), col(orderCol))
-    sorted.mapPartitions { it =>
-      var curKey: Any = null
-      var first = true
-      var count = 0L
-      var bytes = 0L
-      var batchId = 0L
-      it.map { row =>
-        val k = row.get(keyIdx)
-        if (first || k != curKey) { curKey = k; first = false; count = 0; bytes = 0; batchId = 0 }
-        val sz = row.get(sizeIdx) match {
-          case l: Long => l
-          case i: Int => i.toLong
-          case other => other.toString.toLong
-        }
-        count += 1
-        bytes += sz
-        val cur = batchId
-        if (count >= maxCount || bytes >= maxBytes) { batchId += 1; count = 0; bytes = 0 }
-        Row.fromSeq(row.toSeq :+ cur)
-      }
-    }(encoder)
+    greedyPass(df, Seq(keyCol), Seq(col(orderCol)),
+      _ => 1L, row => toLong(row.get(sizeIdx)),
+      maxCount, maxBytes, outSchema)((row, cur) => Row.fromSeq(row.toSeq :+ cur))
   }
 
   /** HOT-KEY-SALTED batch assembly — the sink-side analog of
@@ -95,37 +110,12 @@ object Batcher {
   def assignBatchesSalted(df: DataFrame, keyCol: String, orderCol: String,
                           sizeCol: String, bucketCol: String,
                           maxCount: Long, maxBytes: Long = Long.MaxValue): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+ StructField("batch_id", LongType, nullable = false))
-    val keyIdx = df.schema.fieldIndex(keyCol)
-    val bktIdx = df.schema.fieldIndex(bucketCol)
     val sizeIdx = df.schema.fieldIndex(sizeCol)
-    val encoder = RowEncoder.encoderFor(outSchema)
     // phase 1: the record-grain trigger, salted on (key, bucket)
     val localSchema = StructType(df.schema.fields :+ StructField("local_batch", LongType, nullable = false))
-    val local = df
-      .repartition(col(keyCol), col(bucketCol))
-      .sortWithinPartitions(col(keyCol), col(bucketCol), col(orderCol))
-      .mapPartitions { it =>
-        var curKey: (Any, Any) = null
-        var first = true
-        var count = 0L
-        var bytes = 0L
-        var batchId = 0L
-        it.map { row =>
-          val k = (row.get(keyIdx), row.get(bktIdx))
-          if (first || k != curKey) { curKey = k; first = false; count = 0; bytes = 0; batchId = 0 }
-          val sz = row.get(sizeIdx) match {
-            case l: Long => l
-            case i: Int => i.toLong
-            case other => other.toString.toLong
-          }
-          count += 1
-          bytes += sz
-          val cur = batchId
-          if (count >= maxCount || bytes >= maxBytes) { batchId += 1; count = 0; bytes = 0 }
-          Row.fromSeq(row.toSeq :+ cur)
-        }
-      }(RowEncoder.encoderFor(localSchema))
+    val local = greedyPass(df, Seq(keyCol, bucketCol), Seq(col(orderCol)),
+      _ => 1L, row => toLong(row.get(sizeIdx)),
+      maxCount, maxBytes, localSchema)((row, cur) => Row.fromSeq(row.toSeq :+ cur))
     // phase 2: the SAME trigger at local-batch grain — per key, scan
     // batches in (bucket, local) order accumulating their record
     // counts and bytes; rows here = batches + buckets per key
@@ -139,32 +129,18 @@ object Batcher {
     val gl = grain.schema.fieldIndex("local_batch")
     val gc = grain.schema.fieldIndex("b_count")
     val gz = grain.schema.fieldIndex("b_bytes")
-    val mapping = grain
-      .repartition(col(keyCol))
-      .sortWithinPartitions(col(keyCol), col(bucketCol), col("local_batch"))
-      .mapPartitions { it =>
-        var curKey: Any = null
-        var first = true
-        var count = 0L
-        var bytes = 0L
-        var batchId = 0L
-        it.map { row =>
-          val k = row.get(gk)
-          if (first || k != curKey) { curKey = k; first = false; count = 0; bytes = 0; batchId = 0 }
-          count += row.getLong(gc)
-          bytes += row.getLong(gz)
-          val cur = batchId
-          if (count >= maxCount || bytes >= maxBytes) { batchId += 1; count = 0; bytes = 0 }
-          Row.fromSeq(Seq(row.get(gk), row.get(gb), row.get(gl), cur))
-        }
-      }(RowEncoder.encoderFor(mapSchema))
+    val mapping = greedyPass(grain, Seq(keyCol), Seq(col(bucketCol), col("local_batch")),
+      _.getLong(gc), _.getLong(gz), maxCount, maxBytes, mapSchema)(
+      (row, cur) => Row.fromSeq(Seq(row.get(gk), row.get(gb), row.get(gl), cur)))
     // phase 3: records pick up their final id on the (key, bucket,
-    // local_batch) equi-join — batch-grain build side
+    // local_batch) join — NULL-SAFE equality, because a NULL key or
+    // bucket is a legal record the unsalted trigger batches too and a
+    // plain equi-join would silently drop it
     local.join(mapping.withColumnRenamed(keyCol, "__mk")
         .withColumnRenamed(bucketCol, "__mb")
         .withColumnRenamed("local_batch", "__ml"),
-        col(keyCol) === col("__mk") && col(bucketCol) === col("__mb") &&
-          col("local_batch") === col("__ml"))
+        col(keyCol) <=> col("__mk") && col(bucketCol) <=> col("__mb") &&
+          col("local_batch") <=> col("__ml"))
       .select(df.columns.map(col) :+ col("batch_id"): _*)
   }
 }

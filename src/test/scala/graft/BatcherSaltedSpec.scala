@@ -30,19 +30,26 @@ class BatcherSaltedSpec extends AnyFunSuite {
   test("hot key across buckets: coverage, contiguous ids, batch-grain crossing-closes, boundary gluing") {
     val spark = TestSpark.spark
     import spark.implicits._
-    // hot key 1: 300 records over 10 buckets of 30; cold key 2
+    // hot key 1: 300 records over 10 buckets of 30; cold key 2;
+    // plus NULL-key records — legal input the unsalted trigger
+    // batches, which the salted phase-3 join must not drop
     val rows = (0 until 300).map(i => (1L, i.toLong, 100L, i / 30L)) ++
       (0 until 8).map(i => (2L, i.toLong, 100L, 0L))
     val df = rows.toDF("key", "ord", "sz", "bkt")
+      .unionByName((0 until 3).map(i => (i.toLong, 100L, 0L))
+        .toDF("ord", "sz", "bkt")
+        .select(lit(null).cast("long").as("key"), col("ord"), col("sz"), col("bkt")))
     val maxCount = 7L // 30 % 7 != 0 -> every bucket ends in a partial batch
     val out = graft.sinks.Batcher
       .assignBatchesSalted(df, "key", "ord", "sz", "bkt", maxCount = maxCount,
         maxBytes = Long.MaxValue)
       .select("key", "ord", "bkt", "batch_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(2)))
-    // every record exactly once
-    assert(out.length == rows.length)
-    assert(out.map(r => (r._1, r._2)).distinct.length == rows.length)
+      .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        r.getLong(1), r.getLong(3), r.getLong(2)))
+    // every record exactly once (incl. the 3 NULL-key records, read
+    // back under the Long.MinValue sentinel)
+    assert(out.length == rows.length + 3)
+    assert(out.map(r => (r._1, r._2)).distinct.length == rows.length + 3)
     for ((key, recs) <- out.groupBy(_._1)) {
       val ids = recs.map(_._3).distinct.sorted.toSeq
       assert(ids == (0L until ids.length), s"key $key ids must be 0..n-1: $ids")

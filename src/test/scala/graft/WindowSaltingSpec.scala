@@ -86,6 +86,12 @@ class WindowSaltingSpec extends AnyFunSuite {
       (14L, 9L, "2024-01-03 00:00:00"))
       .toDF("o_orderkey", "o_custkey", "od")
       .withColumn("o_orderdate", col("od").cast("timestamp")).drop("od")
+      // NULL-custkey probe: q63's window puts it in the NULL partition
+      // and still emits it — the salted join must not drop it
+      .unionByName(Seq((15L, "2024-01-03 00:00:00"))
+        .toDF("o_orderkey", "od")
+        .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),
+          col("od").cast("timestamp").as("o_orderdate")))
     val plain = graft.operators.Relational.q63AsofJoin(e, orders)
       .collect().toSeq.map(_.toString)
     for (bucketMinutes <- Seq(60, 1440)) {
