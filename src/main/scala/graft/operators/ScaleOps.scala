@@ -1086,6 +1086,27 @@ object ScaleOps {
           .otherwise("window").as("advice"))
   }
 
+  /** The preflight→mitigation router, closing the loop the two
+    * operators above leave to the caller: ONE metadata-scale
+    * [[windowPreflight]] pass decides whether q32's single-window
+    * sessionization is safe or the key distribution needs
+    * [[sessionsSalted]]'s two-phase re-plan. Identical output either
+    * way (both faces share q32's oracle), so the routing is purely a
+    * physical-plan decision — the same contract as AQE picking a join
+    * strategy, one level up. The preflight costs two jobs before the
+    * real one; at 100 TB that is noise next to a serialized hot-key
+    * stage, and a caller who already knows the distribution calls the
+    * chosen face directly. */
+  def sessionsAuto(events: DataFrame, gapMinutes: Int = 30,
+                   hotThreshold: Long = 1000000L,
+                   bucketMinutes: Int = 1440): DataFrame = {
+    val verdict = windowPreflight(
+      events.select(col("user_id"), col("event_id"), col("ts")), "user_id",
+      hotThreshold).select(col("advice")).head().getString(0)
+    if (verdict == "salt") sessionsSalted(events, gapMinutes, bucketMinutes)
+    else Relational.q32Sessions(events, gapMinutes)
+  }
+
   /** SALTED TWO-PHASE SESSIONIZATION — the hot-key mitigation for
     * q32_sessions' single `Window.partitionBy(user_id)`: identical
     * output (same oracle), but no task ever sorts more than one

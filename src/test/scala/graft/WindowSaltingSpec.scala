@@ -127,6 +127,19 @@ class WindowSaltingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionsAuto routes on the preflight verdict and matches q32Sessions either way") {
+    val e = eventsDf // user 1: 21 rows, user 2: 3 rows
+    val plain = graft.operators.Relational.q32Sessions(e)
+      .collect().toSeq.map(_.toString)
+    // threshold below the hot key -> salted path; far above -> plain
+    for (thr <- Seq(10L, 1000L)) {
+      val auto = graft.operators.ScaleOps
+        .sessionsAuto(e, hotThreshold = thr, bucketMinutes = 60)
+        .collect().toSeq.map(_.toString)
+      assert(auto == plain, s"hotThreshold=$thr diverged")
+    }
+  }
+
   test("windowPreflight reports the planted hot key exactly and flips the verdict at the threshold") {
     val spark = TestSpark.spark
     import spark.implicits._
