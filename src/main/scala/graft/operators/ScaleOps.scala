@@ -1107,6 +1107,22 @@ object ScaleOps {
     else Relational.q32Sessions(events, gapMinutes)
   }
 
+  /** [[sessionsAuto]]'s as-of sibling: routes q63's enrichment on the
+    * preflight verdict over the UNION key distribution — the salted
+    * re-plan windows events and probes together on `k`, so the hot-key
+    * risk is the combined per-key row count, not either side's alone.
+    * Identical output either way (both faces share q63's oracle). */
+  def asofAuto(events: DataFrame, orders: DataFrame,
+               hotThreshold: Long = 1000000L,
+               bucketMinutes: Int = 1440): DataFrame = {
+    val keys = events.select(col("user_id").as("k"))
+      .unionByName(orders.select(col("o_custkey").as("k")))
+    val verdict = windowPreflight(keys, "k", hotThreshold)
+      .select(col("advice")).head().getString(0)
+    if (verdict == "salt") asofSalted(events, orders, bucketMinutes)
+    else Relational.q63AsofJoin(events, orders)
+  }
+
   /** SALTED TWO-PHASE SESSIONIZATION — the hot-key mitigation for
     * q32_sessions' single `Window.partitionBy(user_id)`: identical
     * output (same oracle), but no task ever sorts more than one

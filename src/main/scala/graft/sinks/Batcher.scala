@@ -143,4 +143,28 @@ object Batcher {
           col("local_batch") <=> col("__ml"))
       .select(df.columns.map(col) :+ col("batch_id"): _*)
   }
+
+  /** The sink-side preflight→mitigation router (the
+    * `ScaleOps.sessionsAuto` analog): one metadata-scale
+    * `scale_window_preflight` pass over `keyCol` decides whether
+    * [[assignBatches]]' single ordered pass is safe or the key
+    * distribution needs [[assignBatchesSalted]]'s two-phase re-plan.
+    * `keyCol` must be numeric (the preflight's contract — hash a
+    * string sink key to 64 bits first). Note the two faces are NOT
+    * bit-identical at bucket boundaries (salting's documented
+    * overshoot trade), so unlike the session/as-of routers the verdict
+    * here changes batch boundaries, never coverage: every record still
+    * lands in exactly one batch respecting the budget semantics of the
+    * face chosen. */
+  def assignBatchesAuto(df: DataFrame, keyCol: String, orderCol: String,
+                        sizeCol: String, bucketCol: String,
+                        maxCount: Long, maxBytes: Long = Long.MaxValue,
+                        hotThreshold: Long = 1000000L): DataFrame = {
+    val verdict = graft.operators.ScaleOps
+      .windowPreflight(df.select(col(keyCol)), keyCol, hotThreshold)
+      .select(col("advice")).head().getString(0)
+    if (verdict == "salt")
+      assignBatchesSalted(df, keyCol, orderCol, sizeCol, bucketCol, maxCount, maxBytes)
+    else assignBatches(df, keyCol, orderCol, sizeCol, maxCount, maxBytes)
+  }
 }

@@ -78,4 +78,43 @@ class BatcherSaltedSpec extends AnyFunSuite {
     // and every record still present per final count
     assert(out.count(_._1 == 1L) == 300)
   }
+
+  test("assignBatchesAuto routes on the preflight verdict: plain face below threshold, salted above, full coverage either way") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // hot key 1: 120 records over 4 buckets; cold key 2: 5 records
+    val rows = (0 until 120).map(i => (1L, i.toLong, 100L, i / 30L)) ++
+      (0 until 5).map(i => (2L, i.toLong, 100L, 0L))
+    val df = rows.toDF("key", "ord", "sz", "bkt")
+    val plain = graft.sinks.Batcher
+      .assignBatches(df, "key", "ord", "sz", maxCount = 7, maxBytes = Long.MaxValue)
+      .select("key", "ord", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // threshold far above the hot key -> unsalted face, bit-identical
+    val autoPlain = graft.sinks.Batcher
+      .assignBatchesAuto(df, "key", "ord", "sz", "bkt", maxCount = 7,
+        maxBytes = Long.MaxValue, hotThreshold = 1000L)
+      .select("key", "ord", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(autoPlain == plain, "cold distribution must route to the unsalted face")
+    // threshold below the hot key -> salted face: coverage + contiguous
+    // per-key ids (batch boundaries may legally differ from the plain
+    // face at bucket seams — the documented overshoot trade)
+    val autoSalted = graft.sinks.Batcher
+      .assignBatchesAuto(df, "key", "ord", "sz", "bkt", maxCount = 7,
+        maxBytes = Long.MaxValue, hotThreshold = 100L)
+      .select("key", "ord", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(autoSalted.length == rows.length)
+    assert(autoSalted.map(r => (r._1, r._2)).distinct.length == rows.length)
+    for ((key, recs) <- autoSalted.groupBy(_._1)) {
+      val ids = recs.map(_._3).distinct.sorted.toSeq
+      assert(ids == (0L until ids.length), s"key $key ids must be 0..n-1")
+    }
+    // and the cold key's batches match the plain face exactly (salting
+    // only perturbs keys that span buckets)
+    val coldAuto = autoSalted.filter(_._1 == 2L).map(r => (r._2, r._3)).toMap
+    val coldPlain = plain.collect { case ((2L, ord), bid) => (ord, bid) }.toMap
+    assert(coldAuto == coldPlain)
+  }
 }

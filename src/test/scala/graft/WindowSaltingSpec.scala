@@ -127,6 +127,28 @@ class WindowSaltingSpec extends AnyFunSuite {
     }
   }
 
+  test("asofAuto routes on the union-key preflight verdict and matches q63AsofJoin either way") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val e = eventsDf // user 1: 21 rows, user 2: 3 rows
+    val orders = Seq(
+      (10L, 1L, "2024-01-05 00:00:00"),
+      (11L, 1L, "2024-01-02 00:00:00"),
+      (12L, 2L, "2024-01-01 00:00:00"),
+      (14L, 9L, "2024-01-03 00:00:00"))
+      .toDF("o_orderkey", "o_custkey", "od")
+      .withColumn("o_orderdate", col("od").cast("timestamp")).drop("od")
+    val plain = graft.operators.Relational.q63AsofJoin(e, orders)
+      .collect().toSeq.map(_.toString)
+    // threshold below the hot union key -> salted path; far above -> plain
+    for (thr <- Seq(5L, 1000L)) {
+      val auto = graft.operators.ScaleOps
+        .asofAuto(e, orders, hotThreshold = thr, bucketMinutes = 60)
+        .collect().toSeq.map(_.toString)
+      assert(auto == plain, s"hotThreshold=$thr diverged")
+    }
+  }
+
   test("sessionsAuto routes on the preflight verdict and matches q32Sessions either way") {
     val e = eventsDf // user 1: 21 rows, user 2: 3 rows
     val plain = graft.operators.Relational.q32Sessions(e)
