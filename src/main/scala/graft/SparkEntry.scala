@@ -325,6 +325,7 @@ object SparkEntry {
     "scale_profile_diff" -> ((s, d) => ScaleOps.profileDiff(Tables.documents(s, d))),
     "scale_keyed_sample" -> ((s, d) => ScaleOps.sampleKeyed(Tables.events(s, d))),
     "scale_hll_sliding" -> ((s, d) => ScaleOps.hllSliding(Tables.events(s, d))),
+    "scale_agg_delta" -> ((s, d) => ScaleOps.aggDelta(Tables.orders(s, d))),
     "scale_k_anonymity" -> ((s, d) => ScaleOps.kAnonymity(Tables.customer(s, d))),
     // threshold 80 sits below this dataset's hottest user at every SF
     // (max 86–99 events/user), so the verdict exercises the salt path
@@ -2960,6 +2961,15 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT user_id, CAST(sample_rank AS BIGINT) AS sample_rank, event_id
         |FROM r WHERE sample_rank <= 3 ORDER BY user_id, sample_rank""".stripMargin,
+    "scale_agg_delta" ->
+      // incremental aggregate maintenance: the merged (base ⊕ batch)
+      // part-aggregates must equal the full recompute — so the oracle
+      // IS the full recompute, a plain GROUP BY over all orders
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS min_us,
+        |  CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS max_us
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
     "scale_hll_sliding" ->
       // rolling 7-day HLL from daily register sketches (scale_hll's
       // register math per trailing window, q26's exact-WAU audit

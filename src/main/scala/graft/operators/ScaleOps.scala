@@ -1235,4 +1235,58 @@ object ScaleOps {
         (col("us") - col("last_ev.e_us")).as("staleness_us"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** Per-customer order aggregate at the INCREMENTALLY-MAINTAINABLE
+    * grain: every measure is a commutative monoid (count, integer-cent
+    * sum, min/max epoch-us), so part-aggregates built over disjoint
+    * slices of the corpus merge exactly via [[aggMerge]]. The unit of
+    * [[aggDelta]]'s stored-aggregate refresh story. */
+  def orderAggTable(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+
+  /** Merges part-aggregates at [[orderAggTable]]'s grain by
+    * re-aggregation: union the agg tables and fold each measure with
+    * its own combine (sum of counts/sums, min of mins, max of maxs).
+    * One shuffle of AGG-SIZED tables — the base corpus is never
+    * rescanned, which is the whole point of maintaining a stored
+    * aggregate under append-only ingest at 100 TB. Exact for
+    * append-only streams (every measure is associative+commutative);
+    * deletes would need a rescan of the affected groups — the
+    * documented boundary of the monoid trick. NULL group keys ride
+    * the union+groupBy untouched (no join to drop them). */
+  def aggMerge(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_us")).as("min_us"), max(col("max_us")).as("max_us"))
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE, self-contained for the oracle:
+    * splits orders into a simulated stored base (orderkeys outside the
+    * batch residue) and an append batch, builds each side's
+    * part-aggregate, and refreshes via [[aggMerge]] — equal to the
+    * full recompute by the monoid argument, which is exactly what the
+    * DuckDB oracle checks (a plain GROUP BY over ALL orders). Built as
+    * ONE corpus scan: the split lives inside the first groupBy's key
+    * (o_custkey, is_batch), so the two part-aggregates come off one
+    * shuffle yet are genuinely built from disjoint row sets. */
+  def aggDelta(orders: DataFrame, batchMod: Int = 10,
+               batchRes: Int = 9): DataFrame = {
+    val parts = orders
+      .select(col("o_custkey"),
+        (pmod(col("o_orderkey"), lit(batchMod)) === batchRes).as("is_batch"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      .groupBy(col("o_custkey"), col("is_batch"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+      .drop("is_batch")
+    aggMerge(Seq(parts)).orderBy(col("o_custkey"))
+  }
 }

@@ -509,6 +509,38 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(n == 1000) // sf0.001 events total
     } finally q.stop()
   }
+
+  test("aggDelta merge-equals-whole: part-aggregates over any disjoint split fold to the full recompute, incl. NULL keys") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 400).map { i =>
+      (if (rnd.nextInt(20) == 0) None else Some(i.toLong), // NULL orderkey rows
+        if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(12).toLong), // NULL custkey
+        rnd.nextInt(100000) / 100.0,
+        new java.sql.Timestamp(t0 + rnd.nextInt(365) * 86400000L))
+    }
+    val orders = rows
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val whole = graft.operators.ScaleOps.orderAggTable(orders)
+      .collect().map(r => r.toSeq.head -> r.toSeq.tail).toMap
+    // the registered one-scan face
+    val merged = graft.operators.ScaleOps.aggDelta(orders, batchMod = 7, batchRes = 3)
+      .collect().map(r => r.toSeq.head -> r.toSeq.tail).toMap
+    assert(merged == whole, "one-scan split-merge must equal the full recompute")
+    // the library face: three part-aggregates built SEPARATELY over a
+    // random 3-way disjoint split (the stored-base + two-appends shape)
+    import org.apache.spark.sql.functions.{pmod, crc32, concat_ws, coalesce, col, lit}
+    val tagged = orders.withColumn("part", pmod(crc32(concat_ws("|",
+      coalesce(col("o_orderkey").cast("string"), lit("-")),
+      col("o_totalprice"))), lit(3)))
+    val parts = (0 until 3).map(p =>
+      graft.operators.ScaleOps.orderAggTable(tagged.filter(col("part") === p)))
+    val folded = graft.operators.ScaleOps.aggMerge(parts)
+      .collect().map(r => r.toSeq.head -> r.toSeq.tail).toMap
+    assert(folded == whole, "separately-built part-aggregates must fold to the full recompute")
+  }
 }
 
 class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
