@@ -212,7 +212,7 @@ object Ann {
       // _SUCCESS = completed-write sentinel: a torn delta (crash
       // mid-write) is invisible until its epoch replays and rewrites it
       .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        new java.io.File(f, "_SUCCESS").exists)
+        StoredArtifacts.readableEpoch(f))
       .sortBy(_.getName)
     deltas.foldLeft(spark.read.parquet(s"$indexDir/$table")) { (acc, d) =>
       acc.unionByName(spark.read.parquet(d.getPath))
@@ -278,7 +278,7 @@ object Ann {
     recoverCompaction(spark, indexDir, table)
     val deltas = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        new java.io.File(f, "_SUCCESS").exists)
+        StoredArtifacts.readableEpoch(f))
       .sortBy(_.getName)
     if (deltas.isEmpty) return 0
     val tmp = new java.io.File(s"$indexDir/$table-compacting")

@@ -707,7 +707,7 @@ object Multimodal {
         // own-epoch exclusion (replay safety) + _SUCCESS sentinel (a
         // torn epoch write is invisible until its replay rewrites it)
         .filter(f => f.isDirectory && f.getName != s"b$batchId" &&
-          new java.io.File(f, "_SUCCESS").exists)
+          StoredArtifacts.readableEpoch(f))
         .sortBy(_.getName)
       require(epochs.nonEmpty, s"no signature epochs under $indexDir — " +
         "seed the index with phashIndexSeed before streaming")

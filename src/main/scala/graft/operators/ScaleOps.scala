@@ -304,7 +304,9 @@ object ScaleOps {
   def histStream(orders: DataFrame, sketchDir: String, widthCents: Long = 200000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     orders.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      histTable(batch, widthCents)
+      // skip no-data micro-batches: an empty epoch writes _SUCCESS
+      // with no parquet files and bricks later reads (the pq/ivf fix)
+      if (!batch.isEmpty) histTable(batch, widthCents)
         .write.mode("overwrite").parquet(s"$sketchDir/delta-b$batchId")
     }
 
@@ -312,7 +314,7 @@ object ScaleOps {
   def histMerged(spark: SparkSession, sketchDir: String): DataFrame = {
     val deltas = Option(new java.io.File(sketchDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        new java.io.File(f, "_SUCCESS").exists)
+        StoredArtifacts.readableEpoch(f))
       .sortBy(_.getName)
     require(deltas.nonEmpty, s"no delta histograms under $sketchDir")
     deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
@@ -461,23 +463,28 @@ object ScaleOps {
                     cols: Seq[String] = Seq("doc_id", "lang", "n_chars", "source", "text"))
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val aggs = cols.flatMap { c => Seq(
-        count(col(c)).as(s"${c}__n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-        min(col(c)).cast("string").as(s"${c}__mn"),
-        max(col(c)).cast("string").as(s"${c}__mx"),
-        sum(length(col(c).cast("string")).cast("long")).as(s"${c}__tl"))
+      // skip no-data micro-batches: the regs table is a groupBy, so an
+      // empty epoch writes _SUCCESS with no parquet files under regs/
+      // and bricks profileMerged (the pq/ivf fix)
+      if (!batch.isEmpty) {
+        val aggs = cols.flatMap { c => Seq(
+          count(col(c)).as(s"${c}__n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+          min(col(c)).cast("string").as(s"${c}__mn"),
+          max(col(c)).cast("string").as(s"${c}__mx"),
+          sum(length(col(c).cast("string")).cast("long")).as(s"${c}__tl"))
+        }
+        val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', ${c}__n, ${c}__nn, ${c}__mn, ${c}__mx, ${c}__tl").mkString(", ") +
+          ") as (col_name, n_values, n_null, min_str, max_str, total_strlen)"
+        batch.agg(aggs.head, aggs.tail: _*).select(expr(stackExpr))
+          .write.mode("overwrite").parquet(s"$profDir/delta-b$batchId/stats")
+        cols.map { c =>
+          hllTable(batch.select(col(c).as("k")), keyCol = "k")
+            .select(lit(c).as("col_name"), col("reg"), col("m_reg"))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$profDir/delta-b$batchId/regs")
       }
-      val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
-        s"'$c', ${c}__n, ${c}__nn, ${c}__mn, ${c}__mx, ${c}__tl").mkString(", ") +
-        ") as (col_name, n_values, n_null, min_str, max_str, total_strlen)"
-      batch.agg(aggs.head, aggs.tail: _*).select(expr(stackExpr))
-        .write.mode("overwrite").parquet(s"$profDir/delta-b$batchId/stats")
-      cols.map { c =>
-        hllTable(batch.select(col(c).as("k")), keyCol = "k")
-          .select(lit(c).as("col_name"), col("reg"), col("m_reg"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$profDir/delta-b$batchId/regs")
     }
 
   /** The merged profile over every ingested epoch: exact sums/min/max
@@ -486,8 +493,8 @@ object ScaleOps {
     import scala.jdk.CollectionConverters._
     val deltas = Option(new java.io.File(profDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        new java.io.File(f, "stats/_SUCCESS").exists &&
-        new java.io.File(f, "regs/_SUCCESS").exists)
+        StoredArtifacts.readableEpoch(new java.io.File(f, "stats")) &&
+        StoredArtifacts.readableEpoch(new java.io.File(f, "regs")))
       .sortBy(_.getName)
     require(deltas.nonEmpty, s"no profile deltas under $profDir")
     val stats = deltas.map(d => spark.read.parquet(s"${d.getPath}/stats"))
@@ -582,7 +589,7 @@ object ScaleOps {
                   k: Int = 3)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     keys.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      bloomTable(batch, mBits, k)
+      if (!batch.isEmpty) bloomTable(batch, mBits, k)
         .write.mode("overwrite").parquet(s"$bloomDir/delta-b$batchId")
     }
 
@@ -590,7 +597,7 @@ object ScaleOps {
   def bloomMerged(spark: SparkSession, bloomDir: String): DataFrame = {
     val deltas = Option(new java.io.File(bloomDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        new java.io.File(f, "_SUCCESS").exists)
+        StoredArtifacts.readableEpoch(f))
       .sortBy(_.getName)
     require(deltas.nonEmpty, s"no bloom deltas under $bloomDir")
     deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
@@ -610,14 +617,18 @@ object ScaleOps {
   def sketchStream(events: DataFrame, baseDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      countMinTable(batch)
-        .write.mode("overwrite").parquet(s"$baseDir/cms/delta-b$batchId")
-      hllTable(batch)
-        .write.mode("overwrite").parquet(s"$baseDir/hll/delta-b$batchId")
-      histTable(batch.select(col("value").as("o_totalprice")))
-        .write.mode("overwrite").parquet(s"$baseDir/hist/delta-b$batchId")
-      bloomTable(batch.select(col("user_id").as("key")))
-        .write.mode("overwrite").parquet(s"$baseDir/bloom/delta-b$batchId")
+      // skip no-data micro-batches: an empty epoch writes _SUCCESS
+      // with no parquet files and bricks later reads (the pq/ivf fix)
+      if (!batch.isEmpty) {
+        countMinTable(batch)
+          .write.mode("overwrite").parquet(s"$baseDir/cms/delta-b$batchId")
+        hllTable(batch)
+          .write.mode("overwrite").parquet(s"$baseDir/hll/delta-b$batchId")
+        histTable(batch.select(col("value").as("o_totalprice")))
+          .write.mode("overwrite").parquet(s"$baseDir/hist/delta-b$batchId")
+        bloomTable(batch.select(col("user_id").as("key")))
+          .write.mode("overwrite").parquet(s"$baseDir/bloom/delta-b$batchId")
+      }
     }
 
   /** Count-min cell for hash row `r`: portable 60-bit md5 hash of the
@@ -684,7 +695,7 @@ object ScaleOps {
                      width: Int = 512)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      countMinTable(batch, depth, width)
+      if (!batch.isEmpty) countMinTable(batch, depth, width)
         .write.mode("overwrite").parquet(s"$sketchDir/delta-b$batchId")
     }
 
@@ -695,7 +706,7 @@ object ScaleOps {
       // _SUCCESS = completed-write sentinel (torn deltas invisible
       // until their epoch replays)
       .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        new java.io.File(f, "_SUCCESS").exists)
+        StoredArtifacts.readableEpoch(f))
       .sortBy(_.getName)
     require(deltas.nonEmpty, s"no delta sketches under $sketchDir")
     deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
@@ -896,7 +907,7 @@ object ScaleOps {
   def hllStream(events: DataFrame, sketchDir: String, p: Int = 9)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      hllTable(batch, p)
+      if (!batch.isEmpty) hllTable(batch, p)
         .write.mode("overwrite").parquet(s"$sketchDir/delta-b$batchId")
     }
 
@@ -905,7 +916,7 @@ object ScaleOps {
   def hllMerged(spark: SparkSession, sketchDir: String): DataFrame = {
     val deltas = Option(new java.io.File(sketchDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        new java.io.File(f, "_SUCCESS").exists)
+        StoredArtifacts.readableEpoch(f))
       .sortBy(_.getName)
     require(deltas.nonEmpty, s"no delta sketches under $sketchDir")
     deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)

@@ -57,4 +57,24 @@ private[operators] object StoredArtifacts {
     if (!new java.io.File(s"$dir/$sentinel/_SUCCESS").exists()) build
     dir
   }
+
+  /** True when `f` is a COMPLETED parquet table with at least one data
+    * file. A zero-row write emits `_SUCCESS` but can emit no part
+    * files (the empty plan schedules no write tasks), and
+    * `spark.read.parquet` on such a dir throws at schema inference —
+    * so every delta/epoch lister must require data files, not just the
+    * sentinel. The stream faces also skip no-data micro-batches at
+    * write time; this read-side filter additionally tolerates dirs a
+    * pre-guard writer or a legitimately-empty keep set (every batch
+    * doc was a dup) already produced — semantically an empty epoch
+    * contributes nothing to a union, so skipping it IS reading it. */
+  def readableEpoch(f: java.io.File): Boolean =
+    new java.io.File(f, "_SUCCESS").exists && hasParquetFile(f)
+
+  /** Recursive because partitioned tables (`partitionBy("list_id")`)
+    * keep their part files under `key=value/` subdirectories. */
+  private def hasParquetFile(f: java.io.File): Boolean =
+    Option(f.listFiles()).exists(_.exists(c =>
+      (c.isFile && c.getName.endsWith(".parquet")) ||
+        (c.isDirectory && !c.getName.startsWith("_") && hasParquetFile(c))))
 }

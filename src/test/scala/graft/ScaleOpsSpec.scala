@@ -510,6 +510,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("merged sketch readers tolerate part-file-less delta dirs (pre-guard empty epochs)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // a real delta epoch plus a planted _SUCCESS-only dir — exactly
+    // what a pre-guard writer produced for a no-data micro-batch (the
+    // write faces now skip those; the read filter must ALSO tolerate
+    // dirs already on disk, which contribute nothing to the union)
+    def plantEmpty(dir: String): Unit = {
+      val bad = new java.io.File(s"$dir/delta-b9"); bad.mkdirs()
+      new java.io.File(bad, "_SUCCESS").createNewFile()
+    }
+    val events = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("event_id", "user_id")
+    val cmsDir = java.nio.file.Files.createTempDirectory("graft-cms-e").toString
+    ScaleOps.countMinTable(events).write.parquet(s"$cmsDir/delta-b0")
+    plantEmpty(cmsDir)
+    assert(ScaleOps.countMinMerged(s, cmsDir).count() > 0)
+    val hllDir = java.nio.file.Files.createTempDirectory("graft-hll-e").toString
+    graft.operators.ScaleOps.hllTable(events).write.parquet(s"$hllDir/delta-b0")
+    plantEmpty(hllDir)
+    assert(ScaleOps.hllMerged(s, hllDir).count() > 0)
+    val blDir = java.nio.file.Files.createTempDirectory("graft-bloom-e").toString
+    ScaleOps.bloomTable(events.select(col("user_id").as("key")))
+      .write.parquet(s"$blDir/delta-b0")
+    plantEmpty(blDir)
+    assert(ScaleOps.bloomMerged(s, blDir).count() > 0)
+  }
+
   test("aggDelta merge-equals-whole: part-aggregates over any disjoint split fold to the full recompute, incl. NULL keys") {
     val s = TestSpark.spark
     import s.implicits._
