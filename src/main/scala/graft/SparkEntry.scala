@@ -326,6 +326,10 @@ object SparkEntry {
     "scale_keyed_sample" -> ((s, d) => ScaleOps.sampleKeyed(Tables.events(s, d))),
     "scale_hll_sliding" -> ((s, d) => ScaleOps.hllSliding(Tables.events(s, d))),
     "scale_agg_delta" -> ((s, d) => ScaleOps.aggDelta(Tables.orders(s, d))),
+    "scale_join_delta" -> ((s, d) =>
+      ScaleOps.joinDelta(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "scale_cdc_apply" -> ((s, d) =>
+      ScaleOps.cdcApply(ScaleOps.cdcLog(Tables.orders(s, d)))),
     "scale_k_anonymity" -> ((s, d) => ScaleOps.kAnonymity(Tables.customer(s, d))),
     // threshold 80 sits below this dataset's hottest user at every SF
     // (max 86–99 events/user), so the verdict exercises the salt path
@@ -2970,6 +2974,36 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS min_us,
         |  CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS max_us
         |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+    "scale_join_delta" ->
+      // incremental join-view maintenance: base ⊕ key-pruned-delta
+      // part-views must equal the full recompute — so the oracle IS
+      // the full recompute, a plain join + GROUP BY over everything
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "scale_cdc_apply" ->
+      // CDC fold: latest full-row image per key by seq, tombstones
+      // drop — the oracle replays the same deterministic synthesized
+      // log through a window instead of Spark's max_by aggregate
+      """WITH log AS (
+        |  SELECT o_orderkey AS pk, 1 AS seq, 'I' AS op,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U',
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + 1000
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 7 = 0
+        |), last AS (
+        |  SELECT pk, seq, op, cents,
+        |    row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+        |  FROM log
+        |)
+        |SELECT pk AS o_orderkey, CAST(seq AS BIGINT) AS last_seq, cents
+        |FROM last WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
     "scale_hll_sliding" ->
       // rolling 7-day HLL from daily register sketches (scale_hll's
       // register math per trailing window, q26's exact-WAU audit

@@ -1300,4 +1300,137 @@ object ScaleOps {
       .drop("is_batch")
     aggMerge(Seq(parts)).orderBy(col("o_custkey"))
   }
+
+  /** The revenue-per-priority JOIN view at its maintainable grain —
+    * the unit [[joinDelta]] refreshes. Every measure is a commutative
+    * monoid over the JOINED row set (count, integer-cent sum, integer
+    * quantity sum), so part-views built from disjoint slices of the
+    * fact side fold exactly via union + re-aggregate. */
+  private def joinViewAgg(joined: DataFrame): DataFrame =
+    joined.groupBy(col("o_orderpriority"))
+      .agg(sum(col("n_items")).as("n_items"),
+        sum(col("rev_cents")).as("rev_cents"),
+        sum(col("sum_qty")).as("sum_qty"))
+
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE (the differential-dataflow step
+    * for a two-table view), self-contained for the oracle: the view is
+    * revenue per order priority over orders ⋈ lineitem; lineitem is
+    * split into a simulated stored base (orderkeys outside the batch
+    * residue) and an append batch. The base part-view simulates what a
+    * 100 TB deployment reads back from storage; the DELTA path is the
+    * only work a refresh actually pays: the batch joins a KEY-PRUNED
+    * read of the dimension side — the batch's distinct join keys
+    * broadcast as a semi-join filter (the local analog of a runtime
+    * Bloom/DPP prune), so a 0.1%-of-corpus batch touches 0.1% of
+    * orders, not all of it. Fold = union + re-aggregate at view grain
+    * (agg-sized shuffle; neither base fact nor full dimension is
+    * rescanned). Exact for append-only ingest by the monoid argument —
+    * deletes would need the affected groups rebuilt, the same boundary
+    * [[aggMerge]] documents. A NULL l_orderkey row is dropped by BOTH
+    * the maintenance paths (NULL residue fails both filters) and the
+    * full-recompute oracle (inner join never matches NULL) — the two
+    * agree by construction. */
+  def joinDelta(orders: DataFrame, lineitem: DataFrame,
+                batchMod: Int = 10, batchRes: Int = 9): DataFrame = {
+    val pri = orders.select(col("o_orderkey"), col("o_orderpriority"))
+    val li = lineitem.select(col("l_orderkey").as("o_orderkey"),
+      (pmod(col("l_orderkey"), lit(batchMod)) === batchRes).as("is_batch"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("qty"))
+    def partView(rows: DataFrame, dim: DataFrame): DataFrame =
+      rows.join(dim, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"),
+          sum(col("qty")).as("sum_qty"))
+    val base = partView(li.filter(!col("is_batch")), pri)
+    val batch = li.filter(col("is_batch"))
+    val prunedDim = pri.join(
+      broadcast(batch.select(col("o_orderkey")).distinct()),
+      Seq("o_orderkey"), "left_semi")
+    val delta = partView(batch, broadcast(prunedDim))
+    joinViewAgg(base.unionByName(delta)).orderBy(col("o_orderpriority"))
+  }
+
+  /** Deterministic synthesized CDC log over orders — full-row-image
+    * ops (Debezium-style "after" state), seq strictly increasing per
+    * key: every order INSERTs its price at seq 1; keys ≡ 0 (mod 3)
+    * UPDATE to price + 10.00 at seq 2; keys ≡ 0 (mod 7) DELETE at
+    * seq 3. Built row-locally (one array explode, no shuffle). */
+  def cdcLog(orders: DataFrame): DataFrame = {
+    val ops = array(
+      struct(lit(1L).as("seq"), lit("I").as("op"), col("cents0").as("cents")),
+      when(pmod(col("pk"), lit(3)) === 0,
+        struct(lit(2L).as("seq"), lit("U").as("op"),
+          (col("cents0") + 1000L).as("cents"))),
+      when(pmod(col("pk"), lit(7)) === 0,
+        struct(lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("long").as("cents"))))
+    orders
+      .select(col("o_orderkey").as("pk"),
+        round(col("o_totalprice") * 100).cast("long").as("cents0"))
+      .select(col("pk"), explode(filter(ops, e => e.isNotNull)).as("e"))
+      .select(col("pk"), col("e.seq").as("seq"), col("e.op").as("op"),
+        col("e.cents").as("cents"))
+  }
+
+  /** CDC LOG APPLICATION — the lakehouse ingestion primitive: fold an
+    * ordered insert/update/delete log of full-row images to the latest
+    * snapshot. Last-writer-wins per key via ONE aggregate
+    * (`max_by(struct, seq)` — map-side combinable partial agg, a
+    * single key-shuffle, no window sort over the log), then delete
+    * tombstones drop. Because ops carry full row state and seq is
+    * strictly monotone per key, the fold is associative: applying a
+    * log in epoch slices (or on top of a prior snapshot whose rows
+    * re-enter as pseudo-inserts at their last_seq — [[cdcMerge]])
+    * equals applying the whole log at once, which is exactly what the
+    * DuckDB oracle recomputes. At 100 TB the log is append-only
+    * partitioned storage and each refresh shuffles only new epochs
+    * plus the snapshot — never the historical log. */
+  def cdcApply(log: DataFrame): DataFrame =
+    log.groupBy(col("pk"))
+      .agg(max_by(struct(col("seq"), col("op"), col("cents")),
+        col("seq")).as("last"))
+      .filter(col("last.op") =!= "D")
+      .select(col("pk").as("o_orderkey"), col("last.seq").as("last_seq"),
+        col("last.cents").as("cents"))
+      .orderBy(col("o_orderkey"))
+
+  /** Incremental refresh face of [[cdcApply]]: apply `newLog` on top
+    * of an existing snapshot WITHOUT rescanning the historical log —
+    * snapshot rows re-enter the fold as pseudo-inserts at their
+    * last_seq (full-row images make this lossless), so the same
+    * aggregate produces the post-ingest snapshot. Precondition: every
+    * seq in `newLog` exceeds the snapshot's (append-only, monotone
+    * CDC stream). A key whose history ended in a tombstone is absent
+    * from the snapshot and correctly resurrects only if `newLog`
+    * carries a later op for it. */
+  def cdcMerge(snapshot: DataFrame, newLog: DataFrame): DataFrame =
+    cdcApply(
+      snapshot.select(col("o_orderkey").as("pk"),
+          col("last_seq").as("seq"), lit("I").as("op"), col("cents"))
+        .unionByName(newLog))
+
+  /** Streaming face of the CDC family: micro-batches of log ops land
+    * as replay-idempotent append epochs (no-data batches skipped — a
+    * part-file-less _SUCCESS dir bricks naive readers; see
+    * [[StoredArtifacts.readableEpoch]]). */
+  def cdcStream(log: DataFrame, logDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    log.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) batch
+        .write.mode("overwrite").parquet(s"$logDir/delta-b$batchId")
+    }
+
+  /** Snapshot over every ingested CDC epoch: union the readable
+    * epochs, one [[cdcApply]] fold. Epoch slicing is invisible by the
+    * associativity argument. */
+  def cdcSnapshot(spark: SparkSession, logDir: String): DataFrame = {
+    val deltas = Option(new java.io.File(logDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        StoredArtifacts.readableEpoch(f))
+      .sortBy(_.getName)
+    require(deltas.nonEmpty, s"no CDC epochs under $logDir")
+    cdcApply(deltas.map(d => spark.read.parquet(d.getPath))
+      .reduce(_ unionByName _))
+  }
 }

@@ -569,6 +569,107 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => r.toSeq.head -> r.toSeq.tail).toMap
     assert(folded == whole, "separately-built part-aggregates must fold to the full recompute")
   }
+
+  test("joinDelta: base ⊕ key-pruned delta equals the full join recompute at any residue; delta dim read is broadcast-pruned") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(s, TestSpark.sf)
+    val lineitem = Tables.lineitem(s, TestSpark.sf)
+    val whole = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    for ((m, r) <- Seq((10, 9), (7, 0), (3, 2))) {
+      val got = graft.operators.ScaleOps.joinDelta(orders, lineitem, m, r)
+        .collect().map(x => x.getString(0) -> x.toSeq.tail).toMap
+      assert(got == whole, s"joinDelta($m,$r) diverged from the full recompute")
+    }
+    // the delta path's dimension read must be key-pruned via broadcast
+    // (the scan-0.1%-not-100% claim), and the fold must stay agg-sized
+    val plan = graft.operators.ScaleOps.joinDelta(orders, lineitem)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      (plan.contains("LeftSemi") || plan.contains("left_semi")),
+      s"delta dim prune must be a broadcast semi-join:\n$plan")
+  }
+
+  test("joinDelta: NULL join keys drop from both maintenance paths exactly as the inner-join recompute drops them") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val orders = Seq((1L, "1-URGENT", 10.0), (2L, "2-HIGH", 20.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val li = Seq(Some(1L) -> 5.0, Some(2L) -> 7.0, None -> 99.0, Some(9L) -> 3.0)
+      .map { case (k, p) => (k, p, 1.0) }
+      .toDF("l_orderkey", "l_extendedprice", "l_quantity")
+    val out = graft.operators.ScaleOps.joinDelta(orders, li, 2, 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // NULL key and dangling key 9 both vanish; priorities keep 1 item each
+    assert(out == Seq(("1-URGENT", 1L, 500L), ("2-HIGH", 1L, 700L)), s"got $out")
+  }
+
+  test("cdcApply: last full-row image wins by seq, tombstones drop, input order is irrelevant") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // pk 1: I,U -> updated value; pk 2: I,D -> gone; pk 3: I only;
+    // pk 4: I,D,I(later) -> resurrected. Rows deliberately shuffled.
+    val log = Seq(
+      (4L, 9L, "I", Some(777L)), (1L, 2L, "U", Some(1100L)),
+      (2L, 1L, "I", Some(200L)), (1L, 1L, "I", Some(100L)),
+      (4L, 1L, "I", Some(400L)), (2L, 2L, "D", None),
+      (3L, 1L, "I", Some(300L)), (4L, 2L, "D", None)
+    ).toDF("pk", "seq", "op", "cents")
+    val out = graft.operators.ScaleOps.cdcApply(log)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 1100L), (3L, 1L, 300L), (4L, 9L, 777L)), s"got $out")
+  }
+
+  test("cdcMerge: snapshot + new epoch equals whole-log apply (incl. delete-then-resurrect across the split)") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val log = graft.operators.ScaleOps.cdcLog(Tables.orders(s, TestSpark.sf))
+    val whole = graft.operators.ScaleOps.cdcApply(log)
+      .collect().map(_.toSeq).toSet
+    // split mid-history: seq 1 ops land first, seq>=2 (updates AND
+    // tombstones) arrive as the new epoch — deletes must kill snapshot
+    // rows, and keys deleted pre-split must stay dead
+    val snap = graft.operators.ScaleOps.cdcApply(log.filter(col("seq") === 1))
+    val merged = graft.operators.ScaleOps.cdcMerge(snap, log.filter(col("seq") >= 2))
+      .collect().map(_.toSeq).toSet
+    assert(merged == whole, "snapshot ⊕ epoch must equal the whole-log fold")
+  }
+
+  test("cdcStream: epoch slicing is invisible to cdcSnapshot; planted empty epoch tolerated") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val all = (0 until 200).flatMap { i =>
+      Seq((i.toLong, 1L, "I", Some(i * 10L))) ++
+        (if (i % 3 == 0) Seq((i.toLong, 2L, "U", Some(i * 10L + 5))) else Nil) ++
+        (if (i % 7 == 0) Seq((i.toLong, 3L, "D", Option.empty[Long])) else Nil)
+    }
+    val mem = MemoryStream[(Long, Long, String, Option[Long])]
+    val q = graft.operators.ScaleOps.cdcStream(
+        mem.toDF().toDF("pk", "seq", "op", "cents"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cdc-ck").toString)
+      .start()
+    try {
+      mem.addData(all.take(120): _*); q.processAllAvailable()
+      mem.addData(all.drop(120): _*); q.processAllAvailable()
+    } finally q.stop()
+    val bad = new java.io.File(s"$dir/delta-b9"); bad.mkdirs()
+    new java.io.File(bad, "_SUCCESS").createNewFile()
+    val whole = graft.operators.ScaleOps.cdcApply(
+      all.toDF("pk", "seq", "op", "cents")).collect().map(_.toSeq).toSet
+    val snap = graft.operators.ScaleOps.cdcSnapshot(s, dir)
+      .collect().map(_.toSeq).toSet
+    assert(snap == whole, "epoch-sliced snapshot must equal the whole-log fold")
+  }
 }
 
 class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
