@@ -330,6 +330,7 @@ object SparkEntry {
       ScaleOps.joinDelta(Tables.orders(s, d), Tables.lineitem(s, d))),
     "scale_cdc_apply" -> ((s, d) =>
       ScaleOps.cdcApply(ScaleOps.cdcLog(Tables.orders(s, d)))),
+    "scale_pps_sample" -> ((s, d) => ScaleOps.ppsSample(Tables.documents(s, d))),
     "scale_k_anonymity" -> ((s, d) => ScaleOps.kAnonymity(Tables.customer(s, d))),
     // threshold 80 sits below this dataset's hottest user at every SF
     // (max 86–99 events/user), so the verdict exercises the salt path
@@ -3004,6 +3005,21 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT pk AS o_orderkey, CAST(seq AS BIGINT) AS last_seq, cents
         |FROM last WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    "scale_pps_sample" ->
+      // PPS systematic sample: integer arrow counts — floor division
+      // on positive operands, so DuckDB // and Spark div agree
+      """WITH b AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang) AS tw
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |SELECT lang, doc_id, w,
+        |  CAST((cw * 10) // tw - ((cw - w) * 10) // tw AS BIGINT) AS picks
+        |FROM b
+        |WHERE (cw * 10) // tw - ((cw - w) * 10) // tw >= 1
+        |ORDER BY lang, doc_id""".stripMargin,
     "scale_hll_sliding" ->
       // rolling 7-day HLL from daily register sketches (scale_hll's
       // register math per trailing window, q26's exact-WAU audit

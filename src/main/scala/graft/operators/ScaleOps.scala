@@ -1433,4 +1433,37 @@ object ScaleOps {
     cdcApply(deltas.map(d => spark.read.parquet(d.getPath))
       .reduce(_ unionByName _))
   }
+
+  /** PPS SYSTEMATIC SAMPLE — probability-proportional-to-size
+    * sampling, the weighted counterpart of [[sampleKeyed]]: shoot k
+    * evenly-spaced arrows into each stratum's cumulative-weight line
+    * and keep every row an arrow lands in (a training-data mixer
+    * drawing per-language exemplars proportional to document length).
+    * ENTIRELY integer arithmetic — a row is picked
+    * `floor(k·cw/W) − floor(k·(cw−w)/W)` times (its weight-interval's
+    * multiple-of-W/k count), so Spark and the SQL oracle agree
+    * bit-for-bit and the arrow count telescopes to exactly k per
+    * stratum (no float inverse-CDF, no libm). Rows with NULL or
+    * non-positive weight can't be drawn (documented; they'd make the
+    * interval empty). Scale shape: ONE shuffle on the stratum key +
+    * a per-stratum running sum — the q32 keyed-window family; a
+    * stratum is a language here (bounded cardinality), and
+    * [[windowPreflight]] is the standing detector if a deployment's
+    * strata ever concentrate. */
+  def ppsSample(documents: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("lang"))
+    documents
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("cw", sum(col("w")).over(byLang))
+      .withColumn("tw", sum(col("w")).over(whole))
+      .withColumn("picks",
+        expr(s"(cw * $k) div tw - ((cw - w) * $k) div tw"))
+      .filter(col("picks") >= 1)
+      .select(col("lang"), col("doc_id"), col("w"), col("picks"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
 }

@@ -670,6 +670,32 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(snap == whole, "epoch-sliced snapshot must equal the whole-log fold")
   }
+
+  test("ppsSample: arrows telescope to exactly k per stratum, counts are weight-proportional, unweighable rows excluded") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // stratum A: one doc holds 50% of the weight -> exactly 5 of k=10
+    // arrows; stratum B: uniform weights; NULL/zero weights undrawable
+    val docs = (
+      Seq((0L, "A", Some(500)), (1L, "A", Some(100)), (2L, "A", Some(100)),
+        (3L, "A", Some(100)), (4L, "A", Some(100)), (5L, "A", Some(100)),
+        (6L, "A", Some(0)), (7L, "A", None)) ++
+      (10L until 30L).map(i => (i, "B", Some(7)))
+    ).toDF("doc_id", "lang", "n_chars")
+    val out = graft.operators.ScaleOps.ppsSample(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(!out.exists(r => r._2 == 6L || r._2 == 7L), "zero/NULL weight rows must not be drawn")
+    for (lang <- Seq("A", "B"))
+      assert(out.filter(_._1 == lang).map(_._3).sum == 10L,
+        s"stratum $lang arrow total must telescope to k")
+    assert(out.find(r => r._2 == 0L).get._3 == 5L,
+      "the half-weight doc takes exactly half the arrows")
+    // real corpus: deterministic, per-lang totals = k
+    val real = graft.operators.ScaleOps.ppsSample(
+      Tables.documents(s, TestSpark.sf)).collect()
+    val byLang = real.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    assert(byLang.forall(_._2 == 10L), s"per-stratum totals: ${byLang.toMap}")
+  }
 }
 
 class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
