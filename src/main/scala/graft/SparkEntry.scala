@@ -331,6 +331,9 @@ object SparkEntry {
     "scale_cdc_apply" -> ((s, d) =>
       ScaleOps.cdcApply(ScaleOps.cdcLog(Tables.orders(s, d)))),
     "scale_pps_sample" -> ((s, d) => ScaleOps.ppsSample(Tables.documents(s, d))),
+    "scale_kmv_setops" -> ((s, d) => ScaleOps.kmvSetOps(Tables.orders(s, d))),
+    "scale_heavy_hitters" -> ((s, d) =>
+      ScaleOps.heavyHitters(Tables.documents(s, d))),
     "scale_k_anonymity" -> ((s, d) => ScaleOps.kAnonymity(Tables.customer(s, d))),
     // threshold 80 sits below this dataset's hottest user at every SF
     // (max 86–99 events/user), so the verdict exercises the salt path
@@ -3020,6 +3023,104 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM b
         |WHERE (cw * 10) // tw - ((cw - w) * 10) // tw >= 1
         |ORDER BY lang, doc_id""".stripMargin,
+    "scale_heavy_hitters" ->
+      // exact heavy hitters: the Misra–Gries candidate pass only
+      // PRUNES — the output is the plain exact GROUP BY/HAVING over
+      // share > 1/(s+1), s = 30, so the oracle IS that recompute
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |), tt AS (
+        |  SELECT tok FROM t WHERE tok <> ''
+        |), n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM tt
+        |)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST((10000 * count(*)) // (SELECT n_total FROM n) AS BIGINT) AS share_bp
+        |FROM tt GROUP BY tok
+        |HAVING count(*) * 31 > (SELECT n_total FROM n)
+        |ORDER BY tok""".stripMargin,
+    "scale_kmv_setops" ->
+      // KMV bottom-k set operations: every integer (sketch sizes,
+      // k-th min hashes, sketch overlap, exact distincts)
+      // hash-matches; the (k-1)·2^48/kth double estimates feed only
+      // the within-tolerance booleans, computed with identical
+      // arithmetic (same constant, same operation order)
+      """WITH base AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS side,
+        |    o_custkey AS key
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_custkey IS NOT NULL
+        |), hashed AS (
+        |  SELECT side,
+        |    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':kmv'), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM base
+        |), sk AS (
+        |  SELECT side, h FROM (
+        |    SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h ASC) AS r
+        |    FROM hashed) t
+        |  WHERE r <= 512
+        |), usk AS (
+        |  SELECT h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h ASC) AS r
+        |    FROM (SELECT DISTINCT h FROM sk) d) t
+        |  WHERE r <= 512
+        |), sstats AS (
+        |  SELECT side, CAST(count(*) AS BIGINT) AS n_sk, max(h) AS kth
+        |  FROM sk GROUP BY side
+        |), ustats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sk_union, max(h) AS kth_union FROM usk
+        |), ov AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS overlap_k FROM usk u
+        |  WHERE EXISTS (SELECT 1 FROM sk WHERE side = 'a' AND h = u.h)
+        |    AND EXISTS (SELECT 1 FROM sk WHERE side = 'b' AND h = u.h)
+        |), ex AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+        |    CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+        |  FROM (SELECT key, count(DISTINCT side) AS ns FROM base GROUP BY key) c
+        |), exs AS (
+        |  SELECT CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+        |    CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS exact_b
+        |  FROM base
+        |), wide AS (
+        |  SELECT
+        |    (SELECT n_sk FROM sstats WHERE side = 'a') AS n_sk_a,
+        |    (SELECT n_sk FROM sstats WHERE side = 'b') AS n_sk_b,
+        |    u.n_sk_union,
+        |    (SELECT kth FROM sstats WHERE side = 'a') AS kth_a,
+        |    (SELECT kth FROM sstats WHERE side = 'b') AS kth_b,
+        |    u.kth_union, o.overlap_k, s.exact_a, s.exact_b,
+        |    e.exact_union, e.exact_inter
+        |  FROM ustats u, ov o, exs s, ex e
+        |), est1 AS (
+        |  SELECT *,
+        |    CASE WHEN n_sk_a < 512 THEN CAST(n_sk_a AS DOUBLE)
+        |      ELSE CAST(143833713099145216 AS DOUBLE) / kth_a END AS est_a,
+        |    CASE WHEN n_sk_b < 512 THEN CAST(n_sk_b AS DOUBLE)
+        |      ELSE CAST(143833713099145216 AS DOUBLE) / kth_b END AS est_b,
+        |    CASE WHEN n_sk_union < 512 THEN CAST(n_sk_union AS DOUBLE)
+        |      ELSE CAST(143833713099145216 AS DOUBLE) / kth_union END AS est_union
+        |  FROM wide
+        |), est2 AS (
+        |  SELECT *,
+        |    CASE WHEN n_sk_union < 512 THEN CAST(overlap_k AS DOUBLE)
+        |      ELSE (CAST(overlap_k AS DOUBLE) * est_union) / n_sk_union END AS est_inter
+        |  FROM est1
+        |)
+        |SELECT CAST(512 AS BIGINT) AS k,
+        |  n_sk_a, n_sk_b, n_sk_union, kth_a, kth_b, kth_union, overlap_k,
+        |  exact_a, exact_b, exact_union, exact_inter,
+        |  CASE WHEN exact_a = 0 THEN est_a = 0.0
+        |    ELSE abs(est_a - exact_a) / exact_a <= 0.12 END AS a_within_tol,
+        |  CASE WHEN exact_b = 0 THEN est_b = 0.0
+        |    ELSE abs(est_b - exact_b) / exact_b <= 0.12 END AS b_within_tol,
+        |  CASE WHEN exact_union = 0 THEN est_union = 0.0
+        |    ELSE abs(est_union - exact_union) / exact_union <= 0.12 END AS union_within_tol,
+        |  CASE WHEN exact_inter = 0 THEN est_inter = 0.0
+        |    ELSE abs(est_inter - exact_inter) / exact_inter <= 0.12 END AS inter_within_tol
+        |FROM est2""".stripMargin,
     "scale_hll_sliding" ->
       // rolling 7-day HLL from daily register sketches (scale_hll's
       // register math per trailing window, q26's exact-WAU audit

@@ -1450,6 +1450,227 @@ object ScaleOps {
     * stratum is a language here (bounded cardinality), and
     * [[windowPreflight]] is the standing detector if a deployment's
     * strata ever concentrate. */
+  /** Bottom-k (KMV) sketch table for segmented key sets: one corpus
+    * scan dedupes to (side, key) grain (map-side partial dedup — the
+    * countDistinct shuffle shape), hashes each key with the portable
+    * 48-bit md5 idiom (12 hex chars so the negated heap score is
+    * exact in a double — the [[sampleKeyed]] rule), and keeps each
+    * side's k SMALLEST hash values via one bounded-heap `graft_topk`
+    * aggregate — O(k) state per side at every aggregation stage,
+    * partitions·k rows shuffled. Output: ≤ sides·k (side, h) rows —
+    * the stored sketch artifact. */
+  private[graft] def kmvTable(sideKeys: DataFrame, k: Int): DataFrame = {
+    val h = conv(substring(md5(concat(col("key").cast("string"),
+      lit(":kmv"))), 1, 12), 16, 10).cast("long")
+    sideKeys.select(col("side"), col("key")).distinct()
+      .select(col("side"), h.as("h"))
+      .groupBy(col("side"))
+      .agg(graft.functions.F.topk((-col("h")).cast("double"), col("h"), k)
+        .as("picks"))
+      .select(col("side"), explode(col("picks")).as("p"))
+      .select(col("side"), col("p.id").as("h"))
+  }
+
+  /** KMV SET OPERATIONS — distinct-count estimates for UNION and
+    * INTERSECTION across two segments from bottom-k sketches, the set
+    * algebra HLL registers cannot express (HLL unions, but its
+    * intersection needs inclusion–exclusion with compounding error;
+    * KMV reads the Jaccard estimate straight off the sketches —
+    * Beyer et al., "On Synopses for Distinct-Value Estimation Under
+    * Multiset Operations", SIGMOD'07). Segments here: customers with
+    * 1-URGENT orders vs customers with 2-HIGH orders (audience
+    * overlap, the classic KMV question).
+    *
+    * Sketch algebra: S(A∪B) = bottom-k(S(A) ∪ S(B)) — closed under
+    * union, so merging is re-sketching 2k values; Jaccard ρ =
+    * |S(A∪B) ∩ S(A) ∩ S(B)| / |S(A∪B)|, intersection ≈ ρ·|A∪B|.
+    * When a sketch holds fewer than k values it IS the exact distinct
+    * hash set and every estimate collapses to the exact count (the
+    * standard small-set branch — exercised at sf0.001 where sides
+    * have ~130 distinct keys).
+    *
+    * Determinism contract (the [[hllDistinct]] convention): every
+    * integer — sketch sizes, k-th minimum hashes, sketch overlap,
+    * exact distincts — hash-matches the oracle bit-for-bit; the
+    * double estimates (k−1)·2⁴⁸/h₍ₖ₎ feed only within-tolerance
+    * booleans computed with identical arithmetic in both engines.
+    *
+    * Scale shape: the corpus is reduced ONCE to (side, key) distinct
+    * grain (the cost any exact countDistinct already pays; at 100 TB
+    * [[kmvStream]] maintains the sketch per ingest epoch and this
+    * corpus pass never re-runs); everything downstream — union
+    * sketch, overlap, estimates — runs on ≤ 2k rows. The exact
+    * union/intersection columns are the AUDIT side only. */
+  def kmvSetOps(orders: DataFrame, k: Int = 512,
+                tol: Double = 0.12): DataFrame = {
+    val hSpace = (k - 1).toLong * (1L << 48)
+    val base = Dedup.materialized(orders
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_custkey").isNotNull)
+      .select(when(col("o_orderpriority") === "1-URGENT", lit("a"))
+        .otherwise(lit("b")).as("side"), col("o_custkey").as("key"))
+      .distinct())
+    val sk = Dedup.materialized(kmvTable(base, k))
+    // union sketch = bottom-k of the two sketches' distinct values —
+    // the closure property that makes KMV mergeable
+    val unionSk = Dedup.materialized(sk.select(col("h")).distinct()
+      .agg(graft.functions.F.topk((-col("h")).cast("double"), col("h"), k)
+        .as("picks"))
+      .select(explode(col("picks")).as("p"))
+      .select(col("p.id").as("h")))
+    val est = s"CAST($hSpace AS DOUBLE) / "
+    def side(s: String) = sk.filter(col("side") === s).agg(
+      count(lit(1)).as(s"n_sk_$s"), max(col("h")).as(s"kth_$s"))
+    val uStats = unionSk.agg(count(lit(1)).as("n_sk_union"),
+      max(col("h")).as("kth_union"))
+    // sketch overlap: union-sketch values present in BOTH side sketches
+    val inBoth = sk.groupBy(col("h"))
+      .agg(countDistinct(col("side")).as("ns"))
+    val overlap = unionSk.join(inBoth, "h")
+      .agg(coalesce(sum(when(col("ns") === 2, 1L).otherwise(0L)), lit(0L))
+        .as("overlap_k"))
+    // exact audit at key grain — present-in-which-sides per key
+    val exact = base.groupBy(col("key"))
+      .agg(countDistinct(col("side")).as("ns"))
+      .agg(count(lit(1)).as("exact_union"),
+        coalesce(sum(when(col("ns") === 2, 1L).otherwise(0L)), lit(0L))
+          .as("exact_inter"))
+    val exactSides = base.groupBy(col("side")).agg(count(lit(1)).as("n"))
+    val ea = exactSides.filter(col("side") === "a")
+      .select(col("n").as("exact_a"))
+    val eb = exactSides.filter(col("side") === "b")
+      .select(col("n").as("exact_b"))
+    val out = side("a").crossJoin(side("b")).crossJoin(uStats)
+      .crossJoin(overlap).crossJoin(ea).crossJoin(eb).crossJoin(exact)
+      .withColumn("est_a", when(col("n_sk_a") < k,
+        col("n_sk_a").cast("double")).otherwise(expr(est + "kth_a")))
+      .withColumn("est_b", when(col("n_sk_b") < k,
+        col("n_sk_b").cast("double")).otherwise(expr(est + "kth_b")))
+      .withColumn("est_union", when(col("n_sk_union") < k,
+        col("n_sk_union").cast("double")).otherwise(expr(est + "kth_union")))
+      .withColumn("est_inter", when(col("n_sk_union") < k,
+        col("overlap_k").cast("double"))
+        .otherwise(expr("(CAST(overlap_k AS DOUBLE) * est_union) / n_sk_union")))
+    def tolOk(e: String, x: String) =
+      when(col(x) === 0L, col(e) === 0.0)
+        .otherwise(abs(col(e) - col(x)) / col(x) <= lit(tol))
+    out.select(lit(k.toLong).as("k"),
+      col("n_sk_a"), col("n_sk_b"), col("n_sk_union"),
+      col("kth_a"), col("kth_b"), col("kth_union"), col("overlap_k"),
+      col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
+      tolOk("est_a", "exact_a").as("a_within_tol"),
+      tolOk("est_b", "exact_b").as("b_within_tol"),
+      tolOk("est_union", "exact_union").as("union_within_tol"),
+      tolOk("est_inter", "exact_inter").as("inter_within_tol"))
+  }
+
+  /** Misra–Gries candidate pass: one `mapPartitions` sweep keeps an
+    * s-counter summary per partition (the classic decrement-all
+    * eviction — Misra & Gries 1982, the FREQUENT algorithm), emitting
+    * each partition's surviving (token, residual) pairs plus one
+    * row-count marker row (tok = NULL). Guarantee, for ANY partition
+    * layout: a key with global count > N/(s+1) must exceed
+    * n_p/(s+1) in at least one partition (pigeonhole over
+    * Σn_p = N), and a key over a partition's 1/(s+1) share always
+    * survives that partition's summary — so the union of summaries is
+    * a SUPERSET of the true heavy hitters. Bounded state: s counters
+    * per partition at all times, ≤ partitions·(s+1) rows out. One of
+    * the rare genuinely-imperative per-partition kernels (the
+    * eviction couples all s counters per input row — no relational
+    * decomposition); everything around it stays declarative. */
+  private[graft] def mgCandidates(toks: org.apache.spark.sql.Dataset[String],
+                                  s: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { t =>
+        n += 1
+        counts.get(t) match {
+          case Some(c) => counts.update(t, c + 1)
+          case None if counts.size < s => counts.update(t, 1L)
+          case None =>
+            // decrement-all: value-only mutation during the scan,
+            // structural removes deferred past the iterator
+            val dead = List.newBuilder[String]
+            counts.foreach { case (k, c) =>
+              if (c == 1L) dead += k else counts.update(k, c - 1)
+            }
+            dead.result().foreach(counts.remove)
+        }
+      }
+      counts.iterator.map { case (k, c) => (Option(k), c) } ++
+        Iterator.single((Option.empty[String], n))
+    }.toDF("tok", "cnt")
+  }
+
+  /** HEAVY HITTERS — every token whose corpus share strictly exceeds
+    * 1/(s+1), with EXACT counts, by the production two-pass shape for
+    * keys too numerous to groupBy whole (urls, tokens, user agents):
+    * pass 1 is the [[mgCandidates]] Misra–Gries sweep (bounded state,
+    * ≤ partitions·s candidate rows shuffled — never the key-grain
+    * exchange), pass 2 re-scans the corpus restricted to the
+    * broadcast candidate set and counts exactly (map-side combinable
+    * over ≤ |candidates| keys). The candidate SET varies with the
+    * partition layout; the OUTPUT does not — MG's superset guarantee
+    * holds for any layout, and the final filter
+    * `cnt·(s+1) > N` is exact integer arithmetic, so the result is
+    * deterministic and engine-portable (the oracle is a plain
+    * GROUP BY/HAVING — at test scale the exact recompute is cheap;
+    * at 100 TB it is exactly what this operator exists to avoid).
+    * share_bp = floor(10⁴·cnt/N) rides the same integer idiom. */
+  def heavyHitters(documents: DataFrame, s: Int = 30): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents.filter(col("text").isNotNull)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val summary = Dedup.materialized(mgCandidates(toks.as[String], s))
+    val total = summary.filter(col("tok").isNull)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
+    val candidates = summary.filter(col("tok").isNotNull)
+      .select(col("tok")).distinct()
+    toks.join(broadcast(candidates), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(total)
+      .filter(col("cnt") * (s + 1) > col("n_total"))
+      .select(col("tok"), col("cnt"),
+        expr("(10000 * cnt) div n_total").as("share_bp"))
+      .orderBy(col("tok"))
+  }
+
+  /** Ingest-time KMV maintenance — per-epoch delta sketches, the
+    * [[hllStream]] ownership contract (delta dirs keyed by batchId,
+    * one logical stream per sketchDir). Replay-idempotent by
+    * overwrite AND by algebra: bottom-k of a multiset union ignores
+    * duplicates, so a replayed epoch cannot move the sketch. */
+  def kmvStream(sideKeys: DataFrame, sketchDir: String, k: Int = 512)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    sideKeys.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) kmvTable(batch, k)
+        .write.mode("overwrite").parquet(s"$sketchDir/delta-b$batchId")
+    }
+
+  /** Merged KMV sketch over every ingested epoch: per-side bottom-k of
+    * the union of delta sketches — ≤ sides·k rows read per epoch,
+    * ≤ sides·k rows out, the closure property in code. Equals the
+    * whole-corpus sketch exactly (spec-pinned). */
+  def kmvMerged(spark: SparkSession, sketchDir: String, k: Int = 512): DataFrame = {
+    val deltas = Option(new java.io.File(sketchDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        StoredArtifacts.readableEpoch(f))
+      .sortBy(_.getName)
+    require(deltas.nonEmpty, s"no KMV sketches under $sketchDir")
+    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+      .select(col("side"), col("h")).distinct()
+      .groupBy(col("side"))
+      .agg(graft.functions.F.topk((-col("h")).cast("double"), col("h"), k)
+        .as("picks"))
+      .select(col("side"), explode(col("picks")).as("p"))
+      .select(col("side"), col("p.id").as("h"))
+  }
+
   def ppsSample(documents: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))

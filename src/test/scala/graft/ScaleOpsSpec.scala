@@ -2113,3 +2113,112 @@ class CcnetBucketSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert((30L until 60L).forall(out(_) == "middle"))
   }
 }
+
+class HeavyHittersSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("MG two-pass equals the exact recompute on any layout; boundary is strict") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // N = 100 tokens: hot 30, warm 21, edge exactly 20 = N/(s+1) at
+    // s=4 (strictly excluded), 29 singletons
+    val toks = Seq.fill(30)("hot") ++ Seq.fill(21)("warm") ++
+      Seq.fill(20)("edge") ++ (1 to 29).map(i => s"cold$i")
+    for (layout <- Seq(1, 3, 7)) {
+      val docs = toks.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .repartition(layout)
+      val out = ScaleOps.heavyHitters(docs, s = 4).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSeq == Seq(("hot", 30L, 3000L), ("warm", 21L, 2100L)),
+        s"layout $layout: ${out.toSeq}")
+    }
+  }
+
+  test("MG summaries are bounded, markers sum to N, candidates superset the hitters") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val toks = (Seq.fill(400)("hot") ++ (1 to 1600).map(i => s"c${i % 800}"))
+    val ds = toks.toDS().repartition(5)
+    val summary = ScaleOps.mgCandidates(ds, s = 8)
+    assert(summary.count() <= 5 * 9, "summary must stay within partitions·(s+1) rows")
+    assert(summary.filter(col("tok").isNull).agg(sum(col("cnt")))
+      .head().getLong(0) == 2000L, "marker rows must sum to N")
+    val cands = summary.filter(col("tok").isNotNull)
+      .select(col("tok")).distinct().collect().map(_.getString(0)).toSet
+    assert(cands.contains("hot"), "a 20% key must survive every layout")
+    assert(cands.size < 801, "the sweep must prune the cold tail")
+  }
+}
+
+class KmvSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("KMV small-set branch is exact; estimator branch pins the k-th min hash") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 5 a-only, 3 b-only, 3 shared keys → |A|=8, |B|=6, |A∪B|=11, |A∩B|=3,
+    // all under k=16 → sketches are complete sets, every estimate exact
+    def ordersLike(rows: Seq[(String, Long)]) = rows.map { case (p, c) =>
+      (if (p == "a") "1-URGENT" else "2-HIGH", c)
+    }.toDF("o_orderpriority", "o_custkey")
+    val small = ordersLike(
+      (1L to 5L).map(("a", _)) ++ (11L to 13L).map(("b", _)) ++
+        (21L to 23L).flatMap(k => Seq(("a", k), ("b", k))) ++
+        Seq(("a", 1L), ("b", 11L))) // duplicates must not move anything
+    val r = ScaleOps.kmvSetOps(small, k = 16, tol = 0.01).head()
+    assert(r.getAs[Long]("n_sk_a") == 8 && r.getAs[Long]("n_sk_b") == 6)
+    assert(r.getAs[Long]("n_sk_union") == 11 && r.getAs[Long]("overlap_k") == 3)
+    assert(r.getAs[Long]("exact_union") == 11 && r.getAs[Long]("exact_inter") == 3)
+    assert(Seq("a_within_tol", "b_within_tol", "union_within_tol",
+      "inter_within_tol").forall(r.getAs[Boolean]), s"small-set branch not exact: $r")
+    // estimator branch: 400 keys/side, k=8 → sketch full; the k-th min
+    // must equal an independent sort's 8th smallest distinct hash
+    val big = ordersLike((1L to 400L).map(("a", _)) ++ (201L to 600L).map(("b", _)))
+    val rb = ScaleOps.kmvSetOps(big, k = 8, tol = 10.0).head()
+    val kth = big.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+      .select(conv(substring(md5(concat(col("o_custkey").cast("string"),
+        lit(":kmv"))), 1, 12), 16, 10).cast("long").as("h"))
+      .orderBy(col("h")).limit(8).agg(max(col("h"))).head().getLong(0)
+    assert(rb.getAs[Long]("n_sk_a") == 8 && rb.getAs[Long]("kth_a") == kth,
+      s"bottom-k heap disagrees with the sort: $rb vs $kth")
+  }
+
+  test("KMV stream deltas re-sketch to the whole-corpus sketch; replay is a no-op") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    // batches OVERLAP in keys: bottom-k union ignores duplicates, so the
+    // merged sketch must still equal the whole-corpus sketch exactly
+    val all = (0 until 300).map(i => (if (i % 2 == 0) "a" else "b", (i % 180).toLong))
+    val mem = MemoryStream[(String, Long)]
+    val q = ScaleOps.kmvStream(mem.toDF().toDF("side", "key"), dir, k = 32)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-kmv-ck").toString)
+      .start()
+    try {
+      mem.addData(all.take(150): _*); q.processAllAvailable()
+      mem.addData(all.drop(100): _*); q.processAllAvailable()
+    } finally q.stop()
+    val whole = ScaleOps.kmvTable(all.toDF("side", "key"), 32)
+    val merged = ScaleOps.kmvMerged(spark, dir, k = 32)
+    assert(whole.unionAll(merged).groupBy(col("side"), col("h"))
+      .count().filter(col("count") =!= 2).isEmpty,
+      "merged delta sketches differ from the whole-corpus sketch")
+    // replay epoch 0: delta unchanged (overwrite + bottom-k idempotence)
+    val d0 = spark.read.parquet(s"$dir/delta-b0").collect().toSet
+    val mem2 = MemoryStream[(String, Long)]
+    val q2 = ScaleOps.kmvStream(mem2.toDF().toDF("side", "key"), dir, k = 32)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-kmv-ck2").toString)
+      .start()
+    try { mem2.addData(all.take(150): _*); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/delta-b0").collect().toSet == d0,
+      "a replayed epoch must reproduce its delta sketch exactly")
+  }
+}
