@@ -132,6 +132,7 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, d) => Ann.annBruteforce(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.annLsh(Tables.embeddings(s, d), portable = true)),
     "ann_mmr" -> ((s, d) => Ann.annMmr(Tables.embeddings(s, d))),
+    "ann_binary_rerank" -> ((s, d) => Ann.annBinaryRerank(Tables.embeddings(s, d))),
     "ann_graph" -> ((s, d) => Ann.annGraph(Tables.embeddings(s, d))),
     // stored-index faces: build-if-absent under tmpdir (content-keyed),
     // then probe/rank only — the index is written once per corpus and
@@ -3571,6 +3572,51 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  CAST(rrf_micro AS BIGINT) AS rrf_micro
         |FROM fr WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     "ann_mmr" -> mmrOracleSql(5),
+    "ann_binary_rerank" ->
+      // 1-bit quantization vs per-dim sign-safe integer mean, codes
+      // packed into two 32-bit words, Hamming shortlist (xor +
+      // bit_count, ties → lowest vec_id), exact cosine rerank — the
+      // bruteforce output shape
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS MATERIALIZED (
+        |  SELECT vec_id, i.i AS i, CAST(round(v[i.i + 1] * 1e4) AS BIGINT) AS xb
+        |  FROM e, range(0, 64) i(i)
+        |), thr AS (
+        |  SELECT i, CAST(CAST(sign(sum(xb)) AS BIGINT) *
+        |    ((2 * abs(sum(xb)) + count(*)) // (2 * count(*))) AS BIGINT) AS thr
+        |  FROM c GROUP BY i
+        |), b AS (
+        |  SELECT c.vec_id, c.i,
+        |    CASE WHEN c.xb > thr.thr THEN 1::BIGINT ELSE 0::BIGINT END AS b
+        |  FROM c JOIN thr USING (i)
+        |), codes AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN i < 32 THEN b << i ELSE 0 END) AS BIGINT) AS w0,
+        |    CAST(sum(CASE WHEN i >= 32 THEN b << (i - 32) ELSE 0 END) AS BIGINT) AS w1
+        |  FROM b GROUP BY vec_id
+        |), q AS (
+        |  SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM codes WHERE vec_id % 50 = 0
+        |), ham AS (
+        |  SELECT q.q_id, c2.vec_id,
+        |    bit_count(xor(c2.w0, q.qw0)) + bit_count(xor(c2.w1, q.qw1)) AS ham
+        |  FROM codes c2 CROSS JOIN q WHERE c2.vec_id <> q.q_id
+        |), sl AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id ASC) AS r
+        |    FROM ham) t
+        |  WHERE r <= 50
+        |), s AS (
+        |  SELECT sl.q_id, sl.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qe.v, e2.v) AS cos
+        |  FROM sl JOIN e e2 ON e2.vec_id = sl.vec_id JOIN e qe ON qe.vec_id = sl.q_id
+        |), r AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM s
+        |)
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "ann_graph" -> graphOracleSql(5),
     // identical result by construction: the stored index's content is
     // deterministic, so the probe face gates against the same unrolled

@@ -383,6 +383,70 @@ object Ann {
       .orderBy(col("dim"))
   }
 
+  /** BINARY (1-bit) QUANTIZATION + HAMMING RERANK — the extreme end
+    * of the storage-compression spectrum next to int8 and PQ, and the
+    * production pre-filter for corpus-scale vector search: each
+    * dimension binarizes against the corpus's per-dimension mean
+    * (sign-safe half-away-from-zero integer mean over bp coords — the
+    * [[embeddingCentroidShift]] idiom, so both engines compute the
+    * identical threshold), a 64-dim vector packs into TWO 32-bit code
+    * words (4 bytes hold what 256 float-bytes held — 64× smaller,
+    * and bit packing stays inside exact signed-long arithmetic; a
+    * 1L<<63 top bit would trip ANSI overflow on sum), and search is
+    * two-stage: a Hamming shortlist (xor + bit_count per candidate —
+    * the cheapest distance a CPU can compute) feeds an exact float
+    * cosine RERANK over `shortlist` candidates per query. Both stages
+    * ride bounded-heap `graft_topk` (ties → lowest vec_id, mirrored
+    * by the oracle's ORDER BY). Scale shape: codes build in two
+    * row-local passes + one dims-sized broadcast; search scans the
+    * 8-bytes-per-vector code table once per query set with map-side
+    * k-heaps; the float corpus is touched only for shortlist·queries
+    * rows at rerank — at 100 TB the codes ARE the resident index and
+    * the floats stay on cold storage. Output shape = [[annBruteforce]]
+    * so recall is directly comparable (spec pins the floor). */
+  def annBinaryRerank(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+                      shortlist: Int = 50): DataFrame = {
+    val xb = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1e4), 0).cast("long"))
+    val base = Dedup.materialized(
+      embeddings.select(col("vec_id"), col("embedding")))
+    val coords = base
+      .select(col("vec_id"), posexplode(xb).as(Seq("i", "v")))
+    val thr = coords.groupBy(col("i")).agg(expr(
+      "CAST(sign(sum(v)) AS BIGINT) * " +
+        "((2 * abs(sum(v)) + count(1)) div (2 * count(1)))").as("thr"))
+    val codes = Dedup.materialized(coords.join(broadcast(thr), "i")
+      .select(col("vec_id"), col("i"),
+        when(col("v") > col("thr"), 1L).otherwise(0L).as("b"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("IF(i < 32, shiftleft(b, CAST(i AS INT)), 0L)")).as("w0"),
+        sum(expr("IF(i >= 32, shiftleft(b, CAST(i - 32 AS INT)), 0L)")).as("w1")))
+    val qCodes = codes.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("w0").as("qw0"), col("w1").as("qw1"))
+    // stage 1: Hamming shortlist over the code table only
+    val sl = codes.crossJoin(broadcast(qCodes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)")).cast("long").as("ham"))
+      .groupBy(col("q_id"))
+      .agg(F.topk((-col("ham")).cast("double"), col("vec_id"), shortlist).as("cand"))
+      .select(col("q_id"), explode(col("cand")).as("p"))
+      .select(col("q_id"), col("p.id").as("vec_id"))
+    // stage 2: exact cosine rerank over shortlist·queries rows
+    val qVecs = base.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    sl.join(base, "vec_id").join(broadcast(qVecs), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        F.cosine(col("q_vec"), col("embedding")).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(F.topk(col("cos"), col("vec_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 4).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Embedding L2-norm histogram — the one-pass drift probe a
     * pipeline runs per ingest epoch (a norm distribution that shifts
     * between epochs means the encoder or the data changed; norm
