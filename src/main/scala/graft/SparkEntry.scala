@@ -256,6 +256,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Ann.annPqProbe(e, Ann.ensurePqIndex(e, Ann.defaultPqIndexDir(e, d)))
     }),
+    "ann_binary_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.annBinaryProbe(e, Ann.ensureBinaryIndex(e, Ann.defaultBinaryIndexDir(e, d)))
+    }),
     "pipeline_retrieval" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Ann.pipelineRetrieval(e, Tables.documents(s, d),
@@ -1006,6 +1010,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // gates against the same oracle
     .updated("ann_ivf_probe", oracleSqlBase("ann_ivf_sampled"))
     .updated("ann_pq_probe", oracleSqlBase("ann_ivf_pq"))
+    .updated("ann_binary_probe", oracleSqlBase("ann_binary_rerank"))
     // the salted two-phase operators are hot-key re-plans of their
     // single-window originals — identical output, gated by the SAME
     // oracle (the strongest possible equivalence evidence)

@@ -406,24 +406,58 @@ object Ann {
     * so recall is directly comparable (spec pins the floor). */
   def annBinaryRerank(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
                       shortlist: Int = 50): DataFrame = {
-    val xb = transform(col("embedding"),
-      x => round(x.cast("double") * lit(1e4), 0).cast("long"))
     val base = Dedup.materialized(
       embeddings.select(col("vec_id"), col("embedding")))
-    val coords = base
-      .select(col("vec_id"), posexplode(xb).as(Seq("i", "v")))
-    val thr = coords.groupBy(col("i")).agg(expr(
-      "CAST(sign(sum(v)) AS BIGINT) * " +
-        "((2 * abs(sum(v)) + count(1)) div (2 * count(1)))").as("thr"))
-    val codes = Dedup.materialized(coords.join(broadcast(thr), "i")
+    val thr = binaryThresholds(base)
+    val codes = Dedup.materialized(
+      binaryCodes(base, thr).select(col("vec_id"), col("w0"), col("w1")))
+    val qCodes = codes.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("w0").as("qw0"), col("w1").as("qw1"))
+    val qVecs = base.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    binaryShortlistRerank(codes, qCodes, base, qVecs, k, shortlist)
+  }
+
+  /** Per-dimension binarization thresholds: the sign-safe
+    * half-away-from-zero integer mean of bp coords
+    * ([[embeddingCentroidShift]]'s idiom) — a dims-sized table. */
+  private[graft] def binaryThresholds(vecs: DataFrame): DataFrame = {
+    val xb = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1e4), 0).cast("long"))
+    vecs.select(posexplode(xb).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(expr(
+        "CAST(sign(sum(v)) AS BIGINT) * " +
+          "((2 * abs(sum(v)) + count(1)) div (2 * count(1)))").as("thr"))
+  }
+
+  /** Packed binary codes against a FROZEN threshold table: bit i = 1
+    * iff bp coord i exceeds thr_i, bits 0–31 in w0 and 32–63 in w1
+    * (two 32-bit words keep the packing inside exact signed-long
+    * sums). `list_id = vec_id mod nShards` is an IO-SHARDING key only
+    * — Hamming search scans every shard; the shard bounds file sizes,
+    * parallelizes writes, and reuses [[compactIvfDeltas]]'s
+    * list_id-partitioned layout verbatim. */
+  private[graft] def binaryCodes(vecs: DataFrame, thr: DataFrame,
+                                 nShards: Int = 8): DataFrame = {
+    val xb = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1e4), 0).cast("long"))
+    vecs.select(col("vec_id"), posexplode(xb).as(Seq("i", "v")))
+      .join(broadcast(thr), "i")
       .select(col("vec_id"), col("i"),
         when(col("v") > col("thr"), 1L).otherwise(0L).as("b"))
       .groupBy(col("vec_id"))
       .agg(sum(expr("IF(i < 32, shiftleft(b, CAST(i AS INT)), 0L)")).as("w0"),
-        sum(expr("IF(i >= 32, shiftleft(b, CAST(i - 32 AS INT)), 0L)")).as("w1")))
-    val qCodes = codes.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("q_id"), col("w0").as("qw0"), col("w1").as("qw1"))
-    // stage 1: Hamming shortlist over the code table only
+        sum(expr("IF(i >= 32, shiftleft(b, CAST(i - 32 AS INT)), 0L)")).as("w1"))
+      .withColumn("list_id", pmod(col("vec_id"), lit(nShards)).cast("int"))
+  }
+
+  /** Hamming shortlist + exact cosine rerank, shared by the
+    * self-contained and stored-index faces. The candidate ids are the
+    * broadcast side of the rerank join — the float corpus streams
+    * through untouched except for shortlist·queries rows. */
+  private def binaryShortlistRerank(codes: DataFrame, qCodes: DataFrame,
+                                    corpus: DataFrame, qVecs: DataFrame,
+                                    k: Int, shortlist: Int): DataFrame = {
     val sl = codes.crossJoin(broadcast(qCodes))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -432,10 +466,7 @@ object Ann {
       .agg(F.topk((-col("ham")).cast("double"), col("vec_id"), shortlist).as("cand"))
       .select(col("q_id"), explode(col("cand")).as("p"))
       .select(col("q_id"), col("p.id").as("vec_id"))
-    // stage 2: exact cosine rerank over shortlist·queries rows
-    val qVecs = base.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    sl.join(base, "vec_id").join(broadcast(qVecs), "q_id")
+    corpus.join(broadcast(sl), "vec_id").join(broadcast(qVecs), "q_id")
       .select(col("q_id"), col("vec_id"),
         F.cosine(col("q_vec"), col("embedding")).as("cos"))
       .groupBy(col("q_id"))
@@ -445,6 +476,80 @@ object Ann {
         round(col("col.score"), 4).as("cosine"),
         (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Stored BINARY index: `codes` (list_id-sharded packed words) +
+    * `thresholds` written LAST as the completed-build sentinel — the
+    * [[buildPqIndex]] layout with the per-dim threshold table in the
+    * codebook seat. At 100 TB the 8-byte/vector code table is the
+    * RAM-resident search structure; this build is the once-per-epoch
+    * corpus pass that [[annBinaryProbe]] then never repeats. */
+  def buildBinaryIndex(embeddings: DataFrame, indexDir: String,
+                       nShards: Int = 8): Unit = {
+    val base = Dedup.materialized(
+      embeddings.select(col("vec_id"), col("embedding")))
+    val thr = Dedup.materialized(binaryThresholds(base))
+    binaryCodes(base, thr, nShards)
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$indexDir/codes")
+    // thresholds last: their _SUCCESS is the completed-build sentinel
+    thr.write.mode("overwrite").parquet(s"$indexDir/thresholds")
+    thr.unpersist(); base.unpersist()
+  }
+
+  /** Build-if-absent guard for [[buildBinaryIndex]]. */
+  def ensureBinaryIndex(embeddings: DataFrame, indexDir: String,
+                        nShards: Int = 8): String =
+    StoredArtifacts.ensureBuilt(indexDir, "thresholds")(
+      buildBinaryIndex(embeddings, indexDir, nShards))
+
+  /** Content-keyed default location for a corpus's binary index. */
+  def defaultBinaryIndexDir(embeddings: DataFrame, sfKey: String,
+                            nShards: Int = 8): String =
+    StoredArtifacts.contentKeyedDir("graft-bin-index", embeddings, sfKey,
+      s"-s$nShards")
+
+  /** Ingest-time maintenance for the stored binary index: each
+    * micro-batch encodes against the FROZEN stored thresholds
+    * (broadcast; row-local) into a `delta-b<epoch>` codes dir.
+    * [[annBinaryProbe]] reads base + deltas, so appended vectors are
+    * searchable from the next batch on; [[compactIvfDeltas]](…,
+    * table = "codes") folds epochs back into the base. Same
+    * replay-idempotence and single-owner contract as
+    * [[pqAppendStream]]. */
+  def binaryAppendStream(vecs: DataFrame, indexDir: String,
+                         nShards: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // skip no-data micro-batches — a parquet-file-less delta dir
+      // would pass the _SUCCESS sentinel and break every later read
+      if (!batch.isEmpty) {
+        val thr = batch.sparkSession.read.parquet(s"$indexDir/thresholds")
+        binaryCodes(batch, thr, nShards)
+          .write.partitionBy("list_id").mode("overwrite")
+          .parquet(s"$indexDir/delta-b$batchId")
+      }
+    }
+
+  /** The PROBE face of [[annBinaryRerank]] over the STORED index:
+    * query vectors encode row-locally against the broadcast stored
+    * thresholds, the Hamming shortlist scans the stored code table
+    * (base + un-compacted deltas) — the corpus is re-read only for
+    * the shortlist·queries rerank rows. Bit-identical to the
+    * self-contained face (spec-pinned): the stored thresholds ARE the
+    * build corpus's thresholds. */
+  def annBinaryProbe(embeddings: DataFrame, indexDir: String,
+                     k: Int = 5, stride: Int = 50,
+                     shortlist: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    val thr = spark.read.parquet(s"$indexDir/thresholds")
+    val codes = storedWithDeltas(spark, indexDir, "codes")
+      .select(col("vec_id"), col("w0"), col("w1"))
+    val qVecs = Dedup.materialized(querySet(embeddings, stride))
+    val qCodes = binaryCodes(
+      qVecs.select(col("q_id").as("vec_id"), col("q_vec").as("embedding")), thr)
+      .select(col("vec_id").as("q_id"), col("w0").as("qw0"), col("w1").as("qw1"))
+    binaryShortlistRerank(codes, qCodes,
+      embeddings.select(col("vec_id"), col("embedding")), qVecs, k, shortlist)
   }
 
   /** Embedding L2-norm histogram — the one-pass drift probe a
