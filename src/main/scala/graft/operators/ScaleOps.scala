@@ -1623,10 +1623,23 @@ object ScaleOps {
   def heavyHitters(documents: DataFrame, s: Int = 30): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val toks = documents.filter(col("text").isNotNull)
+    val toks = docTokens(documents)
+    exactHeavyTail(toks,
+      Dedup.materialized(mgCandidates(toks.as[String], s)), s)
+  }
+
+  /** The whitespace token stream [[heavyHitters]] counts over. */
+  private def docTokens(documents: DataFrame): DataFrame =
+    documents.filter(col("text").isNotNull)
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-    val summary = Dedup.materialized(mgCandidates(toks.as[String], s))
+
+  /** The exact pass shared by the self-contained and stored faces:
+    * count only the candidate set (broadcast semi-join + map-side
+    * combinable agg), read N from the summaries' marker rows, keep
+    * strict cnt·(s+1) > N. */
+  private def exactHeavyTail(toks: DataFrame, summary: DataFrame,
+                             s: Int): DataFrame = {
     val total = summary.filter(col("tok").isNull)
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
     val candidates = summary.filter(col("tok").isNotNull)
@@ -1638,6 +1651,41 @@ object ScaleOps {
       .select(col("tok"), col("cnt"),
         expr("(10000 * cnt) div n_total").as("share_bp"))
       .orderBy(col("tok"))
+  }
+
+  /** Ingest-time Misra–Gries maintenance — per-epoch delta summaries
+    * (candidates + the epoch's row-count marker), the [[hllStream]]
+    * ownership contract. The cross-epoch superset guarantee is the
+    * same pigeonhole as the per-partition one: a key over the global
+    * 1/(s+1) share exceeds it within at least one epoch (Σn_e = N),
+    * and within that epoch survives some partition's summary — so
+    * the UNION of epoch candidate sets still covers every true heavy
+    * hitter, for any epoch slicing. Replay-idempotent by overwrite. */
+  def mgStream(toks: DataFrame, summaryDir: String, s: Int = 30)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    toks.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        import batch.sparkSession.implicits._
+        mgCandidates(batch.select(col("tok")).as[String], s)
+          .write.mode("overwrite").parquet(s"$summaryDir/delta-b$batchId")
+      }
+    }
+
+  /** Heavy hitters from the STORED epoch summaries: candidates and N
+    * come from the ≤ epochs·partitions·(s+1)-row summary tables; the
+    * corpus is touched ONLY for the exact verify pass over the
+    * broadcast candidate set — the report a 100 TB deployment runs
+    * per day against summaries its ingest stream already wrote. */
+  def heavyHittersStored(toks: DataFrame, summaryDir: String,
+                         s: Int = 30): DataFrame = {
+    val spark = toks.sparkSession
+    val deltas = Option(new java.io.File(summaryDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        StoredArtifacts.readableEpoch(f))
+      .sortBy(_.getName)
+    require(deltas.nonEmpty, s"no MG summaries under $summaryDir")
+    exactHeavyTail(toks,
+      deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _), s)
   }
 
   /** Ingest-time KMV maintenance — per-epoch delta sketches, the

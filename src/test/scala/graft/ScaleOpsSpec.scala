@@ -2135,6 +2135,41 @@ class HeavyHittersSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("MG stream: stored epoch summaries yield the exact hitters; replay is a no-op") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-mg").toString
+    // hot = 300/1000 (heavy), warm = 210 (heavy), rest singleton-ish;
+    // epochs slice mid-stream so no epoch alone decides the hitters
+    val toks = Seq.fill(300)("hot") ++ Seq.fill(210)("warm") ++
+      (1 to 490).map(i => s"cold${i % 245}")
+    def run(data: Seq[String], dirStr: String): Unit = {
+      val mem = MemoryStream[String]
+      val q = ScaleOps.mgStream(mem.toDF().toDF("tok"), dirStr, s = 4)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-mg-ck").toString)
+        .start()
+      try {
+        mem.addData(data.take(500): _*); q.processAllAvailable()
+        if (data.length > 500) { mem.addData(data.drop(500): _*); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    run(toks, dir)
+    val tokDf = toks.toDF("tok")
+    val stored = ScaleOps.heavyHittersStored(tokDf, dir, s = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stored == Seq(("hot", 300L, 3000L), ("warm", 210L, 2100L)),
+      s"stored-summary hitters: $stored")
+    // replay epoch 0: summary overwritten identically, report unchanged
+    val d0 = spark.read.parquet(s"$dir/delta-b0").collect().toSet
+    run(toks.take(500), dir)
+    assert(spark.read.parquet(s"$dir/delta-b0").collect().toSet == d0,
+      "a replayed epoch must reproduce its summary exactly")
+  }
+
   test("MG summaries are bounded, markers sum to N, candidates superset the hitters") {
     val spark = TestSpark.spark
     import spark.implicits._
