@@ -339,6 +339,8 @@ object SparkEntry {
     "scale_kmv_setops" -> ((s, d) => ScaleOps.kmvSetOps(Tables.orders(s, d))),
     "scale_heavy_hitters" -> ((s, d) =>
       ScaleOps.heavyHitters(Tables.documents(s, d))),
+    "scale_zonemap_prune" -> ((s, d) =>
+      ScaleOps.zonemapPrune(Tables.lineitem(s, d))),
     "scale_k_anonymity" -> ((s, d) => ScaleOps.kAnonymity(Tables.customer(s, d))),
     // threshold 80 sits below this dataset's hottest user at every SF
     // (max 86–99 events/user), so the verdict exercises the salt path
@@ -3029,6 +3031,23 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM b
         |WHERE (cw * 10) // tw - ((cw - w) * 10) // tw >= 1
         |ORDER BY lang, doc_id""".stripMargin,
+    "scale_zonemap_prune" ->
+      // block-level min/max zonemap over 30-day shipdate tiles with
+      // skip verdicts for a clustered-column and an uncorrelated-
+      // column predicate; exact integers and dates only
+      """WITH b AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d, l_orderkey,
+        |    datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) // 30
+        |      AS block_id
+        |  FROM lineitem
+        |)
+        |SELECT CAST(block_id AS BIGINT) AS block_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(d) AS min_ship, max(d) AS max_ship,
+        |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |  (max(d) < DATE '1996-01-01' OR min(d) >= DATE '1996-07-01') AS skip_date,
+        |  (max(l_orderkey) < 1000 OR min(l_orderkey) >= 2000) AS skip_okey
+        |FROM b GROUP BY block_id ORDER BY block_id""".stripMargin,
     "scale_heavy_hitters" ->
       // exact heavy hitters: the Misra–Gries candidate pass only
       // PRUNES — the output is the plain exact GROUP BY/HAVING over

@@ -1719,6 +1719,39 @@ object ScaleOps {
       .select(col("side"), col("p.id").as("h"))
   }
 
+  /** ZONE MAPS — block-level min/max data-skipping stats, the
+    * file/row-group-level complement of directory-level
+    * [[partitionPrunedScan]] and the reason lakehouses sort on write:
+    * blocks tile the clustering key (here `blockDays`-day shipdate
+    * tiles — value-tiled, NOT rank-tiled, so the map builds in ONE
+    * map-side-combinable pass with no global sort; at 100 TB the
+    * physical layout already exists and the writer emits these stats
+    * per row group for free), each block records min/max for the
+    * clustered column AND an uncorrelated one, and two predicates get
+    * their skip verdicts: the date range skips every non-overlapping
+    * block (clustering works), the orderkey range skips almost
+    * nothing (zone maps are useless on uncorrelated columns — the
+    * quantified "sort your data" lesson, spec-pinned). Output is the
+    * zonemap itself: one row per touched block, exact integers and
+    * dates only. */
+  def zonemapPrune(lineitem: DataFrame, blockDays: Int = 30,
+                   dFrom: String = "1996-01-01", dTo: String = "1996-07-01",
+                   kFrom: Long = 1000L, kTo: Long = 2000L): DataFrame =
+    lineitem.select(to_date(col("l_shipdate")).as("d"), col("l_orderkey"))
+      .withColumn("block_id",
+        expr(s"CAST(datediff(d, DATE'1992-01-01') AS LONG) div $blockDays"))
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("d")).as("min_ship"), max(col("d")).as("max_ship"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"))
+      .withColumn("skip_date",
+        col("max_ship") < lit(dFrom).cast("date") ||
+          col("min_ship") >= lit(dTo).cast("date"))
+      .withColumn("skip_okey",
+        col("max_okey") < kFrom || col("min_okey") >= kTo)
+      .orderBy(col("block_id"))
+
   def ppsSample(documents: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))

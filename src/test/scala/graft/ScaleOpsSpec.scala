@@ -2187,6 +2187,43 @@ class HeavyHittersSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class ZonemapSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("zonemap skips non-overlapping date blocks; an uncorrelated column skips nothing; a correlated one skips") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val zm = ScaleOps.zonemapPrune(Tables.lineitem(spark, TestSpark.sf)).collect()
+    val dateSkips = zm.count(_.getAs[Boolean]("skip_date"))
+    val okeySkips = zm.count(_.getAs[Boolean]("skip_okey"))
+    // the 6-month predicate overlaps at most ceil(182/30)+1 = 8 tiles
+    assert(zm.length - dateSkips <= 8,
+      s"clustered-column predicate must skip all non-overlapping blocks: " +
+        s"${zm.length - dateSkips} scanned of ${zm.length}")
+    assert(okeySkips == 0,
+      "orderkey is uncorrelated with the shipdate layout — zone maps cannot skip")
+    // plant the counter-case: orderkey clustered WITH the date → the
+    // same orderkey predicate now skips (the limit is the data's
+    // correlation, not the operator)
+    val planted = (0L until 3000L).map(i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.parse("1992-01-01")
+        .plusDays(i).atStartOfDay()), i)).toDF("l_shipdate", "l_orderkey")
+    val zp = ScaleOps.zonemapPrune(planted).collect()
+    // okeys 1000..1999 ride days 1000..1999 = 30-day tiles 33..66,
+    // so exactly 34 of the 100 blocks overlap the predicate
+    val plantedSkips = zp.count(_.getAs[Boolean]("skip_okey"))
+    assert(plantedSkips == zp.length - 34,
+      s"correlated layout must skip all non-overlapping blocks: " +
+        s"$plantedSkips of ${zp.length}")
+    // verdicts agree with brute force: no skipped block contains a
+    // qualifying row
+    val qualifying = ScaleOps.zonemapPrune(planted).filter(col("skip_okey"))
+      .select(col("min_okey"), col("max_okey")).collect()
+      .count(r => r.getLong(1) >= 1000L && r.getLong(0) < 2000L)
+    assert(qualifying == 0, "a skipped block must not overlap the predicate")
+  }
+}
+
 class KmvSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("KMV small-set branch is exact; estimator branch pins the k-th min hash") {
