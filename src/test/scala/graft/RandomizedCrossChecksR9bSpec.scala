@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, ScaleOps}
+
+/** Randomized cross-checks for the round-9 additions: KMV set-op
+  * integers, exact heavy hitters, the zonemap block table, and the
+  * binary-rerank degenerate case all replay against brute-force Scala
+  * references on random inputs. Fixed seeds: failures reproduce. */
+class RandomizedCrossChecksR9bSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("KMV integer columns match brute force on random segmented key sets") {
+    val spark = this.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(2203)
+    def kmvHash(key: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"$key:kmv").take(12), 16)
+    for (trial <- 1 to 6) {
+      val k = Seq(4, 8, 16)(rnd.nextInt(3))
+      // guaranteed non-empty sides, overlapping domains, nulls, and a
+      // third priority the operator must ignore
+      val rows = Seq(("1-URGENT", Option(0L)), ("2-HIGH", Option(1L))) ++
+        (0 until 40 + rnd.nextInt(80)).map { _ =>
+          (Seq("1-URGENT", "2-HIGH", "3-MEDIUM")(rnd.nextInt(3)),
+            if (rnd.nextInt(10) == 0) Option.empty[Long]
+            else Option(rnd.nextInt(30).toLong))
+        }
+      val aKeys = rows.filter(r => r._1 == "1-URGENT" && r._2.nonEmpty)
+        .map(_._2.get).distinct
+      val bKeys = rows.filter(r => r._1 == "2-HIGH" && r._2.nonEmpty)
+        .map(_._2.get).distinct
+      val skA = aKeys.map(kmvHash).sorted.take(k)
+      val skB = bKeys.map(kmvHash).sorted.take(k)
+      val skU = (skA ++ skB).distinct.sorted.take(k)
+      val overlap = skU.count(h => skA.contains(h) && skB.contains(h)).toLong
+      val want = Seq(k.toLong, skA.size.toLong, skB.size.toLong, skU.size.toLong,
+        skA.max, skB.max, skU.max, overlap,
+        aKeys.size.toLong, bKeys.size.toLong,
+        (aKeys ++ bKeys).distinct.size.toLong,
+        (aKeys.toSet & bKeys.toSet).size.toLong)
+      val r = ScaleOps.kmvSetOps(
+        rows.toDF("o_orderpriority", "o_custkey"), k = k).head()
+      val got = (0 until 12).map(i => r.getLong(i))
+      assert(got == want, s"trial $trial k=$k: $got vs $want")
+    }
+  }
+
+  test("heavy hitters match the exact recompute on random skewed corpora and layouts") {
+    val spark = this.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(2309)
+    for (trial <- 1 to 6) {
+      val s = 3 + rnd.nextInt(6)
+      val vocab = (0 until 12).map(i => s"w$i")
+      // skewed: word i drawn with weight ~ 1/(i+1)
+      val toks = (0 until 150 + rnd.nextInt(300)).map { _ =>
+        vocab(math.min(rnd.nextInt(rnd.nextInt(12) + 1), 11))
+      }
+      val n = toks.size.toLong
+      val want = toks.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * (s + 1) > n }
+        .map { case (t, c) => (t, c, 10000L * c / n) }
+        .toSeq.sortBy(_._1)
+      val docs = toks.grouped(7).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text").repartition(1 + rnd.nextInt(7))
+      val got = ScaleOps.heavyHitters(docs, s = s).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"trial $trial s=$s n=$n: $got vs $want")
+    }
+  }
+
+  test("zonemap block table matches brute force on random dates and keys") {
+    val spark = this.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(2411)
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    for (trial <- 1 to 4) {
+      val blockDays = 7 + rnd.nextInt(60)
+      val rows = (0 until 50 + rnd.nextInt(150)).map { _ =>
+        (epoch.plusDays(rnd.nextInt(4000).toLong), rnd.nextInt(5000).toLong)
+      }
+      val want = rows.groupBy { case (d, _) =>
+          java.time.temporal.ChronoUnit.DAYS.between(epoch, d) / blockDays }
+        .map { case (b, g) =>
+          val ds = g.map(_._1); val ks = g.map(_._2)
+          (b, g.size.toLong, ds.min.toString, ds.max.toString, ks.min, ks.max,
+            ds.max.isBefore(java.time.LocalDate.parse("1996-01-01")) ||
+              !ds.min.isBefore(java.time.LocalDate.parse("1996-07-01")),
+            ks.max < 1000L || ks.min >= 2000L)
+        }.toSeq.sortBy(_._1)
+      val df = rows.map { case (d, okey) =>
+        (java.sql.Timestamp.valueOf(d.atStartOfDay()), okey)
+      }.toDF("l_shipdate", "l_orderkey")
+      val got = ScaleOps.zonemapPrune(df, blockDays = blockDays).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toString,
+          r.getDate(3).toString, r.getLong(4), r.getLong(5),
+          r.getBoolean(6), r.getBoolean(7))).toSeq
+      assert(got == want, s"trial $trial blockDays=$blockDays")
+    }
+  }
+
+  test("binary rerank with a corpus-wide shortlist degenerates to exact bruteforce") {
+    val spark = this.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(2503)
+    for (trial <- 1 to 3) {
+      val n = 60 + rnd.nextInt(60)
+      val df = (0 until n).map(i =>
+        (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+      val exact = Ann.annBruteforce(df, k = 5, stride = 10)
+        .collect().map(_.toString).toSeq
+      val bin = Ann.annBinaryRerank(df, k = 5, stride = 10, shortlist = n)
+        .collect().map(_.toString).toSeq
+      assert(bin == exact, s"trial $trial n=$n: a corpus-wide shortlist " +
+        "must reproduce the exact ranking bit-for-bit")
+    }
+  }
+}
