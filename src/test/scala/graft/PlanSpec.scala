@@ -162,6 +162,45 @@ class PlanSpec extends AnyFunSuite {
         s"($scans scans shown for $imts cache reads):\n$pa")
   }
 
+  test("zonemap builds in one scan with no window and a partial agg") {
+    val p = plan(graft.operators.ScaleOps.zonemapPrune(
+      Tables.lineitem(spark, TestSpark.sf)))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"value tiling needs exactly one corpus pass:\n$p")
+    assert(!p.contains("Window"),
+      "value-tiled blocks must not rank-tile through a window")
+    assert(p.contains("partial"), "block stats must combine map-side")
+  }
+
+  test("heavy hitters: one exact-pass scan outside the cached MG summary; candidate join broadcasts") {
+    val p = plan(graft.operators.ScaleOps.heavyHitters(
+      Tables.documents(spark, TestSpark.sf)))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    val imts = "InMemoryTableScan".r.findAllIn(p).size
+    // each cache read re-prints the summary build (one scan inside);
+    // exactly ONE scan — the exact pass — lives outside cache builds
+    assert(scans == imts + 1,
+      s"expected 1 non-cache scan ($scans scans, $imts cache reads):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the candidate set must broadcast into the exact pass")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-grain shuffle join:\n$p")
+  }
+
+  test("KMV set ops: every orders scan lives inside a cache build; no key-grain joins") {
+    val p = plan(graft.operators.ScaleOps.kmvSetOps(
+      Tables.orders(spark, TestSpark.sf)))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    val imts = "InMemoryTableScan".r.findAllIn(p).size
+    // base/sketch/union-sketch are all materialized: every printed
+    // scan is a cache-build re-print, so cache reads dominate scans
+    assert(imts >= scans,
+      s"scans must all be cache-build re-prints ($scans vs $imts):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"everything after the sketch is ≤ 2k rows — no shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row stat combines must stay broadcast nested-loop")
+  }
+
   test("integrity audit folds all five checks onto one scan per table") {
     val p = plan(graft.operators.ScaleOps.integrityAudit(
       Tables.orders(spark, TestSpark.sf), Tables.lineitem(spark, TestSpark.sf),
