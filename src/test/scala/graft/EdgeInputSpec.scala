@@ -138,4 +138,29 @@ class EdgeInputSpec extends AnyFunSuite {
     assert(graft.sinks.Batcher
       .assignBatchesAuto(df, "key", "ord", "sz", "bkt", 10).count() == 0)
   }
+
+  test("round-9b additions: empty and NULL-laden inputs return empty without throwing") {
+    val s = spark
+    import s.implicits._
+    // KMV: empty orders and all-NULL keys both yield an empty report
+    // (no side rows → no sketch → the side-stat crossJoin is empty)
+    val emptyPrio = Seq.empty[(String, Option[Long])]
+      .toDF("o_orderpriority", "o_custkey")
+    assert(graft.operators.ScaleOps.kmvSetOps(emptyPrio).count() == 0)
+    val nullKeys = Seq(("1-URGENT", Option.empty[Long]),
+      ("2-HIGH", Option.empty[Long])).toDF("o_orderpriority", "o_custkey")
+    assert(graft.operators.ScaleOps.kmvSetOps(nullKeys).count() == 0)
+    // heavy hitters: empty corpus and NULL-text docs → empty report
+    // (markers still sum — to zero — and the strict > filter holds)
+    assert(graft.operators.ScaleOps.heavyHitters(emptyDocs).count() == 0)
+    assert(graft.operators.ScaleOps.heavyHitters(
+      Seq((1L, Option.empty[String])).toDF("doc_id", "text")).count() == 0)
+    // zonemap: empty lineitem → empty map
+    val emptyLines = Seq.empty[(java.sql.Timestamp, Long)]
+      .toDF("l_shipdate", "l_orderkey")
+    assert(graft.operators.ScaleOps.zonemapPrune(emptyLines).count() == 0)
+    // binary rerank: empty corpus → no thresholds, no queries, empty
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Ann.annBinaryRerank(emptyEmb).count() == 0)
+  }
 }
