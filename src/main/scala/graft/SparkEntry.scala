@@ -337,6 +337,7 @@ object SparkEntry {
       ScaleOps.cdcApply(ScaleOps.cdcLog(Tables.orders(s, d)))),
     "scale_pps_sample" -> ((s, d) => ScaleOps.ppsSample(Tables.documents(s, d))),
     "scale_kmv_setops" -> ((s, d) => ScaleOps.kmvSetOps(Tables.orders(s, d))),
+    "scale_kmv_matrix" -> ((s, d) => ScaleOps.kmvMatrix(Tables.orders(s, d))),
     "scale_heavy_hitters" -> ((s, d) =>
       ScaleOps.heavyHitters(Tables.documents(s, d))),
     "scale_zonemap_prune" -> ((s, d) =>
@@ -3146,6 +3147,91 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  CASE WHEN exact_inter = 0 THEN est_inter = 0.0
         |    ELSE abs(est_inter - exact_inter) / exact_inter <= 0.12 END AS inter_within_tol
         |FROM est2""".stripMargin,
+    "scale_kmv_matrix" ->
+      // all-pairs segment overlap from per-side bottom-k sketches
+      // built once; exact unions by inclusion–exclusion; same
+      // integer/boolean determinism contract as scale_kmv_setops
+      """WITH base AS (
+        |  SELECT DISTINCT o_orderpriority AS side, o_custkey AS key
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+        |), hashed AS (
+        |  SELECT side,
+        |    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':kmv'), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM base
+        |), sk AS (
+        |  SELECT side, h FROM (
+        |    SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h ASC) AS r
+        |    FROM hashed) t
+        |  WHERE r <= 512
+        |), stats AS (
+        |  SELECT side, CAST(count(*) AS BIGINT) AS n_sk, max(h) AS kth
+        |  FROM sk GROUP BY side
+        |), pairs AS (
+        |  SELECT a.side AS side_a, b.side AS side_b
+        |  FROM stats a, stats b WHERE a.side < b.side
+        |), uni AS (
+        |  SELECT DISTINCT p.side_a, p.side_b, s.h
+        |  FROM pairs p JOIN sk s ON s.side IN (p.side_a, p.side_b)
+        |), usk AS (
+        |  SELECT side_a, side_b, h FROM (
+        |    SELECT side_a, side_b, h,
+        |      row_number() OVER (PARTITION BY side_a, side_b ORDER BY h ASC) AS r
+        |    FROM uni) t
+        |  WHERE r <= 512
+        |), ustats AS (
+        |  SELECT side_a, side_b, CAST(count(*) AS BIGINT) AS n_sk_union,
+        |    max(h) AS kth_union
+        |  FROM usk GROUP BY side_a, side_b
+        |), ov AS (
+        |  SELECT u.side_a, u.side_b, CAST(count(*) AS BIGINT) AS overlap_k
+        |  FROM usk u
+        |  WHERE EXISTS (SELECT 1 FROM sk WHERE side = u.side_a AND h = u.h)
+        |    AND EXISTS (SELECT 1 FROM sk WHERE side = u.side_b AND h = u.h)
+        |  GROUP BY u.side_a, u.side_b
+        |), cnt AS (
+        |  SELECT side, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY side
+        |), inter AS (
+        |  SELECT p.side AS side_a, q.side AS side_b,
+        |    CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM base p JOIN base q ON p.key = q.key AND p.side < q.side
+        |  GROUP BY p.side, q.side
+        |), wide AS (
+        |  SELECT pr.side_a, pr.side_b, sa.n_sk AS n_sk_a, sb.n_sk AS n_sk_b,
+        |    u.n_sk_union, u.kth_union,
+        |    COALESCE(o.overlap_k, 0) AS overlap_k,
+        |    ca.n AS exact_a, cb.n AS exact_b,
+        |    ca.n + cb.n - COALESCE(i.exact_inter, 0) AS exact_union,
+        |    COALESCE(i.exact_inter, 0) AS exact_inter
+        |  FROM pairs pr
+        |  JOIN stats sa ON sa.side = pr.side_a
+        |  JOIN stats sb ON sb.side = pr.side_b
+        |  JOIN ustats u ON u.side_a = pr.side_a AND u.side_b = pr.side_b
+        |  LEFT JOIN ov o ON o.side_a = pr.side_a AND o.side_b = pr.side_b
+        |  JOIN cnt ca ON ca.side = pr.side_a
+        |  JOIN cnt cb ON cb.side = pr.side_b
+        |  LEFT JOIN inter i ON i.side_a = pr.side_a AND i.side_b = pr.side_b
+        |), est1 AS (
+        |  SELECT *,
+        |    CASE WHEN n_sk_union < 512 THEN CAST(n_sk_union AS DOUBLE)
+        |      ELSE CAST(143833713099145216 AS DOUBLE) / kth_union END AS est_union
+        |  FROM wide
+        |), est2 AS (
+        |  SELECT *,
+        |    CASE WHEN n_sk_union < 512 THEN CAST(overlap_k AS DOUBLE)
+        |      ELSE (CAST(overlap_k AS DOUBLE) * est_union) / n_sk_union END AS est_inter
+        |  FROM est1
+        |)
+        |SELECT side_a, side_b, n_sk_a, n_sk_b, n_sk_union, kth_union, overlap_k,
+        |  exact_a, exact_b, exact_union, exact_inter,
+        |  CASE WHEN exact_union = 0 THEN est_union = 0.0
+        |    ELSE abs(est_union - exact_union) / exact_union <= 0.12 END
+        |    AS union_within_tol,
+        |  CASE WHEN exact_inter = 0 THEN est_inter = 0.0
+        |    ELSE abs(est_inter - exact_inter) / exact_inter <= 0.12 END
+        |    AS inter_within_tol
+        |FROM est2 ORDER BY side_a, side_b""".stripMargin,
     "scale_hll_sliding" ->
       // rolling 7-day HLL from daily register sketches (scale_hll's
       // register math per trailing window, q26's exact-WAU audit

@@ -1688,6 +1688,94 @@ object ScaleOps {
       deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _), s)
   }
 
+  /** KMV OVERLAP MATRIX — every pairwise segment overlap from
+    * sketches built ONCE: the capability that justifies storing KMV
+    * sketches at all (an audience-analytics deployment precomputes
+    * one bottom-k sketch per segment at ingest, then answers ALL
+    * C(sides,2) union/intersection questions from the ≤ sides·k-row
+    * sketch table — the corpus is never re-touched per pair). Here:
+    * the 5 order priorities → 10 customer-overlap rows. Same
+    * determinism contract as [[kmvSetOps]] (exact integers
+    * hash-match; doubles only feed within-tol booleans), with
+    * exact_union derived by inclusion–exclusion from the exact pair
+    * intersection — integer arithmetic, no third count pass. The
+    * exact columns are the AUDIT side: one key-grain self-join whose
+    * cost is exactly what the sketch path avoids. */
+  def kmvMatrix(orders: DataFrame, k: Int = 512,
+                tol: Double = 0.12): DataFrame = {
+    val hSpace = (k - 1).toLong * (1L << 48)
+    val base = Dedup.materialized(orders
+      .filter(col("o_custkey").isNotNull && col("o_orderpriority").isNotNull)
+      .select(col("o_orderpriority").as("side"), col("o_custkey").as("key"))
+      .distinct())
+    val sk = Dedup.materialized(kmvTable(base, k))
+    val stats = sk.groupBy(col("side"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+    val sides = sk.select(col("side")).distinct()
+    val pairs = sides.select(col("side").as("side_a"))
+      .crossJoin(sides.select(col("side").as("side_b")))
+      .filter(col("side_a") < col("side_b"))
+    // per-pair union sketch: bottom-k of the two sides' merged values
+    val uni = Dedup.materialized(broadcast(pairs)
+      .join(sk, col("side") === col("side_a") || col("side") === col("side_b"))
+      .select(col("side_a"), col("side_b"), col("h")).distinct()
+      .groupBy(col("side_a"), col("side_b"))
+      .agg(graft.functions.F.topk((-col("h")).cast("double"), col("h"), k)
+        .as("picks"))
+      .select(col("side_a"), col("side_b"), explode(col("picks")).as("p"))
+      .select(col("side_a"), col("side_b"), col("p.id").as("h")))
+    val uStats = uni.groupBy(col("side_a"), col("side_b"))
+      .agg(count(lit(1)).as("n_sk_union"), max(col("h")).as("kth_union"))
+    val overlap = uni
+      .join(sk.select(col("side").as("side_a"), col("h")), Seq("side_a", "h"),
+        "left_semi")
+      .join(sk.select(col("side").as("side_b"), col("h")), Seq("side_b", "h"),
+        "left_semi")
+      .groupBy(col("side_a"), col("side_b"))
+      .agg(count(lit(1)).as("overlap_k"))
+    // exact audit: side counts + one key-grain self-join for pair
+    // intersections; unions by inclusion–exclusion
+    val cnts = base.groupBy(col("side")).agg(count(lit(1)).as("n"))
+    val inter = base.as("p")
+      .join(base.as("q"),
+        col("p.key") === col("q.key") && col("p.side") < col("q.side"))
+      .groupBy(col("p.side").as("side_a"), col("q.side").as("side_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val est = s"CAST($hSpace AS DOUBLE) / kth_union"
+    pairs
+      .join(stats.select(col("side").as("side_a"), col("n_sk").as("n_sk_a")),
+        "side_a")
+      .join(stats.select(col("side").as("side_b"), col("n_sk").as("n_sk_b")),
+        "side_b")
+      .join(uStats, Seq("side_a", "side_b"))
+      .join(overlap, Seq("side_a", "side_b"), "left")
+      .join(cnts.select(col("side").as("side_a"), col("n").as("exact_a")),
+        "side_a")
+      .join(cnts.select(col("side").as("side_b"), col("n").as("exact_b")),
+        "side_b")
+      .join(inter, Seq("side_a", "side_b"), "left")
+      .withColumn("overlap_k", coalesce(col("overlap_k"), lit(0L)))
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union",
+        col("exact_a") + col("exact_b") - col("exact_inter"))
+      .withColumn("est_union", when(col("n_sk_union") < k,
+        col("n_sk_union").cast("double")).otherwise(expr(est)))
+      .withColumn("est_inter", when(col("n_sk_union") < k,
+        col("overlap_k").cast("double"))
+        .otherwise(expr("(CAST(overlap_k AS DOUBLE) * est_union) / n_sk_union")))
+      .select(col("side_a"), col("side_b"),
+        col("n_sk_a"), col("n_sk_b"), col("n_sk_union"), col("kth_union"),
+        col("overlap_k"), col("exact_a"), col("exact_b"),
+        col("exact_union"), col("exact_inter"),
+        when(col("exact_union") === 0L, col("est_union") === 0.0)
+          .otherwise(abs(col("est_union") - col("exact_union"))
+            / col("exact_union") <= lit(tol)).as("union_within_tol"),
+        when(col("exact_inter") === 0L, col("est_inter") === 0.0)
+          .otherwise(abs(col("est_inter") - col("exact_inter"))
+            / col("exact_inter") <= lit(tol)).as("inter_within_tol"))
+      .orderBy(col("side_a"), col("side_b"))
+  }
+
   /** Ingest-time KMV maintenance — per-epoch delta sketches, the
     * [[hllStream]] ownership contract (delta dirs keyed by batchId,
     * one logical stream per sketchDir). Replay-idempotent by

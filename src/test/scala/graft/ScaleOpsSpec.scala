@@ -2258,6 +2258,32 @@ class KmvSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"bottom-k heap disagrees with the sort: $rb vs $kth")
   }
 
+  test("KMV matrix: the URGENT/HIGH row agrees with kmvSetOps; disjoint segments hit the zero guard") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, TestSpark.sf)
+    val m = ScaleOps.kmvMatrix(orders)
+      .filter(col("side_a") === "1-URGENT" && col("side_b") === "2-HIGH").head()
+    val s = ScaleOps.kmvSetOps(orders).head()
+    // the pairwise row must reproduce the dedicated pair operator's
+    // integers: same sketches, same union, same overlap, same exacts
+    for (c <- Seq("n_sk_a", "n_sk_b", "n_sk_union", "kth_union", "overlap_k",
+        "exact_a", "exact_b", "exact_union", "exact_inter"))
+      assert(m.getAs[Long](c) == s.getAs[Long](c),
+        s"$c: matrix ${m.getAs[Long](c)} vs setops ${s.getAs[Long](c)}")
+    // disjoint segments: zero overlap, zero exact intersection, and
+    // the inter tolerance boolean passes through the zero guard
+    val disjoint = ((1L to 40L).map(k => ("1-URGENT", k)) ++
+      (101L to 140L).map(k => ("2-HIGH", k)))
+      .toDF("o_orderpriority", "o_custkey")
+    val d = ScaleOps.kmvMatrix(disjoint, k = 16).head()
+    assert(d.getAs[Long]("overlap_k") == 0 && d.getAs[Long]("exact_inter") == 0)
+    assert(d.getAs[Long]("exact_union") == 80)
+    assert(d.getAs[Boolean]("inter_within_tol"),
+      "a zero intersection must satisfy the zero-guard boolean")
+  }
+
   test("KMV stream deltas re-sketch to the whole-corpus sketch; replay is a no-op") {
     val spark = TestSpark.spark
     import spark.implicits._
