@@ -536,7 +536,12 @@ object Ann {
     * (base + un-compacted deltas) — the corpus is re-read only for
     * the shortlist·queries rerank rows. Bit-identical to the
     * self-contained face (spec-pinned): the stored thresholds ARE the
-    * build corpus's thresholds. */
+    * build corpus's thresholds. CONTRACT: the `embeddings` frame must
+    * cover every vec_id the index can return — including vectors
+    * appended via [[binaryAppendStream]] — because the rerank's float
+    * join drops ids absent from it (they survive the Hamming stage
+    * but vanish at rerank; the BinaryIndexSpec append test passes the
+    * union frame for exactly this reason). */
   def annBinaryProbe(embeddings: DataFrame, indexDir: String,
                      k: Int = 5, stride: Int = 50,
                      shortlist: Int = 50): DataFrame = {

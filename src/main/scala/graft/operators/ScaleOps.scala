@@ -1826,8 +1826,13 @@ object ScaleOps {
                    dFrom: String = "1996-01-01", dTo: String = "1996-07-01",
                    kFrom: Long = 1000L, kTo: Long = 2000L): DataFrame =
     lineitem.select(to_date(col("l_shipdate")).as("d"), col("l_orderkey"))
+      // FLOOR division, not `div`: a date before the 1992 epoch gives
+      // a negative day count, where Spark's `div` truncates toward
+      // zero but the oracle's `//` floors — (x − pmod(x,b))/b is
+      // floor for either sign in exact integer arithmetic
+      .withColumn("dd", expr("CAST(datediff(d, DATE'1992-01-01') AS LONG)"))
       .withColumn("block_id",
-        expr(s"CAST(datediff(d, DATE'1992-01-01') AS LONG) div $blockDays"))
+        expr(s"(dd - pmod(dd, $blockDays)) div $blockDays"))
       .groupBy(col("block_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("d")).as("min_ship"), max(col("d")).as("max_ship"),

@@ -83,11 +83,14 @@ class RandomizedCrossChecksR9bSpec extends AnyFunSuite {
     val epoch = java.time.LocalDate.parse("1992-01-01")
     for (trial <- 1 to 4) {
       val blockDays = 7 + rnd.nextInt(60)
+      // pre-epoch dates included: negative day counts must FLOOR to
+      // their block in both engines (div-vs-// sign divergence pin)
       val rows = (0 until 50 + rnd.nextInt(150)).map { _ =>
-        (epoch.plusDays(rnd.nextInt(4000).toLong), rnd.nextInt(5000).toLong)
+        (epoch.plusDays(rnd.nextInt(4500).toLong - 500L), rnd.nextInt(5000).toLong)
       }
       val want = rows.groupBy { case (d, _) =>
-          java.time.temporal.ChronoUnit.DAYS.between(epoch, d) / blockDays }
+          Math.floorDiv(
+            java.time.temporal.ChronoUnit.DAYS.between(epoch, d), blockDays.toLong) }
         .map { case (b, g) =>
           val ds = g.map(_._1); val ks = g.map(_._2)
           (b, g.size.toLong, ds.min.toString, ds.max.toString, ks.min, ks.max,
