@@ -1591,13 +1591,17 @@ object ScaleOps {
           case Some(c) => counts.update(t, c + 1)
           case None if counts.size < s => counts.update(t, 1L)
           case None =>
-            // decrement-all: value-only mutation during the scan,
-            // structural removes deferred past the iterator
-            val dead = List.newBuilder[String]
-            counts.foreach { case (k, c) =>
-              if (c == 1L) dead += k else counts.update(k, c - 1)
+            // decrement-all over a key SNAPSHOT: mutating a HashMap
+            // while iterating it (even value-only) is
+            // implementation-defined — the array copy is O(s), the
+            // same bound the eviction already pays
+            val ks = counts.keysIterator.toArray
+            var i = 0
+            while (i < ks.length) {
+              val c = counts(ks(i))
+              if (c == 1L) counts.remove(ks(i)) else counts.update(ks(i), c - 1L)
+              i += 1
             }
-            dead.result().foreach(counts.remove)
         }
       }
       counts.iterator.map { case (k, c) => (Option(k), c) } ++
