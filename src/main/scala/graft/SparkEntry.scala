@@ -340,6 +340,8 @@ object SparkEntry {
     "scale_kmv_matrix" -> ((s, d) => ScaleOps.kmvMatrix(Tables.orders(s, d))),
     "scale_heavy_hitters" -> ((s, d) =>
       ScaleOps.heavyHitters(Tables.documents(s, d))),
+    "scale_heavy_earners" -> ((s, d) =>
+      ScaleOps.heavyEarners(Tables.documents(s, d))),
     "scale_zonemap_prune" -> ((s, d) =>
       ScaleOps.zonemapPrune(Tables.lineitem(s, d))),
     "scale_k_anonymity" -> ((s, d) => ScaleOps.kAnonymity(Tables.customer(s, d))),
@@ -3032,6 +3034,21 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM b
         |WHERE (cw * 10) // tw - ((cw - w) * 10) // tw >= 1
         |ORDER BY lang, doc_id""".stripMargin,
+    "scale_heavy_earners" ->
+      // weighted heavy hitters: the weighted-MG candidate pass only
+      // prunes — output is the exact GROUP BY/HAVING over character
+      // share > 1/(s+1), s = 6, so the oracle IS that recompute
+      """WITH r AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS w FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+        |), n AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS w_total FROM r
+        |)
+        |SELECT lang, CAST(sum(w) AS BIGINT) AS w,
+        |  CAST((10000 * sum(w)) // (SELECT w_total FROM n) AS BIGINT) AS share_bp
+        |FROM r GROUP BY lang
+        |HAVING sum(w) * 7 > (SELECT w_total FROM n)
+        |ORDER BY lang""".stripMargin,
     "scale_zonemap_prune" ->
       // block-level min/max zonemap over 30-day shipdate tiles with
       // skip verdicts for a clustered-column and an uncorrelated-

@@ -1657,6 +1657,77 @@ object ScaleOps {
       .orderBy(col("tok"))
   }
 
+  /** WEIGHTED Misra–Gries candidate pass — the frequency sweep
+    * generalized to weight mass: each arriving (key, w) either feeds
+    * its counter, claims a free one, or triggers a decrement-all by
+    * m = min(w, smallest counter) with the incoming key kept at
+    * w − m when it out-weighs the evicted minimum. Every eviction
+    * burns m·(s+1) weight (s counters + the arrival), so total
+    * decrement ≤ W_p/(s+1) per partition and any key with partition
+    * weight share over 1/(s+1) survives — the [[mgCandidates]]
+    * pigeonhole then lifts it to any layout. Non-positive weights
+    * are undrawable (the [[ppsSample]] rule). */
+  private[graft] def mgWeightedCandidates(
+      rows: org.apache.spark.sql.Dataset[(String, Long)], s: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var wTotal = 0L
+      it.foreach { case (t, w) =>
+        if (w > 0L) {
+          wTotal += w
+          counts.get(t) match {
+            case Some(c) => counts.update(t, c + w)
+            case None if counts.size < s => counts.update(t, w)
+            case None =>
+              val m = math.min(w, counts.valuesIterator.min)
+              val ks = counts.keysIterator.toArray
+              var i = 0
+              while (i < ks.length) {
+                val c = counts(ks(i))
+                if (c <= m) counts.remove(ks(i)) else counts.update(ks(i), c - m)
+                i += 1
+              }
+              if (w > m) counts.update(t, w - m)
+          }
+        }
+      }
+      counts.iterator.map { case (k, c) => (Option(k), c) } ++
+        Iterator.single((Option.empty[String], wTotal))
+    }.toDF("tok", "cnt")
+  }
+
+  /** HEAVY EARNERS — the weight-mass twin of [[heavyHitters]]: every
+    * language whose CHARACTER share strictly exceeds 1/(s+1) of the
+    * corpus, with exact weight sums — "which segments dominate the
+    * byte budget", the question a training-data mixer asks before
+    * rebalancing. Same two-pass shape: [[mgWeightedCandidates]]
+    * prunes (bounded state, zero shuffle), the exact pass sums only
+    * the broadcast candidate set; output layout-deterministic by the
+    * weighted superset guarantee. */
+  def heavyEarners(documents: DataFrame, s: Int = 6): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val rows = documents
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+        col("n_chars") > 0)
+      .select(col("lang"), col("n_chars").cast("long").as("w"))
+    val summary = Dedup.materialized(
+      mgWeightedCandidates(rows.as[(String, Long)], s))
+    val total = summary.filter(col("tok").isNull)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("w_total"))
+    val candidates = summary.filter(col("tok").isNotNull)
+      .select(col("tok").as("lang")).distinct()
+    rows.join(broadcast(candidates), "lang")
+      .groupBy(col("lang")).agg(sum(col("w")).as("w"))
+      .crossJoin(total)
+      .filter(col("w") * (s + 1) > col("w_total"))
+      .select(col("lang"), col("w"),
+        expr("(10000 * w) div w_total").as("share_bp"))
+      .orderBy(col("lang"))
+  }
+
   /** Ingest-time Misra–Gries maintenance — per-epoch delta summaries
     * (candidates + the epoch's row-count marker), the [[hllStream]]
     * ownership contract. The cross-epoch superset guarantee is the

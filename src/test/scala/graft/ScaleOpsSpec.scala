@@ -2135,6 +2135,38 @@ class HeavyHittersSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("weighted MG matches the exact weight recompute across layouts; boundary is strict") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // W = 1000: hot 300, warm 210, edge exactly 200 = W/(s+1) at s=4
+    // (strictly excluded), 29 light keys of 10
+    val rows = Seq(("hot", 100L), ("hot", 200L), ("warm", 210L),
+      ("edge", 150L), ("edge", 50L)) ++ (1 to 29).map(i => (s"lite$i", 10L))
+    for (layout <- Seq(1, 3, 7)) {
+      val docs = rows.zipWithIndex.map { case ((l, w), i) => (i.toLong, l, w) }
+        .toDF("doc_id", "lang", "n_chars").repartition(layout)
+      val out = ScaleOps.heavyEarners(docs, s = 4).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSeq == Seq(("hot", 300L, 3000L), ("warm", 210L, 2100L)),
+        s"layout $layout: ${out.toSeq}")
+    }
+    // non-positive weights are undrawable: they feed neither the
+    // candidates nor the total
+    val withJunk = (rows ++ Seq(("hot", 0L), ("junk", -5L))).zipWithIndex
+      .map { case ((l, w), i) => (i.toLong, l, w) }
+      .toDF("doc_id", "lang", "n_chars")
+    val out2 = ScaleOps.heavyEarners(withJunk, s = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out2.toSeq == Seq(("hot", 300L, 3000L), ("warm", 210L, 2100L)))
+    // weighted summaries stay bounded and the marker sums the weight
+    val ds = rows.map { case (l, w) => (l, w) }.toDS().repartition(5)
+    val sm = ScaleOps.mgWeightedCandidates(ds, s = 6)
+    assert(sm.count() <= 5 * 7, "summary must stay within partitions·(s+1) rows")
+    assert(sm.filter(col("tok").isNull).agg(sum(col("cnt")))
+      .head().getLong(0) == 1000L, "marker rows must sum to W")
+  }
+
   test("MG stream: stored epoch summaries yield the exact hitters; replay is a no-op") {
     val spark = TestSpark.spark
     import spark.implicits._
