@@ -1900,11 +1900,26 @@ object ScaleOps {
   def zonemapPrune(lineitem: DataFrame, blockDays: Int = 30,
                    dFrom: String = "1996-01-01", dTo: String = "1996-07-01",
                    kFrom: Long = 1000L, kTo: Long = 2000L): DataFrame =
+    // FLOOR block division, not `div`: a date before the 1992 epoch
+    // gives a negative day count, where Spark's `div` truncates
+    // toward zero but the oracle's `//` floors — zonemapTable pins
+    // (x − pmod(x,b))/b, floor for either sign in exact integers
+    zonemapTable(lineitem, blockDays)
+      .withColumn("skip_date",
+        col("max_ship") < lit(dFrom).cast("date") ||
+          col("min_ship") >= lit(dTo).cast("date"))
+      .withColumn("skip_okey",
+        col("max_okey") < kFrom || col("min_okey") >= kTo)
+      .orderBy(col("block_id"))
+
+  /** The raw per-block stats half of [[zonemapPrune]] — no predicate
+    * verdicts, just the mergeable map. Min/max/count make the zonemap
+    * a mergeable summary: epoch maps fold by per-block (min, max,
+    * sum), so ingest can maintain it incrementally like every other
+    * sketch here. */
+  private[graft] def zonemapTable(lineitem: DataFrame,
+                                  blockDays: Int = 30): DataFrame =
     lineitem.select(to_date(col("l_shipdate")).as("d"), col("l_orderkey"))
-      // FLOOR division, not `div`: a date before the 1992 epoch gives
-      // a negative day count, where Spark's `div` truncates toward
-      // zero but the oracle's `//` floors — (x − pmod(x,b))/b is
-      // floor for either sign in exact integer arithmetic
       .withColumn("dd", expr("CAST(datediff(d, DATE'1992-01-01') AS LONG)"))
       .withColumn("block_id",
         expr(s"(dd - pmod(dd, $blockDays)) div $blockDays"))
@@ -1913,12 +1928,33 @@ object ScaleOps {
         min(col("d")).as("min_ship"), max(col("d")).as("max_ship"),
         min(col("l_orderkey")).as("min_okey"),
         max(col("l_orderkey")).as("max_okey"))
-      .withColumn("skip_date",
-        col("max_ship") < lit(dFrom).cast("date") ||
-          col("min_ship") >= lit(dTo).cast("date"))
-      .withColumn("skip_okey",
-        col("max_okey") < kFrom || col("min_okey") >= kTo)
-      .orderBy(col("block_id"))
+
+  /** Ingest-time zonemap maintenance — per-epoch delta block tables,
+    * the [[hllStream]] ownership contract. At 100 TB this is the
+    * writer's row-group stats file, one per commit. */
+  def zonemapStream(lineitem: DataFrame, mapDir: String, blockDays: Int = 30)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    lineitem.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) zonemapTable(batch, blockDays)
+        .write.mode("overwrite").parquet(s"$mapDir/delta-b$batchId")
+    }
+
+  /** The merged zonemap over every ingested epoch: per-block
+    * (min, max, sum) fold — ≤ blocks rows read per epoch, ≤ blocks
+    * out. NOT replay-idempotent by algebra (counts sum), so replay
+    * safety rests on the per-epoch overwrite, like [[countMinStream]]. */
+  def zonemapMerged(spark: SparkSession, mapDir: String): DataFrame = {
+    val deltas = Option(new java.io.File(mapDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        StoredArtifacts.readableEpoch(f))
+      .sortBy(_.getName)
+    require(deltas.nonEmpty, s"no zonemap epochs under $mapDir")
+    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+      .groupBy(col("block_id"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("min_ship")).as("min_ship"), max(col("max_ship")).as("max_ship"),
+        min(col("min_okey")).as("min_okey"), max(col("max_okey")).as("max_okey"))
+  }
 
   def ppsSample(documents: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -2254,6 +2254,44 @@ class ZonemapSpec extends org.scalatest.funsuite.AnyFunSuite {
       .count(r => r.getLong(1) >= 1000L && r.getLong(0) < 2000L)
     assert(qualifying == 0, "a skipped block must not overlap the predicate")
   }
+
+  test("zonemap stream: epoch block maps fold to the whole-corpus map; replay is a no-op") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    val all = (0 until 300).map(i =>
+      (java.sql.Timestamp.valueOf(epoch.plusDays((i * 13) % 900).atStartOfDay()),
+        (i * 7 % 500).toLong))
+    def run(data: Seq[(java.sql.Timestamp, Long)]): Unit = {
+      val mem = MemoryStream[(java.sql.Timestamp, Long)]
+      val q = ScaleOps.zonemapStream(
+          mem.toDF().toDF("l_shipdate", "l_orderkey"), dir)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-zm-ck").toString)
+        .start()
+      try {
+        mem.addData(data.take(150): _*); q.processAllAvailable()
+        if (data.length > 150) { mem.addData(data.drop(150): _*); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    run(all)
+    val whole = ScaleOps.zonemapTable(all.toDF("l_shipdate", "l_orderkey"))
+    val merged = ScaleOps.zonemapMerged(spark, dir)
+    val cols = Seq("block_id", "n_rows", "min_ship", "max_ship",
+      "min_okey", "max_okey")
+    assert(whole.unionAll(merged.select(cols.map(col): _*))
+      .groupBy(cols.map(col): _*)
+      .count().filter(col("count") =!= 2).isEmpty,
+      "merged epoch block maps differ from the whole-corpus map")
+    val d0 = spark.read.parquet(s"$dir/delta-b0").collect().toSet
+    run(all.take(150))
+    assert(spark.read.parquet(s"$dir/delta-b0").collect().toSet == d0,
+      "a replayed epoch must reproduce its block map exactly")
+  }
 }
 
 class KmvSpec extends org.scalatest.funsuite.AnyFunSuite {
