@@ -1746,6 +1746,50 @@ object ScaleOps {
       }
     }
 
+  /** Ingest-time WEIGHTED Misra–Gries maintenance — [[mgStream]] with
+    * weight-mass counters; the same cross-epoch pigeonhole (a key over
+    * the global 1/(s+1) WEIGHT share is over it within some epoch)
+    * keeps the union of epoch candidates a superset of the true heavy
+    * earners for any epoch slicing. */
+  def mgWeightedStream(rows: DataFrame, summaryDir: String, s: Int = 6)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        import batch.sparkSession.implicits._
+        mgWeightedCandidates(
+          batch.select(col("lang"), col("w")).as[(String, Long)], s)
+          .write.mode("overwrite").parquet(s"$summaryDir/delta-b$batchId")
+      }
+    }
+
+  /** Heavy earners from the STORED weighted epoch summaries — the
+    * [[heavyHittersStored]] shape with weight sums: candidates and W
+    * from the summaries, the corpus touched only for the exact
+    * verify pass. */
+  def heavyEarnersStored(rows: DataFrame, summaryDir: String,
+                         s: Int = 6): DataFrame = {
+    val spark = rows.sparkSession
+    val deltas = Option(new java.io.File(summaryDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        StoredArtifacts.readableEpoch(f))
+      .sortBy(_.getName)
+    require(deltas.nonEmpty, s"no weighted MG summaries under $summaryDir")
+    val summary = deltas.map(d => spark.read.parquet(d.getPath))
+      .reduce(_ unionByName _)
+    val total = summary.filter(col("tok").isNull)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("w_total"))
+    val candidates = summary.filter(col("tok").isNotNull)
+      .select(col("tok").as("lang")).distinct()
+    rows.filter(col("w") > 0)
+      .join(broadcast(candidates), "lang")
+      .groupBy(col("lang")).agg(sum(col("w")).as("w"))
+      .crossJoin(total)
+      .filter(col("w") * (s + 1) > col("w_total"))
+      .select(col("lang"), col("w"),
+        expr("(10000 * w) div w_total").as("share_bp"))
+      .orderBy(col("lang"))
+  }
+
   /** Heavy hitters from the STORED epoch summaries: candidates and N
     * come from the ≤ epochs·partitions·(s+1)-row summary tables; the
     * corpus is touched ONLY for the exact verify pass over the

@@ -2167,6 +2167,33 @@ class HeavyHittersSpec extends org.scalatest.funsuite.AnyFunSuite {
       .head().getLong(0) == 1000L, "marker rows must sum to W")
   }
 
+  test("weighted MG stream: stored epoch summaries yield the exact earners") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-mgw").toString
+    // W = 1000 split mid-key across epochs: hot 300 (150+150),
+    // warm 210 (0+210), edge 200 exactly at W/(s+1), light tail
+    val rows = Seq(("hot", 150L), ("edge", 200L)) ++
+      (1 to 29).map(i => (s"lite$i", 10L)) ++
+      Seq(("hot", 150L), ("warm", 210L))
+    val mem = MemoryStream[(String, Long)]
+    val q = ScaleOps.mgWeightedStream(mem.toDF().toDF("lang", "w"), dir, s = 4)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-mgw-ck").toString)
+      .start()
+    try {
+      mem.addData(rows.take(31): _*); q.processAllAvailable()
+      mem.addData(rows.drop(31): _*); q.processAllAvailable()
+    } finally q.stop()
+    val stored = ScaleOps.heavyEarnersStored(rows.toDF("lang", "w"), dir, s = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stored == Seq(("hot", 300L, 3000L), ("warm", 210L, 2100L)),
+      s"stored-summary earners: $stored")
+  }
+
   test("MG stream: stored epoch summaries yield the exact hitters; replay is a no-op") {
     val spark = TestSpark.spark
     import spark.implicits._
