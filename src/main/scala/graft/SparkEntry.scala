@@ -342,6 +342,8 @@ object SparkEntry {
       ScaleOps.heavyHitters(Tables.documents(s, d))),
     "scale_heavy_earners" -> ((s, d) =>
       ScaleOps.heavyEarners(Tables.documents(s, d))),
+    "scale_topk_certified" -> ((s, d) =>
+      ScaleOps.topkCertified(Tables.documents(s, d))),
     "scale_zonemap_prune" -> ((s, d) =>
       ScaleOps.zonemapPrune(Tables.lineitem(s, d))),
     "scale_k_anonymity" -> ((s, d) => ScaleOps.kAnonymity(Tables.customer(s, d))),
@@ -3034,6 +3036,33 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM b
         |WHERE (cw * 10) // tw - ((cw - w) * 10) // tw >= 1
         |ORDER BY lang, doc_id""".stripMargin,
+    "scale_topk_certified" ->
+      // certified top-k: when the k-th count clears N/(s+1), the MG
+      // candidate pass provably contains the true top-k — so the
+      // oracle IS the exact top-k over all tokens, certificate
+      // recomputed from the full counts (ties: cnt desc, tok asc)
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |), tt AS (
+        |  SELECT tok FROM t WHERE tok <> ''
+        |), n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM tt
+        |), c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tt GROUP BY tok
+        |), r AS (
+        |  SELECT tok, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank
+        |  FROM c
+        |), kept AS (
+        |  SELECT * FROM r WHERE rank <= 10
+        |), kth AS (
+        |  SELECT min(cnt) AS kth_cnt FROM kept
+        |)
+        |SELECT kept.rank, kept.tok, kept.cnt,
+        |  CAST((10000 * kept.cnt) // (SELECT n_total FROM n) AS BIGINT) AS share_bp,
+        |  (SELECT kth_cnt FROM kth) * 31 > (SELECT n_total FROM n) AS certified
+        |FROM kept ORDER BY rank""".stripMargin,
     "scale_heavy_earners" ->
       // weighted heavy hitters: the weighted-MG candidate pass only
       // prunes — output is the exact GROUP BY/HAVING over character

@@ -1746,6 +1746,46 @@ object ScaleOps {
       }
     }
 
+  /** CERTIFIED TOP-K — the most frequent k tokens from the
+    * [[mgCandidates]] sweep with a SELF-CERTIFYING exactness bound:
+    * Misra–Gries guarantees every key OUTSIDE the candidate set has
+    * true count ≤ N/(s+1) (each partition's decrement-all burns an
+    * evicted key's mass at ≤ n_p/(s+1)), so whenever the k-th kept
+    * count strictly exceeds N/(s+1), no unseen key can displace any
+    * kept row and the report is PROVABLY the exact top-k — computed
+    * without ever shuffling the full key domain. The `certified`
+    * column carries the bound's verdict; a false means "widen s or
+    * fall back to the full groupBy", and the spec plants exactly that
+    * case. Here s = 30, k = 10 certifies at every SF (the 10th token
+    * sits well above N/31). Ranking ties break by token asc —
+    * deterministic, engine-portable. */
+  def topkCertified(documents: DataFrame, k: Int = 10,
+                    s: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = docTokens(documents)
+    val summary = Dedup.materialized(mgCandidates(toks.as[String], s))
+    val total = summary.filter(col("tok").isNull)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
+    val candidates = summary.filter(col("tok").isNotNull)
+      .select(col("tok")).distinct()
+    val counted = toks.join(broadcast(candidates), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // rank over the candidate-sized table (≤ partitions·s rows — the
+    // window is metadata-scale, never the key domain)
+    val ranked = counted
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+      .filter(col("rank") <= k)
+    val kth = ranked.agg(min(col("cnt")).as("kth_cnt"))
+    ranked.crossJoin(total).crossJoin(kth)
+      .select(col("rank"), col("tok"), col("cnt"),
+        expr("(10000 * cnt) div n_total").as("share_bp"),
+        (col("kth_cnt") * (s + 1) > col("n_total")).as("certified"))
+      .orderBy(col("rank"))
+  }
+
   /** Ingest-time WEIGHTED Misra–Gries maintenance — [[mgStream]] with
     * weight-mass counters; the same cross-epoch pigeonhole (a key over
     * the global 1/(s+1) WEIGHT share is over it within some epoch)

@@ -2229,6 +2229,47 @@ class HeavyHittersSpec extends org.scalatest.funsuite.AnyFunSuite {
       "a replayed epoch must reproduce its summary exactly")
   }
 
+  test("certified top-k: true certificate ⟹ exact top-k; flat tail ⟹ false; non-candidates obey the MG bound") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed corpus, k=3, s=8: the 3rd count clears N/9 → certified,
+    // and the report must equal the brute-force top-3
+    val skewed = (Seq.fill(50)("a") ++ Seq.fill(40)("b") ++ Seq.fill(30)("c") ++
+      (1 to 40).map(i => s"t${i % 20}"))
+    val docs = skewed.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(4)
+    val out = ScaleOps.topkCertified(docs, k = 3, s = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(4)))
+    assert(out.toSeq == Seq((1L, "a", 50L, true), (2L, "b", 40L, true),
+      (3L, "c", 30L, true)), s"got ${out.toSeq}")
+    // flat tail, tiny s: nothing clears N/(s+1) → the certificate must
+    // refuse (the honest "widen s" signal)
+    val flat = (1 to 120).map(i => s"u${i % 60}")
+    val flatDocs = flat.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(4)
+    val fo = ScaleOps.topkCertified(flatDocs, k = 5, s = 3).collect()
+    assert(fo.nonEmpty && fo.forall(!_.getBoolean(4)),
+      "a flat distribution must not certify")
+    // the bound the certificate rides: every key OUTSIDE the candidate
+    // set has true count ≤ N/(s+1), for random corpora and layouts
+    val rnd = new scala.util.Random(2707)
+    for (trial <- 1 to 4) {
+      val s = 4 + rnd.nextInt(6)
+      val toks = (0 until 200 + rnd.nextInt(300)).map { _ =>
+        s"k${math.min(rnd.nextInt(rnd.nextInt(30) + 1), 29)}"
+      }
+      val cands = ScaleOps.mgCandidates(
+          toks.toDS().repartition(1 + rnd.nextInt(5)), s)
+        .filter(col("tok").isNotNull)
+        .select(col("tok")).collect().map(_.getString(0)).toSet
+      val n = toks.size.toLong
+      val bad = toks.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (t, c) => !cands.contains(t) && c * (s + 1) > n }
+      assert(bad.isEmpty, s"trial $trial s=$s: non-candidates over the bound: $bad")
+    }
+  }
+
   test("MG summaries are bounded, markers sum to N, candidates superset the hitters") {
     val spark = TestSpark.spark
     import spark.implicits._
