@@ -155,6 +155,11 @@ class EdgeInputSpec extends AnyFunSuite {
     assert(graft.operators.ScaleOps.heavyHitters(emptyDocs).count() == 0)
     assert(graft.operators.ScaleOps.heavyHitters(
       Seq((1L, Option.empty[String])).toDF("doc_id", "text")).count() == 0)
+    // certified top-k and heavy earners: empty corpus → empty report
+    assert(graft.operators.ScaleOps.topkCertified(emptyDocs).count() == 0)
+    assert(graft.operators.ScaleOps.heavyEarners(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "n_chars"))
+      .count() == 0)
     // zonemap: empty lineitem → empty map
     val emptyLines = Seq.empty[(java.sql.Timestamp, Long)]
       .toDF("l_shipdate", "l_orderkey")

@@ -173,6 +173,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("heavy hitters: one exact-pass scan outside the cached MG summary; candidate join broadcasts") {
+    // cache-state determinism: an earlier suite may have cached the
+    // same frames, which changes how explain prints cache re-prints
+    spark.sharedState.cacheManager.clearCache()
     val p = plan(graft.operators.ScaleOps.heavyHitters(
       Tables.documents(spark, TestSpark.sf)))
     val scans = "Scan parquet".r.findAllIn(p).size
@@ -187,6 +190,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("KMV set ops: every orders scan lives inside a cache build; no key-grain joins") {
+    // same cache-state determinism guard as the heavy-hitters pin
+    spark.sharedState.cacheManager.clearCache()
     val p = plan(graft.operators.ScaleOps.kmvSetOps(
       Tables.orders(spark, TestSpark.sf)))
     val scans = "Scan parquet".r.findAllIn(p).size
