@@ -76,6 +76,32 @@ class RandomizedCrossChecksR9bSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy earners match the exact weight recompute on random corpora and layouts") {
+    val spark = this.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(2903)
+    for (trial <- 1 to 6) {
+      val s = 3 + rnd.nextInt(6)
+      val langs = (0 until 10).map(i => s"l$i")
+      // skewed weights with zero/negative junk sprinkled in
+      val rows = (0 until 120 + rnd.nextInt(200)).map { _ =>
+        (langs(math.min(rnd.nextInt(rnd.nextInt(10) + 1), 9)),
+          rnd.nextInt(120).toLong - 10L)
+      }
+      val wTotal = rows.filter(_._2 > 0).map(_._2).sum
+      val want = rows.filter(_._2 > 0).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sum)
+        .filter { case (_, w) => w * (s + 1) > wTotal }
+        .map { case (l, w) => (l, w, 10000L * w / wTotal) }
+        .toSeq.sortBy(_._1)
+      val docs = rows.zipWithIndex.map { case ((l, w), i) => (i.toLong, l, w) }
+        .toDF("doc_id", "lang", "n_chars").repartition(1 + rnd.nextInt(7))
+      val got = ScaleOps.heavyEarners(docs, s = s).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"trial $trial s=$s W=$wTotal: $got vs $want")
+    }
+  }
+
   test("zonemap block table matches brute force on random dates and keys") {
     val spark = this.spark
     import spark.implicits._
