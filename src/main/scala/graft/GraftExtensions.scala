@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => MinHashFromHashes(args(0), intArg(args(1), "numPerm")))
     inject("graft_proto_encode", "graft_proto_encode(struct) - protobuf wire encoding",
       args => ProtoEncode(args(0)))
+    inject("graft_mg",
+      "graft_mg(key, w, s) - mergeable weighted Misra-Gries candidates + total marker",
+      args => MgSketch(args(0), args(1), intArg(args(2), "s")).toAggregateExpression())
     inject("graft_collect_capped",
       "graft_collect_capped(id, aux, cap) - at most cap (id,aux) pairs per group",
       args => CollectCapped(args(0), args(1), intArg(args(2), "cap")).toAggregateExpression())

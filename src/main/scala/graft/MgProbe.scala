@@ -59,6 +59,25 @@ object MgProbe {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     }
     require(mg == naive, s"MG two-pass diverged: $mg vs $naive")
+
+    // the graft_mg aggregate variant: same two-pass, but the candidate
+    // sweep runs as a TypedImperativeAggregate with native map-side
+    // partials — no Dataset ser/deser hop
+    val agg = timed("mg_aggregate_two_pass") {
+      val toks = docs.select(col("text").as("tok"))
+      val sk = toks.agg(functions.F.mgSketch(col("tok"), lit(1L), s).as("sk"))
+        .select(explode(col("sk")).as("c"))
+        .select(col("c.tok").as("tok"), col("c.cnt").as("cnt"))
+        .collect()
+      val n = sk.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+      val cands = sk.filter(!_.isNullAt(0)).map(_.getString(0)).toSeq
+      toks.filter(col("tok").isin(cands: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (s + 1) > n)
+        .orderBy(col("tok"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    require(agg == naive, s"aggregate two-pass diverged: $agg vs $naive")
     println(s"[mgprobe] results verified equal: ${mg.map(_._1).mkString(", ")}")
 
     // the 100 TB metric: rows crossing the exchange. The naive partial

@@ -344,6 +344,8 @@ object SparkEntry {
       ScaleOps.heavyEarners(Tables.documents(s, d))),
     "scale_topk_certified" -> ((s, d) =>
       ScaleOps.topkCertified(Tables.documents(s, d))),
+    "scale_heavy_hitters_grouped" -> ((s, d) =>
+      ScaleOps.heavyHittersGrouped(Tables.documents(s, d))),
     "scale_zonemap_prune" -> ((s, d) =>
       ScaleOps.zonemapPrune(Tables.lineitem(s, d))),
     "scale_k_anonymity" -> ((s, d) => ScaleOps.kAnonymity(Tables.customer(s, d))),
@@ -3036,6 +3038,26 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM b
         |WHERE (cw * 10) // tw - ((cw - w) * 10) // tw >= 1
         |ORDER BY lang, doc_id""".stripMargin,
+    "scale_heavy_hitters_grouped" ->
+      // per-language heavy tokens: the graft_mg mergeable aggregate
+      // only prunes — output is the exact per-lang GROUP BY/HAVING
+      // over within-language share > 1/(s+1), s = 30
+      """WITH t AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        |), tt AS (
+        |  SELECT lang, tok FROM t WHERE tok <> ''
+        |), n AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM tt GROUP BY lang
+        |), c AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tt GROUP BY lang, tok
+        |)
+        |SELECT c.lang, c.tok, c.cnt,
+        |  CAST((10000 * c.cnt) // n.n_total AS BIGINT) AS share_bp
+        |FROM c JOIN n ON n.lang = c.lang
+        |WHERE c.cnt * 31 > n.n_total
+        |ORDER BY c.lang, c.tok""".stripMargin,
     "scale_topk_certified" ->
       // certified top-k: when the k-th count clears N/(s+1), the MG
       // candidate pass provably contains the true top-k — so the

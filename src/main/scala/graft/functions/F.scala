@@ -73,6 +73,13 @@ object F {
     Shims.column(MmrSelect(Shims.expression(ids), Shims.expression(cos),
       Shims.expression(vecs), k))
 
+  /** Mergeable weighted Misra–Gries aggregate: array<struct<tok,cnt>>
+    * of ≤ s surviving candidates + a NULL-tok marker carrying the
+    * group's total weight. O(s) state at every aggregation stage. */
+  def mgSketch(key: Column, w: Column, s: Int): Column =
+    Shims.column(MgSketch(Shims.expression(key), Shims.expression(w), s)
+      .toAggregateExpression())
+
   /** Bounded collect aggregate: array<struct<id,aux>> of at most `cap`
     * of the group's pairs (complete when the group fits the cap —
     * O(cap) state per group at every aggregation stage). */

@@ -1,0 +1,147 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable weighted Misra–Gries summary: at most `s` (key, counter)
+  * pairs. Insert is the classic decrement-all (weighted: burn
+  * m = min(w, smallest counter) from s+1 entities). MERGE is additive
+  * combine followed by a trim to s counters — subtract the (s+1)-th
+  * largest combined counter from every entry and drop non-positives.
+  * Agarwal et al., "Mergeable Summaries" (PODS'12): the total
+  * decremented mass stays ≤ N/(s+1) under ARBITRARY merge trees, so
+  * any key with true weight share over 1/(s+1) survives no matter how
+  * Spark partitions or re-merges partial buffers — the property that
+  * makes this a legal map-side-combinable aggregate.
+  *
+  * `n` carries the group's total inserted weight (the certificate
+  * denominator); it combines additively and rides the eval marker. */
+final class MgBuffer(val s: Int) {
+  val counts = scala.collection.mutable.HashMap.empty[String, Long]
+  var n = 0L
+
+  def insert(t: String, w: Long): Unit = if (w > 0L) {
+    n += w
+    counts.get(t) match {
+      case Some(c) => counts.update(t, c + w)
+      case None if counts.size < s => counts.update(t, w)
+      case None =>
+        val m = math.min(w, counts.valuesIterator.min)
+        decrementAll(m)
+        if (w > m) counts.update(t, w - m)
+    }
+  }
+
+  def mergeFrom(other: MgBuffer): Unit = {
+    n += other.n
+    other.counts.foreach { case (t, c) =>
+      counts.update(t, counts.getOrElse(t, 0L) + c)
+    }
+    if (counts.size > s) {
+      // (s+1)-th largest combined counter = the trim amount
+      val vals = counts.values.toArray
+      java.util.Arrays.sort(vals)
+      decrementAll(vals(vals.length - s - 1))
+    }
+  }
+
+  private def decrementAll(m: Long): Unit = {
+    val ks = counts.keysIterator.toArray
+    var i = 0
+    while (i < ks.length) {
+      val c = counts(ks(i))
+      if (c <= m) counts.remove(ks(i)) else counts.update(ks(i), c - m)
+      i += 1
+    }
+  }
+}
+
+/** `graft_mg(key, w, s)` aggregate → array<struct<tok,cnt>> of the
+  * surviving candidates plus one NULL-tok marker row carrying the
+  * group's total weight (the [[graft.operators.ScaleOps.mgCandidates]]
+  * output shape, per GROUP and inside native partial aggregation —
+  * no Dataset ser/deser hop, and grouped heavy hitters become ONE
+  * aggregate over the corpus). */
+case class MgSketch(key: Expression, w: Expression, s: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MgBuffer] {
+  require(s > 0 && s <= 100000, "s must be in 1..100000")
+
+  override def children: Seq[Expression] = Seq(key, w)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok", StringType, nullable = true),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_mg"
+
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(s)
+
+  override def update(buffer: MgBuffer, input: InternalRow): MgBuffer = {
+    val t = key.eval(input)
+    val wv = w.eval(input)
+    if (t != null && wv != null) {
+      val weight = wv match {
+        case l: Long => l
+        case n: Number => n.longValue()
+      }
+      buffer.insert(t.asInstanceOf[UTF8String].toString, weight)
+    }
+    buffer
+  }
+
+  override def merge(buffer: MgBuffer, input: MgBuffer): MgBuffer = {
+    buffer.mergeFrom(input); buffer
+  }
+
+  override def eval(buffer: MgBuffer): Any = {
+    // deterministic render order (tok asc) + the NULL-tok total marker
+    val rows = buffer.counts.toArray.sortBy(_._1).map { case (t, c) =>
+      InternalRow(UTF8String.fromString(t), c)
+    } :+ InternalRow(null, buffer.n)
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buffer: MgBuffer): Array[Byte] = {
+    val entries = buffer.counts.toArray
+    val bytes = entries.map { case (t, _) => t.getBytes("UTF-8") }
+    val size = 4 + 8 + 4 + bytes.map(_.length + 12).sum
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buffer.s).putLong(buffer.n).putInt(entries.length)
+    var i = 0
+    while (i < entries.length) {
+      bb.putInt(bytes(i).length).put(bytes(i)).putLong(entries(i)._2)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new MgBuffer(bb.getInt)
+    buf.n = bb.getLong
+    val m = bb.getInt
+    var i = 0
+    while (i < m) {
+      val len = bb.getInt
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      buf.counts.update(new String(arr, "UTF-8"), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MgSketch =
+    copy(key = newChildren(0), w = newChildren(1))
+}

@@ -1786,6 +1786,40 @@ object ScaleOps {
       .orderBy(col("rank"))
   }
 
+  /** GROUPED HEAVY HITTERS — frequent tokens per LANGUAGE in one
+    * aggregate pass: the `graft_mg` mergeable Misra–Gries aggregate
+    * (a [[graft.functions.MgSketch]] TypedImperativeAggregate — O(s)
+    * state per group at every aggregation stage, native map-side
+    * partials, no Dataset ser/deser hop) sketches each language's
+    * token distribution in ONE groupBy, then the exact pass counts
+    * only the broadcast (lang, token) candidate pairs. The mergeable-
+    * summaries bound (Agarwal et al., PODS'12) holds under Spark's
+    * arbitrary partial-merge trees, so candidates per group superset
+    * the true per-group hitters for any layout and the output is
+    * layout-deterministic. share_bp is WITHIN the language. */
+  def heavyHittersGrouped(documents: DataFrame, s: Int = 30): DataFrame = {
+    val toks = documents
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val sketch = Dedup.materialized(toks.groupBy(col("lang"))
+      .agg(graft.functions.F.mgSketch(col("tok"), lit(1L), s).as("sk"))
+      .select(col("lang"), explode(col("sk")).as("c"))
+      .select(col("lang"), col("c.tok").as("tok"), col("c.cnt").as("cnt")))
+    val totals = sketch.filter(col("tok").isNull)
+      .select(col("lang"), col("cnt").as("n_total"))
+    val cands = sketch.filter(col("tok").isNotNull)
+      .select(col("lang"), col("tok")).distinct()
+    toks.join(broadcast(cands), Seq("lang", "tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "lang")
+      .filter(col("cnt") * (s + 1) > col("n_total"))
+      .select(col("lang"), col("tok"), col("cnt"),
+        expr("(10000 * cnt) div n_total").as("share_bp"))
+      .orderBy(col("lang"), col("tok"))
+  }
+
   /** Ingest-time WEIGHTED Misra–Gries maintenance — [[mgStream]] with
     * weight-mass counters; the same cross-epoch pigeonhole (a key over
     * the global 1/(s+1) WEIGHT share is over it within some epoch)

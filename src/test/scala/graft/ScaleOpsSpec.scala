@@ -2270,6 +2270,60 @@ class HeavyHittersSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("grouped heavy hitters equal the exact per-group recompute on any layout") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // two langs with DIFFERENT hitters: xx's hot token is cold in yy
+    val docs = (
+      Seq.fill(30)(("xx", "hot")) ++ Seq.fill(8)(("xx", "mid")) ++
+        (1 to 40).map(i => ("xx", s"c$i")) ++
+        Seq.fill(3)(("yy", "hot")) ++ Seq.fill(50)(("yy", "other")) ++
+        (1 to 30).map(i => ("yy", s"d$i"))
+    ).zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+    for (layout <- Seq(1, 5)) {
+      val df = docs.toDF("doc_id", "lang", "text").repartition(layout)
+      val out = ScaleOps.heavyHittersGrouped(df, s = 5).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      // xx: N=78, thr 13: hot 30 ✓ mid 8 ✗; yy: N=83, thr 13.8: other 50 ✓ hot 3 ✗
+      assert(out == Seq(("xx", "hot", 30L), ("yy", "other", 50L)),
+        s"layout $layout: $out")
+    }
+  }
+
+  test("MgBuffer: adversarial merge trees keep the superset bound; serde round-trips") {
+    import graft.functions.{MgBuffer, MgSketch}
+    val rnd = new scala.util.Random(3109)
+    for (trial <- 1 to 8) {
+      val s = 3 + rnd.nextInt(6)
+      val toks = (0 until 300 + rnd.nextInt(300)).map { _ =>
+        s"k${math.min(rnd.nextInt(rnd.nextInt(25) + 1), 24)}"
+      }
+      // split into random chunks, insert into separate buffers, merge
+      // in a random (left-deep vs pairwise) order
+      val chunks = toks.grouped(30 + rnd.nextInt(60)).toSeq
+      val bufs = chunks.map { c =>
+        val b = new MgBuffer(s); c.foreach(b.insert(_, 1L)); b
+      }
+      val merged = rnd.shuffle(bufs).reduce { (a, b) => a.mergeFrom(b); a }
+      assert(merged.counts.size <= s, "trim must hold the s bound")
+      assert(merged.n == toks.size.toLong, "total weight combines additively")
+      val n = toks.size.toLong
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val missedHeavy = exact.filter { case (t, c) =>
+        c * (s + 1) > n && !merged.counts.contains(t) }
+      assert(missedHeavy.isEmpty,
+        s"trial $trial s=$s: heavy keys missing after merges: $missedHeavy")
+      // counter never exceeds the true count (MG only ever decrements)
+      assert(merged.counts.forall { case (t, c) => c <= exact(t) })
+    }
+    // serde: a buffer survives the shuffle-format round trip
+    val b = new MgBuffer(4)
+    Seq("a", "b", "a", "c", "d", "e", "a").foreach(b.insert(_, 2L))
+    val agg = MgSketch(null, null, 4)
+    val back = agg.deserialize(agg.serialize(b))
+    assert(back.s == b.s && back.n == b.n && back.counts == b.counts)
+  }
+
   test("MG summaries are bounded, markers sum to N, candidates superset the hitters") {
     val spark = TestSpark.spark
     import spark.implicits._
