@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => MinHashFromHashes(args(0), intArg(args(1), "numPerm")))
     inject("graft_proto_encode", "graft_proto_encode(struct) - protobuf wire encoding",
       args => ProtoEncode(args(0)))
+    inject("graft_kmv",
+      "graft_kmv(h, k) - bottom-k distinct hashes (KMV sketch), ascending",
+      args => KmvSketch(args(0), intArg(args(1), "k")).toAggregateExpression())
     inject("graft_mg",
       "graft_mg(key, w, s) - mergeable weighted Misra-Gries candidates + total marker",
       args => MgSketch(args(0), args(1), intArg(args(2), "s")).toAggregateExpression())

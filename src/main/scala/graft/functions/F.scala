@@ -73,6 +73,12 @@ object F {
     Shims.column(MmrSelect(Shims.expression(ids), Shims.expression(cos),
       Shims.expression(vecs), k))
 
+  /** Bottom-k distinct-hash aggregate (KMV sketch): array<long> of the
+    * k smallest distinct values, ascending — dedup happens inside the
+    * O(k) buffer, so no key-grain distinct exchange precedes it. */
+  def kmvSketch(h: Column, k: Int): Column =
+    Shims.column(KmvSketch(Shims.expression(h), k).toAggregateExpression())
+
   /** Mergeable weighted Misra–Gries aggregate: array<struct<tok,cnt>>
     * of ≤ s surviving candidates + a NULL-tok marker carrying the
     * group's total weight. O(s) state at every aggregation stage. */

@@ -1451,24 +1451,25 @@ object ScaleOps {
     * [[windowPreflight]] is the standing detector if a deployment's
     * strata ever concentrate. */
   /** Bottom-k (KMV) sketch table for segmented key sets: one corpus
-    * scan dedupes to (side, key) grain (map-side partial dedup — the
-    * countDistinct shuffle shape), hashes each key with the portable
-    * 48-bit md5 idiom (12 hex chars so the negated heap score is
-    * exact in a double — the [[sampleKeyed]] rule), and keeps each
-    * side's k SMALLEST hash values via one bounded-heap `graft_topk`
-    * aggregate — O(k) state per side at every aggregation stage,
-    * partitions·k rows shuffled. Output: ≤ sides·k (side, h) rows —
-    * the stored sketch artifact. */
+    * scan hashes each key row-locally with the portable 48-bit md5
+    * idiom and keeps each side's k SMALLEST DISTINCT hash values via
+    * the `graft_kmv` aggregate ([[graft.functions.KmvSketch]]) —
+    * dedup happens inside the O(k) buffer, so duplicated raw rows
+    * stream straight in with NO key-grain distinct exchange, and the
+    * shuffle carries partitions·k longs. Output: ≤ sides·k (side, h)
+    * rows — the stored sketch artifact. */
   private[graft] def kmvTable(sideKeys: DataFrame, k: Int): DataFrame = {
     val h = conv(substring(md5(concat(col("key").cast("string"),
       lit(":kmv"))), 1, 12), 16, 10).cast("long")
-    sideKeys.select(col("side"), col("key")).distinct()
-      .select(col("side"), h.as("h"))
+    // ONE bounded aggregate, dedup inside the O(k) buffer — raw
+    // (duplicated) rows stream straight in, no key-grain distinct
+    // exchange precedes the sketch (the production KMV shape; the
+    // original distinct + topk composition paid a distinct-grain
+    // shuffle the sketch never needed)
+    sideKeys.select(col("side"), h.as("h"))
       .groupBy(col("side"))
-      .agg(graft.functions.F.topk((-col("h")).cast("double"), col("h"), k)
-        .as("picks"))
-      .select(col("side"), explode(col("picks")).as("p"))
-      .select(col("side"), col("p.id").as("h"))
+      .agg(graft.functions.F.kmvSketch(col("h"), k).as("hs"))
+      .select(col("side"), explode(col("hs")).as("h"))
   }
 
   /** KMV SET OPERATIONS — distinct-count estimates for UNION and

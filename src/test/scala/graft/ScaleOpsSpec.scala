@@ -2476,6 +2476,36 @@ class KmvSpec extends org.scalatest.funsuite.AnyFunSuite {
       "a zero intersection must satisfy the zero-guard boolean")
   }
 
+  test("KmvBuffer dedups in-buffer, merges idempotently, serde round-trips") {
+    import graft.functions.{KmvBuffer, KmvSketch}
+    val rnd = new scala.util.Random(3307)
+    for (trial <- 1 to 6) {
+      val k = Seq(4, 16, 64)(rnd.nextInt(3))
+      val vals = (0 until 500).map(_ => rnd.nextInt(200).toLong)
+      // heavy duplication: buffer result must equal distinct-sort-take
+      val want = vals.distinct.sorted.take(k)
+      val b = new KmvBuffer(k)
+      vals.foreach(b.insert)
+      def render(x: KmvBuffer) = {
+        val it = x.set.iterator(); Iterator.continually(it)
+          .takeWhile(_.hasNext).map(_.next().longValue()).toSeq
+      }
+      assert(render(b) == want, s"trial $trial k=$k")
+      // merge = set union (idempotent): merging a buffer with itself
+      // via serde copies changes nothing
+      val agg = KmvSketch(null, k)
+      val copy = agg.deserialize(agg.serialize(b))
+      b.mergeFrom(copy)
+      assert(render(b) == want, "self-merge must be a no-op")
+      // arbitrary split-merge equals the whole
+      val (l, r) = vals.splitAt(rnd.nextInt(vals.size))
+      val bl = new KmvBuffer(k); l.foreach(bl.insert)
+      val br = new KmvBuffer(k); r.foreach(br.insert)
+      bl.mergeFrom(br)
+      assert(render(bl) == want, "split-merge must equal the whole sketch")
+    }
+  }
+
   test("KMV stream deltas re-sketch to the whole-corpus sketch; replay is a no-op") {
     val spark = TestSpark.spark
     import spark.implicits._
