@@ -52,10 +52,18 @@ object MgProbe {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     }
 
-    // two-pass MG over the same frame (docTokens splits on whitespace;
-    // each row here is a single token already)
-    val mg = timed("mg_two_pass") {
-      operators.ScaleOps.heavyHitters(docs.select(col("text")), s)
+    // the mapPartitions kernel variant (per-partition summaries — the
+    // deterministic-bytes face the STREAM operators use), two-pass
+    import spark.implicits._
+    val mg = timed("mg_mappartitions_two_pass") {
+      val toks = docs.select(col("text").as("tok"))
+      val sk = operators.ScaleOps.mgCandidates(toks.as[String], s).collect()
+      val n = sk.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+      val cands = sk.filter(!_.isNullAt(0)).map(_.getString(0)).distinct.toSeq
+      toks.filter(col("tok").isin(cands: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (s + 1) > n)
+        .orderBy(col("tok"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     }
     require(mg == naive, s"MG two-pass diverged: $mg vs $naive")

@@ -1626,12 +1626,27 @@ object ScaleOps {
     * at 100 TB it is exactly what this operator exists to avoid).
     * share_bp = floor(10⁴·cnt/N) rides the same integer idiom. */
   def heavyHitters(documents: DataFrame, s: Int = 30): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
     val toks = docTokens(documents)
-    exactHeavyTail(toks,
-      Dedup.materialized(mgCandidates(toks.as[String], s)), s)
+    exactHeavyTail(toks, Dedup.materialized(mgSummary(toks, col("tok"), s)), s)
   }
+
+  /** Merged Misra–Gries summary of a frame as (tok, cnt) rows plus the
+    * NULL-tok total marker — ONE `graft_mg` aggregate (native map-side
+    * partials, ≤ s+1 rows out vs the mapPartitions kernel's
+    * partitions·(s+1); MgProbe measured the aggregate two-pass 4.6×
+    * faster than the kernel and 2.7× faster than the naive groupBy).
+    * Partial-merge order varies run to run, so the summary's COUNTER
+    * values are not replay-deterministic — fine for the batch
+    * operators (the exact second pass immunizes the output; the
+    * superset guarantee holds for any merge tree) but exactly why the
+    * STREAM faces keep [[mgCandidates]]' per-partition summaries,
+    * whose bytes replay deterministically. */
+  private[graft] def mgSummary(rows: DataFrame, key: org.apache.spark.sql.Column,
+                               s: Int,
+                               w: org.apache.spark.sql.Column = lit(1L)): DataFrame =
+    rows.agg(graft.functions.F.mgSketch(key, w, s).as("sk"))
+      .select(explode(col("sk")).as("c"))
+      .select(col("c.tok").as("tok"), col("c.cnt").as("cnt"))
 
   /** The whitespace token stream [[heavyHitters]] counts over. */
   private def docTokens(documents: DataFrame): DataFrame =
@@ -1715,7 +1730,7 @@ object ScaleOps {
         col("n_chars") > 0)
       .select(col("lang"), col("n_chars").cast("long").as("w"))
     val summary = Dedup.materialized(
-      mgWeightedCandidates(rows.as[(String, Long)], s))
+      mgSummary(rows, col("lang"), s, col("w")))
     val total = summary.filter(col("tok").isNull)
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("w_total"))
     val candidates = summary.filter(col("tok").isNotNull)
@@ -1763,10 +1778,8 @@ object ScaleOps {
   def topkCertified(documents: DataFrame, k: Int = 10,
                     s: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = documents.sparkSession
-    import spark.implicits._
     val toks = docTokens(documents)
-    val summary = Dedup.materialized(mgCandidates(toks.as[String], s))
+    val summary = Dedup.materialized(mgSummary(toks, col("tok"), s))
     val total = summary.filter(col("tok").isNull)
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
     val candidates = summary.filter(col("tok").isNotNull)
