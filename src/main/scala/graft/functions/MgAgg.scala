@@ -91,7 +91,10 @@ case class MgSketch(key: Expression, w: Expression, s: Int,
         case l: Long => l
         case n: Number => n.longValue()
       }
-      buffer.insert(t.asInstanceOf[UTF8String].toString, weight)
+      // UTF8String for string keys (the common case); anything else a
+      // SQL caller feeds renders via toString rather than class-cast
+      // throwing mid-job
+      buffer.insert(t.toString, weight)
     }
     buffer
   }

@@ -1718,13 +1718,12 @@ object ScaleOps {
     * language whose CHARACTER share strictly exceeds 1/(s+1) of the
     * corpus, with exact weight sums — "which segments dominate the
     * byte budget", the question a training-data mixer asks before
-    * rebalancing. Same two-pass shape: [[mgWeightedCandidates]]
-    * prunes (bounded state, zero shuffle), the exact pass sums only
-    * the broadcast candidate set; output layout-deterministic by the
-    * weighted superset guarantee. */
+    * rebalancing. Same two-pass shape: the weighted [[mgSummary]]
+    * aggregate prunes (O(s) state, map-side partials;
+    * [[mgWeightedCandidates]] remains the stream faces' kernel), the
+    * exact pass sums only the broadcast candidate set; output
+    * layout-deterministic by the weighted superset guarantee. */
   def heavyEarners(documents: DataFrame, s: Int = 6): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
     val rows = documents
       .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
         col("n_chars") > 0)
