@@ -1257,7 +1257,7 @@ object Ann {
   def embeddingProject(embeddings: DataFrame, dims: Int = 64, iters: Int = 8): DataFrame = {
     val loadMilli = embeddingPca(embeddings, dims, iters)
       .orderBy(col("dim")).collect().map(_.getLong(1))
-    val w = array(loadMilli.map(lit(_)): _*)
+    val w = array(loadMilli.toIndexedSeq.map(lit(_)): _*)
     val xb = transform(col("embedding"),
       x => round(x.cast("double") * lit(1e4), 0).cast("long"))
     val p = aggregate(zip_with(xb, w, (a, b) => a * b),
@@ -1293,7 +1293,7 @@ object Ann {
                                 dims: Int = 64, iters: Int = 8): DataFrame = {
     val loadMilli = embeddingPca(embeddings, dims, iters)
       .orderBy(col("dim")).collect().map(_.getLong(1))
-    val w = array(loadMilli.map(lit(_)): _*)
+    val w = array(loadMilli.toIndexedSeq.map(lit(_)): _*)
     val xb = transform(col("embedding"),
       x => round(x.cast("double") * lit(1e4), 0).cast("long"))
     val p = aggregate(zip_with(xb, w, (a, b) => a * b),

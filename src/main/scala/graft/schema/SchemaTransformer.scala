@@ -29,7 +29,7 @@ case class BqTableSchema(fields: Seq[BqField])
 
 object SchemaTransformer {
 
-  def toBq(schema: StructType): BqTableSchema = BqTableSchema(schema.fields.map(toBqField))
+  def toBq(schema: StructType): BqTableSchema = BqTableSchema(schema.fields.toIndexedSeq.map(toBqField))
 
   private def toBqField(f: StructField): BqField = f.dataType match {
     case ArrayType(elem, _) =>

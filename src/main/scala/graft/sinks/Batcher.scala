@@ -141,7 +141,7 @@ object Batcher {
         .withColumnRenamed("local_batch", "__ml"),
         col(keyCol) <=> col("__mk") && col(bucketCol) <=> col("__mb") &&
           col("local_batch") <=> col("__ml"))
-      .select(df.columns.map(col) :+ col("batch_id"): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("batch_id"): _*)
   }
 
   /** The sink-side preflight→mitigation router (the
