@@ -346,6 +346,8 @@ object SparkEntry {
       ScaleOps.topkCertified(Tables.documents(s, d))),
     "scale_heavy_hitters_grouped" -> ((s, d) =>
       ScaleOps.heavyHittersGrouped(Tables.documents(s, d))),
+    "scale_m4_downsample" -> ((s, d) =>
+      ScaleOps.m4Downsample(Tables.events(s, d))),
     "scale_zonemap_prune" -> ((s, d) =>
       ScaleOps.zonemapPrune(Tables.lineitem(s, d))),
     "scale_k_anonymity" -> ((s, d) => ScaleOps.kAnonymity(Tables.customer(s, d))),
@@ -3038,6 +3040,30 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM b
         |WHERE (cw * 10) // tw - ((cw - w) * 10) // tw >= 1
         |ORDER BY lang, doc_id""".stripMargin,
+    "scale_m4_downsample" ->
+      // M4: first/last by time, min/max by value per (series, day) —
+      // selection-only (bp values, micro instants), struct-lexicographic
+      // tie order mirrored by the row_number sorts here
+      """WITH b AS (
+        |  SELECT event_type AS series, CAST(ts AS DATE) AS bucket,
+        |    epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 1e4) AS BIGINT) AS v_bp
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |), a AS (
+        |  SELECT series, bucket, CAST(count(*) AS BIGINT) AS n_points,
+        |    min({'us': us, 'id': event_id, 'v': v_bp}) AS f,
+        |    max({'us': us, 'id': event_id, 'v': v_bp}) AS l,
+        |    min({'v': v_bp, 'us': us, 'id': event_id}) AS mn,
+        |    max({'v': v_bp, 'us': us, 'id': event_id}) AS mx
+        |  FROM b GROUP BY series, bucket
+        |)
+        |SELECT series, bucket, n_points,
+        |  CAST(f.us AS BIGINT) AS first_us, CAST(f.v AS BIGINT) AS first_bp,
+        |  CAST(l.us AS BIGINT) AS last_us, CAST(l.v AS BIGINT) AS last_bp,
+        |  CAST(mn.v AS BIGINT) AS min_bp, CAST(mn.us AS BIGINT) AS min_us,
+        |  CAST(mx.v AS BIGINT) AS max_bp, CAST(mx.us AS BIGINT) AS max_us
+        |FROM a ORDER BY series, bucket""".stripMargin,
     "scale_heavy_hitters_grouped" ->
       // per-language heavy tokens: the graft_mg mergeable aggregate
       // only prunes — output is the exact per-lang GROUP BY/HAVING

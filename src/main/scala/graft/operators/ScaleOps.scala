@@ -2087,6 +2087,39 @@ object ScaleOps {
         min(col("min_okey")).as("min_okey"), max(col("max_okey")).as("max_okey"))
   }
 
+  /** M4 DOWNSAMPLING — the error-free line-chart reduction (Jugel et
+    * al., VLDB'14): per (series, time bucket) keep exactly four
+    * points — FIRST and LAST by time, MIN and MAX by value — which
+    * provably preserve a line rendering at bucket resolution while
+    * reducing a 100 TB series to 4·buckets rows. Everything rides
+    * ONE map-side-combinable aggregate of lexicographic struct
+    * min/max (no window, no sort, no per-bucket shuffle beyond the
+    * agg's own): the tie order inside each struct (micros, event_id
+    * for time; value_bp, micros, event_id for value) makes every
+    * selected point deterministic and engine-portable. Values travel
+    * as bp integers and instants as epoch micros — selection-only,
+    * no float arithmetic anywhere. */
+  def m4Downsample(events: DataFrame): DataFrame = {
+    val base = events
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type").as("series"), to_date(col("ts")).as("bucket"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        expr("CAST(round(value * 1e4) AS BIGINT)").as("v_bp"))
+    base.groupBy(col("series"), col("bucket"))
+      .agg(count(lit(1)).as("n_points"),
+        min(struct(col("us"), col("event_id"), col("v_bp"))).as("f"),
+        max(struct(col("us"), col("event_id"), col("v_bp"))).as("l"),
+        min(struct(col("v_bp"), col("us"), col("event_id"))).as("mn"),
+        max(struct(col("v_bp"), col("us"), col("event_id"))).as("mx"))
+      .select(col("series"), col("bucket"), col("n_points"),
+        col("f.us").as("first_us"), col("f.v_bp").as("first_bp"),
+        col("l.us").as("last_us"), col("l.v_bp").as("last_bp"),
+        col("mn.v_bp").as("min_bp"), col("mn.us").as("min_us"),
+        col("mx.v_bp").as("max_bp"), col("mx.us").as("max_us"))
+      .orderBy(col("series"), col("bucket"))
+  }
+
   def ppsSample(documents: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))

@@ -2416,6 +2416,48 @@ class ZonemapSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class M4Spec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("M4 picks first/last/min/max exactly; value ties resolve to the earliest point") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // one series, one day: known extremes + a duplicated minimum value
+    // at a later instant (the tie the struct order must resolve)
+    val events = Seq(
+      (1L, ts("2024-03-01 08:00:00"), 5.0),   // first
+      (2L, ts("2024-03-01 09:00:00"), 1.5),   // min (earliest of the tie)
+      (3L, ts("2024-03-01 10:00:00"), 9.25),  // max
+      (4L, ts("2024-03-01 11:00:00"), 1.5),   // tied min, later -> not picked
+      (5L, ts("2024-03-01 12:00:00"), 4.0)    // last
+    ).map { case (id, t, v) => (id, t, "click", v) }
+      .toDF("event_id", "ts", "event_type", "value").repartition(3)
+    val r = ScaleOps.m4Downsample(events).head()
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(r.getAs[Long]("n_points") == 5)
+    assert(r.getAs[Long]("first_us") == us("2024-03-01 08:00:00") &&
+      r.getAs[Long]("first_bp") == 50000L)
+    assert(r.getAs[Long]("last_us") == us("2024-03-01 12:00:00") &&
+      r.getAs[Long]("last_bp") == 40000L)
+    assert(r.getAs[Long]("min_bp") == 15000L &&
+      r.getAs[Long]("min_us") == us("2024-03-01 09:00:00"),
+      "tied minima must resolve to the earliest instant")
+    assert(r.getAs[Long]("max_bp") == 92500L &&
+      r.getAs[Long]("max_us") == us("2024-03-01 10:00:00"))
+    // real corpus: per-bucket invariants hold everywhere
+    val all = ScaleOps.m4Downsample(Tables.events(spark, TestSpark.sf)).collect()
+    assert(all.nonEmpty)
+    all.foreach { row =>
+      assert(row.getAs[Long]("first_us") <= row.getAs[Long]("last_us"))
+      assert(row.getAs[Long]("min_bp") <= row.getAs[Long]("first_bp") &&
+        row.getAs[Long]("min_bp") <= row.getAs[Long]("last_bp") &&
+        row.getAs[Long]("min_bp") <= row.getAs[Long]("max_bp"))
+      assert(row.getAs[Long]("min_us") >= row.getAs[Long]("first_us") &&
+        row.getAs[Long]("max_us") <= row.getAs[Long]("last_us"))
+    }
+  }
+}
+
 class KmvSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("KMV small-set branch is exact; estimator branch pins the k-th min hash") {
