@@ -3059,10 +3059,14 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  FROM b GROUP BY series, bucket
         |)
         |SELECT series, bucket, n_points,
-        |  CAST(f.us AS BIGINT) AS first_us, CAST(f.v AS BIGINT) AS first_bp,
-        |  CAST(l.us AS BIGINT) AS last_us, CAST(l.v AS BIGINT) AS last_bp,
+        |  CAST(f.us AS BIGINT) AS first_us, CAST(f.id AS BIGINT) AS first_id,
+        |  CAST(f.v AS BIGINT) AS first_bp,
+        |  CAST(l.us AS BIGINT) AS last_us, CAST(l.id AS BIGINT) AS last_id,
+        |  CAST(l.v AS BIGINT) AS last_bp,
         |  CAST(mn.v AS BIGINT) AS min_bp, CAST(mn.us AS BIGINT) AS min_us,
-        |  CAST(mx.v AS BIGINT) AS max_bp, CAST(mx.us AS BIGINT) AS max_us
+        |  CAST(mn.id AS BIGINT) AS min_id,
+        |  CAST(mx.v AS BIGINT) AS max_bp, CAST(mx.us AS BIGINT) AS max_us,
+        |  CAST(mx.id AS BIGINT) AS max_id
         |FROM a ORDER BY series, bucket""".stripMargin,
     "scale_heavy_hitters_grouped" ->
       // per-language heavy tokens: the graft_mg mergeable aggregate

@@ -2113,11 +2113,54 @@ object ScaleOps {
         min(struct(col("v_bp"), col("us"), col("event_id"))).as("mn"),
         max(struct(col("v_bp"), col("us"), col("event_id"))).as("mx"))
       .select(col("series"), col("bucket"), col("n_points"),
-        col("f.us").as("first_us"), col("f.v_bp").as("first_bp"),
-        col("l.us").as("last_us"), col("l.v_bp").as("last_bp"),
+        col("f.us").as("first_us"), col("f.event_id").as("first_id"),
+        col("f.v_bp").as("first_bp"),
+        col("l.us").as("last_us"), col("l.event_id").as("last_id"),
+        col("l.v_bp").as("last_bp"),
         col("mn.v_bp").as("min_bp"), col("mn.us").as("min_us"),
-        col("mx.v_bp").as("max_bp"), col("mx.us").as("max_us"))
+        col("mn.event_id").as("min_id"),
+        col("mx.v_bp").as("max_bp"), col("mx.us").as("max_us"),
+        col("mx.event_id").as("max_id"))
       .orderBy(col("series"), col("bucket"))
+  }
+
+  /** Ingest-time M4 maintenance — per-epoch delta M4 tables, the
+    * [[hllStream]] ownership contract. M4 is mergeable: first/min
+    * fold by struct-min, last/max by struct-max, counts sum — so the
+    * dashboard's bucket table maintains incrementally and the raw
+    * series is never rescanned. */
+  def m4Stream(events: DataFrame, mapDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) m4Downsample(batch)
+        .write.mode("overwrite").parquet(s"$mapDir/delta-b$batchId")
+    }
+
+  /** The merged M4 table over every ingested epoch: counts sum (replay
+    * safety rests on the per-epoch overwrite, like [[zonemapMerged]]),
+    * the four points re-minimize/maximize under the SAME lexicographic
+    * orders the batch face uses — the carried event ids make the tie
+    * order identical, so merged-equals-whole holds even when epochs
+    * split a bucket across equal instants or equal values.
+    * ≤ series·buckets rows per epoch. */
+  def m4Merged(spark: SparkSession, mapDir: String): DataFrame = {
+    val deltas = Option(new java.io.File(mapDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
+        StoredArtifacts.readableEpoch(f))
+      .sortBy(_.getName)
+    require(deltas.nonEmpty, s"no M4 epochs under $mapDir")
+    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+      .groupBy(col("series"), col("bucket"))
+      .agg(sum(col("n_points")).as("n_points"),
+        min(struct(col("first_us"), col("first_id"), col("first_bp"))).as("f"),
+        max(struct(col("last_us"), col("last_id"), col("last_bp"))).as("l"),
+        min(struct(col("min_bp"), col("min_us"), col("min_id"))).as("mn"),
+        max(struct(col("max_bp"), col("max_us"), col("max_id"))).as("mx"))
+      .select(col("series"), col("bucket"), col("n_points"),
+        col("f.first_us"), col("f.first_id"), col("f.first_bp"),
+        col("l.last_us"), col("l.last_id"), col("l.last_bp"),
+        col("mn.min_bp"), col("mn.min_us"), col("mn.min_id"),
+        col("mx.max_bp"), col("mx.max_us"), col("mx.max_id"))
   }
 
   def ppsSample(documents: DataFrame, k: Int = 10): DataFrame = {

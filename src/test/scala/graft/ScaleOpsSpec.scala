@@ -2440,10 +2440,12 @@ class M4Spec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.getAs[Long]("last_us") == us("2024-03-01 12:00:00") &&
       r.getAs[Long]("last_bp") == 40000L)
     assert(r.getAs[Long]("min_bp") == 15000L &&
-      r.getAs[Long]("min_us") == us("2024-03-01 09:00:00"),
+      r.getAs[Long]("min_us") == us("2024-03-01 09:00:00") &&
+      r.getAs[Long]("min_id") == 2L,
       "tied minima must resolve to the earliest instant")
     assert(r.getAs[Long]("max_bp") == 92500L &&
       r.getAs[Long]("max_us") == us("2024-03-01 10:00:00"))
+    assert(r.getAs[Long]("first_id") == 1L && r.getAs[Long]("last_id") == 5L)
     // real corpus: per-bucket invariants hold everywhere
     val all = ScaleOps.m4Downsample(Tables.events(spark, TestSpark.sf)).collect()
     assert(all.nonEmpty)
@@ -2455,6 +2457,45 @@ class M4Spec extends org.scalatest.funsuite.AnyFunSuite {
       assert(row.getAs[Long]("min_us") >= row.getAs[Long]("first_us") &&
         row.getAs[Long]("max_us") <= row.getAs[Long]("last_us"))
     }
+  }
+}
+
+class M4StreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("M4 epoch tables merge to the whole-corpus table across a mid-bucket cut with ties") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-m4").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // 400 points over 4 days × 2 series, duplicated values AND equal
+    // instants planted across the epoch cut (the ties the carried ids
+    // must resolve identically in both faces)
+    val all = (0 until 400).map { i =>
+      (i.toLong, new java.sql.Timestamp(t0 + (i % 96) * 3600_000L / 4 +
+        (i / 96) * 86400_000L), if (i % 2 == 0) "click" else "view",
+        (i % 7).toDouble)
+    }
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = ScaleOps.m4Stream(
+        mem.toDF().toDF("event_id", "ts", "event_type", "value"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-m4-ck").toString)
+      .start()
+    try {
+      mem.addData(all.take(200): _*); q.processAllAvailable()
+      mem.addData(all.drop(200): _*); q.processAllAvailable()
+    } finally q.stop()
+    val whole = ScaleOps.m4Downsample(
+      all.toDF("event_id", "ts", "event_type", "value"))
+    val merged = ScaleOps.m4Merged(spark, dir)
+    val cols = whole.columns.toIndexedSeq
+    assert(whole.unionAll(merged.select(cols.map(col): _*))
+      .groupBy(cols.map(col): _*)
+      .count().filter(col("count") =!= 2).isEmpty,
+      "merged M4 epochs differ from the whole-corpus table")
   }
 }
 
