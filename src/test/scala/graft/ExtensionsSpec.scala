@@ -37,6 +37,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(pe.length == 1 + 1 + 1 + 1 + 1) // tag+varint(5), tag+len+'x'
       val hb = s.sql("SELECT graft_hyperplane_bucket(array(1.0f, 0.5f), 4) AS b").head().getInt(0)
       assert(hb >= 0 && hb < 16)
+      // graft_kmv: bottom-3 distinct hashes, ascending, dups collapsed
+      val kmv = s.sql(
+        "SELECT graft_kmv(h, 3) AS sk FROM VALUES (9L),(2L),(7L),(2L),(5L) t(h)")
+        .head().getSeq[Long](0)
+      assert(kmv == Seq(2L, 5L, 7L))
+      // graft_mg: candidates + NULL-tok total marker
+      val mg = s.sql(
+        "SELECT graft_mg(t, 1L, 2) AS sk FROM VALUES ('a'),('a'),('b'),('a') t(t)")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(mg.exists(r => r.isNullAt(0) && r.getLong(1) == 4L),
+        "marker must carry the total weight")
+      assert(mg.exists(r => !r.isNullAt(0) && r.getString(0) == "a"),
+        "the 3/4-share key must survive")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
