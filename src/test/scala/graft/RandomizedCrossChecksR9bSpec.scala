@@ -135,6 +135,45 @@ class RandomizedCrossChecksR9bSpec extends AnyFunSuite {
     }
   }
 
+  test("M4 downsampling matches brute force on random series with planted ties") {
+    val spark = this.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(3407)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    for (trial <- 1 to 5) {
+      // coarse value/time grids force duplicate values AND instants
+      val rows = (0 until 120 + rnd.nextInt(200)).map { i =>
+        (i.toLong,
+          t0 + rnd.nextInt(5) * 86400_000L + rnd.nextInt(6) * 3600_000L,
+          Seq("click", "view")(rnd.nextInt(2)),
+          rnd.nextInt(4) * 0.5)
+      }
+      val want = rows.groupBy { case (_, ms, s, _) =>
+          (s, java.time.Instant.ofEpochMilli(ms)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString) }
+        .map { case ((s, d), g) =>
+          val pts = g.map { case (id, ms, _, v) =>
+            (ms * 1000L, id, math.round(v * 1e4)) } // (us, id, v_bp)
+          val f = pts.minBy(p => (p._1, p._2, p._3))
+          val l = pts.maxBy(p => (p._1, p._2, p._3))
+          val mn = pts.minBy(p => (p._3, p._1, p._2))
+          val mx = pts.maxBy(p => (p._3, p._1, p._2))
+          (s, d, pts.size.toLong, f._1, f._2, f._3, l._1, l._2, l._3,
+            mn._3, mn._1, mn._2, mx._3, mx._1, mx._2)
+        }.toSeq.sortBy(r => (r._1, r._2))
+      val df = rows.map { case (id, ms, s, v) =>
+        (id, new java.sql.Timestamp(ms), s, v) }
+        .toDF("event_id", "ts", "event_type", "value")
+        .repartition(1 + rnd.nextInt(6))
+      val got = ScaleOps.m4Downsample(df).collect().map(r =>
+        (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getLong(9), r.getLong(10), r.getLong(11), r.getLong(12),
+          r.getLong(13), r.getLong(14))).toSeq
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("binary rerank with a corpus-wide shortlist degenerates to exact bruteforce") {
     val spark = this.spark
     import spark.implicits._
