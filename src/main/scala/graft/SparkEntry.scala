@@ -338,6 +338,11 @@ object SparkEntry {
     "scale_pps_sample" -> ((s, d) => ScaleOps.ppsSample(Tables.documents(s, d))),
     "scale_kmv_setops" -> ((s, d) => ScaleOps.kmvSetOps(Tables.orders(s, d))),
     "scale_kmv_matrix" -> ((s, d) => ScaleOps.kmvMatrix(Tables.orders(s, d))),
+    "scale_kmv_matrix_stored" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      ScaleOps.kmvMatrixStored(o,
+        ScaleOps.ensureKmvSketches(o, ScaleOps.defaultKmvSketchDir(o, d)))
+    }),
     "scale_heavy_hitters" -> ((s, d) =>
       ScaleOps.heavyHitters(Tables.documents(s, d))),
     "scale_heavy_earners" -> ((s, d) =>
@@ -1022,6 +1027,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     .updated("ann_ivf_probe", oracleSqlBase("ann_ivf_sampled"))
     .updated("ann_pq_probe", oracleSqlBase("ann_ivf_pq"))
     .updated("ann_binary_probe", oracleSqlBase("ann_binary_rerank"))
+    .updated("scale_kmv_matrix_stored", oracleSqlBase("scale_kmv_matrix"))
     // the salted two-phase operators are hot-key re-plans of their
     // single-window originals — identical output, gated by the SAME
     // oracle (the strongest possible equivalence evidence)

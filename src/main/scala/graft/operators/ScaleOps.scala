@@ -1909,12 +1909,26 @@ object ScaleOps {
     * cost is exactly what the sketch path avoids. */
   def kmvMatrix(orders: DataFrame, k: Int = 512,
                 tol: Double = 0.12): DataFrame = {
-    val hSpace = (k - 1).toLong * (1L << 48)
-    val base = Dedup.materialized(orders
+    val base = Dedup.materialized(kmvMatrixBase(orders))
+    kmvMatrixFrom(kmvTable(base, k), base, k, tol)
+  }
+
+  /** The (side, key)-distinct grain the matrix's EXACT audit columns
+    * need — the sketch path itself never requires it. */
+  private def kmvMatrixBase(orders: DataFrame): DataFrame =
+    orders
       .filter(col("o_custkey").isNotNull && col("o_orderpriority").isNotNull)
       .select(col("o_orderpriority").as("side"), col("o_custkey").as("key"))
-      .distinct())
-    val sk = Dedup.materialized(kmvTable(base, k))
+      .distinct()
+
+  /** [[kmvMatrix]] with the sketch supplied — shared by the
+    * self-contained face and [[kmvMatrixStored]] (stored sketch
+    * content is deterministic, so both faces are bit-identical and
+    * gate on the same oracle — the ann_*_probe convention). */
+  private def kmvMatrixFrom(sketch: DataFrame, base: DataFrame,
+                            k: Int, tol: Double): DataFrame = {
+    val hSpace = (k - 1).toLong * (1L << 48)
+    val sk = Dedup.materialized(sketch)
     val stats = sk.groupBy(col("side"))
       .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
     val sides = sk.select(col("side")).distinct()
@@ -1981,6 +1995,36 @@ object ScaleOps {
             / col("exact_inter") <= lit(tol)).as("inter_within_tol"))
       .orderBy(col("side_a"), col("side_b"))
   }
+
+  /** Persist the per-side KMV sketch table — the written-once artifact
+    * the overlap matrix reads at 100 TB (sketch `_SUCCESS` is the
+    * completed-build sentinel; sketch content is a pure function of
+    * the key sets, so a rebuild is bit-identical). */
+  def buildKmvSketches(orders: DataFrame, dir: String, k: Int = 512): Unit =
+    kmvTable(orders
+      .filter(col("o_custkey").isNotNull && col("o_orderpriority").isNotNull)
+      .select(col("o_orderpriority").as("side"), col("o_custkey").as("key")), k)
+      .write.mode("overwrite").parquet(s"$dir/sketch")
+
+  /** Build-if-absent guard for [[buildKmvSketches]]. */
+  def ensureKmvSketches(orders: DataFrame, dir: String, k: Int = 512): String =
+    StoredArtifacts.ensureBuilt(dir, "sketch")(buildKmvSketches(orders, dir, k))
+
+  /** Content-keyed default location for a corpus's KMV sketch table. */
+  def defaultKmvSketchDir(orders: DataFrame, sfKey: String,
+                          k: Int = 512): String =
+    StoredArtifacts.contentKeyedDir("graft-kmv-sketch", orders, sfKey, s"-k$k")
+
+  /** The overlap matrix over the STORED sketch table: the per-pair
+    * set algebra never touches the corpus — the corpus pass here
+    * exists only for the exact AUDIT columns (the annBinaryProbe
+    * convention: the stored artifact serves the production answer,
+    * the raw data backs the audit). Bit-identical to [[kmvMatrix]]
+    * (deterministic sketch content), so it gates on the same oracle. */
+  def kmvMatrixStored(orders: DataFrame, indexDir: String, k: Int = 512,
+                      tol: Double = 0.12): DataFrame =
+    kmvMatrixFrom(orders.sparkSession.read.parquet(s"$indexDir/sketch"),
+      Dedup.materialized(kmvMatrixBase(orders)), k, tol)
 
   /** Ingest-time KMV maintenance — per-epoch delta sketches, the
     * [[hllStream]] ownership contract (delta dirs keyed by batchId,

@@ -2589,6 +2589,38 @@ class KmvSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("stored KMV sketches: probe equals the self-contained matrix; ensure builds once; torn build rebuilds") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(3511)
+    val orders = (0 until 400).map { _ =>
+      (Seq("1-URGENT", "2-HIGH", "3-MEDIUM")(rnd.nextInt(3)),
+        rnd.nextInt(120).toLong)
+    }.toDF("o_orderpriority", "o_custkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmvsk").toString
+    ScaleOps.ensureKmvSketches(orders, dir, k = 16)
+    assert(new java.io.File(s"$dir/sketch/_SUCCESS").exists())
+    val self = ScaleOps.kmvMatrix(orders, k = 16).collect().map(_.toString).toSeq
+    val stored = ScaleOps.kmvMatrixStored(orders, dir, k = 16)
+      .collect().map(_.toString).toSeq
+    assert(stored == self, "stored-sketch matrix must be bit-identical")
+    // build-once: a planted marker survives a second ensure
+    val marker = new java.io.File(s"$dir/sketch/graft-spec-marker")
+    assert(marker.createNewFile())
+    ScaleOps.ensureKmvSketches(orders, dir, k = 16)
+    assert(marker.exists(), "a completed build must not be rebuilt")
+    // torn build: missing sentinel → rebuild, identical answers
+    def deleteRec(f: java.io.File): Unit = if (f.exists()) {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRec); f.delete()
+    }
+    deleteRec(new java.io.File(s"$dir/sketch"))
+    ScaleOps.ensureKmvSketches(orders, dir, k = 16)
+    assert(!marker.exists())
+    assert(ScaleOps.kmvMatrixStored(orders, dir, k = 16)
+      .collect().map(_.toString).toSeq == self,
+      "the rebuilt sketches serve the same matrix")
+  }
+
   test("KMV stream deltas re-sketch to the whole-corpus sketch; replay is a no-op") {
     val spark = TestSpark.spark
     import spark.implicits._
