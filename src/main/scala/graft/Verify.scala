@@ -17,7 +17,7 @@ object Verify {
       sys.exit(2)
     }
     val spark = Sessions.local()
-    new java.io.File(outDir).mkdirs()
+    Files.createDirectories(Paths.get(outDir))
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

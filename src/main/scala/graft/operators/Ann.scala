@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.F
@@ -180,8 +181,8 @@ object Ann {
     * _SUCCESS is the completed-build sentinel). */
   def ensureIvfIndex(embeddings: DataFrame, indexDir: String,
                      nlist: Int = 16): String =
-    StoredArtifacts.ensureBuilt(indexDir, "centroids")(
-      buildIvfIndex(embeddings, indexDir, nlist))
+    StoredArtifacts.ensureBuilt(embeddings.sparkSession, indexDir,
+      "centroids")(buildIvfIndex(embeddings, indexDir, nlist))
 
   /** Content-keyed default location for a corpus's stored IVF index
     * (see [[defaultIndexDir]]). */
@@ -208,14 +209,9 @@ object Ann {
     * are unambiguous. */
   private def storedWithDeltas(spark: org.apache.spark.sql.SparkSession,
                                indexDir: String, table: String): DataFrame = {
-    val deltas = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-      // _SUCCESS = completed-write sentinel: a torn delta (crash
-      // mid-write) is invisible until its epoch replays and rewrites it
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(f))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, indexDir)
     deltas.foldLeft(spark.read.parquet(s"$indexDir/$table")) { (acc, d) =>
-      acc.unionByName(spark.read.parquet(d.getPath))
+      acc.unionByName(spark.read.parquet(d))
     }
   }
 
@@ -276,26 +272,24 @@ object Ann {
   def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String, table: String = "lists"): Int = {
     recoverCompaction(spark, indexDir, table)
-    val deltas = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(f))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, indexDir)
     if (deltas.isEmpty) return 0
-    val tmp = new java.io.File(s"$indexDir/$table-compacting")
+    val fs = StoredArtifacts.fsOf(spark, indexDir)
+    val tmp = s"$indexDir/$table-compacting"
     // phase 1: merged table + manifest (deltas snapshotted NOW — an
     // epoch arriving mid-compaction is simply not folded this round)
-    deltas.map(d => spark.read.parquet(d.getPath))
+    deltas.map(d => spark.read.parquet(d))
       .foldLeft(spark.read.parquet(s"$indexDir/$table"))(_ unionByName _)
-      .write.partitionBy("list_id").mode("overwrite").parquet(tmp.getPath)
-    java.nio.file.Files.write(tmp.toPath.resolve("_FOLDED"),
-      deltas.map(_.getName).mkString("\n").getBytes("UTF-8"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(tmp)
+    StoredArtifacts.writeTextFile(fs, s"$tmp/_FOLDED",
+      deltas.map(new Path(_).getName).mkString("\n"))
     // phase 2: swap
-    deleteRecursively(new java.io.File(s"$indexDir/$table-old"))
-    require(new java.io.File(s"$indexDir/$table")
-      .renameTo(new java.io.File(s"$indexDir/$table-old")), "swap-out failed")
-    require(tmp.renameTo(new java.io.File(s"$indexDir/$table")), "swap-in failed")
+    StoredArtifacts.deleteDir(fs, s"$indexDir/$table-old")
+    StoredArtifacts.renameDir(fs, s"$indexDir/$table",
+      s"$indexDir/$table-old", "swap-out")
+    StoredArtifacts.renameDir(fs, tmp, s"$indexDir/$table", "swap-in")
     // phase 3: replayable cleanup driven by the manifest
-    finishCompaction(indexDir, table)
+    finishCompaction(spark, indexDir, table)
     deltas.size
   }
 
@@ -305,26 +299,26 @@ object Ann {
     * compaction to rewrite. */
   def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String, table: String = "lists"): Unit = {
-    val base = new java.io.File(s"$indexDir/$table")
-    val tmp = new java.io.File(s"$indexDir/$table-compacting")
-    if (!base.exists() && tmp.exists() &&
-        new java.io.File(tmp, "_SUCCESS").exists())
-      require(tmp.renameTo(base), "compaction roll-forward failed")
-    if (new java.io.File(base, "_FOLDED").exists())
-      finishCompaction(indexDir, table)
+    val fs = StoredArtifacts.fsOf(spark, indexDir)
+    val base = s"$indexDir/$table"
+    val tmp = s"$indexDir/$table-compacting"
+    if (!fs.exists(new Path(base)) && fs.exists(new Path(tmp)) &&
+        fs.exists(new Path(s"$tmp/_SUCCESS")))
+      StoredArtifacts.renameDir(fs, tmp, base, "compaction roll-forward")
+    if (fs.exists(new Path(s"$base/_FOLDED")))
+      finishCompaction(spark, indexDir, table)
   }
 
-  private def finishCompaction(indexDir: String, table: String): Unit = {
-    val manifest = new java.io.File(s"$indexDir/$table/_FOLDED")
-    scala.io.Source.fromFile(manifest).getLines().filter(_.nonEmpty)
-      .foreach(d => deleteRecursively(new java.io.File(s"$indexDir/$d")))
-    deleteRecursively(new java.io.File(s"$indexDir/$table-old"))
-    manifest.delete()
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
-    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
-    f.delete()
+  private def finishCompaction(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String, table: String): Unit = {
+    val fs = StoredArtifacts.fsOf(spark, indexDir)
+    val manifest = s"$indexDir/$table/_FOLDED"
+    StoredArtifacts.readTextFile(fs, manifest).split("\n")
+      .filter(_.nonEmpty)
+      .foreach(d => StoredArtifacts.deleteDir(fs, s"$indexDir/$d"))
+    StoredArtifacts.deleteDir(fs, s"$indexDir/$table-old")
+    fs.delete(new Path(manifest), false)
+    ()
   }
 
   /** Probe core over an EXPLICIT query frame (q_id, q_vec) — shared
@@ -499,8 +493,8 @@ object Ann {
   /** Build-if-absent guard for [[buildBinaryIndex]]. */
   def ensureBinaryIndex(embeddings: DataFrame, indexDir: String,
                         nShards: Int = 8): String =
-    StoredArtifacts.ensureBuilt(indexDir, "thresholds")(
-      buildBinaryIndex(embeddings, indexDir, nShards))
+    StoredArtifacts.ensureBuilt(embeddings.sparkSession, indexDir,
+      "thresholds")(buildBinaryIndex(embeddings, indexDir, nShards))
 
   /** Content-keyed default location for a corpus's binary index. */
   def defaultBinaryIndexDir(embeddings: DataFrame, sfKey: String,
@@ -1002,8 +996,8 @@ object Ann {
   def ensurePqIndex(embeddings: DataFrame, indexDir: String,
                     nlist: Int = 16, m: Int = 4, kCode: Int = 16,
                     dim: Int = 64): String =
-    StoredArtifacts.ensureBuilt(indexDir, "centroids")(
-      buildPqIndex(embeddings, indexDir, nlist, m, kCode, dim))
+    StoredArtifacts.ensureBuilt(embeddings.sparkSession, indexDir,
+      "centroids")(buildPqIndex(embeddings, indexDir, nlist, m, kCode, dim))
 
   /** Content-keyed default location for a corpus's stored IVFPQ index.
     * `dim` is part of the key: it sets the subspace width, so the same
@@ -1507,8 +1501,8 @@ object Ann {
   def ensureAnnIndex(embeddings: DataFrame, indexDir: String,
                      numPlanes: Int = 5, tables: Int = 2,
                      degree: Int = 6): String =
-    StoredArtifacts.ensureBuilt(indexDir, "entries")(
-      buildAnnIndex(embeddings, indexDir, numPlanes, tables, degree))
+    StoredArtifacts.ensureBuilt(embeddings.sparkSession, indexDir,
+      "entries")(buildAnnIndex(embeddings, indexDir, numPlanes, tables, degree))
 
   /** The PROBE face of [[annGraph]]: read the stored index and run
     * ONLY beam search — what every query after the first pays at
@@ -1839,9 +1833,8 @@ object Ann {
     * centroids _SUCCESS is the completed-build sentinel). */
   def ensureKmeansModel(embeddings: DataFrame, modelDir: String,
                         nlist: Int = 8, iters: Int = 3): String = {
-    if (!new java.io.File(s"$modelDir/centroids/_SUCCESS").exists())
-      buildKmeansModel(embeddings, modelDir, nlist, iters)
-    modelDir
+    StoredArtifacts.ensureBuilt(embeddings.sparkSession, modelDir,
+      "centroids")(buildKmeansModel(embeddings, modelDir, nlist, iters))
   }
 
   /** Content-keyed default location for a corpus's stored k-means

@@ -324,15 +324,11 @@ object Dedup {
         // replayed probe see exactly the first run's index — and,
         // since the write target is then never a probe input, the
         // overwrite is safe without an eager materialization.
-        val epochs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-          // own-epoch exclusion (replay safety) + _SUCCESS sentinel (a
-          // torn epoch write is invisible until its replay rewrites it)
-          .filter(f => f.isDirectory && f.getName != s"b$batchId" &&
-            StoredArtifacts.readableEpoch(f))
-          .sortBy(_.getName)
+        val epochs = StoredArtifacts.listEpochs(spark, indexDir,
+        prefix = "", exclude = Set(s"b$batchId"))
         require(epochs.nonEmpty, s"no signature epochs under $indexDir — " +
           "seed the index with the corpus signatures before streaming")
-        val index = epochs.map(d => spark.read.parquet(d.getPath))
+        val index = epochs.map(d => spark.read.parquet(d))
           .reduce(_ unionByName _)
         val verdicts = materialized(
           probeCorpus(batchSigs, index, numPerm, bands, threshold))

@@ -703,15 +703,11 @@ object Multimodal {
       // (kept the first time, dropped on replay — the epoch rewrites
       // empty). Excluding it also keeps the overwrite target out of
       // the probe's input set, so the lazy write is safe as-is.
-      val epochs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-        // own-epoch exclusion (replay safety) + _SUCCESS sentinel (a
-        // torn epoch write is invisible until its replay rewrites it)
-        .filter(f => f.isDirectory && f.getName != s"b$batchId" &&
-          StoredArtifacts.readableEpoch(f))
-        .sortBy(_.getName)
+      val epochs = StoredArtifacts.listEpochs(spark, indexDir,
+        prefix = "", exclude = Set(s"b$batchId"))
       require(epochs.nonEmpty, s"no signature epochs under $indexDir — " +
         "seed the index with phashIndexSeed before streaming")
-      val corpus = epochs.map(d => spark.read.parquet(d.getPath))
+      val corpus = epochs.map(d => spark.read.parquet(d))
         .reduce(_ unionByName _)
       val verdicts = probePhash(batchSigs, corpus, hammingMax)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

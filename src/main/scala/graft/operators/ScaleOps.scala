@@ -312,12 +312,9 @@ object ScaleOps {
 
   /** Merged histogram over every ingested epoch: bucket-wise sum. */
   def histMerged(spark: SparkSession, sketchDir: String): DataFrame = {
-    val deltas = Option(new java.io.File(sketchDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(f))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, sketchDir)
     require(deltas.nonEmpty, s"no delta histograms under $sketchDir")
-    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
       .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
   }
 
@@ -491,19 +488,16 @@ object ScaleOps {
     * plus the HLL distinct estimate per column. */
   def profileMerged(spark: SparkSession, profDir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val deltas = Option(new java.io.File(profDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(new java.io.File(f, "stats")) &&
-        StoredArtifacts.readableEpoch(new java.io.File(f, "regs")))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, profDir,
+      subTables = Seq("stats", "regs"))
     require(deltas.nonEmpty, s"no profile deltas under $profDir")
-    val stats = deltas.map(d => spark.read.parquet(s"${d.getPath}/stats"))
+    val stats = deltas.map(d => spark.read.parquet(s"$d/stats"))
       .reduce(_ unionByName _)
       .groupBy(col("col_name"))
       .agg(sum(col("n_values")).as("n_values"), sum(col("n_null")).as("n_null"),
         min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"),
         sum(col("total_strlen")).as("total_strlen"))
-    val regRows = deltas.map(d => spark.read.parquet(s"${d.getPath}/regs"))
+    val regRows = deltas.map(d => spark.read.parquet(s"$d/regs"))
       .reduce(_ unionByName _)
       .groupBy(col("col_name"), col("reg")).agg(max(col("m_reg")).as("m_reg"))
       .collect()  // ≤ columns × m rows — metadata-scale
@@ -595,12 +589,9 @@ object ScaleOps {
 
   /** Merged filter over every ingested epoch: the union of set cells. */
   def bloomMerged(spark: SparkSession, bloomDir: String): DataFrame = {
-    val deltas = Option(new java.io.File(bloomDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(f))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, bloomDir)
     require(deltas.nonEmpty, s"no bloom deltas under $bloomDir")
-    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
       .distinct()
   }
 
@@ -702,14 +693,9 @@ object ScaleOps {
   /** The merged sketch: cell-wise sum over every ingested delta epoch
     * — ≤ depth·width rows regardless of corpus size or epoch count. */
   def countMinMerged(spark: SparkSession, sketchDir: String): DataFrame = {
-    val deltas = Option(new java.io.File(sketchDir).listFiles()).toSeq.flatten
-      // _SUCCESS = completed-write sentinel (torn deltas invisible
-      // until their epoch replays)
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(f))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, sketchDir)
     require(deltas.nonEmpty, s"no delta sketches under $sketchDir")
-    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
       .groupBy(col("row"), col("cell"))
       .agg(sum(col("cnt")).as("cnt"))
   }
@@ -914,12 +900,9 @@ object ScaleOps {
   /** Merged register table over every ingested epoch: per-register max
     * — ≤ m rows regardless of corpus size or epoch count. */
   def hllMerged(spark: SparkSession, sketchDir: String): DataFrame = {
-    val deltas = Option(new java.io.File(sketchDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(f))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, sketchDir)
     require(deltas.nonEmpty, s"no delta sketches under $sketchDir")
-    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
       .groupBy(col("reg")).agg(max(col("m_reg")).as("m_reg"))
   }
 
@@ -1425,12 +1408,9 @@ object ScaleOps {
     * epochs, one [[cdcApply]] fold. Epoch slicing is invisible by the
     * associativity argument. */
   def cdcSnapshot(spark: SparkSession, logDir: String): DataFrame = {
-    val deltas = Option(new java.io.File(logDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(f))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, logDir)
     require(deltas.nonEmpty, s"no CDC epochs under $logDir")
-    cdcApply(deltas.map(d => spark.read.parquet(d.getPath))
+    cdcApply(deltas.map(d => spark.read.parquet(d))
       .reduce(_ unionByName _))
   }
 
@@ -1856,12 +1836,9 @@ object ScaleOps {
   def heavyEarnersStored(rows: DataFrame, summaryDir: String,
                          s: Int = 6): DataFrame = {
     val spark = rows.sparkSession
-    val deltas = Option(new java.io.File(summaryDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(f))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, summaryDir)
     require(deltas.nonEmpty, s"no weighted MG summaries under $summaryDir")
-    val summary = deltas.map(d => spark.read.parquet(d.getPath))
+    val summary = deltas.map(d => spark.read.parquet(d))
       .reduce(_ unionByName _)
     val total = summary.filter(col("tok").isNull)
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("w_total"))
@@ -1885,13 +1862,10 @@ object ScaleOps {
   def heavyHittersStored(toks: DataFrame, summaryDir: String,
                          s: Int = 30): DataFrame = {
     val spark = toks.sparkSession
-    val deltas = Option(new java.io.File(summaryDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(f))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, summaryDir)
     require(deltas.nonEmpty, s"no MG summaries under $summaryDir")
     exactHeavyTail(toks,
-      deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _), s)
+      deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _), s)
   }
 
   /** KMV OVERLAP MATRIX — every pairwise segment overlap from
@@ -2008,7 +1982,8 @@ object ScaleOps {
 
   /** Build-if-absent guard for [[buildKmvSketches]]. */
   def ensureKmvSketches(orders: DataFrame, dir: String, k: Int = 512): String =
-    StoredArtifacts.ensureBuilt(dir, "sketch")(buildKmvSketches(orders, dir, k))
+    StoredArtifacts.ensureBuilt(orders.sparkSession, dir,
+      "sketch")(buildKmvSketches(orders, dir, k))
 
   /** Content-keyed default location for a corpus's KMV sketch table. */
   def defaultKmvSketchDir(orders: DataFrame, sfKey: String,
@@ -2043,12 +2018,9 @@ object ScaleOps {
     * ≤ sides·k rows out, the closure property in code. Equals the
     * whole-corpus sketch exactly (spec-pinned). */
   def kmvMerged(spark: SparkSession, sketchDir: String, k: Int = 512): DataFrame = {
-    val deltas = Option(new java.io.File(sketchDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(f))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, sketchDir)
     require(deltas.nonEmpty, s"no KMV sketches under $sketchDir")
-    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
       .select(col("side"), col("h")).distinct()
       .groupBy(col("side"))
       .agg(graft.functions.F.topk((-col("h")).cast("double"), col("h"), k)
@@ -2119,12 +2091,9 @@ object ScaleOps {
     * out. NOT replay-idempotent by algebra (counts sum), so replay
     * safety rests on the per-epoch overwrite, like [[countMinStream]]. */
   def zonemapMerged(spark: SparkSession, mapDir: String): DataFrame = {
-    val deltas = Option(new java.io.File(mapDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(f))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, mapDir)
     require(deltas.nonEmpty, s"no zonemap epochs under $mapDir")
-    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
       .groupBy(col("block_id"))
       .agg(sum(col("n_rows")).as("n_rows"),
         min(col("min_ship")).as("min_ship"), max(col("max_ship")).as("max_ship"),
@@ -2188,12 +2157,9 @@ object ScaleOps {
     * split a bucket across equal instants or equal values.
     * ≤ series·buckets rows per epoch. */
   def m4Merged(spark: SparkSession, mapDir: String): DataFrame = {
-    val deltas = Option(new java.io.File(mapDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-b") &&
-        StoredArtifacts.readableEpoch(f))
-      .sortBy(_.getName)
+    val deltas = StoredArtifacts.listEpochs(spark, mapDir)
     require(deltas.nonEmpty, s"no M4 epochs under $mapDir")
-    deltas.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
       .groupBy(col("series"), col("bucket"))
       .agg(sum(col("n_points")).as("n_points"),
         min(struct(col("first_us"), col("first_id"), col("first_bp"))).as("f"),

@@ -1,16 +1,29 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Shared mechanics of the stored-artifact lifecycle (k-NN adjacency,
-  * IVF lists, k-means centroids, BPE vocab, LR quality weights): a
-  * content-keyed on-disk location plus a build-if-absent guard keyed
-  * on the last-written table's parquet `_SUCCESS` sentinel. One
-  * implementation instead of five copies — the copy drift already
-  * produced one real bug (the quality-model dir omitted its build
-  * params from the key, silently reusing a model trained with
-  * different settings). */
+  * IVF/PQ/binary lists, k-means centroids, BPE vocab, LR quality
+  * weights, sketch deltas): a content-keyed on-disk location plus a
+  * build-if-absent guard keyed on the last-written table's parquet
+  * `_SUCCESS` sentinel, and the completed-epoch lister every
+  * stream-maintained family shares. One implementation instead of
+  * copies — the copy drift already produced one real bug (the
+  * quality-model dir omitted its build params from the key, silently
+  * reusing a model trained with different settings).
+  *
+  * ALL path inspection goes through the Hadoop [[FileSystem]] API
+  * resolved from the session's Hadoop conf — never `java.io.File`.
+  * On a real cluster the artifact root is `hdfs://` / `s3a://` (set
+  * `graft.artifacts.root`), and a `java.io.File` sentinel check would
+  * read the DRIVER'S LOCAL DISK while the build lands on the cluster
+  * FS: stored faces would rebuild on every query and the delta
+  * listers would see zero epochs (the r9 verdict's headline finding).
+  * Scheme-less paths resolve against `fs.defaultFS`, so local tests
+  * (`/tmp/...` → `file:///`) and cluster deployments (`/graft/...` →
+  * the cluster FS) both do the right thing with no code change. */
 private[operators] object StoredArtifacts {
 
   /** Bumped whenever ANY stored-artifact build algorithm changes in a
@@ -22,7 +35,27 @@ private[operators] object StoredArtifacts {
     * suspenders. */
   val AlgoVersion = 2
 
-  /** `tmpdir/<family>/<safe(sfKey)>-v<algo>-n<rowCount>-f<fingerprint><paramSuffix>`
+  /** Root under which content-keyed artifact dirs are created:
+    * the `graft.artifacts.root` runtime conf if set (any Hadoop
+    * FileSystem URI — `hdfs://nn/graft`, `s3a://bucket/graft`,
+    * `file:///var/graft`), else the JVM tmpdir (local dev and the
+    * test suites). A cluster deployment sets the conf once; every
+    * stored family follows. */
+  def artifactRoot(spark: SparkSession): String =
+    spark.conf.get("graft.artifacts.root",
+      System.getProperty("java.io.tmpdir"))
+
+  /** The [[FileSystem]] owning `dir`, resolved from the session's
+    * Hadoop conf: the path's own scheme if it has one, else
+    * `fs.defaultFS` (local FS in tests, the cluster FS on a real
+    * deployment). */
+  def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fsOf(spark, path).exists(new Path(path))
+
+  /** `root/<family>/<safe(sfKey)>-v<algo>-n<rowCount>-f<fingerprint><paramSuffix>`
     * — keyed by (source key, algorithm version, row count, content
     * fingerprint) and the build parameters.
     *
@@ -47,18 +80,50 @@ private[operators] object StoredArtifacts {
         .otherwise(0L)), lit(0L)).as("fp")).head()
     val n = row.getLong(0)
     val fp = java.lang.Long.toHexString(row.getLong(1))
-    s"${System.getProperty("java.io.tmpdir")}/$family/$safe-v$AlgoVersion-n$n-f$fp$paramSuffix"
+    s"${artifactRoot(df.sparkSession)}/$family/$safe-v$AlgoVersion-n$n-f$fp$paramSuffix"
   }
 
   /** Build-if-absent: the parquet `_SUCCESS` of `sentinel` (the LAST
     * table the build writes) is the completed-build marker — a torn
-    * build rewrites, a finished one is never rebuilt. */
-  def ensureBuilt(dir: String, sentinel: String)(build: => Unit): String = {
-    if (!new java.io.File(s"$dir/$sentinel/_SUCCESS").exists()) build
+    * build rewrites, a finished one is never rebuilt. The check runs
+    * against the FileSystem that owns `dir`, so on a cluster it sees
+    * the artifact the build actually wrote, not the driver's local
+    * disk. */
+  def ensureBuilt(spark: SparkSession, dir: String, sentinel: String)
+                 (build: => Unit): String = {
+    if (!exists(spark, s"$dir/$sentinel/_SUCCESS")) build
     dir
   }
 
-  /** True when `f` is a COMPLETED parquet table with at least one data
+  /** The COMPLETED epoch dirs under `dir`: directories whose name
+    * starts with `prefix` (minus `exclude` — the stream faces exclude
+    * their own in-flight epoch for replay safety), each a completed
+    * parquet table per [[readableEpoch]] (or, with `subTables`, a dir
+    * whose named children all are), name-sorted. Returned as
+    * fully-qualified URI strings ready for `spark.read.parquet`.
+    * A missing `dir` is zero epochs, not an error — callers own the
+    * nonEmpty requirement and its message. One `listStatus` plus one
+    * shallow-recursive completeness probe per epoch: metadata-scale
+    * on any FS (epochs are bounded by ingest batches, not data
+    * volume). */
+  def listEpochs(spark: SparkSession, dir: String,
+                 prefix: String = "delta-b",
+                 exclude: Set[String] = Set.empty,
+                 subTables: Seq[String] = Nil): Seq[String] = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) && !exclude(p.getName) &&
+        (if (subTables.isEmpty) readableEpoch(fs, p)
+         else subTables.forall(t => readableEpoch(fs, new Path(p, t)))))
+      .sortBy(_.getName)
+      .map(_.toString)
+  }
+
+  /** True when `p` is a COMPLETED parquet table with at least one data
     * file. A zero-row write emits `_SUCCESS` but can emit no part
     * files (the empty plan schedules no write tasks), and
     * `spark.read.parquet` on such a dir throws at schema inference —
@@ -68,13 +133,48 @@ private[operators] object StoredArtifacts {
     * pre-guard writer or a legitimately-empty keep set (every batch
     * doc was a dup) already produced — semantically an empty epoch
     * contributes nothing to a union, so skipping it IS reading it. */
-  def readableEpoch(f: java.io.File): Boolean =
-    new java.io.File(f, "_SUCCESS").exists && hasParquetFile(f)
+  def readableEpoch(fs: FileSystem, p: Path): Boolean =
+    fs.exists(new Path(p, "_SUCCESS")) && hasParquetFile(fs, p)
 
   /** Recursive because partitioned tables (`partitionBy("list_id")`)
     * keep their part files under `key=value/` subdirectories. */
-  private def hasParquetFile(f: java.io.File): Boolean =
-    Option(f.listFiles()).exists(_.exists(c =>
-      (c.isFile && c.getName.endsWith(".parquet")) ||
-        (c.isDirectory && !c.getName.startsWith("_") && hasParquetFile(c))))
+  private def hasParquetFile(fs: FileSystem, p: Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists(c =>
+      (c.isFile && c.getPath.getName.endsWith(".parquet")) ||
+        (c.isDirectory && !c.getPath.getName.startsWith("_") &&
+          hasParquetFile(fs, c.getPath)))
+
+  /** Recursive delete, no-op when absent (compaction cleanup). */
+  def deleteDir(fs: FileSystem, path: String): Unit = {
+    val p = new Path(path)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  /** Directory rename that must succeed (the compaction swap). Plain
+    * `FileSystem.rename` — atomic on HDFS, a copy on some object
+    * stores, which is why the swap protocol is crash-recoverable
+    * rather than atomicity-dependent. */
+  def renameDir(fs: FileSystem, src: String, dst: String,
+                what: String): Unit =
+    require(fs.rename(new Path(src), new Path(dst)),
+      s"$what failed: $src -> $dst")
+
+  /** Write a small driver-side manifest (the `_FOLDED` compaction
+    * manifest — underscore-prefixed, invisible to parquet readers). */
+  def writeTextFile(fs: FileSystem, path: String, content: String): Unit = {
+    val out = fs.create(new Path(path), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readTextFile(fs: FileSystem, path: String): String = {
+    val in = fs.open(new Path(path))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
 }

@@ -525,8 +525,8 @@ object TextOps {
     * sentinel, content-keyed dir — the ensureAnnIndex pattern). */
   def ensureVocabIndex(documents: DataFrame, indexDir: String,
                        merges: Int = 8): String =
-    StoredArtifacts.ensureBuilt(indexDir, "vocab")(
-      buildVocabIndex(documents, indexDir, merges))
+    StoredArtifacts.ensureBuilt(documents.sparkSession, indexDir,
+      "vocab")(buildVocabIndex(documents, indexDir, merges))
 
   /** Content-keyed default location for a corpus's stored vocab. */
   def defaultVocabDir(documents: DataFrame, sfKey: String,
@@ -965,8 +965,8 @@ object TextOps {
   }
 
   def ensureLexIndex(documents: DataFrame, indexDir: String): String =
-    StoredArtifacts.ensureBuilt(indexDir, "globals")(
-      buildLexIndex(documents, indexDir))
+    StoredArtifacts.ensureBuilt(documents.sparkSession, indexDir,
+      "globals")(buildLexIndex(documents, indexDir))
 
   def defaultLexIndexDir(documents: DataFrame, sfKey: String): String =
     StoredArtifacts.contentKeyedDir("graft-lex-index", documents, sfKey, "")
@@ -1368,8 +1368,8 @@ object TextOps {
   /** Build-if-absent guard for [[buildQualityModel]]. */
   def ensureQualityModel(documents: DataFrame, indexDir: String,
                          iters: Int = 32, lrDen: Long = 40L): String =
-    StoredArtifacts.ensureBuilt(indexDir, "weights")(
-      buildQualityModel(documents, indexDir, iters, lrDen))
+    StoredArtifacts.ensureBuilt(documents.sparkSession, indexDir,
+      "weights")(buildQualityModel(documents, indexDir, iters, lrDen))
 
   /** Content-keyed default location for a corpus's stored model. */
   def defaultQualityModelDir(documents: DataFrame, sfKey: String,
