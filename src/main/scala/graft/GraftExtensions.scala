@@ -58,6 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_mg",
       "graft_mg(key, w, s) - mergeable weighted Misra-Gries candidates + total marker",
       args => MgSketch(args(0), args(1), intArg(args(2), "s")).toAggregateExpression())
+    inject("graft_kll",
+      "graft_kll(v, k) - mergeable KLL quantile summary: (lvl, v) items, weight 2^lvl",
+      args => KllSketch(args(0), intArg(args(1), "k")).toAggregateExpression())
     inject("graft_collect_capped",
       "graft_collect_capped(id, aux, cap) - at most cap (id,aux) pairs per group",
       args => CollectCapped(args(0), args(1), intArg(args(2), "cap")).toAggregateExpression())

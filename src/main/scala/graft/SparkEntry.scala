@@ -287,6 +287,7 @@ object SparkEntry {
     "scale_skew_report" -> ((s, d) => ScaleOps.skewReport(Tables.events(s, d))),
     "scale_bloom" -> ((s, d) => ScaleOps.bloomAudit(Tables.customer(s, d))),
     "scale_quantile_bins" -> ((s, d) => ScaleOps.quantileBins(Tables.orders(s, d))),
+    "scale_quantile_sketch" -> ((s, d) => ScaleOps.quantileSketch(Tables.orders(s, d))),
     "scale_hll_grouped" -> ((s, d) => ScaleOps.hllGrouped(Tables.events(s, d))),
     "scale_integrity" -> ((s, d) => ScaleOps.integrityAudit(
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
@@ -3556,6 +3557,31 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_rows,
         |  min(cents) AS min_cents, max(cents) AS max_cents
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scale_quantile_sketch" ->
+      // deterministic scaffolding of the graft_kll certificate: exact
+      // ceil-rank order statistics, the integer worst-case bound
+      // (H+2)*n/(k-1) with H = floor(log2(max(n/(k-1),1))) via a
+      // generate_series bit probe (no float log2), and within_bound
+      // as a literal TRUE -- the Spark side PROVES it with an exact
+      // audit scan; the sketch guarantee makes it unconditionally true
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        |), n AS (SELECT count(*) AS n FROM c),
+        |h AS (
+        |  SELECT max(p) AS hh FROM generate_series(0, 62) s(p), n
+        |  WHERE (CAST(1 AS BIGINT) << p) <= greatest(n.n // 255, 1)
+        |), r AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents) AS rk FROM c
+        |), t AS (
+        |  SELECT q_label, (num * n.n + den - 1) // den AS target_rank, n.n
+        |  FROM (VALUES ('p25', 1, 4), ('p50', 2, 4), ('p75', 3, 4),
+        |               ('p90', 9, 10), ('p99', 99, 100)) v(q_label, num, den), n
+        |)
+        |SELECT t.q_label, t.n, t.target_rank,
+        |  ((h.hh + 2) * t.n + 254) // 255 AS bound_rank,
+        |  (SELECT r.cents FROM r WHERE r.rk = t.target_rank) AS exact_value,
+        |  TRUE AS within_bound
+        |FROM t, h ORDER BY t.q_label""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

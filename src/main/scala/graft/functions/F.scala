@@ -86,6 +86,13 @@ object F {
     Shims.column(MgSketch(Shims.expression(key), Shims.expression(w), s)
       .toAggregateExpression())
 
+  /** Mergeable KLL-style quantile summary (deterministic alternating
+    * compaction): array<struct<lvl,v>>, weight = 2^lvl. Worst-case
+    * rank error certified by [[graft.operators.ScaleOps.quantileSketch]]'s
+    * integer bound formula under any merge order. */
+  def kllSketch(v: Column, k: Int): Column =
+    Shims.column(KllSketch(Shims.expression(v), k).toAggregateExpression())
+
   /** Bounded collect aggregate: array<struct<id,aux>> of at most `cap`
     * of the group's pairs (complete when the group fits the cap —
     * O(cap) state per group at every aggregation stage). */

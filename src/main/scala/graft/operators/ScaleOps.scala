@@ -2029,6 +2029,130 @@ object ScaleOps {
       .select(col("side"), col("p.id").as("h"))
   }
 
+  /** QUANTILE SKETCH — rank/quantile estimation from the `graft_kll`
+    * mergeable summary ([[graft.functions.KllSketch]]), certified
+    * against exact corpus ranks. The registered face of the sketch
+    * stack's missing member (counts: count-min; distincts: HLL/KMV;
+    * heavy keys: MG; quantiles: THIS).
+    *
+    * Output is fully DETERMINISTIC even though Spark's final-merge
+    * order is not: the sketch's estimate never appears raw. Instead
+    * each target quantile reports (n, target_rank, bound_rank,
+    * exact_value, within_bound) where bound_rank is the sketch's
+    * integer-exact WORST-CASE rank-error bound (H+2)·n/(k−1),
+    * H = floor(log2(max(n/(k−1),1))) — valid under ANY merge tree
+    * (see KllSketch's accounting) — exact_value is the true order
+    * statistic at target_rank (two-phase selection, the quantileBins
+    * shape), and within_bound certifies the estimate's exact rank
+    * (one audit scan) against the bound: TRUE by mathematics, so the
+    * DuckDB oracle can assert it as a literal.
+    *
+    * Scale path: the sketch aggregate is map-side combinable (O(k·log)
+    * state partials, no row shuffle); the histogram shuffle carries
+    * #buckets rows; phase-2 selection only scans candidate buckets;
+    * the audit pass is one conditional aggregate over a broadcast of
+    * five rows. Driver-side windows touch only metadata-scale frames
+    * (summary entries, bucket histogram). */
+  def quantileSketch(orders: DataFrame, k: Int = 256): DataFrame = {
+    val cents = orders.select(round(col("o_totalprice") * 100, 0)
+      .cast("long").as("cents"))
+    val entries = cents
+      .agg(graft.functions.F.kllSketch(col("cents"), k).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.lvl").as("lvl"), col("e.v").as("v"))
+    kllQuantileReport(cents, entries, k)
+  }
+
+  /** Shared certification core over (lvl, v) summary entries — used by
+    * the in-query face above and the stored/stream face ([[kllMerged]];
+    * a UNION of epoch summaries is itself a valid summary: compaction
+    * errors are additive across disjoint epochs and Σ_e (H_e+1)·n_e ≤
+    * (H+1)·n, so the same bound formula on total n certifies it). */
+  private[graft] def kllQuantileReport(cents: DataFrame, entries: DataFrame,
+                                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = cents.sparkSession
+    import spark.implicits._
+    // collapse equal values, est cumulative weight — ≤ k·levels rows
+    val cum = entries
+      .select(col("v"), expr("shiftleft(CAST(1 AS BIGINT), lvl)").as("w"))
+      .groupBy(col("v")).agg(sum(col("w")).as("w"))
+      .withColumn("cum", sum(col("w")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // n rides the summary exactly: compaction preserves total weight
+    val stats = cum.agg(sum(col("w")).as("n"))
+      .withColumn("bound", expr(
+        s"((length(bin(greatest(n div ${k - 1}, 1))) + 1) * n + ${k - 2}) div ${k - 1}"))
+    val targets = Seq(("p25", 1L, 4L), ("p50", 2L, 4L), ("p75", 3L, 4L),
+      ("p90", 9L, 10L), ("p99", 99L, 100L)).toDF("q_label", "num", "den")
+    val t = targets.crossJoin(broadcast(stats))
+      .withColumn("target_rank", expr("(num * n + den - 1) div den"))
+    // estimate: min summary value whose est cum weight reaches target
+    val est = t.join(broadcast(cum), col("cum") >= col("target_rank"))
+      .groupBy(col("q_label"), col("n"), col("bound"), col("target_rank"))
+      .agg(min(col("v")).as("est_v"))
+    // exact order statistic at target_rank: bucket histogram → candidate
+    // bucket + in-bucket offset → selection over candidate buckets only
+    val w = 200000L
+    val hcum = cents.groupBy(expr(s"cents div $w").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cand = t.join(broadcast(hcum), col("cum") >= col("target_rank"))
+      .groupBy(col("q_label"), col("target_rank"))
+      .agg(min_by(struct(col("bucket"), (col("cum") - col("cnt")).as("prev")),
+        col("bucket")).as("cb"))
+      .select(col("q_label"), col("cb.bucket").as("bucket"),
+        (col("target_rank") - col("cb.prev")).as("offset"))
+    val exact = cents.withColumn("bucket", expr(s"cents div $w"))
+      .join(broadcast(cand), "bucket")
+      .groupBy(col("q_label"), col("offset"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("icum", sum(col("c")).over(Window.partitionBy(col("q_label"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("icum") >= col("offset"))
+      .groupBy(col("q_label")).agg(min(col("cents")).as("exact_value"))
+    // audit scan: the estimate's EXACT rank must sit inside the bound —
+    // certified by the sketch's worst-case analysis, so deterministic
+    val audit = cents.crossJoin(broadcast(est))
+      .groupBy(col("q_label"), col("n"), col("bound"), col("target_rank"))
+      .agg(sum(when(col("cents") <= col("est_v"), 1L).otherwise(0L)).as("cnt_le"),
+        sum(when(col("cents") < col("est_v"), 1L).otherwise(0L)).as("cnt_lt"))
+    audit.join(exact, "q_label")
+      .select(col("q_label"), col("n"), col("target_rank"),
+        col("bound").as("bound_rank"), col("exact_value"),
+        (col("cnt_le") >= col("target_rank") - col("bound") &&
+          col("cnt_lt") <= col("target_rank") + col("bound")).as("within_bound"))
+      .orderBy(col("q_label"))
+  }
+
+  /** One micro-batch's KLL summary as (lvl, v) rows. */
+  def kllTable(vals: DataFrame, k: Int = 256): DataFrame =
+    vals.agg(graft.functions.F.kllSketch(col("v"), k).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.lvl").as("lvl"), col("e.v").as("v"))
+
+  /** Ingest-time quantile maintenance — per-epoch delta summaries, the
+    * [[kmvStream]] ownership contract (delta dirs keyed by batchId, one
+    * logical stream per sketchDir; replay-idempotent by overwrite). */
+  def kllStream(vals: DataFrame, sketchDir: String, k: Int = 256)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vals.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) kllTable(batch, k)
+        .write.mode("overwrite").parquet(s"$sketchDir/delta-b$batchId")
+    }
+
+  /** Merged summary over every ingested epoch: the plain UNION of
+    * epoch summaries — no re-compaction, so it introduces ZERO extra
+    * error and the per-epoch errors add to at most the whole-corpus
+    * bound (disjoint inputs). ≤ epochs·k·levels rows. */
+  def kllMerged(spark: SparkSession, sketchDir: String): DataFrame = {
+    val deltas = StoredArtifacts.listEpochs(spark, sketchDir)
+    require(deltas.nonEmpty, s"no KLL summaries under $sketchDir")
+    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+  }
+
   /** ZONE MAPS — block-level min/max data-skipping stats, the
     * file/row-group-level complement of directory-level
     * [[partitionPrunedScan]] and the reason lakehouses sort on write:

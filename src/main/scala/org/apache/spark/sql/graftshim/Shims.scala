@@ -48,6 +48,9 @@ object Shims {
       args => MinHashFromHashes(args(0), intArg(args(1), "numPerm")), "built-in")
     reg.createOrReplaceTempFunction("graft_proto_encode",
       args => ProtoEncode(args(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_kll",
+      args => KllSketch(args(0), intArg(args(1), "k")).toAggregateExpression(),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_collect_capped",
       args => CollectCapped(args(0), args(1), intArg(args(2), "cap")).toAggregateExpression(),
       "built-in")

@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The graft_kll quantile summary's contract: worst-case rank error
+  * within the certified integer bound (H+2)·n/(k−1) for EVERY
+  * percentile, on adversarial layouts (sorted, reversed, all-equal,
+  * heavy ties) and under forced multi-partition merges; total weight
+  * preserved exactly (n rides the summary); the stream face's union
+  * of epoch summaries obeys the whole-corpus bound; and the SQL face
+  * resolves. */
+class KllSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def entriesOf(vals: Seq[Long], k: Int, parts: Int): Seq[(Int, Long)] = {
+    val spark = this.spark
+    import spark.implicits._
+    vals.toDF("v").repartition(parts)
+      .agg(graft.functions.F.kllSketch(col("v"), k).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.lvl"), col("e.v"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getLong(1)))
+  }
+
+  private def bound(n: Long, k: Int): Long = {
+    val x = math.max(n / (k - 1), 1L)
+    val h = 63 - java.lang.Long.numberOfLeadingZeros(x) // floor(log2 x)
+    ((h + 2) * n + (k - 2)) / (k - 1)
+  }
+
+  /** Estimated value at target rank r: min summary value whose
+    * cumulative weight (entries sorted by value) reaches r. */
+  private def estAt(entries: Seq[(Int, Long)], r: Long): Long = {
+    val sorted = entries.map { case (lvl, v) => (v, 1L << lvl) }.sortBy(_._1)
+    var cum = 0L
+    for ((v, w) <- sorted) { cum += w; if (cum >= r) return v }
+    sorted.last._1
+  }
+
+  private def checkAllPercentiles(vals: Seq[Long], k: Int, parts: Int,
+                                  what: String): Unit = {
+    val entries = entriesOf(vals, k, parts)
+    val n = vals.size.toLong
+    assert(entries.map { case (lvl, _) => 1L << lvl }.sum == n,
+      s"$what: compaction must preserve total weight exactly")
+    val b = bound(n, k)
+    val sortedVals = vals.sorted
+    for (p <- 1 to 99) {
+      val r = (p * n + 99) / 100
+      val est = estAt(entries, r)
+      // exact rank window of the estimate: [count(< est)+1, count(<= est)]
+      val le = sortedVals.count(_ <= est).toLong
+      val lt = sortedVals.count(_ < est).toLong
+      assert(le >= r - b && lt <= r + b,
+        s"$what p$p: est $est has exact rank window (${lt + 1}..$le), " +
+          s"target $r, certified bound $b, n $n")
+    }
+  }
+
+  test("rank error within the certified bound on adversarial layouts and merge shapes") {
+    val k = 64
+    val n = 20000
+    val rnd = new scala.util.Random(7)
+    val layouts = Seq(
+      "sorted" -> (0 until n).map(_.toLong),
+      "reversed" -> (0 until n).map(i => (n - i).toLong),
+      "all-equal" -> Seq.fill(n)(42L),
+      "heavy-ties" -> (0 until n).map(i => (i % 5).toLong),
+      "random-dups" -> Seq.fill(n)(rnd.nextInt(300).toLong),
+      "zipf-ish" -> (0 until n).map(i => (n / (1 + i % 140)).toLong))
+    for ((what, vals) <- layouts; parts <- Seq(1, 7, 32))
+      checkAllPercentiles(vals, k, parts, s"$what/parts=$parts")
+  }
+
+  test("tiny inputs (below one compaction) are exact") {
+    val entries = entriesOf(Seq(5L, 1L, 3L), 64, 2)
+    assert(entries.forall(_._1 == 0) && entries.map(_._2).sorted == Seq(1L, 3L, 5L),
+      s"n < k keeps every value at level 0: $entries")
+  }
+
+  test("kllStream epochs union to a summary obeying the whole-corpus bound") {
+    val spark = this.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 64
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll-stream").toString
+    val epochs = Seq(
+      (0 until 6000).map(_.toLong),
+      (0 until 5000).map(i => (2 * i + 1).toLong),
+      Seq.fill(4000)(77L))
+    val mem = MemoryStream[Long]
+    val q = graft.operators.ScaleOps.kllStream(mem.toDF().toDF("v"), dir, k)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-kll-ck").toString)
+      .start()
+    try {
+      epochs.foreach { e => mem.addData(e: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val merged = graft.operators.ScaleOps.kllMerged(spark, dir)
+      .collect().toSeq.map(r => (r.getInt(0), r.getLong(1)))
+    val all = epochs.flatten
+    val n = all.size.toLong
+    assert(merged.map { case (lvl, _) => 1L << lvl }.sum == n,
+      "union of epoch summaries carries exact total weight")
+    val b = bound(n, k)
+    val sortedVals = all.sorted
+    for (p <- Seq(1, 10, 25, 50, 75, 90, 99)) {
+      val r = (p * n + 99) / 100
+      val est = estAt(merged, r)
+      val le = sortedVals.count(_ <= est).toLong
+      val lt = sortedVals.count(_ < est).toLong
+      assert(le >= r - b && lt <= r + b,
+        s"merged p$p: est $est rank window (${lt + 1}..$le) vs target $r ± $b")
+    }
+
+    // the certification face over the stored summaries agrees with the
+    // in-query face's contract: every within_bound is true
+    val cents = all.toDF("cents")
+    val entries = merged.toDF("lvl", "v")
+    val report = graft.operators.ScaleOps.kllQuantileReport(cents, entries, k)
+      .collect()
+    assert(report.length == 5 && report.forall(_.getAs[Boolean]("within_bound")),
+      s"stored-face certification must hold: ${report.mkString(", ")}")
+  }
+
+  test("SQL face graft_kll resolves and matches the Column face") {
+    val spark = this.spark
+    import spark.implicits._
+    graft.functions.F.register(spark)
+    Seq(1L, 2L, 3L, 4L).toDF("v").createOrReplaceTempView("kll_in")
+    val viaSql = spark.sql(
+      "SELECT graft_kll(v, 64) AS sk FROM kll_in")
+      .select(explode(col("sk")).as("e")).select(col("e.v"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSql == Seq(1L, 2L, 3L, 4L))
+  }
+}
