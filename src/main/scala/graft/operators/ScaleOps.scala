@@ -1155,6 +1155,22 @@ object ScaleOps {
       .withColumn("ls", sum(col("new_s")).over(byUB))
       .groupBy(col("user_id"), col("bkt"), col("ls"))
       .agg(count(lit(1)).as("n"), min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    glueLocalSessions(local, gapMinutes)
+  }
+
+  /** PHASE 2 of the salted sessionization, factored out because the
+    * STREAMING salted face shares it
+    * ([[graft.streaming.Streams.sessionizeStreamingSalted]] emits the
+    * same bucket-local session rows from watermark-finalized state):
+    * re-window on user_id alone at SESSION grain — a bucket-boundary
+    * session pair glues when the gap between them is within
+    * `gapMinutes` — so a key with N events but S sessions costs
+    * O(S + buckets), not O(N). Input: (user_id, n, s_us, e_us) rows,
+    * any extra columns ignored. */
+  private[graft] def glueLocalSessions(local: DataFrame,
+                                       gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
     val byU = Window.partitionBy(col("user_id")).orderBy(col("s_us"))
     local
       .withColumn("prev_e", lag(col("e_us"), 1).over(byU))

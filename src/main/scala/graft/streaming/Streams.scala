@@ -100,6 +100,48 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
 
+  /** The HOT-KEY-SALTED streaming sessionization — the §9 streaming
+    * knob: state is keyed by (user_id, time bucket), so a hot user's
+    * in-flight rows spread across as many state partitions as buckets
+    * they span instead of serializing one task per trigger (the same
+    * bound [[graft.operators.ScaleOps.sessionsSalted]] breaks for the
+    * batch window). Emits WATERMARK-FINALIZED BUCKET-LOCAL sessions in
+    * append mode; [[graft.operators.ScaleOps.glueLocalSessions]] is
+    * the downstream glue — bucket-boundary session pairs within the
+    * gap merge at SESSION grain (S rows per key, not N), run batch-
+    * periodically over the emitted table or by the reading query (the
+    * lambda seam every at-scale sessionizer has). The structural-
+    * correctness argument is sessionsSalted's own: local sessions
+    * within a bucket are > gap apart, and buckets partition the time
+    * axis. Route on [[statePreflight]]'s verdict — "window" keeps the
+    * one-stage [[sessionizeStreaming]] face. */
+  def sessionizeStreamingSalted(events: DataFrame, gapMinutes: Int = 30,
+                                bucketMinutes: Int = 1440,
+                                lateness: String = "10 minutes"): DataFrame = {
+    val bucketUs = bucketMinutes * 60L * 1000000L
+    events.withWatermark("ts", lateness)
+      .withColumn("bkt", expr(s"unix_micros(ts) div $bucketUs"))
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"), col("bkt"))
+      .agg(count(lit(1)).as("n"),
+        min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+      .select(col("user_id"), col("bkt"), col("n"), col("s_us"), col("e_us"))
+  }
+
+  /** Pre-deploy hot-key check for the STATEFUL stream faces
+    * ([[sessionizeStreaming]], [[windowAgg]], scd2Stream, asofStream,
+    * streamDedup): per-key state and per-trigger work serialize on the
+    * state key exactly like a batch window partition, so the SAME
+    * metadata-scale preflight decides the same routing — run it over a
+    * history sample (yesterday's corpus) BEFORE deploying the stream,
+    * and deploy [[sessionizeStreamingSalted]] + glue when the verdict
+    * says "salt". Delegates to
+    * [[graft.operators.ScaleOps.windowPreflight]]. */
+  def statePreflight(history: DataFrame, keyCol: String,
+                     hotThreshold: Long = 1000000L): DataFrame =
+    graft.operators.ScaleOps.windowPreflight(history, keyCol, hotThreshold)
+
   /** Count/bytes/timeout batch trigger with optional reset-on-new-
     * record — the Structured Streaming re-expression of the reference's
     * composed trigger (BatchTrigger.Builder.build, BatchTrigger.java:
