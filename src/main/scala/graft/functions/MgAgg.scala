@@ -23,18 +23,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * `n` carries the group's total inserted weight (the certificate
   * denominator); it combines additively and rides the eval marker. */
 final class MgBuffer(val s: Int) {
-  val counts = scala.collection.mutable.HashMap.empty[String, Long]
+  // UTF8String keys end-to-end (r9 verdict wrong #3): the per-row
+  // lookup hashes the row's own (possibly buffer-backed) UTF8String
+  // with NO String materialization; a key is COPIED (clone) only when
+  // it enters the map — UnsafeRow-backed UTF8Strings alias a reused
+  // scan buffer, so storing one un-cloned would corrupt the sketch on
+  // the next row. Rendering to java.lang.String happens never; eval
+  // emits the stored UTF8Strings directly.
+  val counts = scala.collection.mutable.HashMap.empty[UTF8String, Long]
   var n = 0L
 
-  def insert(t: String, w: Long): Unit = if (w > 0L) {
+  def insert(t: UTF8String, w: Long): Unit = if (w > 0L) {
     n += w
     counts.get(t) match {
       case Some(c) => counts.update(t, c + w)
-      case None if counts.size < s => counts.update(t, w)
+      case None if counts.size < s => counts.update(t.clone(), w)
       case None =>
         val m = math.min(w, counts.valuesIterator.min)
         decrementAll(m)
-        if (w > m) counts.update(t, w - m)
+        if (w > m) counts.update(t.clone(), w - m)
     }
   }
 
@@ -91,10 +98,13 @@ case class MgSketch(key: Expression, w: Expression, s: Int,
         case l: Long => l
         case n: Number => n.longValue()
       }
-      // UTF8String for string keys (the common case); anything else a
-      // SQL caller feeds renders via toString rather than class-cast
-      // throwing mid-job
-      buffer.insert(t.toString, weight)
+      // UTF8String stays UTF8String (no per-row String render);
+      // anything else a SQL caller feeds converts once per row rather
+      // than class-cast throwing mid-job
+      buffer.insert(t match {
+        case u: UTF8String => u
+        case other => UTF8String.fromString(other.toString)
+      }, weight)
     }
     buffer
   }
@@ -104,16 +114,17 @@ case class MgSketch(key: Expression, w: Expression, s: Int,
   }
 
   override def eval(buffer: MgBuffer): Any = {
-    // deterministic render order (tok asc) + the NULL-tok total marker
+    // deterministic render order (tok asc, BINARY order — the same
+    // collation Spark's own string sort uses) + the NULL-tok total
     val rows = buffer.counts.toArray.sortBy(_._1).map { case (t, c) =>
-      InternalRow(UTF8String.fromString(t), c)
+      InternalRow(t, c)
     } :+ InternalRow(null, buffer.n)
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
   override def serialize(buffer: MgBuffer): Array[Byte] = {
     val entries = buffer.counts.toArray
-    val bytes = entries.map { case (t, _) => t.getBytes("UTF-8") }
+    val bytes = entries.map { case (t, _) => t.getBytes }
     val size = 4 + 8 + 4 + bytes.map(_.length + 12).sum
     val bb = ByteBuffer.allocate(size)
     bb.putInt(buffer.s).putLong(buffer.n).putInt(entries.length)
@@ -135,7 +146,7 @@ case class MgSketch(key: Expression, w: Expression, s: Int,
       val len = bb.getInt
       val arr = new Array[Byte](len)
       bb.get(arr)
-      buf.counts.update(new String(arr, "UTF-8"), bb.getLong)
+      buf.counts.update(UTF8String.fromBytes(arr), bb.getLong)
       i += 1
     }
     buf

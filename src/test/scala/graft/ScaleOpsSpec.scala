@@ -2292,6 +2292,8 @@ class HeavyHittersSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("MgBuffer: adversarial merge trees keep the superset bound; serde round-trips") {
     import graft.functions.{MgBuffer, MgSketch}
+    import org.apache.spark.unsafe.types.UTF8String
+    implicit def str2utf8(s: String): UTF8String = UTF8String.fromString(s)
     val rnd = new scala.util.Random(3109)
     for (trial <- 1 to 8) {
       val s = 3 + rnd.nextInt(6)
@@ -2310,15 +2312,15 @@ class HeavyHittersSpec extends org.scalatest.funsuite.AnyFunSuite {
       val n = toks.size.toLong
       val exact = toks.groupBy(identity).view.mapValues(_.size.toLong)
       val missedHeavy = exact.filter { case (t, c) =>
-        c * (s + 1) > n && !merged.counts.contains(t) }
+        c * (s + 1) > n && !merged.counts.contains(str2utf8(t)) }
       assert(missedHeavy.isEmpty,
         s"trial $trial s=$s: heavy keys missing after merges: $missedHeavy")
       // counter never exceeds the true count (MG only ever decrements)
-      assert(merged.counts.forall { case (t, c) => c <= exact(t) })
+      assert(merged.counts.forall { case (t, c) => c <= exact(t.toString) })
     }
     // serde: a buffer survives the shuffle-format round trip
     val b = new MgBuffer(4)
-    Seq("a", "b", "a", "c", "d", "e", "a").foreach(b.insert(_, 2L))
+    Seq("a", "b", "a", "c", "d", "e", "a").foreach(t => b.insert(str2utf8(t), 2L))
     val agg = MgSketch(null, null, 4)
     val back = agg.deserialize(agg.serialize(b))
     assert(back.s == b.s && back.n == b.n && back.counts == b.counts)
