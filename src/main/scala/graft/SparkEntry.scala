@@ -337,6 +337,7 @@ object SparkEntry {
     "scale_cdc_apply" -> ((s, d) =>
       ScaleOps.cdcApply(ScaleOps.cdcLog(Tables.orders(s, d)))),
     "scale_pps_sample" -> ((s, d) => ScaleOps.ppsSample(Tables.documents(s, d))),
+    "scale_pps_salted" -> ((s, d) => ScaleOps.ppsSampleSalted(Tables.documents(s, d))),
     "scale_kmv_setops" -> ((s, d) => ScaleOps.kmvSetOps(Tables.orders(s, d))),
     "scale_kmv_matrix" -> ((s, d) => ScaleOps.kmvMatrix(Tables.orders(s, d))),
     "scale_kmv_matrix_stored" -> ((s, d) => {
@@ -3035,6 +3036,21 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     "scale_pps_sample" ->
       // PPS systematic sample: integer arrow counts — floor division
       // on positive operands, so DuckDB // and Spark div agree
+      """WITH b AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang) AS tw
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |SELECT lang, doc_id, w,
+        |  CAST((cw * 10) // tw - ((cw - w) * 10) // tw AS BIGINT) AS picks
+        |FROM b
+        |WHERE (cw * 10) // tw - ((cw - w) * 10) // tw >= 1
+        |ORDER BY lang, doc_id""".stripMargin,
+    "scale_pps_salted" ->
+      // two-phase prefix-sum face: output-identical to scale_pps_sample
+      // (split running sums telescope), so it gates on the SAME SQL
       """WITH b AS (
         |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
         |    sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang

@@ -1430,22 +1430,6 @@ object ScaleOps {
       .reduce(_ unionByName _))
   }
 
-  /** PPS SYSTEMATIC SAMPLE — probability-proportional-to-size
-    * sampling, the weighted counterpart of [[sampleKeyed]]: shoot k
-    * evenly-spaced arrows into each stratum's cumulative-weight line
-    * and keep every row an arrow lands in (a training-data mixer
-    * drawing per-language exemplars proportional to document length).
-    * ENTIRELY integer arithmetic — a row is picked
-    * `floor(k·cw/W) − floor(k·(cw−w)/W)` times (its weight-interval's
-    * multiple-of-W/k count), so Spark and the SQL oracle agree
-    * bit-for-bit and the arrow count telescopes to exactly k per
-    * stratum (no float inverse-CDF, no libm). Rows with NULL or
-    * non-positive weight can't be drawn (documented; they'd make the
-    * interval empty). Scale shape: ONE shuffle on the stratum key +
-    * a per-stratum running sum — the q32 keyed-window family; a
-    * stratum is a language here (bounded cardinality), and
-    * [[windowPreflight]] is the standing detector if a deployment's
-    * strata ever concentrate. */
   /** Bottom-k (KMV) sketch table for segmented key sets: one corpus
     * scan hashes each key row-locally with the portable 48-bit md5
     * idiom and keeps each side's k SMALLEST DISTINCT hash values via
@@ -2313,6 +2297,21 @@ object ScaleOps {
         col("mx.max_bp"), col("mx.max_us"), col("mx.max_id"))
   }
 
+  /** PPS SYSTEMATIC SAMPLE — probability-proportional-to-size
+    * sampling, the weighted counterpart of [[sampleKeyed]]: shoot k
+    * evenly-spaced arrows into each stratum's cumulative-weight line
+    * and keep every row an arrow lands in (a training-data mixer
+    * drawing per-language exemplars proportional to document length).
+    * ENTIRELY integer arithmetic — a row is picked
+    * `floor(k·cw/W) − floor(k·(cw−w)/W)` times (its weight-interval's
+    * multiple-of-W/k count), so Spark and the SQL oracle agree
+    * bit-for-bit and the arrow count telescopes to exactly k per
+    * stratum (no float inverse-CDF, no libm). Rows with NULL or
+    * non-positive weight can't be drawn (documented; they'd make the
+    * interval empty). Scale shape: ONE shuffle on the stratum key +
+    * a per-stratum running sum — the q32 keyed-window family; when a
+    * stratum concentrates, [[ppsSampleSalted]] is the two-phase
+    * prefix-sum re-plan and [[ppsAuto]] routes on the preflight. */
   def ppsSample(documents: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
@@ -2328,5 +2327,68 @@ object ScaleOps {
       .filter(col("picks") >= 1)
       .select(col("lang"), col("doc_id"), col("w"), col("picks"))
       .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** TWO-PHASE PREFIX-SUM PPS — the hot-stratum mitigation for
+    * [[ppsSample]] (r9 verdict missing #4), identical output (gated
+    * on 47u's own oracle): the single per-stratum running sum becomes
+    * (1) a local running sum per (stratum, doc_id-range bucket) —
+    * a hot stratum's cumsum work spreads across its buckets — and
+    * (2) a bucket-grain carry: per-bucket weight totals prefix-sum
+    * across buckets at BUCKET grain (metadata-scale window) and join
+    * back on (stratum, bucket), the exchange phase 1 already created
+    * — [[asofSalted]]'s carry pattern applied to a prefix sum. The
+    * split running sum telescopes to the single-window cw exactly
+    * (addition is associative), so picks are bit-identical. Buckets
+    * are doc_id ranges because cw's order IS doc_id order — the salt
+    * must refine the cumsum order, not cut across it. NULL-safe join
+    * keys (the asofSalted rule): a NULL doc_id rides its stratum's
+    * NULL bucket rather than dropping. */
+  def ppsSampleSalted(documents: DataFrame, k: Int = 10,
+                      bucketIds: Long = 8192L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Dedup.materialized(documents
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("bkt", expr(s"doc_id div $bucketIds")))
+    val byLB = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byLPrev = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col("lang"))
+    val offsets = base.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("w")).as("bw"))
+      .withColumn("carry", coalesce(sum(col("bw")).over(byLPrev), lit(0L)))
+      .withColumn("tw", sum(col("bw")).over(whole))
+      .select(col("lang").as("__l"), col("bkt").as("__b"),
+        col("carry"), col("tw"))
+    base
+      .withColumn("lcw", sum(col("w")).over(byLB))
+      .join(offsets, col("lang") <=> col("__l") && col("bkt") <=> col("__b"))
+      .withColumn("cw", col("lcw") + col("carry"))
+      .withColumn("picks",
+        expr(s"(cw * $k) div tw - ((cw - w) * $k) div tw"))
+      .filter(col("picks") >= 1)
+      .select(col("lang"), col("doc_id"), col("w"), col("picks"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** The preflight→mitigation router for PPS — [[sessionsAuto]]'s
+    * contract on the sampling family: one metadata-scale
+    * [[windowPreflight]] pass over the hashed stratum keys (strata
+    * are strings; the preflight groups numeric keys) decides whether
+    * the single-window cumsum is safe or a stratum concentrates
+    * enough to need [[ppsSampleSalted]]'s two-phase re-plan.
+    * Identical output either way. */
+  def ppsAuto(documents: DataFrame, k: Int = 10,
+              hotThreshold: Long = 1000000L,
+              bucketIds: Long = 8192L): DataFrame = {
+    val verdict = windowPreflight(
+      documents.filter(col("n_chars") > 0)
+        .select(xxhash64(col("lang")).as("k")), "k", hotThreshold)
+      .select(col("advice")).head().getString(0)
+    if (verdict == "salt") ppsSampleSalted(documents, k, bucketIds)
+    else ppsSample(documents, k)
   }
 }

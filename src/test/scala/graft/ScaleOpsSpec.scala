@@ -696,6 +696,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     val byLang = real.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(3)).sum)
     assert(byLang.forall(_._2 == 10L), s"per-stratum totals: ${byLang.toMap}")
   }
+
+  test("ppsSampleSalted is row-identical to ppsSample across bucket widths; ppsAuto routes on the preflight") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4701)
+    // planted hot stratum (80% of rows), sparse/dense doc_id ranges,
+    // a NULL lang stratum, zero/NULL weights, ties in weight
+    val docs = (
+      (0L until 4000L).map(i => (i * 3 + rnd.nextInt(3), "HOT", Some(1 + rnd.nextInt(40)))) ++
+      (20000L until 20500L).map(i => (i, "b", Some(7))) ++
+      (30000L until 30200L).map(i => (i, null, Some(rnd.nextInt(30)))) ++
+      Seq((40000L, "b", Some(0)), (40001L, "b", None))
+    ).map { case (id, l, w) => (id, l, w) }
+      .toDF("doc_id", "lang", "n_chars")
+    val want = graft.operators.ScaleOps.ppsSample(docs, k = 10)
+      .collect().map(_.toString).toSeq
+    for (bucketIds <- Seq(1L, 64L, 8192L, 1000000000L)) {
+      val got = graft.operators.ScaleOps
+        .ppsSampleSalted(docs, k = 10, bucketIds = bucketIds)
+        .collect().map(_.toString).toSeq
+      assert(got == want,
+        s"bucketIds=$bucketIds: split prefix sums must telescope exactly")
+    }
+    // auto router: the hot stratum trips the preflight -> salted face;
+    // a uniform frame keeps the single-window face — identical output
+    // either way (spot-checked by running both branches)
+    val hotRouted = graft.operators.ScaleOps
+      .ppsAuto(docs, k = 10, hotThreshold = 3000L)
+      .collect().map(_.toString).toSeq
+    assert(hotRouted == want, "salt-routed output must equal the original")
+    val uniformRouted = graft.operators.ScaleOps
+      .ppsAuto(docs, k = 10, hotThreshold = 1000000L)
+      .collect().map(_.toString).toSeq
+    assert(uniformRouted == want, "window-routed output must equal the original")
+  }
 }
 
 class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
