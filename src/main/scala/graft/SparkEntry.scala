@@ -288,6 +288,7 @@ object SparkEntry {
     "scale_bloom" -> ((s, d) => ScaleOps.bloomAudit(Tables.customer(s, d))),
     "scale_quantile_bins" -> ((s, d) => ScaleOps.quantileBins(Tables.orders(s, d))),
     "scale_quantile_sketch" -> ((s, d) => ScaleOps.quantileSketch(Tables.orders(s, d))),
+    "scale_quantile_grouped" -> ((s, d) => ScaleOps.quantileSketchGrouped(Tables.orders(s, d))),
     "scale_hll_grouped" -> ((s, d) => ScaleOps.hllGrouped(Tables.events(s, d))),
     "scale_integrity" -> ((s, d) => ScaleOps.integrityAudit(
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
@@ -3598,6 +3599,35 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  (SELECT r.cents FROM r WHERE r.rk = t.target_rank) AS exact_value,
         |  TRUE AS within_bound
         |FROM t, h ORDER BY t.q_label""".stripMargin,
+    "scale_quantile_grouped" ->
+      // per-group graft_kll certificate: the scale_quantile_sketch
+      // scaffolding partitioned by o_orderpriority — per-group n,
+      // ceil-rank order statistics (row_number PARTITION BY), the
+      // integer bound on each group's own n, and literal-TRUE
+      // within_bound (proven by the Spark-side exact audit)
+      """WITH c AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        |), n AS (SELECT grp, count(*) AS n FROM c GROUP BY grp),
+        |h AS (
+        |  SELECT n.grp, max(p) AS hh FROM generate_series(0, 62) s(p), n
+        |  WHERE (CAST(1 AS BIGINT) << p) <= greatest(n.n // 255, 1)
+        |  GROUP BY n.grp
+        |), r AS (
+        |  SELECT grp, cents,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cents) AS rk FROM c
+        |), t AS (
+        |  SELECT n.grp, q_label, (num * n.n + den - 1) // den AS target_rank, n.n
+        |  FROM (VALUES ('p25', 1, 4), ('p50', 2, 4), ('p75', 3, 4),
+        |               ('p90', 9, 10), ('p99', 99, 100)) v(q_label, num, den), n
+        |)
+        |SELECT t.grp, t.q_label, t.n, t.target_rank,
+        |  ((h.hh + 2) * t.n + 254) // 255 AS bound_rank,
+        |  (SELECT r.cents FROM r
+        |     WHERE r.grp = t.grp AND r.rk = t.target_rank) AS exact_value,
+        |  TRUE AS within_bound
+        |FROM t JOIN h ON h.grp = t.grp
+        |ORDER BY t.grp, t.q_label""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

@@ -2067,64 +2067,110 @@ object ScaleOps {
     * the in-query face above and the stored/stream face ([[kllMerged]];
     * a UNION of epoch summaries is itself a valid summary: compaction
     * errors are additive across disjoint epochs and Σ_e (H_e+1)·n_e ≤
-    * (H+1)·n, so the same bound formula on total n certifies it). */
+    * (H+1)·n, so the same bound formula on total n certifies it).
+    * Delegates to the grouped core with one constant group. */
   private[graft] def kllQuantileReport(cents: DataFrame, entries: DataFrame,
-                                       k: Int): DataFrame = {
+                                       k: Int): DataFrame =
+    kllQuantileReportGrouped(
+      cents.withColumn("grp", lit("all")),
+      entries.withColumn("grp", lit("all")), k).drop("grp")
+
+  /** PER-GROUP quantile certification from per-group `graft_kll`
+    * summaries — the grouped core both faces share. Input: `cents` as
+    * (grp, cents) rows, `entries` as (grp, lvl, v) summary rows. Every
+    * window partitions by grp (summary/histogram grain — metadata
+    * scale per group); the candidate/estimate joins are broadcasts of
+    * summary-sized frames with an equi key on grp; the audit pass is
+    * one corpus scan fanned ×targets by a broadcast join on grp.
+    * Groups with NULL grp are not supported (the equi joins would
+    * drop them) — callers pass non-null group keys. */
+  private[graft] def kllQuantileReportGrouped(cents: DataFrame,
+                                              entries: DataFrame,
+                                              k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = cents.sparkSession
     import spark.implicits._
-    // collapse equal values, est cumulative weight — ≤ k·levels rows
     val cum = entries
-      .select(col("v"), expr("shiftleft(CAST(1 AS BIGINT), lvl)").as("w"))
-      .groupBy(col("v")).agg(sum(col("w")).as("w"))
-      .withColumn("cum", sum(col("w")).over(Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // n rides the summary exactly: compaction preserves total weight
-    val stats = cum.agg(sum(col("w")).as("n"))
+      .select(col("grp"), col("v"),
+        expr("shiftleft(CAST(1 AS BIGINT), lvl)").as("w"))
+      .groupBy(col("grp"), col("v")).agg(sum(col("w")).as("w"))
+      .withColumn("cum", sum(col("w")).over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // n rides each group's summary exactly: compaction preserves weight
+    val stats = cum.groupBy(col("grp")).agg(sum(col("w")).as("n"))
       .withColumn("bound", expr(
         s"((length(bin(greatest(n div ${k - 1}, 1))) + 1) * n + ${k - 2}) div ${k - 1}"))
     val targets = Seq(("p25", 1L, 4L), ("p50", 2L, 4L), ("p75", 3L, 4L),
       ("p90", 9L, 10L), ("p99", 99L, 100L)).toDF("q_label", "num", "den")
-    val t = targets.crossJoin(broadcast(stats))
+    val t = stats.crossJoin(broadcast(targets))
       .withColumn("target_rank", expr("(num * n + den - 1) div den"))
     // estimate: min summary value whose est cum weight reaches target
-    val est = t.join(broadcast(cum), col("cum") >= col("target_rank"))
-      .groupBy(col("q_label"), col("n"), col("bound"), col("target_rank"))
+    val est = t.join(
+        broadcast(cum.select(col("grp").as("__g"), col("v"), col("cum"))),
+        col("grp") === col("__g") && col("cum") >= col("target_rank"))
+      .groupBy(col("grp"), col("q_label"), col("n"), col("bound"),
+        col("target_rank"))
       .agg(min(col("v")).as("est_v"))
-    // exact order statistic at target_rank: bucket histogram → candidate
-    // bucket + in-bucket offset → selection over candidate buckets only
+    // exact order statistic at target_rank: per-group bucket histogram
+    // → candidate bucket + in-bucket offset → selection over candidate
+    // buckets only
     val w = 200000L
-    val hcum = cents.groupBy(expr(s"cents div $w").as("bucket"))
+    val hcum = cents.groupBy(col("grp"), expr(s"cents div $w").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val cand = t.join(broadcast(hcum), col("cum") >= col("target_rank"))
-      .groupBy(col("q_label"), col("target_rank"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("grp")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cand = t.join(
+        broadcast(hcum.select(col("grp").as("__g"), col("bucket"),
+          col("cnt"), col("cum"))),
+        col("grp") === col("__g") && col("cum") >= col("target_rank"))
+      .groupBy(col("grp"), col("q_label"), col("target_rank"))
       .agg(min_by(struct(col("bucket"), (col("cum") - col("cnt")).as("prev")),
         col("bucket")).as("cb"))
-      .select(col("q_label"), col("cb.bucket").as("bucket"),
+      .select(col("grp"), col("q_label"), col("cb.bucket").as("bucket"),
         (col("target_rank") - col("cb.prev")).as("offset"))
     val exact = cents.withColumn("bucket", expr(s"cents div $w"))
-      .join(broadcast(cand), "bucket")
-      .groupBy(col("q_label"), col("offset"), col("cents"))
+      .join(broadcast(cand), Seq("grp", "bucket"))
+      .groupBy(col("grp"), col("q_label"), col("offset"), col("cents"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("icum", sum(col("c")).over(Window.partitionBy(col("q_label"))
-        .orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("icum", sum(col("c")).over(
+        Window.partitionBy(col("grp"), col("q_label")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("icum") >= col("offset"))
-      .groupBy(col("q_label")).agg(min(col("cents")).as("exact_value"))
+      .groupBy(col("grp"), col("q_label")).agg(min(col("cents")).as("exact_value"))
     // audit scan: the estimate's EXACT rank must sit inside the bound —
     // certified by the sketch's worst-case analysis, so deterministic
-    val audit = cents.crossJoin(broadcast(est))
-      .groupBy(col("q_label"), col("n"), col("bound"), col("target_rank"))
+    val audit = cents.join(broadcast(est), "grp")
+      .groupBy(col("grp"), col("q_label"), col("n"), col("bound"),
+        col("target_rank"))
       .agg(sum(when(col("cents") <= col("est_v"), 1L).otherwise(0L)).as("cnt_le"),
         sum(when(col("cents") < col("est_v"), 1L).otherwise(0L)).as("cnt_lt"))
-    audit.join(exact, "q_label")
-      .select(col("q_label"), col("n"), col("target_rank"),
+    audit.join(exact, Seq("grp", "q_label"))
+      .select(col("grp"), col("q_label"), col("n"), col("target_rank"),
         col("bound").as("bound_rank"), col("exact_value"),
         (col("cnt_le") >= col("target_rank") - col("bound") &&
           col("cnt_lt") <= col("target_rank") + col("bound")).as("within_bound"))
-      .orderBy(col("q_label"))
+      .orderBy(col("grp"), col("q_label"))
+  }
+
+  /** The GROUPED face of [[quantileSketch]] — per-priority price
+    * quantiles from ONE `graft_kll` aggregate over the corpus (the
+    * hllGrouped/mgGrouped composition argument applied to rank
+    * queries): each group's summary is O(k·log) state at every
+    * aggregation stage, the shuffle carries groups·|summary| rows,
+    * and the certification runs per group on the shared grouped core.
+    * What a 100 TB deployment actually asks ("p99 latency BY
+    * service") — per-key sort-based percentiles pay a full sort per
+    * group; this pays one combinable aggregate. */
+  def quantileSketchGrouped(orders: DataFrame, k: Int = 256): DataFrame = {
+    val cents = orders.select(col("o_orderpriority").as("grp"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val entries = cents.groupBy(col("grp"))
+      .agg(graft.functions.F.kllSketch(col("cents"), k).as("sk"))
+      .select(col("grp"), explode(col("sk")).as("e"))
+      .select(col("grp"), col("e.lvl").as("lvl"), col("e.v").as("v"))
+    kllQuantileReportGrouped(cents, entries, k)
   }
 
   /** One micro-batch's KLL summary as (lvl, v) rows. */

@@ -127,6 +127,36 @@ class KllSpec extends AnyFunSuite {
       s"stored-face certification must hold: ${report.mkString(", ")}")
   }
 
+  test("grouped certification: per-group bounds hold incl. a sub-k exact group and a 1000x-skewed group") {
+    val spark = this.spark
+    import spark.implicits._
+    val k = 64
+    val rnd = new scala.util.Random(11)
+    val rows =
+      (0 until 30000).map(i => ("big", (rnd.nextInt(5000) * 7).toLong)) ++
+      (0 until 30).map(i => ("tiny", i.toLong)) ++          // n < k: exact
+      (0 until 3000).map(_ => ("ties", 42L))                // all-equal group
+    val cents = rows.toDF("grp", "cents")
+    val entries = cents.groupBy(col("grp"))
+      .agg(graft.functions.F.kllSketch(col("cents"), k).as("sk"))
+      .select(col("grp"), explode(col("sk")).as("e"))
+      .select(col("grp"), col("e.lvl").as("lvl"), col("e.v").as("v"))
+    val report = graft.operators.ScaleOps
+      .kllQuantileReportGrouped(cents, entries, k).collect()
+    assert(report.length == 15, "3 groups x 5 targets")
+    assert(report.forall(_.getAs[Boolean]("within_bound")),
+      s"every per-group certificate must hold: ${report.mkString(", ")}")
+    // per-group n and exact order statistics are the real thing
+    val byGrp = report.groupBy(_.getString(0))
+    assert(byGrp("tiny").forall(_.getAs[Long]("n") == 30L))
+    assert(byGrp("ties").forall(_.getAs[Long]("exact_value") == 42L))
+    val bigSorted = rows.filter(_._1 == "big").map(_._2).sorted
+    val p50 = byGrp("big").find(_.getString(1) == "p50").get
+    assert(p50.getAs[Long]("exact_value") ==
+      bigSorted((p50.getAs[Long]("target_rank") - 1).toInt),
+      "grouped exact_value is the true per-group order statistic")
+  }
+
   test("SQL face graft_kll resolves and matches the Column face") {
     val spark = this.spark
     import spark.implicits._
