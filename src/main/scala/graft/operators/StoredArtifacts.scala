@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Scheme-less paths resolve against `fs.defaultFS`, so local tests
   * (`/tmp/...` → `file:///`) and cluster deployments (`/graft/...` →
   * the cluster FS) both do the right thing with no code change. */
-private[operators] object StoredArtifacts {
+private[graft] object StoredArtifacts {
 
   /** Bumped whenever ANY stored-artifact build algorithm changes in a
     * way that alters artifact content for identical inputs. Baked into
