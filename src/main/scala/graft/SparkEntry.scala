@@ -105,6 +105,7 @@ object SparkEntry {
       Tables.orders(s, d), Tables.supplier(s, d))),
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
+    "text_token_spectrum" -> ((s, d) => TextOps.tokenSpectrum(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.textLangid(Tables.documents(s, d))),
     "text_pii_redact" -> ((s, d) => TextOps.piiRedact(Tables.documents(s, d))),
@@ -1306,6 +1307,28 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         | len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_ws_tokens,
         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_spectrum" ->
+      // count-of-counts by power-of-two frequency band; the band is an
+      // exact integer range join (no float log2 on either side)
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), f AS (
+        |  SELECT tok, count(*) AS f FROM t WHERE tok <> '' GROUP BY tok
+        |), b AS (
+        |  SELECT s.p AS band, count(*) AS n_types, sum(f.f) AS n_occ,
+        |    min(f.f) AS min_f, max(f.f) AS max_f
+        |  FROM f JOIN generate_series(0, 62) s(p)
+        |    ON f.f >= (CAST(1 AS BIGINT) << s.p)
+        |   AND (f.f >> 1) < (CAST(1 AS BIGINT) << s.p)
+        |  GROUP BY s.p
+        |), tot AS (SELECT sum(n_types) AS v_total, sum(n_occ) AS t_total FROM b)
+        |SELECT CAST(b.band AS BIGINT) AS band, b.n_types,
+        |  CAST(b.n_occ AS BIGINT) AS n_occ,
+        |  b.min_f, b.max_f,
+        |  CAST((10000 * b.n_types) // tot.v_total AS BIGINT) AS type_share_bp,
+        |  CAST((10000 * b.n_occ) // tot.t_total AS BIGINT) AS occ_share_bp
+        |FROM b, tot ORDER BY band""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, length(text) AS n_chars,

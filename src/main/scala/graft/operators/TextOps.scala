@@ -1685,4 +1685,39 @@ object TextOps {
       .filter(col("contaminated_spans") === 0L)
       .drop("spans", "bench_spans")
   }
+
+  /** TOKEN-FREQUENCY SPECTRUM — the count-of-counts audit behind
+    * every tokenizer-sizing and Zipf/Heaps decision: how many
+    * distinct token types occur f times, rolled to power-of-two
+    * frequency bands (band = floor(log2 f) via the integer bin-length
+    * idiom — no float log anywhere). Band 0 is the hapax legomena
+    * row (types seen once — the vocabulary's long tail a BPE budget
+    * must absorb); the top bands are the head concentration the
+    * stopword/boilerplate families act on. Per band: type count,
+    * total occurrences, the band's exact min/max frequency, and
+    * integer basis-point shares of the vocabulary and the corpus.
+    *
+    * Scale shape: ONE token-grain shuffle (the exact cost any
+    * vocabulary build already pays — map-side combinable count),
+    * then a ≤ 63-band rollup; output is corpus-size-independent.
+    * Tokenization is the standing whitespace idiom, so the spectrum
+    * is consistent with text_tokens/text_unigram_lp. */
+  def tokenSpectrum(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val bands = freq
+      .groupBy((length(bin(col("f"))) - 1).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_types"), sum(col("f")).as("n_occ"),
+        min(col("f")).as("min_f"), max(col("f")).as("max_f"))
+    val totals = bands.agg(sum(col("n_types")).as("v_total"),
+      sum(col("n_occ")).as("t_total"))
+    bands.crossJoin(broadcast(totals))
+      .select(col("band"), col("n_types"), col("n_occ"),
+        col("min_f"), col("max_f"),
+        expr("(10000 * n_types) div v_total").as("type_share_bp"),
+        expr("(10000 * n_occ) div t_total").as("occ_share_bp"))
+      .orderBy(col("band"))
+  }
 }

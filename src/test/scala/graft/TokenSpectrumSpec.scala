@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The token-frequency spectrum: hand-checkable band placement on a
+  * planted Zipf-ish vocabulary (the synthetic corpus's 31-type flat
+  * vocabulary exercises only two bands, so the spec plants a real
+  * tail), exact band boundaries at powers of two, share arithmetic,
+  * and whitespace/empty-text robustness. */
+class TokenSpectrumSpec extends AnyFunSuite {
+
+  test("bands split at powers of two; hapax band and shares are exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // vocabulary with known frequencies: 4 hapax (band 0), "two" x2
+    // and "three" x3 (band 1), "seven" x7 (band 2), "eight" x8 (band 3)
+    val words =
+      Seq("h1", "h2", "h3", "h4") ++
+      Seq.fill(2)("two") ++ Seq.fill(3)("three") ++
+      Seq.fill(7)("seven") ++ Seq.fill(8)("eight")
+    val docs = words.grouped(5).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString("  ")) } // double spaces
+      .toSeq.toDF("doc_id", "text")
+      .unionByName(Seq((99L, "   ")).toDF("doc_id", "text")) // whitespace-only doc
+    val out = graft.operators.TextOps.tokenSpectrum(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (band, n_types, n_occ, min_f, max_f, type_share_bp, occ_share_bp)
+    assert(out.toSeq == Seq(
+      (0L, 4L, 4L, 1L, 1L, 5000L, 1666L),
+      (1L, 2L, 5L, 2L, 3L, 2500L, 2083L),
+      (2L, 1L, 7L, 7L, 7L, 1250L, 2916L),
+      (3L, 1L, 8L, 8L, 8L, 1250L, 3333L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("a planted Zipf tail produces the descending-type-count spectrum") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // ~Zipf: type i occurs ceil(1000/i) times, i = 1..200
+    val words = (1 to 200).flatMap(i => Seq.fill((1000 + i - 1) / i)(s"w$i"))
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.tokenSpectrum(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length >= 7, s"a real tail spans many bands: ${out.toSeq}")
+    // types per band grow toward the tail (low-frequency bands hold
+    // more types) — the Zipf signature the audit exists to show
+    val types = out.sortBy(_._1).map(_._2)
+    assert(types.head >= types.last,
+      s"low bands hold at least as many types as the head: ${types.toSeq}")
+    // total types conserved
+    assert(types.sum == 200L)
+  }
+}
