@@ -106,6 +106,7 @@ object SparkEntry {
     "pipeline_curation" -> ((s, d) => TextOps.curationPipeline(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_token_spectrum" -> ((s, d) => TextOps.tokenSpectrum(Tables.documents(s, d))),
+    "text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.textLangid(Tables.documents(s, d))),
     "text_pii_redact" -> ((s, d) => TextOps.piiRedact(Tables.documents(s, d))),
@@ -1329,6 +1330,37 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  CAST((10000 * b.n_types) // tot.v_total AS BIGINT) AS type_share_bp,
         |  CAST((10000 * b.n_occ) // tot.t_total AS BIGINT) AS occ_share_bp
         |FROM b, tot ORDER BY band""".stripMargin,
+    "text_vocab_growth" ->
+      // Heaps-law growth at 10 doc_id thresholds t_i = i*max_id//10:
+      // per-prefix docs, running tokens, vocabulary and hapax counts —
+      // all exact integers (FILTER-ed counts, no order statistics)
+      """WITH m AS (SELECT max(doc_id) AS m FROM documents),
+        |steps AS (
+        |  SELECT s.i AS step, (s.i * m.m) // 10 AS t
+        |  FROM generate_series(1, 10) s(i), m
+        |), tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), tk2 AS (SELECT * FROM tk WHERE tok <> ''),
+        |pt AS (
+        |  SELECT s.step, s.t, tk2.tok,
+        |    count(*) FILTER (WHERE tk2.doc_id <= s.t) AS c
+        |  FROM steps s CROSS JOIN tk2 GROUP BY 1, 2, 3
+        |), folded AS (
+        |  SELECT step, t,
+        |    count(*) FILTER (WHERE c >= 1) AS vocab_size,
+        |    count(*) FILTER (WHERE c = 1) AS n_hapax,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM pt GROUP BY 1, 2
+        |), dc AS (
+        |  SELECT s.step, count(*) FILTER (WHERE d.doc_id <= s.t) AS n_docs
+        |  FROM steps s CROSS JOIN documents d GROUP BY 1
+        |)
+        |SELECT CAST(f.step AS BIGINT) AS step, CAST(f.t AS BIGINT) AS doc_threshold,
+        |  dc.n_docs, f.n_tokens, f.vocab_size, f.n_hapax
+        |FROM folded f JOIN dc ON dc.step = f.step
+        |ORDER BY step""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, length(text) AS n_chars,

@@ -1720,4 +1720,51 @@ object TextOps {
         expr("(10000 * n_occ) div t_total").as("occ_share_bp"))
       .orderBy(col("band"))
   }
+
+  /** VOCABULARY GROWTH CURVE — Heaps'-law measurement along the
+    * ingestion axis (doc_id = arrival order): at `nSteps` doc_id
+    * thresholds t_i = i·max_id/nSteps, report docs, running tokens,
+    * distinct vocabulary, and hapax count over the prefix — the curve
+    * that sizes a tokenizer's vocab budget ("how fast does new
+    * vocabulary keep arriving?") and flags corpus drift (a growth
+    * kink = a new source joined the crawl).
+    *
+    * Exact and integer-only: ONE token-grain shuffle computes each
+    * type's per-threshold prefix count (nSteps conditional sums on
+    * the map side — the same pass a vocabulary build pays), then one
+    * bounded aggregate folds types to per-step vocab (prefix count
+    * ≥ 1) and hapax (= 1) totals, stack-unpivoted to a row per step.
+    * The only driver value is max(doc_id) (one scalar, the
+    * loadKmeansModel precedent). Thresholds are doc_id VALUES, not
+    * ranks — no order statistics, no per-stratum sort; for dense ids
+    * the two coincide, and for sparse ids the curve is still the
+    * ingestion-axis curve. */
+  def vocabGrowth(documents: DataFrame, nSteps: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    val maxId = documents.agg(max(col("doc_id"))).head().getLong(0)
+    val steps = (1 to nSteps)
+      .map(i => (i.toLong, i.toLong * maxId / nSteps))
+    val toks = documents
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val typeCols = steps.map { case (i, t) =>
+      sum(when(col("doc_id") <= t, 1L).otherwise(0L)).as(s"c$i") }
+    val perType = toks.groupBy(col("tok"))
+      .agg(typeCols.head, typeCols.tail: _*)
+    val foldCols = steps.flatMap { case (i, _) => Seq(
+      sum(when(col(s"c$i") >= 1L, 1L).otherwise(0L)).as(s"v$i"),
+      sum(when(col(s"c$i") === 1L, 1L).otherwise(0L)).as(s"h$i"),
+      sum(col(s"c$i")).as(s"t$i")) }
+    val folded = perType.agg(foldCols.head, foldCols.tail: _*)
+    val docCols = steps.map { case (i, t) =>
+      sum(when(col("doc_id") <= t, 1L).otherwise(0L)).as(s"d$i") }
+    val docCounts = documents.agg(docCols.head, docCols.tail: _*)
+    val stacked = steps.map { case (i, t) =>
+      s"${i}L, ${t}L, d$i, t$i, v$i, h$i" }.mkString(", ")
+    folded.crossJoin(docCounts)
+      .selectExpr(s"stack(${steps.size}, $stacked) AS " +
+        "(step, doc_threshold, n_docs, n_tokens, vocab_size, n_hapax)")
+      .orderBy(col("step"))
+  }
 }

@@ -54,4 +54,37 @@ class TokenSpectrumSpec extends AnyFunSuite {
     // total types conserved
     assert(types.sum == 200L)
   }
+
+  test("vocabGrowth: monotone curves, exact hand-checked prefix counts, full-corpus final row") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 10 docs, ids 1..10 (max_id = 10 -> thresholds 1, 2, ..., 10):
+    // doc i introduces token "new_i" and repeats "base"; doc 6 also
+    // repeats "new_1" (so new_1 stops being hapax at step 6)
+    val docs = (1 to 10).map { i =>
+      val extra = if (i == 6) " new_1" else ""
+      (i.toLong, s"base new_$i$extra")
+    }.toDF("doc_id", "text")
+    val out = graft.operators.TextOps.vocabGrowth(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length == 10)
+    // step i: i docs, vocab = 1 + i ("base" + i new tokens)
+    for ((step, thr, nDocs, nToks, vocab, hapax) <- out) {
+      assert(thr == step && nDocs == step, s"dense ids: threshold=docs=$step")
+      assert(vocab == 1 + step, s"step $step vocab")
+      val expectedToks = 2 * step + (if (step >= 6) 1 else 0)
+      assert(nToks == expectedToks, s"step $step tokens")
+      // hapax: the i new_* tokens, minus "base" once repeated (step>=2
+      // base is not hapax; at step 1 base IS hapax), minus new_1 after
+      // its step-6 repeat
+      val expectedHapax =
+        (if (step == 1) 2L else step.toLong) - (if (step >= 6) 1 else 0)
+      assert(hapax == expectedHapax, s"step $step hapax: $hapax")
+    }
+    // curves are monotone where mathematics says so
+    val vocabs = out.map(_._5); val toks = out.map(_._4)
+    assert(vocabs.zip(vocabs.tail).forall { case (a, b) => a <= b })
+    assert(toks.zip(toks.tail).forall { case (a, b) => a <= b })
+  }
 }
