@@ -132,6 +132,7 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(Tables.embeddings(s, d))),
     "ann_bruteforce" -> ((s, d) => Ann.annBruteforce(Tables.embeddings(s, d))),
+    "ann_dim_ablation" -> ((s, d) => Ann.annDimAblation(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.annLsh(Tables.embeddings(s, d), portable = true)),
     "ann_mmr" -> ((s, d) => Ann.annMmr(Tables.embeddings(s, d))),
     "ann_binary_rerank" -> ((s, d) => Ann.annBinaryRerank(Tables.embeddings(s, d))),
@@ -3697,6 +3698,37 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rank
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "ann_dim_ablation" ->
+      // prefix-dim recall curve vs full-dim truth — both rank chains
+      // deterministic (cos DESC, id ASC), output pure integers
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nq AS (SELECT count(*) AS n_queries FROM q),
+        |dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+        |truth AS (
+        |  SELECT q_id, neighbor_id FROM (
+        |    SELECT q.q_id, e.vec_id AS neighbor_id, row_number() OVER (
+        |      PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id ASC) AS rk
+        |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) WHERE rk <= 5
+        |), pre AS (
+        |  SELECT dim, q_id, neighbor_id FROM (
+        |    SELECT d.dim, q.q_id, e.vec_id AS neighbor_id, row_number() OVER (
+        |      PARTITION BY d.dim, q.q_id
+        |      ORDER BY list_cosine_similarity(q.qv[1:d.dim], e.v[1:d.dim]) DESC,
+        |        e.vec_id ASC) AS rk
+        |    FROM e CROSS JOIN q CROSS JOIN dims d
+        |    WHERE e.vec_id <> q.q_id) WHERE rk <= 5
+        |), hits AS (
+        |  SELECT pre.dim, count(*) AS hits
+        |  FROM pre JOIN truth USING (q_id, neighbor_id) GROUP BY 1
+        |)
+        |SELECT CAST(d.dim AS BIGINT) AS dim, nq.n_queries,
+        |  COALESCE(h.hits, 0) AS hits,
+        |  10000 * COALESCE(h.hits, 0) // (nq.n_queries * 5) AS recall_bp
+        |FROM dims d CROSS JOIN nq LEFT JOIN hits h ON h.dim = d.dim
+        |ORDER BY dim""".stripMargin,
     "embedding_cluster_hist" ->
       // same sampled-quantizer assignment CTE as ann_ivf_sampled,
       // aggregated to the per-list histogram (integer-only output)

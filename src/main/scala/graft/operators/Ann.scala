@@ -719,6 +719,44 @@ object Ann {
       .orderBy(col("q_id"))
   }
 
+  /** PREFIX-DIMENSION ABLATION — the Matryoshka question ("how many
+    * leading dimensions does retrieval actually need?") answered as
+    * a measured recall curve: for each prefix width d, exact top-k
+    * by cosine over the TRUNCATED embeddings is audited against the
+    * full-dimension ground truth, in pure integers (hits,
+    * 10000·hits div (queries·k)). The full-width row is the built-in
+    * self-check (recall ≡ 10000). Shrinking serving vectors is the
+    * cheapest index-size lever a deployment has — 8/64ths of the
+    * bytes at measured recall beats a blind quantizer swap, and the
+    * curve is the evidence.
+    *
+    * Scale shape: ONE materialized (vec_id, embedding) frame feeds
+    * every chain (the annRecallAudit discipline); each width pays
+    * one corpus pass with bounded per-partition heaps (broadcast
+    * queries, partitions×queries×k shuffle rows); the audit joins
+    * run on queries×k frames. At 100 TB the widths share the one
+    * cached scan and recall is audited on the stride query sample. */
+  def annDimAblation(embeddings: DataFrame, k: Int = 5, stride: Int = 50,
+                     dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val base = Dedup.materialized(
+      embeddings.select(col("vec_id"), col("embedding")))
+    val truth = annBruteforce(base, k, stride)
+      .select(col("q_id"), col("neighbor_id"))
+    val perDim = dims.map { d =>
+      annBruteforce(base.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding")), k, stride)
+        .select(col("q_id"), col("neighbor_id"))
+        .join(truth, Seq("q_id", "neighbor_id"))
+        .agg(coalesce(count(lit(1)), lit(0L)).as("hits"))
+        .select(lit(d.toLong).as("dim"), col("hits"))
+    }.reduce(_ unionByName _)
+    perDim.crossJoin(broadcast(
+        querySet(base, stride).agg(count(lit(1)).as("n_queries"))))
+      .select(col("dim"), col("n_queries"), col("hits"),
+        expr(s"10000L * hits div (n_queries * $k)").as("recall_bp"))
+      .orderBy(col("dim"))
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009,
     * K=60) of the two retrieval faces the library already serves:
     * vector ANN over the STORED IVF index and BM25 lexical search.
