@@ -292,6 +292,7 @@ object SparkEntry {
     "scale_quantile_bins" -> ((s, d) => ScaleOps.quantileBins(Tables.orders(s, d))),
     "scale_quantile_sketch" -> ((s, d) => ScaleOps.quantileSketch(Tables.orders(s, d))),
     "scale_quantile_grouped" -> ((s, d) => ScaleOps.quantileSketchGrouped(Tables.orders(s, d))),
+    "scale_quantile_sliding" -> ((s, d) => ScaleOps.quantileSliding(Tables.events(s, d))),
     "scale_hll_grouped" -> ((s, d) => ScaleOps.hllGrouped(Tables.events(s, d))),
     "scale_integrity" -> ((s, d) => ScaleOps.integrityAudit(
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
@@ -3684,6 +3685,38 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  TRUE AS within_bound
         |FROM t JOIN h ON h.grp = t.grp
         |ORDER BY t.grp, t.q_label""".stripMargin,
+    "scale_quantile_sliding" ->
+      // rolling 7-day quantile certificates per anchor day: the
+      // grouped-KLL scaffolding with grp = window anchor; exact
+      // per-window order statistics + per-window integer bounds
+      """WITH v AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 10000) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), anchors AS (SELECT DISTINCT day AS anchor FROM v),
+        |w AS (
+        |  SELECT a.anchor, v.cents FROM v JOIN anchors a
+        |    ON v.day <= a.anchor AND v.day >= a.anchor - 6
+        |), n AS (SELECT anchor, count(*) AS n FROM w GROUP BY 1),
+        |h AS (
+        |  SELECT n.anchor, max(p) AS hh FROM generate_series(0, 62) s(p), n
+        |  WHERE (CAST(1 AS BIGINT) << p) <= greatest(n.n // 127, 1)
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT anchor, cents,
+        |    row_number() OVER (PARTITION BY anchor ORDER BY cents) AS rk FROM w
+        |), t AS (
+        |  SELECT n.anchor, q_label, (num * n.n + den - 1) // den AS target_rank, n.n
+        |  FROM (VALUES ('p25', 1, 4), ('p50', 2, 4), ('p75', 3, 4),
+        |               ('p90', 9, 10), ('p99', 99, 100)) q(q_label, num, den), n
+        |)
+        |SELECT t.anchor AS day, t.q_label, t.n, t.target_rank,
+        |  ((h.hh + 2) * t.n + 126) // 127 AS bound_rank,
+        |  (SELECT r.cents FROM r
+        |     WHERE r.anchor = t.anchor AND r.rk = t.target_rank) AS exact_value,
+        |  TRUE AS within_bound
+        |FROM t JOIN h ON h.anchor = t.anchor
+        |ORDER BY day, q_label""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

@@ -2173,6 +2173,39 @@ object ScaleOps {
     kllQuantileReportGrouped(cents, entries, k)
   }
 
+  /** SLIDING-WINDOW QUANTILES from stored daily summaries — the
+    * [[hllSliding]] shape on the rank axis ("rolling weekly p99 of
+    * event value", the latency/SLO report every ops deployment runs):
+    * per-day `graft_kll` summaries (≤ k·log rows/day, written once at
+    * ingest — [[kllStream]] at daily epochs IS this table), each
+    * trailing window's summary = the UNION of its days' summaries
+    * (zero re-compaction error, the kllMerged argument), certified
+    * per window by the shared grouped core against the bound on the
+    * WINDOW's n. The per-window exact order statistics are the AUDIT
+    * side only — at 100 TB that ×windowDays fan-out is the cost the
+    * sketch path exists to avoid; production reads the daily summary
+    * table and answers every window from ≤ windowDays·k·log rows. */
+  def quantileSliding(events: DataFrame, k: Int = 128,
+                      windowDays: Int = 7): DataFrame = {
+    val vals = Dedup.materialized(events
+      .select(to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("cents"))
+      .filter(col("cents").isNotNull && col("day").isNotNull))
+    val daily = vals.groupBy(col("day"))
+      .agg(graft.functions.F.kllSketch(col("cents"), k).as("sk"))
+      .select(col("day"), explode(col("sk")).as("e"))
+      .select(col("day"), col("e.lvl").as("lvl"), col("e.v").as("v"))
+    val anchors = daily.select(col("day").as("anchor")).distinct()
+    val inWindow = col("day") <= col("anchor") &&
+      col("day") >= date_sub(col("anchor"), windowDays - 1)
+    val entries = daily.join(broadcast(anchors), inWindow)
+      .select(col("anchor").as("grp"), col("lvl"), col("v"))
+    val cents = vals.join(broadcast(anchors), inWindow)
+      .select(col("anchor").as("grp"), col("cents"))
+    kllQuantileReportGrouped(cents, entries, k)
+      .withColumnRenamed("grp", "day")
+  }
+
   /** One micro-batch's KLL summary as (lvl, v) rows. */
   def kllTable(vals: DataFrame, k: Int = 256): DataFrame =
     vals.agg(graft.functions.F.kllSketch(col("v"), k).as("sk"))

@@ -157,6 +157,35 @@ class KllSpec extends AnyFunSuite {
       "grouped exact_value is the true per-group order statistic")
   }
 
+  test("sliding windows certify per anchor and react when a shifted day enters the window") {
+    val spark = this.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 10 days of value ~ N(10, 1); day 6 is shifted to ~ N(1000, 1)
+    val rows = (1 to 10).flatMap { d =>
+      val base = if (d == 6) 1000.0 else 10.0
+      (0 until 400).map { i =>
+        (java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00"),
+          base + rnd.nextGaussian())
+      }
+    }.toDF("ts", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+    val out = graft.operators.ScaleOps
+      .quantileSliding(rows, k = 64, windowDays = 3).collect()
+    assert(out.length == 10 * 5, "10 anchors x 5 labels")
+    assert(out.forall(_.getAs[Boolean]("within_bound")),
+      "every window certificate must hold")
+    val p75 = out.filter(_.getString(1) == "p75")
+      .map(r => (r.getDate(0).toString, r.getAs[Long]("exact_value"))).toMap
+    // 3-day windows: day 6's shifted values are >1/3 of windows 6..8,
+    // so their p75 jumps to the shifted mode; window 5 and 9 don't
+    assert(p75("2024-03-05") < 200000L && p75("2024-03-09") < 200000L,
+      s"unshifted windows stay at the base mode: $p75")
+    assert(Seq("2024-03-06", "2024-03-07", "2024-03-08")
+      .forall(d => p75(d) > 5000000L),
+      s"windows containing day 6 must surface the shift: $p75")
+  }
+
   test("SQL face graft_kll resolves and matches the Column face") {
     val spark = this.spark
     import spark.implicits._
