@@ -293,6 +293,7 @@ object SparkEntry {
     "scale_quantile_sketch" -> ((s, d) => ScaleOps.quantileSketch(Tables.orders(s, d))),
     "scale_quantile_grouped" -> ((s, d) => ScaleOps.quantileSketchGrouped(Tables.orders(s, d))),
     "scale_quantile_sliding" -> ((s, d) => ScaleOps.quantileSliding(Tables.events(s, d))),
+    "scale_join_estimate" -> ((s, d) => ScaleOps.joinEstimate(Tables.orders(s, d), Tables.lineitem(s, d))),
     "scale_hll_grouped" -> ((s, d) => ScaleOps.hllGrouped(Tables.events(s, d))),
     "scale_integrity" -> ((s, d) => ScaleOps.integrityAudit(
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
@@ -3717,6 +3718,44 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  TRUE AS within_bound
         |FROM t JOIN h ON h.anchor = t.anchor
         |ORDER BY day, q_label""".stripMargin,
+    "scale_join_estimate" ->
+      // CM inner-product join-size estimate vs the exact identity
+      // sum_k cA(k)*cB(k) — all integers on the portable md5 hash;
+      // the estimate provably never underestimates
+      """WITH a AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+        |           WHERE o_orderkey IS NOT NULL),
+        |b AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+        |      WHERE l_orderkey IS NOT NULL),
+        |ca AS (
+        |  SELECT r.r AS row,
+        |    CAST(('0x' || substr(md5(k || ':cm' || r.r), 1, 15)) AS BIGINT) % 512 AS cell,
+        |    count(*) AS cnt
+        |  FROM a, (SELECT unnest(range(4)) AS r) r GROUP BY 1, 2
+        |), cb AS (
+        |  SELECT r.r AS row,
+        |    CAST(('0x' || substr(md5(k || ':cm' || r.r), 1, 15)) AS BIGINT) % 512 AS cell,
+        |    count(*) AS cnt
+        |  FROM b, (SELECT unnest(range(4)) AS r) r GROUP BY 1, 2
+        |), ip AS (
+        |  SELECT ca.row, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+        |  FROM ca JOIN cb ON ca.row = cb.row AND ca.cell = cb.cell GROUP BY 1
+        |), est AS (SELECT min(ip) AS est_join_rows FROM ip),
+        |ex AS (
+        |  SELECT CAST(COALESCE(sum(x.ca * y.cb), 0) AS BIGINT) AS exact_join_rows
+        |  FROM (SELECT k, count(*) AS ca FROM a GROUP BY 1) x
+        |  JOIN (SELECT k, count(*) AS cb FROM b GROUP BY 1) y USING (k)
+        |), sz AS (
+        |  SELECT (SELECT count(*) FROM orders) AS n_a,
+        |         (SELECT count(*) FROM lineitem) AS n_b
+        |)
+        |SELECT sz.n_a, sz.n_b, ex.exact_join_rows, est.est_join_rows,
+        |  est.est_join_rows >= ex.exact_join_rows AS never_underestimates,
+        |  10000 * (est.est_join_rows - ex.exact_join_rows) // ex.exact_join_rows
+        |    AS overshoot_bp,
+        |  sz.n_a * sz.n_b // 512 AS noise_budget,
+        |  est.est_join_rows - ex.exact_join_rows
+        |    <= 3 * (sz.n_a * sz.n_b // 512) AS within_noise
+        |FROM sz, ex, est""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

@@ -664,13 +664,73 @@ object ScaleOps {
     * spec can sum two half-corpus sketches and compare to the full
     * one. */
   private[graft] def countMinTable(events: DataFrame, depth: Int = 4,
-                                   width: Int = 512): DataFrame = {
-    val keyed = events.select(col("user_id").cast("string").as("k"))
-    keyed
+                                   width: Int = 512): DataFrame =
+    cmTableOf(events.select(col("user_id").cast("string").as("k")),
+      depth, width)
+
+  /** The sparse CM table of an arbitrary key frame (string column
+    * `k`): one scan, ≤ depth·width groups, map-side combinable. */
+  private[graft] def cmTableOf(keys: DataFrame, depth: Int,
+                               width: Int): DataFrame =
+    keys
       .select(posexplode(array((0 until depth).map(i =>
           cmCell(col("k"), i, width)): _*)).as(Seq("row", "cell")))
       .groupBy(col("row"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** JOIN-SIZE ESTIMATION FROM SKETCHES — |A ⋈ B| via the count-min
+    * inner product (Cormode & Muthukrishnan '05; the AGMS idea on CM
+    * structure): est = min over sketch rows r of Σ_cell
+    * cmA[r,c]·cmB[r,c]. Collisions only ADD cross terms, so the
+    * estimate NEVER underestimates — a deterministic one-sided
+    * theorem re-checked in the output, like scale_countmin's. The
+    * 100 TB companion to 47j's exact preflight: the exact identity
+    * Σ_k cA(k)·cB(k) costs a key-grain aggregate of BOTH tables per
+    * question, while the sketches are ≤ depth·width rows each,
+    * maintained per ingest epoch ([[countMinStream]]'s contract —
+    * inner products of stored sketches answer join-size questions
+    * for ANY table pair without touching either corpus). Both the
+    * estimate and the exact audit are pure integers on the portable
+    * md5 hash, so every column hash-matches the oracle. Width is the
+    * accuracy/overflow knob: cross terms grow as |A|·|B|/width, so a
+    * 100 TB deployment widens the sketch (cell counts and products
+    * stay far under 2^63 once width tracks corpus scale).
+    *
+    * READ THE ESTIMATE AS A CERTIFIED UPPER BOUND: on near-unique
+    * keys (this orderkey join) the collision noise ~|A|·|B|/width
+    * dominates a small true size, so est answers "can this join
+    * explode?" (admission control — the only question a planner asks
+    * at sketch cost), not "how big exactly"; on the skewed joins
+    * that DO explode, the true Σ cA·cB dominates the noise and the
+    * estimate tightens (spec-planted). `noise_budget` states the
+    * expected collision mass so the report reads honestly. */
+  def joinEstimate(orders: DataFrame, lineitem: DataFrame,
+                   depth: Int = 4, width: Int = 512): DataFrame = {
+    val a = orders.select(col("o_orderkey").cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val b = lineitem.select(col("l_orderkey").cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val est = cmTableOf(a, depth, width)
+      .join(cmTableOf(b, depth, width).withColumnRenamed("cnt", "cnt_b"),
+        Seq("row", "cell"))
+      .groupBy(col("row"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("est_join_rows"))
+    val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_rows"))
+    orders.agg(count(lit(1)).as("n_a"))
+      .crossJoin(lineitem.agg(count(lit(1)).as("n_b")))
+      .crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+      .select(col("n_a"), col("n_b"),
+        col("exact_join_rows"), col("est_join_rows"),
+        (col("est_join_rows") >= col("exact_join_rows")).as("never_underestimates"),
+        expr("CASE WHEN exact_join_rows > 0 THEN " +
+          "10000L * (est_join_rows - exact_join_rows) div exact_join_rows END")
+          .as("overshoot_bp"),
+        expr(s"n_a * n_b div $width").as("noise_budget"),
+        expr(s"est_join_rows - exact_join_rows <= 3L * (n_a * n_b div $width)")
+          .as("within_noise"))
   }
 
   /** Ingest-time SKETCH MAINTENANCE — the stream half of the CMS

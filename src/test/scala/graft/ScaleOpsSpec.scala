@@ -731,6 +731,33 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(uniformRouted == want, "window-routed output must equal the original")
   }
+
+  test("joinEstimate: certified upper bound always; tight on the skewed joins that explode") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // skewed: one hot key carries the join — true size dominates noise
+    val a = (Seq.fill(1000)(77L) ++ (1L to 200L).map(_ + 1000L))
+      .toDF("o_orderkey")
+    val b = (Seq.fill(2000)(77L) ++ (1L to 300L).map(_ + 5000L))
+      .toDF("l_orderkey")
+    val out = graft.operators.ScaleOps.joinEstimate(a, b).head()
+    val exact = out.getAs[Long]("exact_join_rows")
+    val est = out.getAs[Long]("est_join_rows")
+    assert(exact >= 2000000L, s"hot key dominates: $exact")
+    assert(out.getAs[Boolean]("never_underestimates") && est >= exact)
+    assert(out.getAs[Long]("overshoot_bp") < 100L,
+      s"exploding joins estimate tightly: est=$est exact=$exact")
+    assert(out.getAs[Boolean]("within_noise"))
+
+    // disjoint keys: exact 0, estimate still a (noisy) upper bound,
+    // overshoot undefined rather than a division error
+    val c = (1L to 500L).toDF("o_orderkey")
+    val d2 = (10001L to 10500L).toDF("l_orderkey")
+    val out2 = graft.operators.ScaleOps.joinEstimate(c, d2).head()
+    assert(out2.getAs[Long]("exact_join_rows") == 0L)
+    assert(out2.getAs[Boolean]("never_underestimates"))
+    assert(out2.isNullAt(out2.fieldIndex("overshoot_bp")))
+  }
 }
 
 class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -2693,4 +2720,5 @@ class KmvSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(spark.read.parquet(s"$dir/delta-b0").collect().toSet == d0,
       "a replayed epoch must reproduce its delta sketch exactly")
   }
+
 }
