@@ -120,6 +120,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
+    "dedup_edit_distance" -> ((s, d) => Dedup.dedupEditDistance(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     "dedup_minhash_fast" -> ((s, d) => Dedup.dedupMinhashLshFast(Tables.documents(s, d))),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(Tables.documents(s, d))),
@@ -2734,6 +2735,29 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "dedup_edit_distance" ->
+      // same blocked candidate generation (lang : length-band :
+      // 2-char prefix, block capped at 64 by doc_id rank), exact
+      // Levenshtein verify — the gate mirrors the blocking, so it is
+      // exact rather than recall-fuzzy
+      """WITH t0 AS (
+        |  SELECT doc_id, lang, lower(trim(substr(text, 1, 40))) AS title
+        |  FROM documents WHERE lang IS NOT NULL
+        |), t1 AS (
+        |  SELECT doc_id, title,
+        |    lang || ':' || CAST(length(title) // 8 AS VARCHAR) || ':' ||
+        |      substr(title, 1, 2) AS blk,
+        |    row_number() OVER (
+        |      PARTITION BY lang || ':' || CAST(length(title) // 8 AS VARCHAR)
+        |        || ':' || substr(title, 1, 2)
+        |      ORDER BY doc_id) AS rn
+        |  FROM t0 WHERE title <> ''
+        |), t AS (SELECT * FROM t1 WHERE rn <= 64)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 3
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "sink_batch_assign" ->
       """SELECT event_id, user_id,
         | CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) / 100) AS BIGINT) AS batch_id

@@ -880,4 +880,44 @@ object Dedup {
         (-col("b.nid")).as("keep_id"), col("b.p_keep").as("keep_quality"))
       .orderBy(col("cluster_id"))
   }
+
+  /** EDIT-DISTANCE NEAR-DUP PAIRS over a short derived field — the
+    * title/URL-grade fuzzy dedup (OCR noise, trailing-punct variants,
+    * case drift) that shingle Jaccard over-fragments on: candidate
+    * pairs form only inside (lang, length-band, 2-char-prefix)
+    * blocks, each block capped at `maxBlockSize` rows (the
+    * fingerprint-family bound — candidates ≤ blocks·cap²/2 BY
+    * CONSTRUCTION), then exact Levenshtein ≤ `maxDist` verifies each
+    * candidate row-locally (O(titleLen²) per pair, a constant).
+    * Blocking is the stated recall tradeoff (an edit in the first
+    * two chars or across a length-band edge escapes the block — the
+    * classic multi-pass/sorted-neighborhood extension point, same
+    * contract as dedup_ngram_blocked); distance-0 pairs always
+    * co-block. The oracle mirrors the SAME blocked generation, so
+    * the gate is exact, not recall-fuzzy. */
+  def dedupEditDistance(documents: DataFrame, maxDist: Int = 3,
+                        titleLen: Int = 40,
+                        maxBlockSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = documents
+      .select(col("doc_id"), col("lang"),
+        lower(trim(substring(col("text"), 1, titleLen))).as("title"))
+      .filter(col("title") =!= "" && col("lang").isNotNull)
+      .withColumn("blk", concat_ws(":", col("lang"),
+        expr("CAST(length(title) div 8 AS STRING)"),
+        substring(col("title"), 1, 2)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= maxBlockSize)
+    val a = t.select(col("blk"), col("doc_id").as("doc_id_a"),
+      col("title").as("ta"))
+    val b = t.select(col("blk"), col("doc_id").as("doc_id_b"),
+      col("title").as("tb"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
 }

@@ -758,6 +758,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out2.getAs[Boolean]("never_underestimates"))
     assert(out2.isNullAt(out2.fieldIndex("overshoot_bp")))
   }
+
+
+  test("dedupEditDistance: planted 1..3-edit pairs verify; over-threshold and cross-block pairs do not") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the dog"),
+      (2L, "en", "the quick brown fox jumps over the dogs"),   // 1 edit vs 1
+      (3L, "en", "the quick brawn fox jumps over the dig"),    // 2 edits vs 1
+      (4L, "en", "a completely different headline entirely"),  // far from all
+      (5L, "de", "the quick brown fox jumps over the dog"),    // other lang block
+      (6L, "en", "zz quick brown fox jumps over the dogx")     // prefix-block miss
+    ).toDF("doc_id", "lang", "text")
+    val pairs = graft.operators.Dedup.dedupEditDistance(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 1-2 (1 edit), 1-3 (2 edits), 2-3 (3 edits) inside the en block;
+    // 4 too far; 5 blocks under de; 6 escapes via the 2-char prefix
+    // (the documented recall bound of single-pass blocking)
+    assert(pairs == Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 3L)),
+      s"got $pairs")
+    // dist-0 pairs always co-block: identical titles, any block key
+    val twins = Seq((10L, "en", "same exact title here"),
+      (11L, "en", "same exact title here")).toDF("doc_id", "lang", "text")
+    val t2 = graft.operators.Dedup.dedupEditDistance(twins).collect()
+    assert(t2.length == 1 && t2.head.getLong(2) == 0L)
+  }
 }
 
 class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
