@@ -107,6 +107,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextOps.textTokens(Tables.documents(s, d))),
     "text_token_spectrum" -> ((s, d) => TextOps.tokenSpectrum(Tables.documents(s, d))),
     "text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(Tables.documents(s, d))),
+    "text_phrase_search" -> ((s, d) => TextOps.phraseSearch(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.textLangid(Tables.documents(s, d))),
     "text_pii_redact" -> ((s, d) => TextOps.piiRedact(Tables.documents(s, d))),
@@ -1365,6 +1366,38 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  dc.n_docs, f.n_tokens, f.vocab_size, f.n_hapax
         |FROM folded f JOIN dc ON dc.step = f.step
         |ORDER BY step""".stripMargin,
+    "text_phrase_search" ->
+      // top-5 corpus trigrams, then the positional probe: seek word 1,
+      // verify words 2/3 at pos+1/pos+2 — all exact integers
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), tk0 AS (
+        |  SELECT doc_id, unnest(toks) AS term,
+        |    unnest(generate_series(1, len(toks))) AS pos
+        |  FROM t0
+        |), tk AS (SELECT * FROM tk0 WHERE term <> ''), tri AS (
+        |  SELECT a.term AS p1, b.term AS p2, c.term AS p3, count(*) AS f
+        |  FROM tk a
+        |  JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tk c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  GROUP BY 1, 2, 3
+        |), phrases AS (
+        |  SELECT p1, p2, p3 FROM tri
+        |  ORDER BY f DESC, p1, p2, p3 LIMIT 5
+        |), hits AS (
+        |  SELECT p.p1, p.p2, p.p3, a.doc_id
+        |  FROM tk a JOIN phrases p ON a.term = p.p1
+        |  JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |    AND b.term = p.p2
+        |  JOIN tk c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |    AND c.term = p.p3
+        |)
+        |SELECT p1 || ' ' || p2 || ' ' || p3 AS phrase,
+        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM hits GROUP BY 1
+        |ORDER BY n_occ DESC, phrase""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, length(text) AS n_chars,

@@ -1767,4 +1767,53 @@ object TextOps {
         "(step, doc_threshold, n_docs, n_tokens, vocab_size, n_hapax)")
       .orderBy(col("step"))
   }
+
+  /** POSITIONAL PHRASE SEARCH — exact multi-word phrase lookup over a
+    * positional inverted index, the IR capability bag-of-words BM25
+    * cannot express ("foo bar baz" as CONSECUTIVE words, not co-
+    * occurrence). Query set: the corpus's own top-`nPhrases` trigrams
+    * (freq desc, phrase asc — deterministic), derived by per-doc lead
+    * windows. The SEARCH path is the real positional algorithm and
+    * deliberately not the derivation path: seek the index on the
+    * phrase's FIRST term, then verify word 2 at pos+1 and word 3 at
+    * pos+2 by re-probing the index — two equi-joins on
+    * (doc_id, pos+k, term), each candidate row-local after the seek.
+    * At 100 TB the (doc_id, pos, term) frame is the stored positional
+    * index (term-bucketed, written once per corpus epoch — the
+    * text_bm25_stored rule); a phrase query touches only its terms'
+    * postings, never the corpus. */
+  def phraseSearch(documents: DataFrame, nPhrases: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Dedup.materialized(documents
+      .select(col("doc_id"), posexplode(split(trim(lower(col("text"))),
+        "\\s+")).as(Seq("pos", "term")))
+      .filter(col("term") =!= ""))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tri = toks
+      .withColumn("w2", lead(col("term"), 1).over(byDoc))
+      .withColumn("w3", lead(col("term"), 2).over(byDoc))
+      .filter(col("w2").isNotNull && col("w3").isNotNull)
+    val phrases = tri.groupBy(col("term").as("p1"), col("w2").as("p2"),
+        col("w3").as("p3"))
+      .agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("p1"), col("p2"), col("p3"))
+      .limit(nPhrases)
+      .select(col("p1"), col("p2"), col("p3"))
+    // the positional probe: seek on word 1, verify words 2 and 3
+    val hit1 = toks.join(broadcast(phrases), col("term") === col("p1"))
+      .select(col("doc_id"), col("pos"), col("p1"), col("p2"), col("p3"))
+    val hit2 = hit1.join(toks
+        .select(col("doc_id"), (col("pos") - 1).as("pos"), col("term").as("t2")),
+      Seq("doc_id", "pos"))
+      .filter(col("t2") === col("p2"))
+    val hit3 = hit2.join(toks
+        .select(col("doc_id"), (col("pos") - 2).as("pos"), col("term").as("t3")),
+      Seq("doc_id", "pos"))
+      .filter(col("t3") === col("p3"))
+    hit3.groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .select(concat_ws(" ", col("p1"), col("p2"), col("p3")).as("phrase"),
+        col("n_docs"), col("n_occ"))
+      .orderBy(col("n_occ").desc, col("phrase"))
+  }
 }

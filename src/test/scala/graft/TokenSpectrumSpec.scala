@@ -87,4 +87,23 @@ class TokenSpectrumSpec extends AnyFunSuite {
     assert(vocabs.zip(vocabs.tail).forall { case (a, b) => a <= b })
     assert(toks.zip(toks.tail).forall { case (a, b) => a <= b })
   }
+
+  test("phraseSearch: positional verify counts overlapping occurrences and distinct docs exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // "go go go go" holds the trigram "go go go" TWICE (overlapping);
+    // the same phrase appears once in doc 2; filler trigrams are rarer
+    val docs = Seq(
+      (1L, "go go go go"),
+      (2L, "then go go go stop"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "alpha beta gamma other")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.phraseSearch(docs, nPhrases = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2)
+    assert(out(0) == ("go go go", 2L, 3L),
+      s"overlapping occurrences count positionally: ${out.toSeq}")
+    assert(out(1) == ("alpha beta gamma", 2L, 2L), s"got ${out.toSeq}")
+  }
 }
