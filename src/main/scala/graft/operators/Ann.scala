@@ -746,7 +746,9 @@ object Ann {
       annBruteforce(base.select(col("vec_id"),
           slice(col("embedding"), 1, d).as("embedding")), k, stride)
         .select(col("q_id"), col("neighbor_id"))
-        .join(truth, Seq("q_id", "neighbor_id"))
+        // queries×k rows on both sides — pin the broadcast instead of
+        // letting the aggregate's over-stated size estimate pick SMJ
+        .join(broadcast(truth), Seq("q_id", "neighbor_id"))
         .agg(coalesce(count(lit(1)), lit(0L)).as("hits"))
         .select(lit(d.toLong).as("dim"), col("hits"))
     }.reduce(_ unionByName _)

@@ -909,9 +909,12 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
       .filter(col("rn") <= maxBlockSize)
-    val a = t.select(col("blk"), col("doc_id").as("doc_id_a"),
+    // both pair sides read the blocked frame — materialize so the
+    // title window runs once, not once per side
+    val tm = materialized(t)
+    val a = tm.select(col("blk"), col("doc_id").as("doc_id_a"),
       col("title").as("ta"))
-    val b = t.select(col("blk"), col("doc_id").as("doc_id_b"),
+    val b = tm.select(col("blk"), col("doc_id").as("doc_id_b"),
       col("title").as("tb"))
     a.join(b, Seq("blk"))
       .filter(col("doc_id_a") < col("doc_id_b"))

@@ -2206,7 +2206,7 @@ object ScaleOps {
         col("target_rank"))
       .agg(sum(when(col("cents") <= col("est_v"), 1L).otherwise(0L)).as("cnt_le"),
         sum(when(col("cents") < col("est_v"), 1L).otherwise(0L)).as("cnt_lt"))
-    audit.join(exact, Seq("grp", "q_label"))
+    audit.join(broadcast(exact), Seq("grp", "q_label"))
       .select(col("grp"), col("q_label"), col("n"), col("target_rank"),
         col("bound").as("bound_rank"), col("exact_value"),
         (col("cnt_le") >= col("target_rank") - col("bound") &&
