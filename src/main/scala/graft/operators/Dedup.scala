@@ -328,8 +328,7 @@ object Dedup {
         prefix = "", exclude = Set(s"b$batchId"))
         require(epochs.nonEmpty, s"no signature epochs under $indexDir — " +
           "seed the index with the corpus signatures before streaming")
-        val index = epochs.map(d => spark.read.parquet(d))
-          .reduce(_ unionByName _)
+        val index = spark.read.parquet(epochs: _*)
         val verdicts = materialized(
           probeCorpus(batchSigs, index, numPerm, bands, threshold))
         try {

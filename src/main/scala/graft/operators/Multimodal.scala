@@ -707,8 +707,7 @@ object Multimodal {
         prefix = "", exclude = Set(s"b$batchId"))
       require(epochs.nonEmpty, s"no signature epochs under $indexDir — " +
         "seed the index with phashIndexSeed before streaming")
-      val corpus = epochs.map(d => spark.read.parquet(d))
-        .reduce(_ unionByName _)
+      val corpus = spark.read.parquet(epochs: _*)
       val verdicts = probePhash(batchSigs, corpus, hammingMax)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

@@ -314,7 +314,7 @@ object ScaleOps {
   def histMerged(spark: SparkSession, sketchDir: String): DataFrame = {
     val deltas = StoredArtifacts.listEpochs(spark, sketchDir)
     require(deltas.nonEmpty, s"no delta histograms under $sketchDir")
-    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+    spark.read.parquet(deltas: _*)
       .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
   }
 
@@ -491,14 +491,12 @@ object ScaleOps {
     val deltas = StoredArtifacts.listEpochs(spark, profDir,
       subTables = Seq("stats", "regs"))
     require(deltas.nonEmpty, s"no profile deltas under $profDir")
-    val stats = deltas.map(d => spark.read.parquet(s"$d/stats"))
-      .reduce(_ unionByName _)
+    val stats = spark.read.parquet(deltas.map(d => s"$d/stats"): _*)
       .groupBy(col("col_name"))
       .agg(sum(col("n_values")).as("n_values"), sum(col("n_null")).as("n_null"),
         min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"),
         sum(col("total_strlen")).as("total_strlen"))
-    val regRows = deltas.map(d => spark.read.parquet(s"$d/regs"))
-      .reduce(_ unionByName _)
+    val regRows = spark.read.parquet(deltas.map(d => s"$d/regs"): _*)
       .groupBy(col("col_name"), col("reg")).agg(max(col("m_reg")).as("m_reg"))
       .collect()  // ≤ columns × m rows — metadata-scale
     val ests = regRows.groupBy(_.getString(0)).map { case (c, rows) =>
@@ -591,7 +589,7 @@ object ScaleOps {
   def bloomMerged(spark: SparkSession, bloomDir: String): DataFrame = {
     val deltas = StoredArtifacts.listEpochs(spark, bloomDir)
     require(deltas.nonEmpty, s"no bloom deltas under $bloomDir")
-    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+    spark.read.parquet(deltas: _*)
       .distinct()
   }
 
@@ -755,7 +753,7 @@ object ScaleOps {
   def countMinMerged(spark: SparkSession, sketchDir: String): DataFrame = {
     val deltas = StoredArtifacts.listEpochs(spark, sketchDir)
     require(deltas.nonEmpty, s"no delta sketches under $sketchDir")
-    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+    spark.read.parquet(deltas: _*)
       .groupBy(col("row"), col("cell"))
       .agg(sum(col("cnt")).as("cnt"))
   }
@@ -962,7 +960,7 @@ object ScaleOps {
   def hllMerged(spark: SparkSession, sketchDir: String): DataFrame = {
     val deltas = StoredArtifacts.listEpochs(spark, sketchDir)
     require(deltas.nonEmpty, s"no delta sketches under $sketchDir")
-    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+    spark.read.parquet(deltas: _*)
       .groupBy(col("reg")).agg(max(col("m_reg")).as("m_reg"))
   }
 
@@ -1486,8 +1484,7 @@ object ScaleOps {
   def cdcSnapshot(spark: SparkSession, logDir: String): DataFrame = {
     val deltas = StoredArtifacts.listEpochs(spark, logDir)
     require(deltas.nonEmpty, s"no CDC epochs under $logDir")
-    cdcApply(deltas.map(d => spark.read.parquet(d))
-      .reduce(_ unionByName _))
+    cdcApply(spark.read.parquet(deltas: _*))
   }
 
   /** Bottom-k (KMV) sketch table for segmented key sets: one corpus
@@ -1898,8 +1895,7 @@ object ScaleOps {
     val spark = rows.sparkSession
     val deltas = StoredArtifacts.listEpochs(spark, summaryDir)
     require(deltas.nonEmpty, s"no weighted MG summaries under $summaryDir")
-    val summary = deltas.map(d => spark.read.parquet(d))
-      .reduce(_ unionByName _)
+    val summary = spark.read.parquet(deltas: _*)
     val total = summary.filter(col("tok").isNull)
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("w_total"))
     val candidates = summary.filter(col("tok").isNotNull)
@@ -1925,7 +1921,7 @@ object ScaleOps {
     val deltas = StoredArtifacts.listEpochs(spark, summaryDir)
     require(deltas.nonEmpty, s"no MG summaries under $summaryDir")
     exactHeavyTail(toks,
-      deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _), s)
+      spark.read.parquet(deltas: _*), s)
   }
 
   /** KMV OVERLAP MATRIX — every pairwise segment overlap from
@@ -2080,7 +2076,7 @@ object ScaleOps {
   def kmvMerged(spark: SparkSession, sketchDir: String, k: Int = 512): DataFrame = {
     val deltas = StoredArtifacts.listEpochs(spark, sketchDir)
     require(deltas.nonEmpty, s"no KMV sketches under $sketchDir")
-    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+    spark.read.parquet(deltas: _*)
       .select(col("side"), col("h")).distinct()
       .groupBy(col("side"))
       .agg(graft.functions.F.topk((-col("h")).cast("double"), col("h"), k)
@@ -2289,7 +2285,7 @@ object ScaleOps {
   def kllMerged(spark: SparkSession, sketchDir: String): DataFrame = {
     val deltas = StoredArtifacts.listEpochs(spark, sketchDir)
     require(deltas.nonEmpty, s"no KLL summaries under $sketchDir")
-    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+    spark.read.parquet(deltas: _*)
   }
 
   /** ZONE MAPS — block-level min/max data-skipping stats, the
@@ -2356,7 +2352,7 @@ object ScaleOps {
   def zonemapMerged(spark: SparkSession, mapDir: String): DataFrame = {
     val deltas = StoredArtifacts.listEpochs(spark, mapDir)
     require(deltas.nonEmpty, s"no zonemap epochs under $mapDir")
-    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+    spark.read.parquet(deltas: _*)
       .groupBy(col("block_id"))
       .agg(sum(col("n_rows")).as("n_rows"),
         min(col("min_ship")).as("min_ship"), max(col("max_ship")).as("max_ship"),
@@ -2422,7 +2418,7 @@ object ScaleOps {
   def m4Merged(spark: SparkSession, mapDir: String): DataFrame = {
     val deltas = StoredArtifacts.listEpochs(spark, mapDir)
     require(deltas.nonEmpty, s"no M4 epochs under $mapDir")
-    deltas.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+    spark.read.parquet(deltas: _*)
       .groupBy(col("series"), col("bucket"))
       .agg(sum(col("n_points")).as("n_points"),
         min(struct(col("first_us"), col("first_id"), col("first_bp"))).as("f"),
