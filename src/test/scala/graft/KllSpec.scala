@@ -186,6 +186,23 @@ class KllSpec extends AnyFunSuite {
       s"windows containing day 6 must surface the shift: $p75")
   }
 
+  test("merged faces plan ONE scan regardless of epoch count (multi-path read)") {
+    val spark = this.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll-plan").toString
+    for (b <- 0 until 12)
+      Seq((0, b.toLong)).toDF("lvl", "v").write.parquet(s"$dir/delta-b$b")
+    val merged = graft.operators.ScaleOps.kllMerged(spark, dir)
+    assert(merged.count() == 12L)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert("FileScan parquet|BatchScan".r.findAllIn(plan).size == 1,
+      s"12 epochs must still plan one scan node:\n$plan")
+    assert(plan.contains("12 paths"),
+      s"the one scan's file index holds every epoch:\n$plan")
+    assert(!plan.contains("Union"),
+      "no union branch per epoch in the merged face")
+  }
+
   test("SQL face graft_kll resolves and matches the Column face") {
     val spark = this.spark
     import spark.implicits._
