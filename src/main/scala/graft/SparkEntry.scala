@@ -3802,8 +3802,10 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  FROM (SELECT k, count(*) AS ca FROM a GROUP BY 1) x
         |  JOIN (SELECT k, count(*) AS cb FROM b GROUP BY 1) y USING (k)
         |), sz AS (
-        |  SELECT (SELECT count(*) FROM orders) AS n_a,
-        |         (SELECT count(*) FROM lineitem) AS n_b
+        |  -- sketched (non-NULL-key) row counts: the noise-budget
+        |  -- denominator is what the sketches actually ingested
+        |  SELECT (SELECT count(*) FROM a) AS n_a,
+        |         (SELECT count(*) FROM b) AS n_b
         |)
         |SELECT sz.n_a, sz.n_b, ex.exact_join_rows, est.est_join_rows,
         |  est.est_join_rows >= ex.exact_join_rows AS never_underestimates,

@@ -704,10 +704,14 @@ object ScaleOps {
     * expected collision mass so the report reads honestly. */
   def joinEstimate(orders: DataFrame, lineitem: DataFrame,
                    depth: Int = 4, width: Int = 512): DataFrame = {
-    val a = orders.select(col("o_orderkey").cast("string").as("k"))
-      .filter(col("k").isNotNull)
-    val b = lineitem.select(col("l_orderkey").cast("string").as("k"))
-      .filter(col("k").isNotNull)
+    // each side feeds its sketch, the exact-identity audit and the
+    // size count — materialize so each source parquet scans ONCE
+    val a = Dedup.materialized(orders
+      .select(col("o_orderkey").cast("string").as("k"))
+      .filter(col("k").isNotNull))
+    val b = Dedup.materialized(lineitem
+      .select(col("l_orderkey").cast("string").as("k"))
+      .filter(col("k").isNotNull))
     val est = cmTableOf(a, depth, width)
       .join(cmTableOf(b, depth, width).withColumnRenamed("cnt", "cnt_b"),
         Seq("row", "cell"))
@@ -717,8 +721,8 @@ object ScaleOps {
     val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
       .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_rows"))
-    orders.agg(count(lit(1)).as("n_a"))
-      .crossJoin(lineitem.agg(count(lit(1)).as("n_b")))
+    a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
       .crossJoin(broadcast(est)).crossJoin(broadcast(exact))
       .select(col("n_a"), col("n_b"),
         col("exact_join_rows"), col("est_join_rows"),
