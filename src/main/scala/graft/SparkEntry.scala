@@ -108,6 +108,11 @@ object SparkEntry {
     "text_token_spectrum" -> ((s, d) => TextOps.tokenSpectrum(Tables.documents(s, d))),
     "text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(Tables.documents(s, d))),
     "text_phrase_search" -> ((s, d) => TextOps.phraseSearch(Tables.documents(s, d))),
+    "text_phrase_search_stored" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.phraseSearchStored(s,
+        TextOps.ensurePosIndex(docs, TextOps.defaultPosIndexDir(docs, d)))
+    }),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.textLangid(Tables.documents(s, d))),
     "text_pii_redact" -> ((s, d) => TextOps.piiRedact(Tables.documents(s, d))),
@@ -122,6 +127,8 @@ object SparkEntry {
     }),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
     "dedup_edit_distance" -> ((s, d) => Dedup.dedupEditDistance(Tables.documents(s, d))),
+    "dedup_edit_distance_multipass" -> ((s, d) =>
+      Dedup.dedupEditDistanceMultipass(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     "dedup_minhash_fast" -> ((s, d) => Dedup.dedupMinhashLshFast(Tables.documents(s, d))),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(Tables.documents(s, d))),
@@ -295,7 +302,10 @@ object SparkEntry {
     "scale_quantile_sketch" -> ((s, d) => ScaleOps.quantileSketch(Tables.orders(s, d))),
     "scale_quantile_grouped" -> ((s, d) => ScaleOps.quantileSketchGrouped(Tables.orders(s, d))),
     "scale_quantile_sliding" -> ((s, d) => ScaleOps.quantileSliding(Tables.events(s, d))),
+    "scale_quantile_double" -> ((s, d) => ScaleOps.quantileSketchDouble(Tables.events(s, d))),
     "scale_join_estimate" -> ((s, d) => ScaleOps.joinEstimate(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "scale_join_estimate_stored" -> ((s, d) =>
+      ScaleOps.joinEstimateStoredFace(Tables.orders(s, d), Tables.lineitem(s, d), d)),
     "scale_hll_grouped" -> ((s, d) => ScaleOps.hllGrouped(Tables.events(s, d))),
     "scale_integrity" -> ((s, d) => ScaleOps.integrityAudit(
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
@@ -1047,6 +1057,16 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // identical result by construction: the stored lexical index holds
     // exactly the tables the self-contained face derives in-query
     .updated("text_bm25_stored", oracleSqlBase("text_bm25"))
+    // CM merge is cell-wise sum, so sketches assembled from stored
+    // epoch slices ARE the whole-corpus sketches — the stored
+    // admission face estimates identically to the in-query face and
+    // gates on its oracle
+    .updated("scale_join_estimate_stored", oracleSqlBase("scale_join_estimate"))
+    // the stored positional index holds exactly the (doc_id, pos,
+    // term) frame the in-query face tokenizes, and a phrase's
+    // verified-occurrence set is seek-word-independent — identical
+    // output, one oracle
+    .updated("text_phrase_search_stored", oracleSqlBase("text_phrase_search"))
     // the hamming tuning curve aggregates the mm_phash oracle's own
     // pair chain — same banded candidate space by construction
     .updated("mm_phash_curve",
@@ -2791,6 +2811,51 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.title, b.title) <= 3
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "dedup_edit_distance_multipass" ->
+      // the SAME two-pass rotated blocking: pass 1 = (lang :
+      // length-band : 2-char prefix), pass 2 = (lang : offset
+      // length-band : 2-char SUFFIX), each capped at 64 by doc_id
+      // rank within its own block, candidates UNION + pair-dedup,
+      // then the exact Levenshtein verify — the gate mirrors both
+      // passes, so it stays exact rather than recall-fuzzy
+      """WITH t0 AS (
+        |  SELECT doc_id, lang, lower(trim(substr(text, 1, 40))) AS title
+        |  FROM documents WHERE lang IS NOT NULL
+        |), tt AS (SELECT * FROM t0 WHERE title <> ''),
+        |p1 AS (
+        |  SELECT doc_id, title,
+        |    lang || ':' || CAST(length(title) // 8 AS VARCHAR) || ':' ||
+        |      substr(title, 1, 2) AS blk
+        |  FROM tt
+        |), r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+        |  FROM p1
+        |), p2 AS (
+        |  SELECT doc_id, title,
+        |    lang || ':' || CAST((length(title) + 4) // 8 AS VARCHAR) || ':' ||
+        |      right(title, 2) AS blk
+        |  FROM tt
+        |), r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+        |  FROM p2
+        |), cand AS (
+        |  SELECT DISTINCT a_id, b_id, ta, tb FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      a.title AS ta, b.title AS tb
+        |    FROM (SELECT * FROM r1 WHERE rn <= 64) a
+        |    JOIN (SELECT * FROM r1 WHERE rn <= 64) b
+        |      ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |    UNION ALL
+        |    SELECT a.doc_id, b.doc_id, a.title, b.title
+        |    FROM (SELECT * FROM r2 WHERE rn <= 64) a
+        |    JOIN (SELECT * FROM r2 WHERE rn <= 64) b
+        |      ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  )
+        |)
+        |SELECT a_id AS doc_id_a, b_id AS doc_id_b,
+        |  CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(ta, tb) <= 3
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "sink_batch_assign" ->
       """SELECT event_id, user_id,
         | CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) / 100) AS BIGINT) AS batch_id
@@ -3714,6 +3779,30 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  (SELECT r.cents FROM r WHERE r.rk = t.target_rank) AS exact_value,
         |  TRUE AS within_bound
         |FROM t, h ORDER BY t.q_label""".stripMargin,
+    "scale_quantile_double" ->
+      // the DOUBLE face: the same graft_kll certificate scaffolding,
+      // but the ranked column is the raw double (Spark side rides the
+      // order-preserving bits mapping, a monotone bijection — order
+      // statistics commute, and exact_value maps back to the SELECTED
+      // input double bit-for-bit, so selection-only float output)
+      """WITH c AS (
+        |  SELECT value AS v FROM events WHERE value IS NOT NULL
+        |), n AS (SELECT count(*) AS n FROM c),
+        |h AS (
+        |  SELECT max(p) AS hh FROM generate_series(0, 62) s(p), n
+        |  WHERE (CAST(1 AS BIGINT) << p) <= greatest(n.n // 255, 1)
+        |), r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rk FROM c
+        |), t AS (
+        |  SELECT q_label, (num * n.n + den - 1) // den AS target_rank, n.n
+        |  FROM (VALUES ('p25', 1, 4), ('p50', 2, 4), ('p75', 3, 4),
+        |               ('p90', 9, 10), ('p99', 99, 100)) v(q_label, num, den), n
+        |)
+        |SELECT t.q_label, t.n, t.target_rank,
+        |  ((h.hh + 2) * t.n + 254) // 255 AS bound_rank,
+        |  (SELECT r.v FROM r WHERE r.rk = t.target_rank) AS exact_value,
+        |  TRUE AS within_bound
+        |FROM t, h ORDER BY t.q_label""".stripMargin,
     "scale_quantile_grouped" ->
       // per-group graft_kll certificate: the scale_quantile_sketch
       // scaffolding partitioned by o_orderpriority — per-group n,
@@ -3796,7 +3885,12 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |), ip AS (
         |  SELECT ca.row, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
         |  FROM ca JOIN cb ON ca.row = cb.row AND ca.cell = cb.cell GROUP BY 1
-        |), est AS (SELECT min(ip) AS est_join_rows FROM ip),
+        |), est AS (
+        |  -- full row domain: a sketch row with no matching cells has
+        |  -- inner product 0 (key-disjoint inputs -> bound 0, not NULL)
+        |  SELECT min(COALESCE(ip.ip, 0)) AS est_join_rows
+        |  FROM (SELECT unnest(range(4)) AS row) d LEFT JOIN ip ON ip.row = d.row
+        |),
         |ex AS (
         |  SELECT CAST(COALESCE(sum(x.ca * y.cb), 0) AS BIGINT) AS exact_join_rows
         |  FROM (SELECT k, count(*) AS ca FROM a GROUP BY 1) x

@@ -100,6 +100,16 @@ object F {
     Shims.column(CollectCapped(Shims.expression(id), Shims.expression(aux), cap)
       .toAggregateExpression())
 
+  /** Order-preserving sortable bits of a double column (x ≤ y ⇔
+    * bits(x) ≤ bits(y)) — the adapter that puts DOUBLE columns on the
+    * Long-keyed rank machinery (graft_kll). */
+  def doubleSortableBits(c: Column): Column =
+    Shims.column(DoubleSortableBits(Shims.expression(c)))
+
+  /** Exact inverse of [[doubleSortableBits]]. */
+  def sortableBitsToDouble(c: Column): Column =
+    Shims.column(SortableBitsToDouble(Shims.expression(c)))
+
   /** Random-hyperplane LSH bucket id of an array<float> column. */
   def hyperplaneBucket(vec: Column, numPlanes: Int = 12, planeOffset: Int = 0,
                        portable: Boolean = false): Column =

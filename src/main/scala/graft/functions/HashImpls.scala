@@ -666,4 +666,24 @@ object HashImpls {
     }
     org.apache.spark.sql.catalyst.InternalRow(bestD, bestI)
   }
+
+  /** IEEE-754 double → ORDER-PRESERVING signed-long bits (the classic
+    * sign-flip trick, e.g. Lucene's sortable numerics): positive
+    * doubles keep their raw bits; negative doubles flip every bit
+    * EXCEPT the sign, reversing their backwards raw-bits order while
+    * staying below the positives. Total order matches double order
+    * with −0.0 < +0.0 and NaN (canonicalized by doubleToLongBits)
+    * above +∞. The mask `(b >> 63) & Long.MaxValue` is all-ones-minus-
+    * sign for negatives and 0 for positives — and since the SIGN bit
+    * is untouched, the same function inverts itself on the bits level
+    * (an involution; [[sortableBitsToDouble]] is the full inverse). */
+  def doubleSortableBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & Long.MaxValue)
+  }
+
+  /** Exact inverse of [[doubleSortableBits]] (the xor mask depends
+    * only on the preserved sign bit, so it self-inverts). */
+  def sortableBitsToDouble(l: Long): Double =
+    java.lang.Double.longBitsToDouble(l ^ ((l >> 63) & Long.MaxValue))
 }

@@ -109,10 +109,18 @@ case class KllSketch(v: Expression, k: Int,
 
   override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
 
+  // The sketch keys on LONG order. Integral inputs (byte..long) ride
+  // as-is; DECIMAL gets its own arm (Spark's Decimal is not a
+  // java.lang.Number) and — like DOUBLE via longValue() — TRUNCATES
+  // toward zero, which reorders values inside the same integer bucket.
+  // Fractional columns that need exact rank semantics go through the
+  // order-preserving bits adapter instead (F.doubleSortableBits;
+  // ScaleOps.quantileSketchDouble is the worked face).
   override def update(buffer: KllBuffer, input: InternalRow): KllBuffer = {
     val x = v.eval(input)
     if (x != null) buffer.insert(x match {
       case l: Long => l
+      case d: org.apache.spark.sql.types.Decimal => d.toLong
       case n: Number => n.longValue()
     })
     buffer

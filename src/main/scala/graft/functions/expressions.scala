@@ -225,3 +225,34 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression, k
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): MmrSelect =
     copy(first = f, second = s, third = t)
 }
+
+/** double → order-preserving sortable long bits — the adapter that
+  * lets a DOUBLE column ride the Long-keyed `graft_kll` sketch (and
+  * any other rank machinery): x ≤ y ⇔ bits(x) ≤ bits(y), so order
+  * statistics commute with the mapping and the sketch's rank
+  * guarantees transfer verbatim. NaN canonicalizes above +∞,
+  * −0.0 < +0.0 (the IEEE total order). Exact round-trip with
+  * [[SortableBitsToDouble]] is spec-pinned on negatives, subnormals
+  * and infinities. */
+case class DoubleSortableBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_double_sortable_bits"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.doubleSortableBits(input.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.doubleSortableBits($c)")
+  override protected def withNewChildInternal(newChild: Expression): DoubleSortableBits =
+    copy(child = newChild)
+}
+
+/** long → double: exact inverse of [[DoubleSortableBits]]. */
+case class SortableBitsToDouble(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sortable_bits_to_double"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.sortableBitsToDouble(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.sortableBitsToDouble($c)")
+  override protected def withNewChildInternal(newChild: Expression): SortableBitsToDouble =
+    copy(child = newChild)
+}

@@ -896,15 +896,47 @@ object Dedup {
     * the gate is exact, not recall-fuzzy. */
   def dedupEditDistance(documents: DataFrame, maxDist: Int = 3,
                         titleLen: Int = 40,
-                        maxBlockSize: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = documents
+                        maxBlockSize: Int = 64): DataFrame =
+    editBlockPairs(editTitles(documents, titleLen), prefixBlockKey,
+      maxBlockSize)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  /** The (doc_id, lang, title) frame both edit-distance faces block. */
+  private def editTitles(documents: DataFrame, titleLen: Int): DataFrame =
+    documents
       .select(col("doc_id"), col("lang"),
         lower(trim(substring(col("text"), 1, titleLen))).as("title"))
       .filter(col("title") =!= "" && col("lang").isNotNull)
-      .withColumn("blk", concat_ws(":", col("lang"),
-        expr("CAST(length(title) div 8 AS STRING)"),
-        substring(col("title"), 1, 2)))
+
+  /** Pass-1 key: (lang, length div 8 band, 2-char PREFIX). */
+  private def prefixBlockKey: Column =
+    concat_ws(":", col("lang"),
+      expr("CAST(length(title) div 8 AS STRING)"),
+      substring(col("title"), 1, 2))
+
+  /** Pass-2 (ROTATED) key: (lang, OFFSET length band, 2-char SUFFIX)
+    * — each component rotated against pass 1's failure modes: a
+    * first-two-chars edit shares the suffix, and a pair straddling a
+    * pass-1 band edge (multiples of 8) sits mid-band at offset +4
+    * (a length-L vs L±d pair for d ≤ 3 splits across BOTH bandings
+    * only if it straddles a multiple of 8 AND a multiple-of-8-plus-4,
+    * impossible for d ≤ 4). */
+  private def suffixBlockKey: Column =
+    concat_ws(":", col("lang"),
+      expr("CAST((length(title) + 4) div 8 AS STRING)"),
+      expr("right(title, 2)"))
+
+  /** One blocked pass: cap each block at `maxBlockSize` rows (by
+    * doc_id rank — candidates ≤ blocks·cap²/2 BY CONSTRUCTION), then
+    * ordered within-block pairs WITH both titles (so the union of
+    * passes can dedup before paying Levenshtein). */
+  private def editBlockPairs(titles: DataFrame, blockKey: Column,
+                             maxBlockSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = titles.withColumn("blk", blockKey)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
       .filter(col("rn") <= maxBlockSize)
@@ -917,6 +949,30 @@ object Dedup {
       col("title").as("tb"))
     a.join(b, Seq("blk"))
       .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("ta"), col("tb"))
+  }
+
+  /** MULTI-PASS [[dedupEditDistance]] — the rotated-re-blocking
+    * extension its recall bound names: pass 1 blocks on the prefix
+    * key, pass 2 on the rotated suffix key, candidates UNION +
+    * pair-dedup BEFORE the Levenshtein verify (each pair pays the
+    * O(titleLen²) kernel once even when both passes surface it).
+    * Recall now covers the single-pass blind spots — an edit in the
+    * first two chars (same suffix → pass 2 co-blocks) and a pass-1
+    * band-edge pair (the offset band is mid-band there; see
+    * [[suffixBlockKey]] for why d ≤ 3 pairs cannot straddle both
+    * bandings) — at exactly 2× the bounded candidate budget
+    * (2·blocks·cap²/2). Remaining miss: an edit touching BOTH the
+    * prefix and the suffix. The oracle mirrors the same two-pass
+    * generation, so the gate stays exact. */
+  def dedupEditDistanceMultipass(documents: DataFrame, maxDist: Int = 3,
+                                 titleLen: Int = 40,
+                                 maxBlockSize: Int = 64): DataFrame = {
+    val titles = materialized(editTitles(documents, titleLen))
+    val cand = editBlockPairs(titles, prefixBlockKey, maxBlockSize)
+      .union(editBlockPairs(titles, suffixBlockKey, maxBlockSize))
+      .distinct()
+    cand
       .select(col("doc_id_a"), col("doc_id_b"),
         levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)

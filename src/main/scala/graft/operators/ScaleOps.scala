@@ -712,12 +712,8 @@ object ScaleOps {
     val b = Dedup.materialized(lineitem
       .select(col("l_orderkey").cast("string").as("k"))
       .filter(col("k").isNotNull))
-    val est = cmTableOf(a, depth, width)
-      .join(cmTableOf(b, depth, width).withColumnRenamed("cnt", "cnt_b"),
-        Seq("row", "cell"))
-      .groupBy(col("row"))
-      .agg(sum(col("cnt") * col("cnt_b")).as("ip"))
-      .agg(min(col("ip")).as("est_join_rows"))
+    val est = cmInnerProductEst(cmTableOf(a, depth, width),
+      cmTableOf(b, depth, width), depth)
     val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
       .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_rows"))
@@ -733,6 +729,124 @@ object ScaleOps {
         expr(s"n_a * n_b div $width").as("noise_budget"),
         expr(s"est_join_rows - exact_join_rows <= 3L * (n_a * n_b div $width)")
           .as("within_noise"))
+  }
+
+  /** min over sketch rows of the cell-wise inner product — the shared
+    * estimate core of [[joinEstimate]] and [[joinEstimateStored]].
+    * The min folds over the FULL row domain 0..depth−1 (a generated
+    * frame, not the join's surviving rows): a sketch row with no
+    * matching cells has inner product 0, and since a key present in
+    * BOTH inputs collides with itself in EVERY row, an empty row
+    * proves the true join is empty — dropping it (the pre-fix inner
+    * join) returned NULL instead of the correct upper bound 0 on
+    * key-disjoint inputs. */
+  private def cmInnerProductEst(ca: DataFrame, cb: DataFrame,
+                                depth: Int): DataFrame = {
+    val ips = ca
+      .join(cb.withColumnRenamed("cnt", "cnt_b"), Seq("row", "cell"))
+      .groupBy(col("row"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+    ca.sparkSession.range(depth)
+      .select(col("id").cast("int").as("row"))
+      .join(ips, Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_rows"))
+  }
+
+  /** Build-if-absent CM sketch EPOCH FAMILY from a batch key frame —
+    * the batch twin of [[countMinStream]] for the stored-admission
+    * face: the corpus splits into `nEpochs` disjoint hash slices,
+    * each written as its own `delta-b<i>` table (CMS merge is
+    * cell-wise sum, so the merged view equals the whole-corpus
+    * sketch EXACTLY — merge-equals-whole by construction, the
+    * property the spec pins). The last epoch's `_SUCCESS` is the
+    * completed-build sentinel; a torn build rewrites every slice. */
+  def ensureCmSketch(keys: DataFrame, sketchDir: String, depth: Int = 4,
+                     width: Int = 512, nEpochs: Int = 3): String =
+    StoredArtifacts.ensureBuilt(keys.sparkSession, sketchDir,
+      s"delta-b${nEpochs - 1}") {
+      (0 until nEpochs).foreach { i =>
+        cmTableOf(keys.filter(pmod(xxhash64(col("k")), lit(nEpochs)) === i),
+          depth, width)
+          .write.mode("overwrite").parquet(s"$sketchDir/delta-b$i")
+      }
+    }
+
+  def defaultCmSketchDir(keys: DataFrame, sfKey: String, side: String,
+                         depth: Int = 4, width: Int = 512): String =
+    StoredArtifacts.contentKeyedDir("graft-cm-sketch", keys, sfKey,
+      s"-$side-d$depth-w$width")
+
+  /** JOIN ADMISSION FROM STORED SKETCHES — the corpus-free face
+    * [[joinEstimate]]'s contract promises: both operands are
+    * ≤ depth·width-row merged sketches read from [[countMinStream]] /
+    * [[ensureCmSketch]] epoch families; the corpus is never touched.
+    * Even the row counts come from the sketches — every ingested key
+    * adds exactly one cell per sketch row, so Σ cnt over row 0 IS the
+    * ingested row count — which is what makes the noise budget
+    * (n_a·n_b/width) computable from stored state too. Output:
+    * (n_a, n_b, est_join_rows, noise_budget); est is the same
+    * certified upper bound as the in-query face (CM merge is exact,
+    * so sketches assembled from ANY epoch split estimate identically).
+    * This is the planner's admission primitive at 100 TB: maintain one
+    * sketch dir per table at ingest, answer "can A ⋈ B explode?" for
+    * ANY table pair from metadata-scale reads. */
+  def joinEstimateStored(spark: SparkSession, sketchDirA: String,
+                         sketchDirB: String, depth: Int = 4,
+                         width: Int = 512): DataFrame = {
+    val ma = Dedup.materialized(countMinMerged(spark, sketchDirA))
+    val mb = Dedup.materialized(countMinMerged(spark, sketchDirB))
+    val est = cmInnerProductEst(ma, mb, depth)
+    val na = ma.filter(col("row") === 0)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_a"))
+    val nb = mb.filter(col("row") === 0)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_b"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(est))
+      .select(col("n_a"), col("n_b"), col("est_join_rows"),
+        expr(s"n_a * n_b div $width").as("noise_budget"))
+  }
+
+  /** [[joinEstimateStored]] composed with the exact-identity audit —
+    * the driver-gated face: the estimate side reads ONLY the two
+    * stored sketch dirs (same plan as production admission), the
+    * corpus scans exist solely to prove it right (exact_join_rows and
+    * the two theorems), and the output is column-identical to
+    * [[joinEstimate]] so both faces gate on ONE oracle. */
+  def joinEstimateStoredAudited(orders: DataFrame, lineitem: DataFrame,
+                                sketchDirA: String, sketchDirB: String,
+                                depth: Int = 4, width: Int = 512): DataFrame = {
+    val spark = orders.sparkSession
+    val stored = joinEstimateStored(spark, sketchDirA, sketchDirB, depth, width)
+    val a = orders.select(col("o_orderkey").cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val b = lineitem.select(col("l_orderkey").cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_rows"))
+    stored.crossJoin(broadcast(exact))
+      .select(col("n_a"), col("n_b"),
+        col("exact_join_rows"), col("est_join_rows"),
+        (col("est_join_rows") >= col("exact_join_rows")).as("never_underestimates"),
+        expr("CASE WHEN exact_join_rows > 0 THEN " +
+          "10000L * (est_join_rows - exact_join_rows) div exact_join_rows END")
+          .as("overshoot_bp"),
+        col("noise_budget"),
+        expr("est_join_rows - exact_join_rows <= 3L * noise_budget")
+          .as("within_noise"))
+  }
+
+  /** The registered stored-admission face: build-if-absent one sketch
+    * dir per side (content-keyed — a regenerated corpus rebuilds, a
+    * cached one serves), then the audited stored estimate. */
+  def joinEstimateStoredFace(orders: DataFrame, lineitem: DataFrame,
+                             sfKey: String): DataFrame = {
+    val a = orders.select(col("o_orderkey").cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val b = lineitem.select(col("l_orderkey").cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val dirA = ensureCmSketch(a, defaultCmSketchDir(a, sfKey, "orders"))
+    val dirB = ensureCmSketch(b, defaultCmSketchDir(b, sfKey, "lineitem"))
+    joinEstimateStoredAudited(orders, lineitem, dirA, dirB)
   }
 
   /** Ingest-time SKETCH MAINTENANCE — the stream half of the CMS
@@ -2123,6 +2237,33 @@ object ScaleOps {
     kllQuantileReport(cents, entries, k)
   }
 
+  /** The DOUBLE face of [[quantileSketch]] — certified quantiles over
+    * a genuinely fractional column (events.value) with NO unit
+    * convention to hide behind (price-in-cents is exact for money;
+    * a general double is not): the column rides the sketch through
+    * the ORDER-PRESERVING BITS mapping (F.doubleSortableBits — the
+    * IEEE sign-flip trick: x ≤ y ⇔ bits(x) ≤ bits(y)), so rank
+    * estimation, the two-phase exact selection and the audit scan all
+    * run on longs, their theorems transfer verbatim (order statistics
+    * commute with a monotone bijection), and the reported exact_value
+    * maps back through the exact inverse — the SELECTED input double,
+    * bit-for-bit, never arithmetic on doubles. Bucket width for the
+    * selection histogram is 2^44 (sign/exponent/top-8-mantissa
+    * granularity — value-adaptive the way exponents are, bounded like
+    * the cents buckets). */
+  def quantileSketchDouble(events: DataFrame, k: Int = 256): DataFrame = {
+    val bits = Dedup.materialized(events
+      .filter(col("value").isNotNull)
+      .select(graft.functions.F.doubleSortableBits(col("value")).as("cents")))
+    val entries = bits
+      .agg(graft.functions.F.kllSketch(col("cents"), k).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.lvl").as("lvl"), col("e.v").as("v"))
+    kllQuantileReport(bits, entries, k, bucketW = 1L << 44)
+      .withColumn("exact_value",
+        graft.functions.F.sortableBitsToDouble(col("exact_value")))
+  }
+
   /** Shared certification core over (lvl, v) summary entries — used by
     * the in-query face above and the stored/stream face ([[kllMerged]];
     * a UNION of epoch summaries is itself a valid summary: compaction
@@ -2130,10 +2271,11 @@ object ScaleOps {
     * (H+1)·n, so the same bound formula on total n certifies it).
     * Delegates to the grouped core with one constant group. */
   private[graft] def kllQuantileReport(cents: DataFrame, entries: DataFrame,
-                                       k: Int): DataFrame =
+                                       k: Int,
+                                       bucketW: Long = 200000L): DataFrame =
     kllQuantileReportGrouped(
       cents.withColumn("grp", lit("all")),
-      entries.withColumn("grp", lit("all")), k).drop("grp")
+      entries.withColumn("grp", lit("all")), k, bucketW).drop("grp")
 
   /** PER-GROUP quantile certification from per-group `graft_kll`
     * summaries — the grouped core both faces share. Input: `cents` as
@@ -2146,7 +2288,8 @@ object ScaleOps {
     * drop them) — callers pass non-null group keys. */
   private[graft] def kllQuantileReportGrouped(cents: DataFrame,
                                               entries: DataFrame,
-                                              k: Int): DataFrame = {
+                                              k: Int,
+                                              bucketW: Long = 200000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = cents.sparkSession
     import spark.implicits._
@@ -2175,7 +2318,10 @@ object ScaleOps {
     // exact order statistic at target_rank: per-group bucket histogram
     // → candidate bucket + in-bucket offset → selection over candidate
     // buckets only
-    val w = 200000L
+    // bucket width: truncating `div` is monotone for either sign, so
+    // (bucket asc ⇒ value asc) holds on negative keys too (the
+    // sortable-bits face feeds negatives for negative doubles)
+    val w = bucketW
     val hcum = cents.groupBy(col("grp"), expr(s"cents div $w").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(

@@ -1741,7 +1741,12 @@ object TextOps {
     * ingestion-axis curve. */
   def vocabGrowth(documents: DataFrame, nSteps: Int = 10): DataFrame = {
     val spark = documents.sparkSession
-    val maxId = documents.agg(max(col("doc_id"))).head().getLong(0)
+    val maxRow = documents.agg(max(col("doc_id"))).head()
+    // max over an empty frame is NULL — fail with the merged faces'
+    // require(...) style instead of an NPE mid-plan
+    require(!maxRow.isNullAt(0),
+      "vocabGrowth needs a non-empty documents frame (max(doc_id) is NULL)")
+    val maxId = maxRow.getLong(0)
     val steps = (1 to nSteps)
       .map(i => (i.toLong, i.toLong * maxId / nSteps))
     val toks = documents
@@ -1783,22 +1788,8 @@ object TextOps {
     * text_bm25_stored rule); a phrase query touches only its terms'
     * postings, never the corpus. */
   def phraseSearch(documents: DataFrame, nPhrases: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Dedup.materialized(documents
-      .select(col("doc_id"), posexplode(split(trim(lower(col("text"))),
-        "\\s+")).as(Seq("pos", "term")))
-      .filter(col("term") =!= ""))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tri = toks
-      .withColumn("w2", lead(col("term"), 1).over(byDoc))
-      .withColumn("w3", lead(col("term"), 2).over(byDoc))
-      .filter(col("w2").isNotNull && col("w3").isNotNull)
-    val phrases = tri.groupBy(col("term").as("p1"), col("w2").as("p2"),
-        col("w3").as("p3"))
-      .agg(count(lit(1)).as("f"))
-      .orderBy(col("f").desc, col("p1"), col("p2"), col("p3"))
-      .limit(nPhrases)
-      .select(col("p1"), col("p2"), col("p3"))
+    val toks = Dedup.materialized(positionalToks(documents))
+    val phrases = topTrigrams(toks, nPhrases)
     // the positional probe: seek on word 1, verify words 2 and 3
     val hit1 = toks.join(broadcast(phrases), col("term") === col("p1"))
       .select(col("doc_id"), col("pos"), col("p1"), col("p2"), col("p3"))
@@ -1815,5 +1806,168 @@ object TextOps {
       .select(concat_ws(" ", col("p1"), col("p2"), col("p3")).as("phrase"),
         col("n_docs"), col("n_occ"))
       .orderBy(col("n_occ").desc, col("phrase"))
+  }
+
+  /** The corpus's (doc_id, pos, term) frame — the standing whitespace
+    * tokenization with 0-based positions, shared by the in-query and
+    * stored phrase faces (and BY CONSTRUCTION by the stored index, so
+    * both faces gate on one oracle). */
+  private def positionalToks(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(split(trim(lower(col("text"))),
+        "\\s+")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+
+  /** Top-`n` trigram phrases of a positional frame (freq desc, phrase
+    * asc — deterministic), via per-doc lead windows. */
+  private def topTrigrams(toks: DataFrame, nPhrases: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("w2", lead(col("term"), 1).over(byDoc))
+      .withColumn("w3", lead(col("term"), 2).over(byDoc))
+      .filter(col("w2").isNotNull && col("w3").isNotNull)
+      .groupBy(col("term").as("p1"), col("w2").as("p2"), col("w3").as("p3"))
+      .agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("p1"), col("p2"), col("p3"))
+      .limit(nPhrases)
+      .select(col("p1"), col("p2"), col("p3"))
+  }
+
+  /** Build the STORED POSITIONAL INDEX — the (doc_id, pos, term) frame
+    * [[phraseSearch]]'s contract names, written once per corpus epoch
+    * (the text_bm25_stored rule): postings land TERM-BUCKETED
+    * (`bucket = xxhash64(term) mod nBuckets` as a partition column),
+    * so a phrase probe's literal bucket set prunes at PLANNING time
+    * and the query reads only its terms' buckets, never the corpus.
+    * Beside the postings sit per-term stats (posting length n_occ +
+    * doc frequency n_docs) — the df table the rarest-word seek reads
+    * to aim the probe at the THINNEST posting list (a stopword-led
+    * phrase must not probe the fattest one). Stats are written LAST:
+    * their `_SUCCESS` is the completed-build sentinel. */
+  def buildPosIndex(documents: DataFrame, indexDir: String,
+                    nBuckets: Int = 64): Unit = {
+    val toks = Dedup.materialized(positionalToks(documents))
+    toks
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexDir/postings")
+    toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  def ensurePosIndex(documents: DataFrame, indexDir: String,
+                     nBuckets: Int = 64): String =
+    StoredArtifacts.ensureBuilt(documents.sparkSession, indexDir,
+      "stats")(buildPosIndex(documents, indexDir, nBuckets))
+
+  def defaultPosIndexDir(documents: DataFrame, sfKey: String,
+                         nBuckets: Int = 64): String =
+    StoredArtifacts.contentKeyedDir("graft-pos-index", documents, sfKey,
+      s"-b$nBuckets")
+
+  /** Pick each phrase's SEEK word: the offset whose term has the
+    * SHORTEST posting list (ties → leftmost). Pure function — the
+    * rarest-word rule the spec pins directly: seeking a stopword-led
+    * phrase on word 1 probes the corpus's fattest posting list; df
+    * stats cost 3 broadcast-sized lookups and cut the candidate set
+    * to the rare word's occurrences. */
+  private[graft] def chooseSeekOff(p: (String, String, String),
+                                   nOcc: String => Long): Int =
+    Seq(p._1, p._2, p._3).zipWithIndex.minBy { case (t, i) => (nOcc(t), i) }._2
+
+  /** Phrase probe against the stored index for EXPLICIT phrases — the
+    * production shape (a user brings literal phrases; the registered
+    * face derives them from the index first). Returns the verified
+    * per-phrase hit counts. Plan shape: both posting reads carry the
+    * literal bucket-set filter (partition-pruned scan of ≤ 3·|phrases|
+    * buckets), the seek lands on each phrase's rarest word, and the
+    * other two words verify by (doc_id, pos, term) equi-joins — each
+    * candidate row-local after the seek. */
+  def phraseProbeStored(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String,
+                        phrases: Seq[(String, String, String)],
+                        nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val (base, cand, verifies) = storedPhraseParts(spark, indexDir, phrases, nBuckets)
+    val wants = cand.join(broadcast(verifies), Seq("pid"))
+      .select(col("pid"), col("doc_id"), col("anchor"),
+        (col("anchor") + col("v_off")).as("want_pos"), col("v_term"))
+    val ok = wants
+      .join(base.select(col("doc_id"), col("pos").as("want_pos"),
+        col("term").as("v_term")), Seq("doc_id", "want_pos", "v_term"))
+      .groupBy(col("pid"), col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("n_ok"))
+      .filter(col("n_ok") === 2)
+    val names = phrases.zipWithIndex
+      .map { case ((p1, p2, p3), i) => (i.toLong, s"$p1 $p2 $p3") }
+      .toDF("pid", "phrase")
+    ok.groupBy(col("pid"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .join(broadcast(names), Seq("pid"))
+      .select(col("phrase"), col("n_docs"), col("n_occ"))
+      .orderBy(col("n_occ").desc, col("phrase"))
+  }
+
+  /** The probe's shared first half — (pruned posting base, seek
+    * candidates, verify rows) — factored so the spec can measure the
+    * candidate set the rarest-word seek produces. */
+  private[graft] def storedPhraseParts(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, phrases: Seq[(String, String, String)],
+      nBuckets: Int): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    require(phrases.nonEmpty, "phraseProbeStored needs at least one phrase")
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val allTerms = phrases.flatMap(p => Seq(p._1, p._2, p._3)).distinct
+    // posting lengths for the probe's terms: a vocab-sized pruned read,
+    // ≤ 3·|phrases| rows back (a term absent from the corpus — possible
+    // for user-supplied phrases — has posting length 0)
+    val occ = stats.filter(col("term").isin(allTerms.map(x => x: Any): _*))
+      .select(col("term"), col("n_occ")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    // bucket ids through the SAME expression the build used — never a
+    // driver-side reimplementation of xxhash64
+    val buckets = allTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets))).collect()
+      .map(_.getLong(0)).distinct.toSeq
+    val base = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isin(buckets.map(x => x: Any): _*) &&
+        col("term").isin(allTerms.map(x => x: Any): _*))
+    val plan = phrases.zipWithIndex.map { case (p, i) =>
+      val off = chooseSeekOff(p, occ)
+      (i.toLong, Seq(p._1, p._2, p._3)(off), off)
+    }
+    val seeks = plan.toDF("pid", "seek_term", "seek_off")
+    val verifies = phrases.zipWithIndex.flatMap { case ((p1, p2, p3), i) =>
+      val off = plan(i)._3
+      Seq((p1, 0), (p2, 1), (p3, 2)).zipWithIndex
+        .filter(_._2 != off)
+        .map { case ((t, o), _) => (i.toLong, t, o) }
+    }.toDF("pid", "v_term", "v_off")
+    val cand = base.join(broadcast(seeks), col("term") === col("seek_term"))
+      .select(col("pid"), col("doc_id"),
+        (col("pos") - col("seek_off")).as("anchor"))
+    (base, cand, verifies)
+  }
+
+  /** [[phraseSearch]] over the STORED positional index — identical
+    * output (both faces gate on one oracle), but the corpus is never
+    * tokenized: the query set derives from the index's own postings,
+    * and the probe half runs [[phraseProbeStored]] — rarest-word
+    * seek + planning-time bucket pruning. The ≤ `nPhrases` phrase
+    * tuples pass through the driver (metadata-scale, the
+    * loadKmeansModel precedent) — which is exactly what turns the
+    * probe's bucket filter into PLANNING-TIME literals. */
+  def phraseSearchStored(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, nPhrases: Int = 5,
+                         nBuckets: Int = 64): DataFrame = {
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .select(col("doc_id"), col("pos"), col("term"))
+    val phrases = topTrigrams(post, nPhrases).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    phraseProbeStored(spark, indexDir, phrases, nBuckets)
   }
 }

@@ -52,7 +52,11 @@ class GraftEpochs extends TableProvider with DataSourceRegister {
 
   /** Base table (when named) + completed epoch dirs, resolved NOW —
     * a snapshot: an epoch landing mid-query is simply not in this
-    * read, the same isolation the programmatic faces give. */
+    * read, the same isolation the programmatic faces give. The
+    * snapshot PINS at planning time: a loaded (and especially a
+    * cached) table keeps the epoch list it was planned with for its
+    * whole lifetime — call `.load()` again for a fresh snapshot of a
+    * living family. */
   private def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
     val spark = SparkSession.active
     val dir = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(

@@ -214,4 +214,75 @@ class KllSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(viaSql == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("sortable bits: exact round-trip and order preservation on negatives, subnormals, infinities, ±0") {
+    val spark = this.spark
+    import spark.implicits._
+    val adversarial = Seq(
+      Double.NegativeInfinity, -Double.MaxValue, -1.5e300, -2.0, -1.0,
+      -Double.MinPositiveValue, -0.0, 0.0, Double.MinPositiveValue,
+      java.lang.Double.longBitsToDouble(0x000fffffffffffffL), // max subnormal
+      1.0, 2.0, 1.5e300, Double.MaxValue, Double.PositiveInfinity)
+    // bits order == double order, strictly (incl. -0.0 < +0.0)
+    val bits = adversarial.map(graft.functions.HashImpls.doubleSortableBits)
+    assert(bits == bits.sorted, "mapping must preserve the IEEE total order")
+    assert(bits.distinct == bits, "distinct doubles must map to distinct bits")
+    // exact round-trip, driver-side and through the codegen'd column
+    adversarial.foreach { d =>
+      val rt = graft.functions.HashImpls.sortableBitsToDouble(
+        graft.functions.HashImpls.doubleSortableBits(d))
+      assert(java.lang.Double.doubleToLongBits(rt) ==
+        java.lang.Double.doubleToLongBits(d), s"round-trip broke $d -> $rt")
+    }
+    val viaCol = adversarial.toDF("d")
+      .select(graft.functions.F.sortableBitsToDouble(
+        graft.functions.F.doubleSortableBits(col("d"))).as("rt"))
+      .collect().map(r => java.lang.Double.doubleToLongBits(r.getDouble(0))).toSeq
+    assert(viaCol == adversarial.map(java.lang.Double.doubleToLongBits))
+  }
+
+  test("quantileSketchDouble: certified quantiles on a fractional column with negatives and subnormals") {
+    val spark = this.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val vals = Seq.tabulate(4000)(i => i match {
+      case x if x % 13 == 0 => -rnd.nextDouble() * 1e6   // negatives
+      case x if x % 997 == 0 => Double.MinPositiveValue  // subnormal
+      case _ => rnd.nextDouble() * 1e3
+    })
+    val events = vals.toDF("value").repartition(7)
+    val out = graft.operators.ScaleOps.quantileSketchDouble(events, k = 128)
+      .collect()
+    assert(out.length == 5)
+    val sorted = vals.sorted
+    out.foreach { r =>
+      val target = r.getAs[Long]("target_rank")
+      // exact_value IS the input order statistic, bit-for-bit
+      val expect = sorted((target - 1).toInt)
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("exact_value")) ==
+        java.lang.Double.doubleToLongBits(expect),
+        s"${r.getAs[String]("q_label")}: got ${r.getAs[Double]("exact_value")}, want $expect")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"${r.getAs[String]("q_label")} estimate outside the certified bound")
+      assert(r.getAs[Long]("n") == vals.size.toLong)
+    }
+  }
+
+  test("graft_kll over DECIMAL and DOUBLE inputs does not crash (documented truncation semantics)") {
+    val spark = this.spark
+    import spark.implicits._
+    // DECIMAL: Spark's Decimal is not a java.lang.Number — needs its
+    // own update arm (the ADVICE regression)
+    val dec = Seq("1.9", "2.2", "3.7").toDF("s")
+      .select(col("s").cast("decimal(10,2)").as("v"))
+      .agg(graft.functions.F.kllSketch(col("v"), 64).as("sk"))
+      .select(explode(col("sk")).as("e")).select(col("e.v"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(dec == Seq(1L, 2L, 3L), s"decimal truncates toward zero: $dec")
+    val dbl = Seq(-1.9, 2.7).toDF("v")
+      .agg(graft.functions.F.kllSketch(col("v"), 64).as("sk"))
+      .select(explode(col("sk")).as("e")).select(col("e.v"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(dbl == Seq(-1L, 2L), s"double truncates toward zero: $dbl")
+  }
 }

@@ -784,6 +784,98 @@ class ScaleOpsSpec extends AnyFunSuite {
     val t2 = graft.operators.Dedup.dedupEditDistance(twins).collect()
     assert(t2.length == 1 && t2.head.getLong(2) == 0L)
   }
+
+  test("joinEstimateStored: stored-sketch admission equals the in-query estimate; epoch slices merge to the whole-corpus sketch") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // skewed pair: key 7 exploded on both sides so the true join size
+    // dominates collision noise (the regime where admission matters)
+    val aKeys = ((1L to 50L) ++ Seq.fill(40)(7L)).map(_.toString)
+    val bKeys = ((20L to 90L) ++ Seq.fill(60)(7L)).map(_.toString)
+    val a = aKeys.toDF("k")
+    val b = bKeys.toDF("k")
+    val root = java.nio.file.Files.createTempDirectory("graft-jes").toString
+    val dirA = ScaleOps.ensureCmSketch(a, s"$root/a", nEpochs = 3)
+    val dirB = ScaleOps.ensureCmSketch(b, s"$root/b", nEpochs = 3)
+    // epoch slices merge to EXACTLY the whole-corpus sketch (CM merge
+    // is cell-wise sum over disjoint slices)
+    val eq = (x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =>
+      x.orderBy("row", "cell").collect().toSeq == y.orderBy("row", "cell").collect().toSeq
+    assert(eq(ScaleOps.countMinMerged(s, dirA), ScaleOps.countMinTable(
+      a.withColumnRenamed("k", "user_id"))))
+    val r = ScaleOps.joinEstimateStored(s, dirA, dirB).head()
+    assert(r.getLong(0) == aKeys.length && r.getLong(1) == bKeys.length,
+      "row counts must come out of the sketches exactly")
+    val exact = aKeys.groupBy(identity).map { case (k, v) =>
+      v.size.toLong * bKeys.count(_ == k) }.sum
+    assert(r.getLong(2) >= exact, "CM inner product must never underestimate")
+    // stored estimate == in-query estimate: the sketches are identical
+    val orders = a.select(col("k").cast("long").as("o_orderkey"))
+    val line = b.select(col("k").cast("long").as("l_orderkey"))
+    val inQuery = ScaleOps.joinEstimate(orders, line).head()
+    assert(r.getLong(2) == inQuery.getAs[Long]("est_join_rows"))
+    // audited stored face is column-identical to the in-query face
+    val audited = ScaleOps.joinEstimateStoredAudited(orders, line, dirA, dirB)
+    assert(audited.columns.toSeq == inQuery.schema.fieldNames.toSeq)
+    assert(audited.head() == inQuery)
+  }
+
+  test("joinEstimate(+stored): key-disjoint inputs estimate 0, not NULL") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val orders = Seq(1L, 2L, 3L).toDF("o_orderkey")
+    val line = Seq(100L, 200L).toDF("l_orderkey")
+    val r = ScaleOps.joinEstimate(orders, line).head()
+    assert(!r.isNullAt(r.fieldIndex("est_join_rows")))
+    // disjoint keys CAN still collide in a cell, so the bound need not
+    // be 0 — but it must exist, never underestimate (exact = 0), and
+    // stay within the stated noise envelope
+    assert(r.getAs[Long]("exact_join_rows") == 0L)
+    assert(r.getAs[Boolean]("never_underestimates"))
+    val root = java.nio.file.Files.createTempDirectory("graft-jd").toString
+    val dirA = ScaleOps.ensureCmSketch(
+      orders.select(col("o_orderkey").cast("string").as("k")), s"$root/a")
+    val dirB = ScaleOps.ensureCmSketch(
+      line.select(col("l_orderkey").cast("string").as("k")), s"$root/b")
+    val st = ScaleOps.joinEstimateStored(s, dirA, dirB).head()
+    assert(!st.isNullAt(st.fieldIndex("est_join_rows")))
+    assert(st.getAs[Long]("est_join_rows") == r.getAs[Long]("est_join_rows"))
+  }
+
+  test("dedupEditDistanceMultipass: rotated pass 2 catches prefix-edit and band-edge pairs pass 1 misses, without double-reporting") {
+    val s = spark
+    import s.implicits._
+    // band-edge pair: lengths 31/32 straddle the pass-1 band boundary
+    // (31 div 8 = 3, 32 div 8 = 4) with identical prefix AND suffix —
+    // pass 2's offset band ((len+4) div 8 = 4 for both) co-blocks them
+    val edge1 = "aa" + "b" * 27 + "zz"
+    val edge2 = "aa" + "b" * 28 + "zz"
+    assert(edge1.length == 31 && edge2.length == 32)
+    // prefix-edit pair: first char edited — pass 1's 2-char prefix
+    // splits them; same length band + suffix co-blocks them in pass 2
+    val pre1 = "cc" + "d" * 20 + "yy"
+    val pre2 = "xc" + "d" * 20 + "yy"
+    // in-block pair both passes surface (must appear exactly once)
+    val docs = Seq(
+      (1L, "en", edge1), (2L, "en", edge2),
+      (3L, "en", pre1), (4L, "en", pre2),
+      (5L, "en", "shared block title one here"),
+      (6L, "en", "shared block title one herX")
+    ).toDF("doc_id", "lang", "text")
+    val single = graft.operators.Dedup.dedupEditDistance(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val multi = graft.operators.Dedup.dedupEditDistanceMultipass(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // single-pass finds only the co-blocked pair
+    assert(single == Seq((5L, 6L, 1L)), s"single=$single")
+    // multipass adds the two rotated-key catches, each reported ONCE
+    assert(multi == Seq((1L, 2L, 1L), (3L, 4L, 1L), (5L, 6L, 1L)),
+      s"multi=$multi")
+    // multipass is a superset of single-pass on any corpus
+    assert(single.toSet.subsetOf(multi.toSet))
+  }
 }
 
 class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {

@@ -106,4 +106,14 @@ class TokenSpectrumSpec extends AnyFunSuite {
       s"overlapping occurrences count positionally: ${out.toSeq}")
     assert(out(1) == ("alpha beta gamma", 2L, 2L), s"got ${out.toSeq}")
   }
+
+  test("vocabGrowth on an empty frame fails with a descriptive require, not an NPE") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextOps.vocabGrowth(empty)
+    }
+    assert(e.getMessage.contains("non-empty documents"))
+  }
 }
