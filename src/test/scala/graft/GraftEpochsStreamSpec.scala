@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft-epochs-stream Structured Streaming source: each new
+  * COMPLETED epoch arrives as a micro-batch (torn epochs invisible
+  * until their sentinel lands), offsets are epoch-name SETS (so
+  * batchId-keyed names that don't sort lexicographically still
+  * deliver), and the checkpointed offset log gives exactly-once per
+  * epoch across restarts. */
+class GraftEpochsStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-estream-$tag").toString
+
+  test("new completed epochs arrive as micro-batches; torn epochs stay invisible until committed; set offsets beat name order") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("arrive")
+    val chk = freshDir("arrive-chk")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/delta-b0")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir/delta-b1")
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def startQuery() = s.readStream.format("graft-epochs-stream")
+      .option("path", dir).load()
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1)))
+        seen.synchronized { seen ++= rows; batches += rows.length }
+        ()
+      }.start()
+
+    val q = startQuery()
+    try {
+      q.processAllAvailable()
+      assert(seen.toSet == Set((1L, "a"), (2L, "b")),
+        s"initial epochs delivered: $seen")
+
+      // torn epoch: data but no sentinel -> NOT delivered. Stage the
+      // torn state OUTSIDE the family and move it in atomically — the
+      // stream polls continuously, so tearing an epoch in place would
+      // race its completed window
+      val stage = freshDir("stage")
+      Seq((9L, "torn")).toDF("id", "v").write.parquet(s"$stage/delta-b2")
+      assert(new java.io.File(s"$stage/delta-b2/_SUCCESS").delete())
+      assert(new java.io.File(s"$stage/delta-b2")
+        .renameTo(new java.io.File(s"$dir/delta-b2")))
+      val sentinel = new java.io.File(s"$dir/delta-b2/_SUCCESS")
+      q.processAllAvailable()
+      assert(!seen.exists(_._1 == 9L), "torn epoch must be invisible")
+
+      // delta-b10 sorts BEFORE delta-b2 lexicographically — a
+      // max-name watermark would wedge; set offsets deliver it
+      Seq((10L, "j")).toDF("id", "v").write.parquet(s"$dir/delta-b10")
+      q.processAllAvailable()
+      assert(seen.exists(_._1 == 10L), s"delta-b10 delivered: $seen")
+
+      // the torn epoch completes (sentinel lands) -> delivered now
+      assert(sentinel.createNewFile())
+      q.processAllAvailable()
+      assert(seen.exists(_._1 == 9L), s"completed epoch delivered: $seen")
+      assert(seen.size == 4, s"each epoch exactly once: $seen")
+    } finally q.stop()
+
+    // restart on the same checkpoint: nothing redelivered, only the
+    // epoch written while the stream was down
+    Seq((11L, "k")).toDF("id", "v").write.parquet(s"$dir/delta-b11")
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(seen.size == 5 && seen.exists(_._1 == 11L),
+        s"restart delivers only the new epoch: $seen")
+    } finally q2.stop()
+  }
+
+  test("Trigger.AvailableNow drains the family to a fixed point and terminates") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("avnow")
+    val chk = freshDir("avnow-chk")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/delta-b0")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir/delta-b1")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = s.readStream.format("graft-epochs-stream")
+      .option("path", dir).load()
+      .writeStream.option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= b.collect().map(_.getLong(0)) }
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "AvailableNow must terminate")
+    assert(got.toSet == Set(1L, 2L), s"drained both epochs: $got")
+  }
+
+  test("schema inference requires one completed epoch; explicit schema works on an empty family") {
+    val s = spark
+    val dir = freshDir("empty")
+    val e = intercept[Exception] {
+      s.readStream.format("graft-epochs-stream").option("path", dir).load()
+    }
+    assert(e.getMessage.contains("no completed epochs"))
+    // explicit schema: the stream starts on an empty family and
+    // delivers nothing until an epoch lands
+    val df = s.readStream.format("graft-epochs-stream")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+      .option("path", dir).load()
+    assert(df.isStreaming)
+  }
+}
