@@ -113,6 +113,11 @@ object SparkEntry {
       TextOps.phraseSearchStored(s,
         TextOps.ensurePosIndex(docs, TextOps.defaultPosIndexDir(docs, d)))
     }),
+    "text_phrase_search_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.phraseSearchNgramStored(s,
+        TextOps.ensurePosIndex(docs, TextOps.defaultPosIndexDir(docs, d)))
+    }),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.textLangid(Tables.documents(s, d))),
     "text_pii_redact" -> ((s, d) => TextOps.piiRedact(Tables.documents(s, d))),
@@ -293,6 +298,8 @@ object SparkEntry {
     "scale_salted_join" -> ((s, d) => ScaleOps.saltedJoin(Tables.events(s, d))),
     "scale_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(Tables.lineitem(s, d))),
     "scale_countmin" -> ((s, d) => ScaleOps.countMin(Tables.events(s, d))),
+    "scale_countmin_stored" -> ((s, d) =>
+      ScaleOps.countMinStoredFace(Tables.events(s, d), d)),
     "scale_hll" -> ((s, d) => ScaleOps.hllDistinct(Tables.events(s, d))),
     "scale_profile" -> ((s, d) => ScaleOps.profile(Tables.documents(s, d))),
     "scale_histogram" -> ((s, d) => ScaleOps.histQuantiles(Tables.orders(s, d))),
@@ -1062,6 +1069,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // admission face estimates identically to the in-query face and
     // gates on its oracle
     .updated("scale_join_estimate_stored", oracleSqlBase("scale_join_estimate"))
+    .updated("scale_countmin_stored", oracleSqlBase("scale_countmin"))
     // the stored positional index holds exactly the (doc_id, pos,
     // term) frame the in-query face tokenizes, and a phrase's
     // verified-occurrence set is seek-word-independent — identical
@@ -1418,6 +1426,57 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM hits GROUP BY 1
         |ORDER BY n_occ DESC, phrase""".stripMargin,
+    "text_phrase_search_ngram" ->
+      // variable-length phrase search: top-3 bigrams and top-3
+      // quadgrams (freq desc, phrase asc), each verified positionally
+      // — the same consecutive-word semantics at every length
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), tk0 AS (
+        |  SELECT doc_id, unnest(toks) AS term,
+        |    unnest(generate_series(1, len(toks))) AS pos
+        |  FROM t0
+        |), tk AS (SELECT * FROM tk0 WHERE term <> ''),
+        |g2 AS (
+        |  SELECT a.term || ' ' || b.term AS phrase, count(*) AS f
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1
+        |), p2 AS (SELECT phrase FROM g2 ORDER BY f DESC, phrase LIMIT 3),
+        |h2 AS (
+        |  SELECT p.phrase, a.doc_id
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN p2 p ON p.phrase = a.term || ' ' || b.term
+        |), r2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS phrase_len, phrase,
+        |    count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |  FROM h2 GROUP BY 2
+        |),
+        |g4 AS (
+        |  SELECT a.term || ' ' || b.term || ' ' || c.term || ' ' || d.term
+        |    AS phrase, count(*) AS f
+        |  FROM tk a
+        |  JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tk c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  JOIN tk d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+        |  GROUP BY 1
+        |), p4 AS (SELECT phrase FROM g4 ORDER BY f DESC, phrase LIMIT 3),
+        |h4 AS (
+        |  SELECT p.phrase, a.doc_id
+        |  FROM tk a
+        |  JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tk c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  JOIN tk d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+        |  JOIN p4 p
+        |    ON p.phrase = a.term || ' ' || b.term || ' ' || c.term || ' ' || d.term
+        |), r4 AS (
+        |  SELECT CAST(4 AS BIGINT) AS phrase_len, phrase,
+        |    count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |  FROM h4 GROUP BY 2
+        |)
+        |SELECT * FROM (SELECT * FROM r2 UNION ALL SELECT * FROM r4)
+        |ORDER BY phrase_len, n_occ DESC, phrase""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, length(text) AS n_chars,

@@ -835,6 +835,37 @@ object ScaleOps {
           .as("within_noise"))
   }
 
+  /** [[countMin]] answered from a STORED sketch dir — the point-
+    * estimate twin of [[joinEstimateStored]], closing the CMS
+    * lifecycle's read side as a GATED query (the write side is
+    * [[countMinStream]]/[[ensureCmSketch]]; [[countMinEstimate]] is
+    * the probe core): the top-k keys' estimates come from the merged
+    * ≤ depth·width-row sketch (broadcast to the probe — the corpus is
+    * never re-sketched), the exact counts exist only as the audit,
+    * and because CMS merge is cell-wise sum the stored estimates are
+    * IDENTICAL to the in-query face's — one oracle gates both. */
+  def countMinStored(events: DataFrame, sketchDir: String, depth: Int = 4,
+                     width: Int = 512, topK: Int = 20): DataFrame = {
+    val keyed = events.select(col("user_id").cast("string").as("k"))
+    val top = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("k")).limit(topK)
+    countMinEstimate(top.select(col("k")), sketchDir, depth, width)
+      .join(top, "k")
+      .select(col("k").as("user_id"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("exact_cnt")).as("never_underestimates"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
+  /** The registered face of [[countMinStored]]: content-keyed
+    * build-if-absent sketch dir over the events keys, then the
+    * audited stored probe. */
+  def countMinStoredFace(events: DataFrame, sfKey: String): DataFrame = {
+    val keys = events.select(col("user_id").cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val dir = ensureCmSketch(keys, defaultCmSketchDir(keys, sfKey, "events-user"))
+    countMinStored(events, dir)
+  }
+
   /** The registered stored-admission face: build-if-absent one sketch
     * dir per side (content-keyed — a regenerated corpus rebuilds, a
     * cached one serves), then the audited stored estimate. */

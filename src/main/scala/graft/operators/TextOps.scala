@@ -1834,6 +1834,28 @@ object TextOps {
       .select(col("p1"), col("p2"), col("p3"))
   }
 
+  /** Top-`nPhrases` n-gram phrases (as space-joined strings — tokens
+    * are whitespace-split, so the join char cannot occur inside one)
+    * of a positional frame, freq desc then phrase asc. The general-
+    * arity sibling of [[topTrigrams]]: n−1 lead windows over the same
+    * per-doc pass. */
+  private def topNgrams(toks: DataFrame, n: Int, nPhrases: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1 && n <= 16, "phrase length must be in 1..16")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = col("term") +: (1 until n).map(i =>
+      lead(col("term"), i).over(byDoc).as(s"w$i"))
+    toks.select(words: _*)
+      .filter((1 until n).map(i => col(s"w$i").isNotNull)
+        .foldLeft(lit(true))(_ && _))
+      .select(concat_ws(" ", (col("term") +: (1 until n).map(i =>
+        col(s"w$i"))): _*).as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("phrase"))
+      .limit(nPhrases)
+      .select(col("phrase"))
+  }
+
   /** Build the STORED POSITIONAL INDEX — the (doc_id, pos, term) frame
     * [[phraseSearch]]'s contract names, written once per corpus epoch
     * (the text_bm25_stored rule): postings land TERM-BUCKETED
@@ -1872,57 +1894,76 @@ object TextOps {
     * SHORTEST posting list (ties → leftmost). Pure function — the
     * rarest-word rule the spec pins directly: seeking a stopword-led
     * phrase on word 1 probes the corpus's fattest posting list; df
-    * stats cost 3 broadcast-sized lookups and cut the candidate set
-    * to the rare word's occurrences. */
+    * stats cost |phrase| broadcast-sized lookups and cut the
+    * candidate set to the rare word's occurrences. */
+  private[graft] def chooseSeekOff(p: Seq[String],
+                                   nOcc: String => Long): Int =
+    p.zipWithIndex.minBy { case (t, i) => (nOcc(t), i) }._2
+
   private[graft] def chooseSeekOff(p: (String, String, String),
                                    nOcc: String => Long): Int =
-    Seq(p._1, p._2, p._3).zipWithIndex.minBy { case (t, i) => (nOcc(t), i) }._2
+    chooseSeekOff(Seq(p._1, p._2, p._3), nOcc)
 
-  /** Phrase probe against the stored index for EXPLICIT phrases — the
-    * production shape (a user brings literal phrases; the registered
-    * face derives them from the index first). Returns the verified
-    * per-phrase hit counts. Plan shape: both posting reads carry the
-    * literal bucket-set filter (partition-pruned scan of ≤ 3·|phrases|
-    * buckets), the seek lands on each phrase's rarest word, and the
-    * other two words verify by (doc_id, pos, term) equi-joins — each
-    * candidate row-local after the seek. */
+  /** Phrase probe against the stored index for EXPLICIT phrases of ANY
+    * length — the production shape (a user brings literal phrases;
+    * the registered faces derive them from the index first). Returns
+    * the verified per-phrase hit counts. Plan shape: both posting
+    * reads carry the literal bucket-set filter (partition-pruned scan
+    * of ≤ Σ|phrase| buckets), the seek lands on each phrase's rarest
+    * word, the remaining words verify by (doc_id, pos, term)
+    * equi-joins, and a candidate survives when ALL of them land
+    * (per-phrase needed-count carried on the broadcast name frame —
+    * a 1-word phrase verifies vacuously, its posting list IS the
+    * answer). */
   def phraseProbeStored(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String,
-                        phrases: Seq[(String, String, String)],
-                        nBuckets: Int = 64): DataFrame = {
+                        phrases: Seq[Seq[String]],
+                        nBuckets: Int): DataFrame = {
     import spark.implicits._
     val (base, cand, verifies) = storedPhraseParts(spark, indexDir, phrases, nBuckets)
     val wants = cand.join(broadcast(verifies), Seq("pid"))
       .select(col("pid"), col("doc_id"), col("anchor"),
         (col("anchor") + col("v_off")).as("want_pos"), col("v_term"))
-    val ok = wants
+    val matched = wants
       .join(base.select(col("doc_id"), col("pos").as("want_pos"),
         col("term").as("v_term")), Seq("doc_id", "want_pos", "v_term"))
       .groupBy(col("pid"), col("doc_id"), col("anchor"))
       .agg(count(lit(1)).as("n_ok"))
-      .filter(col("n_ok") === 2)
     val names = phrases.zipWithIndex
-      .map { case ((p1, p2, p3), i) => (i.toLong, s"$p1 $p2 $p3") }
-      .toDF("pid", "phrase")
-    ok.groupBy(col("pid"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .map { case (p, i) => (i.toLong, p.mkString(" "), (p.length - 1).toLong) }
+      .toDF("pid", "phrase", "n_need")
+    val ok = cand
+      .join(matched, Seq("pid", "doc_id", "anchor"), "left")
       .join(broadcast(names), Seq("pid"))
+      .filter(coalesce(col("n_ok"), lit(0L)) === col("n_need"))
+    ok.groupBy(col("pid"), col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .select(col("phrase"), col("n_docs"), col("n_occ"))
       .orderBy(col("n_occ").desc, col("phrase"))
   }
+
+  /** Trigram-tuple convenience over the general probe. */
+  def phraseProbeStored(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String,
+                        phrases: Seq[(String, String, String)],
+                        nBuckets: Int = 64)
+                       (implicit d: DummyImplicit): DataFrame =
+    phraseProbeStored(spark, indexDir,
+      phrases.map(p => Seq(p._1, p._2, p._3)), nBuckets)
 
   /** The probe's shared first half — (pruned posting base, seek
     * candidates, verify rows) — factored so the spec can measure the
     * candidate set the rarest-word seek produces. */
   private[graft] def storedPhraseParts(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, phrases: Seq[(String, String, String)],
+      indexDir: String, phrases: Seq[Seq[String]],
       nBuckets: Int): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     require(phrases.nonEmpty, "phraseProbeStored needs at least one phrase")
+    require(phrases.forall(_.nonEmpty), "phrases must have at least one word")
     val stats = spark.read.parquet(s"$indexDir/stats")
-    val allTerms = phrases.flatMap(p => Seq(p._1, p._2, p._3)).distinct
+    val allTerms = phrases.flatten.distinct
     // posting lengths for the probe's terms: a vocab-sized pruned read,
-    // ≤ 3·|phrases| rows back (a term absent from the corpus — possible
+    // ≤ Σ|phrase| rows back (a term absent from the corpus — possible
     // for user-supplied phrases — has posting length 0)
     val occ = stats.filter(col("term").isin(allTerms.map(x => x: Any): _*))
       .select(col("term"), col("n_occ")).collect()
@@ -1938,14 +1979,13 @@ object TextOps {
         col("term").isin(allTerms.map(x => x: Any): _*))
     val plan = phrases.zipWithIndex.map { case (p, i) =>
       val off = chooseSeekOff(p, occ)
-      (i.toLong, Seq(p._1, p._2, p._3)(off), off)
+      (i.toLong, p(off), off)
     }
     val seeks = plan.toDF("pid", "seek_term", "seek_off")
-    val verifies = phrases.zipWithIndex.flatMap { case ((p1, p2, p3), i) =>
+    val verifies = phrases.zipWithIndex.flatMap { case (p, i) =>
       val off = plan(i)._3
-      Seq((p1, 0), (p2, 1), (p3, 2)).zipWithIndex
-        .filter(_._2 != off)
-        .map { case ((t, o), _) => (i.toLong, t, o) }
+      p.zipWithIndex.filter(_._2 != off)
+        .map { case (t, o) => (i.toLong, t, o) }
     }.toDF("pid", "v_term", "v_off")
     val cand = base.join(broadcast(seeks), col("term") === col("seek_term"))
       .select(col("pid"), col("doc_id"),
@@ -1969,5 +2009,32 @@ object TextOps {
     val phrases = topTrigrams(post, nPhrases).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
     phraseProbeStored(spark, indexDir, phrases, nBuckets)
+  }
+
+  /** VARIABLE-LENGTH phrase search over the stored index — the probe
+    * is phrase-length-generic (the per-phrase needed-count rides the
+    * broadcast name frame), so bigrams and quadgrams run through the
+    * SAME seek/verify machinery as trigrams: query set = the corpus's
+    * top `perN` n-grams per requested length (derived from the
+    * index's own postings, n−1 lead windows), probe = rarest-word
+    * seek + anchor-offset verifies, bucket-pruned. Output adds
+    * phrase_len so one frame carries all lengths. */
+  def phraseSearchNgramStored(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, ns: Seq[Int] = Seq(2, 4),
+                              perN: Int = 3, nBuckets: Int = 64): DataFrame = {
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .select(col("doc_id"), col("pos"), col("term"))
+    val perLen = ns.flatMap { n =>
+      val phrases = topNgrams(post, n, perN).collect()
+        .map(_.getString(0).split(" ").toSeq).toSeq
+      if (phrases.isEmpty) None
+      else Some(phraseProbeStored(spark, indexDir, phrases, nBuckets)
+        .withColumn("phrase_len", lit(n.toLong)))
+    }
+    require(perLen.nonEmpty,
+      s"no phrases of any requested length ${ns.mkString(",")} in the corpus")
+    perLen.reduce(_ unionByName _)
+      .select(col("phrase_len"), col("phrase"), col("n_docs"), col("n_occ"))
+      .orderBy(col("phrase_len"), col("n_occ").desc, col("phrase"))
   }
 }

@@ -844,6 +844,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(st.getAs[Long]("est_join_rows") == r.getAs[Long]("est_join_rows"))
   }
 
+  test("countMinStored: stored-sketch point estimates are identical to the in-query face") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val events = Tables.events(s, TestSpark.sf)
+    val keys = events.select(col("user_id").cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-f").toString
+    ScaleOps.ensureCmSketch(keys, dir)
+    val stored = ScaleOps.countMinStored(events, dir).collect().toSeq
+    val direct = ScaleOps.countMin(events).collect().toSeq
+    assert(stored == direct, "CMS merge is cell-wise sum: stored == in-query")
+    assert(stored.forall(_.getBoolean(3)), "never underestimates")
+  }
+
   test("dedupEditDistanceMultipass: rotated pass 2 catches prefix-edit and band-edge pairs pass 1 misses, without double-reporting") {
     val s = spark
     import s.implicits._

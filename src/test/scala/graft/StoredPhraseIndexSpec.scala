@@ -50,8 +50,8 @@ class StoredPhraseIndexSpec extends AnyFunSuite {
     val stats = s.read.parquet(s"$dir/stats").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
     assert(TextOps.chooseSeekOff(phrase, stats) == 1)
-    val (base, cand, _) =
-      TextOps.storedPhraseParts(s, dir, Seq(phrase), nBuckets = 16)
+    val (base, cand, _) = TextOps.storedPhraseParts(s, dir,
+      Seq(Seq(phrase._1, phrase._2, phrase._3)), nBuckets = 16)
     // candidate set = zebra's posting list (2 rows), nowhere near
     // "the"'s (150+ occurrences)
     assert(cand.count() == 2L)
@@ -76,6 +76,60 @@ class StoredPhraseIndexSpec extends AnyFunSuite {
     val out = TextOps.phraseProbeStored(s, dir,
       Seq(("alpha", "missingword", "gamma")), nBuckets = 16)
     assert(out.count() == 0L)
+  }
+
+  test("general probe: 1-, 2- and 4-word phrases verify positionally, counts equal brute force") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox ran while the lazy dog slept"),
+      (3L, "quick brown quick brown quick brown"),
+      (4L, "the dog and the fox")
+    ).toDF("doc_id", "text")
+    val dir = freshDir("nlen")
+    TextOps.buildPosIndex(docs, dir, nBuckets = 16)
+    def probe(ps: Seq[Seq[String]]) =
+      TextOps.phraseProbeStored(s, dir, ps, 16)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // 1-word: the posting list IS the answer (vacuous verify)
+    assert(probe(Seq(Seq("quick"))) == Set(("quick", 3L, 5L)))
+    // 2-word incl. overlapping repeats in doc 3
+    assert(probe(Seq(Seq("quick", "brown"), Seq("lazy", "dog"))) ==
+      Set(("quick brown", 3L, 5L), ("lazy dog", 2L, 2L)))
+    // 4-word across two docs
+    assert(probe(Seq(Seq("quick", "brown", "fox", "jumps"),
+      Seq("the", "lazy", "dog", "slept"))) ==
+      Set(("quick brown fox jumps", 1L, 1L), ("the lazy dog slept", 1L, 1L)))
+    // mixed lengths in ONE probe call
+    assert(probe(Seq(Seq("fox"), Seq("brown", "fox"),
+      Seq("over", "the", "lazy", "dog"))) ==
+      Set(("fox", 3L, 3L), ("brown fox", 2L, 2L),
+        ("over the lazy dog", 1L, 1L)))
+  }
+
+  test("phraseSearchNgramStored: top bigrams and quadgrams derive from the index and verify exactly") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta other words here"),
+      (3L, "alpha beta only here")
+    ).toDF("doc_id", "text")
+    val dir = freshDir("ngram")
+    TextOps.buildPosIndex(docs, dir, nBuckets = 16)
+    val out = TextOps.phraseSearchNgramStored(s, dir, ns = Seq(2, 4),
+      perN = 2, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val (bi, quad) = out.partition(_._1 == 2L)
+    // "alpha beta" ×4 (docs 1,1,2,3), "beta gamma" ×3 — the top-2
+    assert(bi.toSeq == Seq((2L, "alpha beta", 3L, 4L),
+      (2L, "beta gamma", 2L, 3L)), s"bi=${bi.toSeq}")
+    // quadgrams: "alpha beta gamma delta" ×3 tops; second is a tie
+    // broken by phrase asc among the f=1 candidates
+    assert(quad.head == ((4L, "alpha beta gamma delta", 2L, 3L)),
+      s"quad=${quad.toSeq}")
+    assert(quad.length == 2)
   }
 
   test("ensurePosIndex: build-once (sentinel respected), torn build rebuilt") {
