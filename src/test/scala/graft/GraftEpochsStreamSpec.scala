@@ -96,6 +96,47 @@ class GraftEpochsStreamSpec extends AnyFunSuite {
     assert(got.toSet == Set(1L, 2L), s"drained both epochs: $got")
   }
 
+  test("composition: a living CMS delta family streams through the source and folds to exactly the merged sketch") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.ScaleOps
+    val dir = freshDir("cms")
+    val chk = freshDir("cms-chk")
+    val all = (1L to 300L).map(i => (i, i % 37))
+    val (part1, rest) = all.splitAt(100)
+    val (part2, part3) = rest.splitAt(100)
+    def writeDelta(rows: Seq[(Long, Long)], b: Int): Unit =
+      ScaleOps.countMinTable(rows.toDF("event_id", "user_id"))
+        .write.parquet(s"$dir/delta-b$b")
+    writeDelta(part1, 0); writeDelta(part2, 1)
+    // downstream maintains a running cell-wise fold of arriving deltas
+    val folded = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    val q = s.readStream.format("graft-epochs-stream")
+      .option("path", dir).load()
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          val k = (r.getInt(0), r.getLong(1))
+          folded.synchronized {
+            folded(k) = folded.getOrElse(k, 0L) + r.getLong(2)
+          }
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      writeDelta(part3, 2) // a new ingest epoch lands mid-stream
+      q.processAllAvailable()
+    } finally q.stop()
+    // the streamed fold IS the merged sketch IS the whole-corpus sketch
+    val merged = ScaleOps.countMinMerged(s, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = ScaleOps.countMinTable(all.toDF("event_id", "user_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(folded.toMap == merged && merged == whole,
+      "stream fold == merged face == whole-corpus sketch")
+  }
+
   test("schema inference requires one completed epoch; explicit schema works on an empty family") {
     val s = spark
     val dir = freshDir("empty")
