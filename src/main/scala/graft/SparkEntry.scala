@@ -301,6 +301,8 @@ object SparkEntry {
     "scale_countmin_stored" -> ((s, d) =>
       ScaleOps.countMinStoredFace(Tables.events(s, d), d)),
     "scale_hll" -> ((s, d) => ScaleOps.hllDistinct(Tables.events(s, d))),
+    "scale_hll_stored" -> ((s, d) =>
+      ScaleOps.hllStoredFace(Tables.events(s, d), d)),
     "scale_profile" -> ((s, d) => ScaleOps.profile(Tables.documents(s, d))),
     "scale_histogram" -> ((s, d) => ScaleOps.histQuantiles(Tables.orders(s, d))),
     "scale_skew_report" -> ((s, d) => ScaleOps.skewReport(Tables.events(s, d))),
@@ -310,6 +312,8 @@ object SparkEntry {
     "scale_quantile_grouped" -> ((s, d) => ScaleOps.quantileSketchGrouped(Tables.orders(s, d))),
     "scale_quantile_sliding" -> ((s, d) => ScaleOps.quantileSliding(Tables.events(s, d))),
     "scale_quantile_double" -> ((s, d) => ScaleOps.quantileSketchDouble(Tables.events(s, d))),
+    "scale_quantile_stored" -> ((s, d) =>
+      ScaleOps.quantileStoredFace(Tables.orders(s, d), d)),
     "scale_join_estimate" -> ((s, d) => ScaleOps.joinEstimate(Tables.orders(s, d), Tables.lineitem(s, d))),
     "scale_join_estimate_stored" -> ((s, d) =>
       ScaleOps.joinEstimateStoredFace(Tables.orders(s, d), Tables.lineitem(s, d), d)),
@@ -1070,6 +1074,15 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // gates on its oracle
     .updated("scale_join_estimate_stored", oracleSqlBase("scale_join_estimate"))
     .updated("scale_countmin_stored", oracleSqlBase("scale_countmin"))
+    // HLL merge is per-register max: merged stored registers ARE the
+    // whole-corpus register table, so the stored face estimates
+    // identically and gates on scale_hll's oracle
+    .updated("scale_hll_stored", oracleSqlBase("scale_hll"))
+    // every gated column of the KLL report is summary-independent
+    // (exact order stats, n, the bound formula) or certified for any
+    // epoch union (within_bound) — the in-query oracle gates the
+    // stored face through the theorem
+    .updated("scale_quantile_stored", oracleSqlBase("scale_quantile_sketch"))
     // the stored positional index holds exactly the (doc_id, pos,
     // term) frame the in-query face tokenizes, and a phrase's
     // verified-occurrence set is seek-word-independent — identical

@@ -959,9 +959,54 @@ object ScaleOps {
     * At 100 TB the register table is the stored artifact
     * ([[hllStream]] maintains it per ingest epoch); this query is the
     * audit face. */
-  def hllDistinct(events: DataFrame, p: Int = 9, tol: Double = 0.15): DataFrame = {
+  def hllDistinct(events: DataFrame, p: Int = 9, tol: Double = 0.15): DataFrame =
+    hllReport(hllTable(events, p), events, p, tol)
+
+  /** [[hllDistinct]] answered from a STORED register dir — the
+    * distinct-count sibling of [[countMinStored]]/[[joinEstimateStored]],
+    * closing the HLL lifecycle's read side as a gated query: registers
+    * come from the merged ≤ m-row table ([[hllStream]] epoch families
+    * or [[ensureHllSketch]]'s batch hash-slice epochs), the corpus is
+    * touched only for the exact audit, and because HLL merge is
+    * per-register max (idempotent AND commutative) the merged
+    * registers are IDENTICAL to the whole-corpus table — one oracle
+    * gates both faces. */
+  def hllDistinctStored(events: DataFrame, sketchDir: String, p: Int = 9,
+                        tol: Double = 0.15): DataFrame =
+    hllReport(hllMerged(events.sparkSession, sketchDir), events, p, tol)
+
+  /** Build-if-absent HLL register EPOCH FAMILY from a batch table —
+    * the batch twin of [[hllStream]]: `nEpochs` disjoint hash slices,
+    * each its own delta register table; per-register max over slices
+    * equals the whole-corpus registers exactly. */
+  def ensureHllSketch(events: DataFrame, sketchDir: String, p: Int = 9,
+                      nEpochs: Int = 3): String =
+    StoredArtifacts.ensureBuilt(events.sparkSession, sketchDir,
+      s"delta-b${nEpochs - 1}") {
+      (0 until nEpochs).foreach { i =>
+        hllTable(events.filter(
+          pmod(xxhash64(col("user_id").cast("string")), lit(nEpochs)) === i))
+          .write.mode("overwrite").parquet(s"$sketchDir/delta-b$i")
+      }
+    }
+
+  /** The registered face of [[hllDistinctStored]]: content-keyed
+    * build-if-absent register dir, then the audited stored estimate. */
+  def hllStoredFace(events: DataFrame, sfKey: String): DataFrame = {
+    val keys = events.select(col("user_id").cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val dir = StoredArtifacts.contentKeyedDir("graft-hll-sketch", keys,
+      sfKey, "-events-user-p9")
+    ensureHllSketch(events, dir)
+    hllDistinctStored(events, dir)
+  }
+
+  /** The estimate/audit tail both distinct faces share: fold a
+    * (reg, m_reg) register frame to the report row. */
+  private def hllReport(regs: DataFrame, events: DataFrame, p: Int,
+                        tol: Double): DataFrame = {
     val m = 1L << p
-    val stats = hllTable(events, p).agg(
+    val stats = regs.agg(
       count(lit(1)).as("n_hit"),
       sum(expr("shiftleft(1L, CAST(49 - m_reg AS INT))")).as("s2_hit"))
     val exact = events.agg(countDistinct(col("user_id")).as("exact_distinct"))
@@ -2441,6 +2486,50 @@ object ScaleOps {
       .select(col("anchor").as("grp"), col("cents"))
     kllQuantileReportGrouped(cents, entries, k)
       .withColumnRenamed("grp", "day")
+  }
+
+  /** [[quantileSketch]] answered from a STORED summary dir — the rank
+    * sibling of [[countMinStored]]/[[hllDistinctStored]], and the one
+    * where "stored ≡ in-query" is the WRONG contract: a union of
+    * epoch summaries is a DIFFERENT (valid) summary than the
+    * whole-corpus compaction, so the raw estimate differs — but the
+    * raw estimate never appears in gated output. Every reported
+    * column is summary-independent (n rides the weights exactly,
+    * bound_rank is a formula on n, exact_value is the corpus order
+    * statistic) except within_bound, which the kllMerged additivity
+    * argument certifies for ANY epoch union — so the in-query face's
+    * oracle still gates this one, through the theorem rather than
+    * bit-identity. */
+  def quantileSketchStored(orders: DataFrame, sketchDir: String,
+                           k: Int = 256): DataFrame = {
+    val cents = orders.select(round(col("o_totalprice") * 100, 0)
+      .cast("long").as("cents"))
+    kllQuantileReport(cents, kllMerged(orders.sparkSession, sketchDir), k)
+  }
+
+  /** Build-if-absent KLL summary EPOCH FAMILY — the batch twin of
+    * [[kllStream]]: `nEpochs` disjoint hash slices, one summary delta
+    * each. Slice errors are additive across disjoint inputs and
+    * Σ (H_e+2)·n_e ≤ (H+2)·n, so the whole-corpus bound formula
+    * certifies the union (the kllMerged argument). */
+  def ensureKllSketch(orders: DataFrame, sketchDir: String, k: Int = 256,
+                      nEpochs: Int = 3): String =
+    StoredArtifacts.ensureBuilt(orders.sparkSession, sketchDir,
+      s"delta-b${nEpochs - 1}") {
+      (0 until nEpochs).foreach { i =>
+        kllTable(orders.filter(pmod(xxhash64(col("o_orderkey")), lit(nEpochs)) === i)
+          .select(round(col("o_totalprice") * 100, 0).cast("long").as("v")), k)
+          .write.mode("overwrite").parquet(s"$sketchDir/delta-b$i")
+      }
+    }
+
+  /** The registered face of [[quantileSketchStored]]: content-keyed
+    * build-if-absent summary dir, then the certified stored report. */
+  def quantileStoredFace(orders: DataFrame, sfKey: String): DataFrame = {
+    val dir = StoredArtifacts.contentKeyedDir("graft-kll-sketch",
+      orders.select(col("o_orderkey")), sfKey, "-orders-price-k256")
+    ensureKllSketch(orders, dir)
+    quantileSketchStored(orders, dir)
   }
 
   /** One micro-batch's KLL summary as (lvl, v) rows. */

@@ -54,5 +54,9 @@ object Shims {
     reg.createOrReplaceTempFunction("graft_collect_capped",
       args => CollectCapped(args(0), args(1), intArg(args(2), "cap")).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_double_sortable_bits",
+      args => DoubleSortableBits(args(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sortable_bits_to_double",
+      args => SortableBitsToDouble(args(0)), "built-in")
   }
 }

@@ -215,6 +215,17 @@ class KllSpec extends AnyFunSuite {
     assert(viaSql == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("SQL faces graft_double_sortable_bits / graft_sortable_bits_to_double resolve and round-trip") {
+    val spark = this.spark
+    import spark.implicits._
+    graft.functions.F.register(spark)
+    Seq(-2.5, -0.0, 0.0, 3.75).toDF("d").createOrReplaceTempView("bits_in")
+    val rt = spark.sql(
+      "SELECT graft_sortable_bits_to_double(graft_double_sortable_bits(d)) AS r FROM bits_in")
+      .collect().map(r => java.lang.Double.doubleToLongBits(r.getDouble(0))).toSeq
+    assert(rt == Seq(-2.5, -0.0, 0.0, 3.75).map(java.lang.Double.doubleToLongBits))
+  }
+
   test("sortable bits: exact round-trip and order preservation on negatives, subnormals, infinities, ±0") {
     val spark = this.spark
     import spark.implicits._
@@ -266,6 +277,26 @@ class KllSpec extends AnyFunSuite {
         s"${r.getAs[String]("q_label")} estimate outside the certified bound")
       assert(r.getAs[Long]("n") == vals.size.toLong)
     }
+  }
+
+  test("quantileSketchStored: certified report from hash-slice epoch summaries matches the in-query face") {
+    val spark = this.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val orders = Seq.tabulate(3000)(i =>
+      (i.toLong, 1.0 + rnd.nextInt(100000) / 100.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll-st").toString
+    graft.operators.ScaleOps.ensureKllSketch(orders, dir, k = 128, nEpochs = 4)
+    val stored = graft.operators.ScaleOps
+      .quantileSketchStored(orders, dir, k = 128).collect().toSeq
+    val direct = graft.operators.ScaleOps
+      .quantileSketch(orders, k = 128).collect().toSeq
+    // every gated column is summary-independent or theorem-certified:
+    // the stored report equals the in-query one even though the two
+    // summaries differ
+    assert(stored == direct, s"stored=$stored direct=$direct")
+    assert(stored.forall(_.getAs[Boolean]("within_bound")))
   }
 
   test("graft_kll over DECIMAL and DOUBLE inputs does not crash (documented truncation semantics)") {

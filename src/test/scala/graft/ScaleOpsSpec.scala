@@ -844,6 +844,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(st.getAs[Long]("est_join_rows") == r.getAs[Long]("est_join_rows"))
   }
 
+  test("hllDistinctStored: stored registers are identical to the whole-corpus table; stored report equals the in-query face") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val events = Tables.events(s, TestSpark.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-f").toString
+    ScaleOps.ensureHllSketch(events, dir)
+    val merged = ScaleOps.hllMerged(s, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = graft.operators.ScaleOps.hllTable(events)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == whole, "per-register max over hash slices == whole corpus")
+    val stored = ScaleOps.hllDistinctStored(events, dir).collect().toSeq
+    val direct = ScaleOps.hllDistinct(events).collect().toSeq
+    assert(stored == direct)
+  }
+
   test("countMinStored: stored-sketch point estimates are identical to the in-query face") {
     import org.apache.spark.sql.functions._
     val s = spark
