@@ -118,6 +118,11 @@ object SparkEntry {
       TextOps.phraseSearchNgramStored(s,
         TextOps.ensurePosIndex(docs, TextOps.defaultPosIndexDir(docs, d)))
     }),
+    "text_proximity_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.proximitySearchStored(s,
+        TextOps.ensurePosIndex(docs, TextOps.defaultPosIndexDir(docs, d)))
+    }),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.textLangid(Tables.documents(s, d))),
     "text_pii_redact" -> ((s, d) => TextOps.piiRedact(Tables.documents(s, d))),
@@ -1490,6 +1495,35 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT * FROM (SELECT * FROM r2 UNION ALL SELECT * FROM r4)
         |ORDER BY phrase_len, n_occ DESC, phrase""".stripMargin,
+    "text_proximity_search" ->
+      // ordered proximity ("t1 NEAR t2" within 5 positions) for the
+      // corpus's top-4 bigram pairs — one posting-list join per pair,
+      // row-local gap filter; adjacency guarantees n_occ > 0
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), tk0 AS (
+        |  SELECT doc_id, unnest(toks) AS term,
+        |    unnest(generate_series(1, len(toks))) AS pos
+        |  FROM t0
+        |), tk AS (SELECT * FROM tk0 WHERE term <> ''),
+        |gp AS (
+        |  SELECT a.term AS t1, b.term AS t2, count(*) AS f
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT t1, t2 FROM gp ORDER BY f DESC, t1 || ' ' || t2 LIMIT 4
+        |), h AS (
+        |  SELECT pr.t1, pr.t2, a.doc_id
+        |  FROM tk a JOIN pr ON a.term = pr.t1
+        |  JOIN tk b ON b.doc_id = a.doc_id AND b.term = pr.t2
+        |    AND b.pos > a.pos AND b.pos <= a.pos + 5
+        |)
+        |SELECT t1 || ' ' || t2 AS pair, CAST(5 AS BIGINT) AS "window",
+        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM h GROUP BY t1, t2
+        |ORDER BY n_occ DESC, pair""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, length(text) AS n_chars,

@@ -2011,6 +2011,53 @@ object TextOps {
     phraseProbeStored(spark, indexDir, phrases, nBuckets)
   }
 
+  /** PROXIMITY (NEAR) SEARCH over the stored positional index — the
+    * third IR capability the index unlocks (exact phrase = 42x2,
+    * any-length phrase = 42x3, and now "t1 NEAR t2": t2 within
+    * `window` positions AFTER t1, the ordered-proximity operator
+    * relevance engines put between bag-of-words and exact phrase).
+    * Query set: the corpus's top `nPairs` bigrams (deterministic, and
+    * self-auditing — every adjacent occurrence is also a proximity
+    * hit, so n_occ here must dominate the bigram's phrase count).
+    * Probe: the pair's two posting lists (bucket-pruned scans), one
+    * equi-join on doc_id, a row-local window filter on the position
+    * gap, then pair/doc counts. Scale shape: per-pair cost is the
+    * join of two posting lists keyed by doc — never the corpus; the
+    * rare side bounds the output the same way the rarest-word seek
+    * bounds the phrase probe. */
+  def proximitySearchStored(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, nPairs: Int = 4,
+                            window: Int = 5, nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .select(col("doc_id"), col("pos"), col("term"))
+    val pairs = topNgrams(post, 2, nPairs).collect()
+      .map(_.getString(0).split(" ")).map(a => (a(0), a(1))).toSeq
+    val allTerms = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val buckets = allTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets))).collect()
+      .map(_.getLong(0)).distinct.toSeq
+    val base = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isin(buckets.map(x => x: Any): _*) &&
+        col("term").isin(allTerms.map(x => x: Any): _*))
+    val pairDf = pairs.zipWithIndex.map { case ((t1, t2), i) =>
+      (i.toLong, t1, t2) }.toDF("pid", "t1", "t2")
+    val left = base.join(broadcast(pairDf), col("term") === col("t1"))
+      .select(col("pid"), col("doc_id"), col("pos").as("pos1"),
+        col("t1"), col("t2"))
+    val right = base.select(col("doc_id"), col("pos").as("pos2"),
+      col("term").as("t2"))
+    left.join(right, Seq("doc_id", "t2"))
+      .filter(col("pos2") > col("pos1") &&
+        col("pos2") <= col("pos1") + window)
+      .groupBy(col("pid"), col("t1"), col("t2"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .select(concat_ws(" ", col("t1"), col("t2")).as("pair"),
+        lit(window.toLong).as("window"), col("n_docs"), col("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+  }
+
   /** VARIABLE-LENGTH phrase search over the stored index — the probe
     * is phrase-length-generic (the per-phrase needed-count rides the
     * broadcast name frame), so bigrams and quadgrams run through the

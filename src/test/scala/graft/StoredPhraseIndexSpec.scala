@@ -132,6 +132,40 @@ class StoredPhraseIndexSpec extends AnyFunSuite {
     assert(quad.length == 2)
   }
 
+  test("proximitySearchStored: ordered NEAR counts equal brute force and dominate the exact-phrase counts") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "red fox red dog fox dog red"),
+      (2L, "red dog other words fox"),
+      (3L, "fox then red at the end")
+    ).toDF("doc_id", "text")
+    val dir = freshDir("prox")
+    TextOps.buildPosIndex(docs, dir, nBuckets = 16)
+    val out = TextOps.proximitySearchStored(s, dir, nPairs = 2, window = 3,
+      nBuckets = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // brute force over every derived pair
+    def near(t1: String, t2: String, w: Int): (Long, Long) = {
+      val perDoc = Seq(
+        "red fox red dog fox dog red", "red dog other words fox",
+        "fox then red at the end").map(_.split(" ").toSeq).map { ws =>
+        val p1 = ws.zipWithIndex.filter(_._1 == t1).map(_._2)
+        val p2 = ws.zipWithIndex.filter(_._1 == t2).map(_._2)
+        p1.map(a => p2.count(b => b > a && b <= a + w)).sum.toLong
+      }
+      (perDoc.count(_ > 0).toLong, perDoc.sum)
+    }
+    out.foreach { case (pair, (w, nDocs, nOcc)) =>
+      val Array(t1, t2) = pair.split(" ")
+      val (bd, bo) = near(t1, t2, w.toInt)
+      assert((nDocs, nOcc) == ((bd, bo)), s"$pair: got ($nDocs,$nOcc) want ($bd,$bo)")
+      assert(nOcc > 0, "adjacency guarantees at least the bigram count")
+    }
+    assert(out.size == 2)
+  }
+
   test("ensurePosIndex: build-once (sentinel respected), torn build rebuilt") {
     val s = spark
     import s.implicits._
