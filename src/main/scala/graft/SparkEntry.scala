@@ -123,6 +123,12 @@ object SparkEntry {
       TextOps.proximitySearchStored(s,
         TextOps.ensurePosIndex(docs, TextOps.defaultPosIndexDir(docs, d)))
     }),
+    "text_phrase_search_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = StoredArtifacts.contentKeyedDir("graft-pos-index-inc", docs, d, "-b64")
+      TextOps.ensurePosIndexIncremental(docs, dir)
+      TextOps.phraseSearchIncremental(s, dir)
+    }),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.textLangid(Tables.documents(s, d))),
     "text_pii_redact" -> ((s, d) => TextOps.piiRedact(Tables.documents(s, d))),
@@ -1093,6 +1099,9 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // verified-occurrence set is seek-word-independent — identical
     // output, one oracle
     .updated("text_phrase_search_stored", oracleSqlBase("text_phrase_search"))
+    // the incremental index's doc-disjoint epochs union to exactly the
+    // corpus tokenization — third face, same oracle
+    .updated("text_phrase_search_incremental", oracleSqlBase("text_phrase_search"))
     // the hamming tuning curve aggregates the mm_phash oracle's own
     // pair chain — same banded candidate space by construction
     .updated("mm_phash_curve",

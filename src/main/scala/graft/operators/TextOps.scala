@@ -1885,6 +1885,94 @@ object TextOps {
     StoredArtifacts.ensureBuilt(documents.sparkSession, indexDir,
       "stats")(buildPosIndex(documents, indexDir, nBuckets))
 
+  /** INCREMENTAL positional-index ingest — one corpus epoch's
+    * postings + stats as a `delta-b<epoch>/{postings,stats}` pair
+    * (stats written LAST: the epoch's completeness sentinel, checked
+    * by the lister's subTables contract). Epochs are DOC-DISJOINT by
+    * the ingest contract (each doc arrives in exactly one batch — the
+    * dedupIncrementalStream rule), which is what makes the merged
+    * stats a plain per-term SUM. A replayed epoch overwrites its own
+    * pair — replay-idempotent like every delta family. */
+  def posIndexIngest(docsBatch: DataFrame, indexDir: String, epoch: Long,
+                     nBuckets: Int = 64): Unit = {
+    val toks = Dedup.materialized(positionalToks(docsBatch))
+    toks
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexDir/delta-b$epoch/postings")
+    toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$indexDir/delta-b$epoch/stats")
+  }
+
+  /** Stream half: each micro-batch becomes one index epoch. Ownership
+    * contract as everywhere: one logical stream per indexDir. */
+  def posIndexStream(documents: DataFrame, indexDir: String,
+                     nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    documents.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) posIndexIngest(batch, indexDir, batchId, nBuckets)
+    }
+
+  /** Batch twin of [[posIndexStream]]: build-if-absent epoch family
+    * from doc_id hash slices (doc-disjoint by construction). */
+  def ensurePosIndexIncremental(documents: DataFrame, indexDir: String,
+                                nEpochs: Int = 3,
+                                nBuckets: Int = 64): String =
+    StoredArtifacts.ensureBuilt(documents.sparkSession, indexDir,
+      s"delta-b${nEpochs - 1}/stats") {
+      (0 until nEpochs).foreach { i =>
+        posIndexIngest(documents.filter(
+          pmod(xxhash64(col("doc_id")), lit(nEpochs)) === i),
+          indexDir, i, nBuckets)
+      }
+    }
+
+  /** The merged view of an incremental index: postings = per-epoch
+    * union (partitioned roots keep per-branch reads — the Spark
+    * FileIndex invariant; each branch still partition-prunes on the
+    * probe's bucket literals), stats = ONE multi-path scan summed
+    * per term (exact under the doc-disjoint epoch contract). */
+  def posIndexMerged(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String): (DataFrame, DataFrame) = {
+    val epochs = StoredArtifacts.listEpochs(spark, indexDir,
+      subTables = Seq("postings", "stats"))
+    require(epochs.nonEmpty, s"no completed index epochs under $indexDir")
+    val postings = epochs.map(e => spark.read.parquet(s"$e/postings"))
+      .reduce(_ unionByName _)
+    val stats = spark.read.parquet(epochs.map(e => s"$e/stats"): _*)
+      .groupBy(col("term"))
+      .agg(sum(col("n_occ")).as("n_occ"), sum(col("n_docs")).as("n_docs"))
+    (postings, stats)
+  }
+
+  /** [[phraseProbeStored]] against an INCREMENTAL epoch-family index —
+    * same seek/verify machinery over the merged view. */
+  def phraseProbeIncremental(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, phrases: Seq[Seq[String]],
+                             nBuckets: Int = 64): DataFrame = {
+    val (postings, stats) = posIndexMerged(spark, indexDir)
+    probeFromParts(spark,
+      storedPhrasePartsFrames(spark, postings, stats, phrases, nBuckets),
+      phrases)
+  }
+
+  /** [[phraseSearchStored]] against the incremental index — identical
+    * output to the in-query face (the index holds exactly the corpus
+    * tokenization, assembled from doc-disjoint epochs), so all three
+    * faces gate on ONE oracle. */
+  def phraseSearchIncremental(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, nPhrases: Int = 5,
+                              nBuckets: Int = 64): DataFrame = {
+    val (postings, _) = posIndexMerged(spark, indexDir)
+    val phrases = topTrigrams(
+      postings.select(col("doc_id"), col("pos"), col("term")), nPhrases)
+      .collect()
+      .map(r => Seq(r.getString(0), r.getString(1), r.getString(2))).toSeq
+    phraseProbeIncremental(spark, indexDir, phrases, nBuckets)
+  }
+
   def defaultPosIndexDir(documents: DataFrame, sfKey: String,
                          nBuckets: Int = 64): String =
     StoredArtifacts.contentKeyedDir("graft-pos-index", documents, sfKey,
@@ -1918,9 +2006,17 @@ object TextOps {
   def phraseProbeStored(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String,
                         phrases: Seq[Seq[String]],
-                        nBuckets: Int): DataFrame = {
+                        nBuckets: Int): DataFrame =
+    probeFromParts(spark,
+      storedPhraseParts(spark, indexDir, phrases, nBuckets), phrases)
+
+  /** The seek→verify→count tail over prepared probe parts — shared by
+    * the flat-index and incremental-index faces. */
+  private def probeFromParts(spark: org.apache.spark.sql.SparkSession,
+      parts: (DataFrame, DataFrame, DataFrame),
+      phrases: Seq[Seq[String]]): DataFrame = {
     import spark.implicits._
-    val (base, cand, verifies) = storedPhraseParts(spark, indexDir, phrases, nBuckets)
+    val (base, cand, verifies) = parts
     val wants = cand.join(broadcast(verifies), Seq("pid"))
       .select(col("pid"), col("doc_id"), col("anchor"),
         (col("anchor") + col("v_off")).as("want_pos"), col("v_term"))
@@ -1956,11 +2052,24 @@ object TextOps {
     * candidate set the rarest-word seek produces. */
   private[graft] def storedPhraseParts(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, phrases: Seq[Seq[String]],
+      nBuckets: Int): (DataFrame, DataFrame, DataFrame) =
+    storedPhrasePartsFrames(spark,
+      spark.read.parquet(s"$indexDir/postings"),
+      spark.read.parquet(s"$indexDir/stats"), phrases, nBuckets)
+
+  /** The same probe halves over EXPLICIT postings/stats frames — what
+    * lets the flat build-once index (42x2) and the incremental
+    * epoch-family index (42x5) share one seek/verify machinery: the
+    * incremental caller passes a union of per-epoch pruned reads and
+    * summed stats. */
+  private[graft] def storedPhrasePartsFrames(
+      spark: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, statsDf: DataFrame, phrases: Seq[Seq[String]],
       nBuckets: Int): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     require(phrases.nonEmpty, "phraseProbeStored needs at least one phrase")
     require(phrases.forall(_.nonEmpty), "phrases must have at least one word")
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    val stats = statsDf
     val allTerms = phrases.flatten.distinct
     // posting lengths for the probe's terms: a vocab-sized pruned read,
     // ≤ Σ|phrase| rows back (a term absent from the corpus — possible
@@ -1974,7 +2083,7 @@ object TextOps {
     val buckets = allTerms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets))).collect()
       .map(_.getLong(0)).distinct.toSeq
-    val base = spark.read.parquet(s"$indexDir/postings")
+    val base = postings
       .filter(col("bucket").isin(buckets.map(x => x: Any): _*) &&
         col("term").isin(allTerms.map(x => x: Any): _*))
     val plan = phrases.zipWithIndex.map { case (p, i) =>

@@ -166,6 +166,60 @@ class StoredPhraseIndexSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("incremental index: doc-disjoint epochs union to the flat index's answers; stream ingest + replay idempotent") {
+    val s = spark
+    import s.implicits._
+    val all = Seq(
+      (1L, "go go go go"),
+      (2L, "then go go go stop"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "alpha beta gamma other"),
+      (5L, "go alpha beta gamma")
+    )
+    val df = all.toDF("doc_id", "text")
+    // stream ingest: two doc-disjoint micro-batches
+    val dir = freshDir("inc")
+    val mem = {
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+    }
+    val q = TextOps.posIndexStream(
+      mem.toDF().toDF("doc_id", "text"), dir, nBuckets = 16)
+      .option("checkpointLocation", freshDir("inc-chk")).start()
+    try {
+      mem.addData(all.take(2): _*); q.processAllAvailable()
+      mem.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    // merged probe == in-query face on the whole corpus
+    val direct = TextOps.phraseSearch(df, nPhrases = 3).collect().toSeq
+    val inc = TextOps.phraseSearchIncremental(s, dir, nPhrases = 3,
+      nBuckets = 16).collect().toSeq
+    assert(inc == direct, s"inc=$inc direct=$direct")
+    // == the flat build-once index too
+    val flat = freshDir("inc-flat")
+    TextOps.buildPosIndex(df, flat, nBuckets = 16)
+    assert(TextOps.phraseSearchStored(s, flat, nPhrases = 3, nBuckets = 16)
+      .collect().toSeq == inc)
+    // epoch replay: re-ingesting batch 0's docs as epoch 0 overwrites,
+    // never double-counts
+    TextOps.posIndexIngest(all.take(2).toDF("doc_id", "text"), dir, 0L,
+      nBuckets = 16)
+    assert(TextOps.phraseSearchIncremental(s, dir, nPhrases = 3,
+      nBuckets = 16).collect().toSeq == direct)
+    // torn epoch (postings without stats) is invisible
+    val stage = freshDir("inc-stage")
+    TextOps.posIndexIngest(Seq((9L, "go go go torn torn")).toDF("doc_id", "text"),
+      stage, 7L, nBuckets = 16)
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stage/delta-b7/stats"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/delta-b7"),
+      new org.apache.hadoop.fs.Path(s"$dir/delta-b7")))
+    assert(TextOps.phraseSearchIncremental(s, dir, nPhrases = 3,
+      nBuckets = 16).collect().toSeq == direct, "torn epoch must be invisible")
+  }
+
   test("ensurePosIndex: build-once (sentinel respected), torn build rebuilt") {
     val s = spark
     import s.implicits._
