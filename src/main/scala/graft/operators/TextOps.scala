@@ -1929,7 +1929,8 @@ object TextOps {
       }
     }
 
-  /** The merged view of an incremental index: postings = per-epoch
+  /** The merged view of an incremental index: the compacted base pair
+    * (when one exists) plus every delta epoch — postings = per-part
     * union (partitioned roots keep per-branch reads — the Spark
     * FileIndex invariant; each branch still partition-prunes on the
     * probe's bucket literals), stats = ONE multi-path scan summed
@@ -1938,13 +1939,101 @@ object TextOps {
                      indexDir: String): (DataFrame, DataFrame) = {
     val epochs = StoredArtifacts.listEpochs(spark, indexDir,
       subTables = Seq("postings", "stats"))
-    require(epochs.nonEmpty, s"no completed index epochs under $indexDir")
-    val postings = epochs.map(e => spark.read.parquet(s"$e/postings"))
+    val base = if (posBaseReady(spark, indexDir)) Seq(s"$indexDir/base") else Nil
+    val parts = base ++ epochs
+    require(parts.nonEmpty, s"no completed index epochs under $indexDir")
+    val postings = parts.map(e => spark.read.parquet(s"$e/postings"))
       .reduce(_ unionByName _)
-    val stats = spark.read.parquet(epochs.map(e => s"$e/stats"): _*)
+    val stats = spark.read.parquet(parts.map(e => s"$e/stats"): _*)
       .groupBy(col("term"))
       .agg(sum(col("n_occ")).as("n_occ"), sum(col("n_docs")).as("n_docs"))
     (postings, stats)
+  }
+
+  private def posBaseReady(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String): Boolean = {
+    val fs = StoredArtifacts.fsOf(spark, indexDir)
+    StoredArtifacts.readableEpoch(fs,
+      new org.apache.hadoop.fs.Path(s"$indexDir/base/stats")) &&
+      StoredArtifacts.readableEpoch(fs,
+        new org.apache.hadoop.fs.Path(s"$indexDir/base/postings"))
+  }
+
+  /** COMPACTION — fold every delta epoch (and the previous base) into
+    * one `base/{postings,stats}` pair, bounding probe-time read
+    * amplification the way the IVF family's compaction does (a probe
+    * reads base + every delta; after N ingest epochs that is N+1
+    * pruned branches per bucket — LSM compaction applied to the
+    * positional index). Content-identical by construction (the union
+    * of exactly the rows [[posIndexMerged]] already serves), so
+    * probes before and after hash-match — the spec's contract.
+    *
+    * Same crash-safe two-phase swap discipline as the IVF family:
+    * (1) merged pair + `_FOLDED` manifest (written LAST — the
+    * completed-merge sentinel) land in `base-compacting`; (2) dirs
+    * swap; (3) the manifest's deltas, `base-old` and the manifest are
+    * removed — deletes replayable via the surviving manifest. A crash
+    * in (1) leaves the old world untouched; between (2)'s renames
+    * [[recoverPosCompaction]] rolls the completed merge forward.
+    * OWNERSHIP: run under the family's one-owner contract (quiesce
+    * readers) — between swap-in and (3)'s delta deletes a concurrent
+    * merged read would double-count the folded rows, the same window
+    * the IVF contract documents. Returns the folded epoch count. */
+  def compactPosIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): Int = {
+    recoverPosCompaction(spark, indexDir)
+    val fs = StoredArtifacts.fsOf(spark, indexDir)
+    val deltas = StoredArtifacts.listEpochs(spark, indexDir,
+      subTables = Seq("postings", "stats"))
+    if (deltas.isEmpty) return 0
+    val hasBase = posBaseReady(spark, indexDir)
+    val parts = (if (hasBase) Seq(s"$indexDir/base") else Nil) ++ deltas
+    val tmp = s"$indexDir/base-compacting"
+    StoredArtifacts.deleteDir(fs, tmp)
+    parts.map(p => spark.read.parquet(s"$p/postings"))
+      .reduce(_ unionByName _)
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$tmp/postings")
+    spark.read.parquet(parts.map(_ + "/stats"): _*)
+      .groupBy(col("term"))
+      .agg(sum(col("n_occ")).as("n_occ"), sum(col("n_docs")).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$tmp/stats")
+    StoredArtifacts.writeTextFile(fs, s"$tmp/_FOLDED",
+      deltas.map(new org.apache.hadoop.fs.Path(_).getName).mkString("\n"))
+    StoredArtifacts.deleteDir(fs, s"$indexDir/base-old")
+    if (hasBase) StoredArtifacts.renameDir(fs, s"$indexDir/base",
+      s"$indexDir/base-old", "pos-index swap-out")
+    StoredArtifacts.renameDir(fs, tmp, s"$indexDir/base",
+      "pos-index swap-in")
+    finishPosCompaction(spark, indexDir)
+    deltas.size
+  }
+
+  /** Roll a torn [[compactPosIndex]] forward: a completed merge
+    * (manifest present — it is written last) whose swap or cleanup
+    * was interrupted finishes here; anything earlier is abandoned for
+    * the next compaction to rewrite. */
+  def recoverPosCompaction(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String): Unit = {
+    val fs = StoredArtifacts.fsOf(spark, indexDir)
+    val base = s"$indexDir/base"
+    val tmp = s"$indexDir/base-compacting"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(base)) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/_FOLDED")))
+      StoredArtifacts.renameDir(fs, tmp, base, "pos-index roll-forward")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/_FOLDED")))
+      finishPosCompaction(spark, indexDir)
+  }
+
+  private def finishPosCompaction(spark: org.apache.spark.sql.SparkSession,
+                                  indexDir: String): Unit = {
+    val fs = StoredArtifacts.fsOf(spark, indexDir)
+    val manifest = s"$indexDir/base/_FOLDED"
+    StoredArtifacts.readTextFile(fs, manifest).split("\n")
+      .filter(_.nonEmpty)
+      .foreach(d => StoredArtifacts.deleteDir(fs, s"$indexDir/$d"))
+    StoredArtifacts.deleteDir(fs, s"$indexDir/base-old")
+    fs.delete(new org.apache.hadoop.fs.Path(manifest), false)
+    ()
   }
 
   /** [[phraseProbeStored]] against an INCREMENTAL epoch-family index —
