@@ -125,7 +125,7 @@ object SparkEntry {
     }),
     "text_phrase_search_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = StoredArtifacts.contentKeyedDir("graft-pos-index-inc", docs, d, "-b64")
+      val dir = StoredArtifacts.contentKeyedDir("graft-pos-index-inc", docs, d, "-b64s")
       TextOps.ensurePosIndexIncremental(docs, dir)
       TextOps.phraseSearchIncremental(s, dir)
     }),

@@ -1872,6 +1872,10 @@ object TextOps {
     val toks = Dedup.materialized(positionalToks(documents))
     toks
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      // term-sorted within each bucket's files: parquet row-group
+      // min/max stats then skip other terms' rows for a probe's
+      // term-isin pushdown — the within-bucket half of the pruning
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexDir/postings")
     toks.groupBy(col("term"))
@@ -1898,6 +1902,7 @@ object TextOps {
     val toks = Dedup.materialized(positionalToks(docsBatch))
     toks
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexDir/delta-b$epoch/postings")
     toks.groupBy(col("term"))
@@ -2064,8 +2069,12 @@ object TextOps {
 
   def defaultPosIndexDir(documents: DataFrame, sfKey: String,
                          nBuckets: Int = 64): String =
+    // the `s` records the term-sorted file layout (round 11) — layout
+    // changes rebuild rather than silently serving the old physical
+    // order (the staleness discipline; results are identical, the
+    // row-group pruning is not)
     StoredArtifacts.contentKeyedDir("graft-pos-index", documents, sfKey,
-      s"-b$nBuckets")
+      s"-b${nBuckets}s")
 
   /** Pick each phrase's SEEK word: the offset whose term has the
     * SHORTEST posting list (ties → leftmost). Pure function — the
