@@ -328,6 +328,9 @@ object SparkEntry {
     "scale_join_estimate" -> ((s, d) => ScaleOps.joinEstimate(Tables.orders(s, d), Tables.lineitem(s, d))),
     "scale_join_estimate_stored" -> ((s, d) =>
       ScaleOps.joinEstimateStoredFace(Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "scale_join_admission" -> ((s, d) =>
+      ScaleOps.joinAdmissionFace(Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.customer(s, d), Tables.part(s, d), d)),
     "scale_hll_grouped" -> ((s, d) => ScaleOps.hllGrouped(Tables.events(s, d))),
     "scale_integrity" -> ((s, d) => ScaleOps.integrityAudit(
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
@@ -420,6 +423,64 @@ object SparkEntry {
     * milli renormalization), so the loadings hash-match bit-for-bit.
     * DuckDB sums BIGINT into HUGEINT; all values stay ≪ 2^63 (|x| ≤
     * 0.6 → |xb| ≤ 6e3, Gram sums ≤ ~1e11), so casting back is safe. */
+  /** One pair's CTE chain of the multi-pair admission oracle — the
+    * scale_join_estimate oracle parameterized by (table, key) per
+    * side, CTEs suffixed `$i` so three pairs share one WITH. */
+  private def jeCtes(i: Int, aT: String, aC: String, bT: String,
+                     bC: String): String =
+    s"""a$i AS (SELECT CAST($aC AS VARCHAR) AS k FROM $aT
+       |        WHERE $aC IS NOT NULL),
+       |b$i AS (SELECT CAST($bC AS VARCHAR) AS k FROM $bT
+       |        WHERE $bC IS NOT NULL),
+       |ca$i AS (
+       |  SELECT r.r AS row,
+       |    CAST(('0x' || substr(md5(k || ':cm' || r.r), 1, 15)) AS BIGINT) % 512 AS cell,
+       |    count(*) AS cnt
+       |  FROM a$i, (SELECT unnest(range(4)) AS r) r GROUP BY 1, 2
+       |), cb$i AS (
+       |  SELECT r.r AS row,
+       |    CAST(('0x' || substr(md5(k || ':cm' || r.r), 1, 15)) AS BIGINT) % 512 AS cell,
+       |    count(*) AS cnt
+       |  FROM b$i, (SELECT unnest(range(4)) AS r) r GROUP BY 1, 2
+       |), ip$i AS (
+       |  SELECT ca$i.row, CAST(sum(ca$i.cnt * cb$i.cnt) AS BIGINT) AS ip
+       |  FROM ca$i JOIN cb$i ON ca$i.row = cb$i.row AND ca$i.cell = cb$i.cell
+       |  GROUP BY 1
+       |), est$i AS (
+       |  SELECT min(COALESCE(ip$i.ip, 0)) AS est_join_rows
+       |  FROM (SELECT unnest(range(4)) AS row) d LEFT JOIN ip$i ON ip$i.row = d.row
+       |), ex$i AS (
+       |  SELECT CAST(COALESCE(sum(x.ca * y.cb), 0) AS BIGINT) AS exact_join_rows
+       |  FROM (SELECT k, count(*) AS ca FROM a$i GROUP BY 1) x
+       |  JOIN (SELECT k, count(*) AS cb FROM b$i GROUP BY 1) y USING (k)
+       |), sz$i AS (
+       |  SELECT (SELECT count(*) FROM a$i) AS n_a,
+       |         (SELECT count(*) FROM b$i) AS n_b
+       |)""".stripMargin
+
+  private def jeSelect(i: Int, label: String): String =
+    s"""SELECT '$label' AS pair, sz$i.n_a, sz$i.n_b,
+       |  ex$i.exact_join_rows, est$i.est_join_rows,
+       |  est$i.est_join_rows >= ex$i.exact_join_rows AS never_underestimates,
+       |  10000 * (est$i.est_join_rows - ex$i.exact_join_rows) // ex$i.exact_join_rows
+       |    AS overshoot_bp,
+       |  sz$i.n_a * sz$i.n_b // 512 AS noise_budget,
+       |  est$i.est_join_rows - ex$i.exact_join_rows
+       |    <= 3 * (sz$i.n_a * sz$i.n_b // 512) AS within_noise
+       |FROM sz$i, ex$i, est$i""".stripMargin
+
+  private def joinAdmissionOracleSql: String = {
+    val pairs = Seq(
+      ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+      ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+      ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"))
+    "WITH " + pairs.zipWithIndex.map { case ((_, aT, aC, bT, bC), i) =>
+      jeCtes(i, aT, aC, bT, bC) }.mkString(",\n") + "\n" +
+      pairs.zipWithIndex.map { case ((label, _, _, _, _), i) =>
+        jeSelect(i, label) }.mkString("\nUNION ALL\n") +
+      "\nORDER BY pair"
+  }
+
   private def pcaCtes(iters: Int, dims: Int): String = {
     val steps = (1 to iters).map { t =>
       s"""w$t AS (
@@ -1085,6 +1146,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // gates on its oracle
     .updated("scale_join_estimate_stored", oracleSqlBase("scale_join_estimate"))
     .updated("scale_countmin_stored", oracleSqlBase("scale_countmin"))
+    .updated("scale_join_admission", joinAdmissionOracleSql)
     // HLL merge is per-register max: merged stored registers ARE the
     // whole-corpus register table, so the stored face estimates
     // identically and gates on scale_hll's oracle

@@ -813,13 +813,22 @@ object ScaleOps {
     * [[joinEstimate]] so both faces gate on ONE oracle. */
   def joinEstimateStoredAudited(orders: DataFrame, lineitem: DataFrame,
                                 sketchDirA: String, sketchDirB: String,
-                                depth: Int = 4, width: Int = 512): DataFrame = {
-    val spark = orders.sparkSession
+                                depth: Int = 4, width: Int = 512): DataFrame =
+    joinEstimateStoredAuditedKeys(
+      orders.select(col("o_orderkey").cast("string").as("k"))
+        .filter(col("k").isNotNull),
+      lineitem.select(col("l_orderkey").cast("string").as("k"))
+        .filter(col("k").isNotNull),
+      sketchDirA, sketchDirB, depth, width)
+
+  /** The audited stored estimate over EXPLICIT key frames (column
+    * `k`) — what lets [[joinAdmissionFace]] ask the same certified
+    * question of ANY (table, key) pair. */
+  def joinEstimateStoredAuditedKeys(a: DataFrame, b: DataFrame,
+                                    sketchDirA: String, sketchDirB: String,
+                                    depth: Int = 4, width: Int = 512): DataFrame = {
+    val spark = a.sparkSession
     val stored = joinEstimateStored(spark, sketchDirA, sketchDirB, depth, width)
-    val a = orders.select(col("o_orderkey").cast("string").as("k"))
-      .filter(col("k").isNotNull)
-    val b = lineitem.select(col("l_orderkey").cast("string").as("k"))
-      .filter(col("k").isNotNull)
     val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
       .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_rows"))
@@ -878,6 +887,44 @@ object ScaleOps {
     val dirA = ensureCmSketch(a, defaultCmSketchDir(a, sfKey, "orders"))
     val dirB = ensureCmSketch(b, defaultCmSketchDir(b, sfKey, "lineitem"))
     joinEstimateStoredAudited(orders, lineitem, dirA, dirB)
+  }
+
+  /** MULTI-PAIR JOIN ADMISSION — the planner story [[joinEstimateStored]]
+    * exists for, demonstrated across the schema: ONE sketch dir per
+    * (table, join key) — six here, each maintained independently at
+    * ingest — answers the admission question for EVERY join pair a
+    * workload asks about (three here: orders⋈lineitem on orderkey,
+    * customer⋈orders on custkey, part⋈lineitem on partkey) from
+    * metadata-scale reads; the corpus scans exist only for the
+    * per-pair exact-identity audit. A real planner consults this
+    * BEFORE choosing join order — no ranking column is emitted
+    * because near-tied true sizes (part⋈lineitem and orders⋈lineitem
+    * both equal |lineitem| by FK-ness) would make a rank
+    * noise-ordered; the certified per-pair bounds ARE the planner
+    * input. */
+  def joinAdmissionFace(orders: DataFrame, lineitem: DataFrame,
+                        customer: DataFrame, part: DataFrame,
+                        sfKey: String): DataFrame = {
+    def keys(df: DataFrame, c: String): DataFrame =
+      df.select(col(c).cast("string").as("k")).filter(col("k").isNotNull)
+    def sketch(df: DataFrame, c: String, tag: String): String = {
+      val k = keys(df, c)
+      ensureCmSketch(k, defaultCmSketchDir(k, sfKey, tag))
+    }
+    val pairs = Seq(
+      ("customer_orders", keys(customer, "c_custkey"),
+        sketch(customer, "c_custkey", "customer-ck"),
+        keys(orders, "o_custkey"), sketch(orders, "o_custkey", "orders-ck")),
+      ("orders_lineitem", keys(orders, "o_orderkey"),
+        sketch(orders, "o_orderkey", "orders"),
+        keys(lineitem, "l_orderkey"), sketch(lineitem, "l_orderkey", "lineitem")),
+      ("part_lineitem", keys(part, "p_partkey"),
+        sketch(part, "p_partkey", "part-pk"),
+        keys(lineitem, "l_partkey"), sketch(lineitem, "l_partkey", "lineitem-pk")))
+    pairs.map { case (label, a, dirA, b, dirB) =>
+      joinEstimateStoredAuditedKeys(a, b, dirA, dirB)
+        .select(lit(label).as("pair"), col("*"))
+    }.reduce(_ unionByName _).orderBy(col("pair"))
   }
 
   /** Ingest-time SKETCH MAINTENANCE — the stream half of the CMS

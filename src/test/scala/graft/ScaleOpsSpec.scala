@@ -844,6 +844,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(st.getAs[Long]("est_join_rows") == r.getAs[Long]("est_join_rows"))
   }
 
+  test("joinAdmissionFace: three pairs from six maintained sketch dirs, each row certified; orderkey pair identical to the single-pair face") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val (o, l, c, p) = (Tables.orders(s, TestSpark.sf),
+      Tables.lineitem(s, TestSpark.sf), Tables.customer(s, TestSpark.sf),
+      Tables.part(s, TestSpark.sf))
+    val rows = ScaleOps.joinAdmissionFace(o, l, c, p, TestSpark.sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("customer_orders", "orders_lineitem", "part_lineitem"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("never_underestimates"), r.toString)
+      assert(r.getAs[Long]("exact_join_rows") > 0L)
+    }
+    // FK-ness: both fact joins land exactly on |lineitem|, the
+    // customer join on |orders| — the exact identity is corpus truth
+    val nl = l.count(); val no = o.count()
+    val byPair = rows.map(r => r.getString(0) -> r.getAs[Long]("exact_join_rows")).toMap
+    assert(byPair("orders_lineitem") == nl && byPair("part_lineitem") == nl &&
+      byPair("customer_orders") == no)
+    // the orderkey pair reuses the same sketch dirs as the single-pair
+    // face and answers identically
+    val single = ScaleOps.joinEstimateStoredFace(o, l, TestSpark.sf).head()
+    val pairRow = rows.find(_.getString(0) == "orders_lineitem").get
+    assert(single.toSeq == pairRow.toSeq.drop(1))
+  }
+
   test("hllDistinctStored: stored registers are identical to the whole-corpus table; stored report equals the in-query face") {
     import org.apache.spark.sql.functions._
     val s = spark
