@@ -123,6 +123,7 @@ object SparkEntry {
       TextOps.proximitySearchStored(s,
         TextOps.ensurePosIndex(docs, TextOps.defaultPosIndexDir(docs, d)))
     }),
+    "text_collocation" -> ((s, d) => TextOps.textCollocation(Tables.documents(s, d))),
     "text_phrase_search_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = StoredArtifacts.contentKeyedDir("graft-pos-index-inc", docs, d, "-b64s")
@@ -1566,6 +1567,34 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT * FROM (SELECT * FROM r2 UNION ALL SELECT * FROM r4)
         |ORDER BY phrase_len, n_occ DESC, phrase""".stripMargin,
+    "text_collocation" ->
+      // top multiword expressions by exact-integer lift: observed
+      // bigram frequency over independence, in basis points — the
+      // PMI exponential with no float log anywhere
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), tk0 AS (
+        |  SELECT doc_id, unnest(toks) AS term,
+        |    unnest(generate_series(1, len(toks))) AS pos
+        |  FROM t0
+        |), tk AS (SELECT * FROM tk0 WHERE term <> ''),
+        |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY 1),
+        |bi AS (
+        |  SELECT a.term AS t1, b.term AS t2, CAST(count(*) AS BIGINT) AS f_pair
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2
+        |), tot AS (SELECT CAST(sum(f_pair) AS BIGINT) AS n_windows FROM bi)
+        |SELECT bi.t1 || ' ' || bi.t2 AS pair, bi.f_pair,
+        |  u1.f AS f1, u2.f AS f2, tot.n_windows,
+        |  CAST((10000 * bi.f_pair * tot.n_windows) // (u1.f * u2.f) AS BIGINT)
+        |    AS lift_bp
+        |FROM bi
+        |JOIN uni u1 ON u1.term = bi.t1
+        |JOIN uni u2 ON u2.term = bi.t2, tot
+        |WHERE bi.f_pair >= 5
+        |ORDER BY lift_bp DESC, pair LIMIT 10""".stripMargin,
     "text_proximity_search" ->
       // ordered proximity ("t1 NEAR t2" within 5 positions) for the
       // corpus's top-4 bigram pairs — one posting-list join per pair,

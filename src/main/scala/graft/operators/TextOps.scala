@@ -2218,6 +2218,44 @@ object TextOps {
     phraseProbeStored(spark, indexDir, phrases, nBuckets)
   }
 
+  /** COLLOCATION MINING — the corpus's top multiword expressions by
+    * LIFT (observed bigram frequency over the independence
+    * expectation), the statistic behind tokenizer merge candidates
+    * and MWE lexicons ("new york" is a unit; "of the" is frequent but
+    * not a collocation). ALL EXACT INTEGERS: lift_bp =
+    * 10000·f_pair·n_windows div (f1·f2) — the PMI exponential in
+    * basis points, no float log anywhere, so every column
+    * hash-matches. `minCount` is the standard support floor (rare
+    * coincidences otherwise dominate lift). Scale shape: ONE
+    * token-grain shuffle for unigrams + one lead-window pass for
+    * bigrams (the costs any vocabulary build pays), vocab-sized joins,
+    * top-k by exact integers. Overflow bound: f_pair·n_windows·10⁴
+    * must stay under 2⁶³ — fine to ~10⁹-token corpora per partition
+    * of the statistic; beyond that, compute lift per domain shard or
+    * widen to the decimal path (stated knob, like 47z5's width). */
+  def textCollocation(documents: DataFrame, k: Int = 10,
+                      minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Dedup.materialized(positionalToks(documents))
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks
+      .withColumn("w2", lead(col("term"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("term").as("t1"), col("w2").as("t2"))
+      .agg(count(lit(1)).as("f_pair"))
+    val totals = bi.agg(sum(col("f_pair")).as("n_windows"))
+    bi.filter(col("f_pair") >= minCount)
+      .join(uni.select(col("term").as("t1"), col("f").as("f1")), "t1")
+      .join(uni.select(col("term").as("t2"), col("f").as("f2")), "t2")
+      .crossJoin(broadcast(totals))
+      .select(concat_ws(" ", col("t1"), col("t2")).as("pair"),
+        col("f_pair"), col("f1"), col("f2"), col("n_windows"),
+        expr("(10000L * f_pair * n_windows) div (f1 * f2)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("pair"))
+      .limit(k)
+  }
+
   /** PROXIMITY (NEAR) SEARCH over the stored positional index — the
     * third IR capability the index unlocks (exact phrase = 42x2,
     * any-length phrase = 42x3, and now "t1 NEAR t2": t2 within
@@ -2234,17 +2272,34 @@ object TextOps {
     * bounds the phrase probe. */
   def proximitySearchStored(spark: org.apache.spark.sql.SparkSession,
                             indexDir: String, nPairs: Int = 4,
-                            window: Int = 5, nBuckets: Int = 64): DataFrame = {
+                            window: Int = 5, nBuckets: Int = 64): DataFrame =
+    proximityOverPostings(spark,
+      spark.read.parquet(s"$indexDir/postings"), nPairs, window, nBuckets)
+
+  /** [[proximitySearchStored]] against an INCREMENTAL epoch-family
+    * index — the same probe over the merged postings view (epoch
+    * branches still partition-prune on the pair's bucket literals);
+    * identical output (doc-disjoint epochs union to the corpus
+    * tokenization), so both layouts gate on one oracle. */
+  def proximitySearchIncremental(spark: org.apache.spark.sql.SparkSession,
+                                 indexDir: String, nPairs: Int = 4,
+                                 window: Int = 5,
+                                 nBuckets: Int = 64): DataFrame =
+    proximityOverPostings(spark, posIndexMerged(spark, indexDir)._1,
+      nPairs, window, nBuckets)
+
+  private def proximityOverPostings(spark: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, nPairs: Int, window: Int,
+      nBuckets: Int): DataFrame = {
     import spark.implicits._
-    val post = spark.read.parquet(s"$indexDir/postings")
-      .select(col("doc_id"), col("pos"), col("term"))
+    val post = postings.select(col("doc_id"), col("pos"), col("term"))
     val pairs = topNgrams(post, 2, nPairs).collect()
       .map(_.getString(0).split(" ")).map(a => (a(0), a(1))).toSeq
     val allTerms = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     val buckets = allTerms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets))).collect()
       .map(_.getLong(0)).distinct.toSeq
-    val base = spark.read.parquet(s"$indexDir/postings")
+    val base = postings
       .filter(col("bucket").isin(buckets.map(x => x: Any): _*) &&
         col("term").isin(allTerms.map(x => x: Any): _*))
     val pairDf = pairs.zipWithIndex.map { case ((t1, t2), i) =>

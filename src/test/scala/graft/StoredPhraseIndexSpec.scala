@@ -220,6 +220,26 @@ class StoredPhraseIndexSpec extends AnyFunSuite {
       nBuckets = 16).collect().toSeq == direct, "torn epoch must be invisible")
   }
 
+  test("proximity over the incremental index equals the flat-index answers") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "red fox red dog fox dog red"),
+      (2L, "red dog other words fox"),
+      (3L, "fox then red at the end")
+    ).toDF("doc_id", "text")
+    val flat = freshDir("prox-flat")
+    TextOps.buildPosIndex(docs, flat, nBuckets = 16)
+    val inc = freshDir("prox-inc")
+    TextOps.posIndexIngest(docs.filter(col("doc_id") <= 2), inc, 0L, nBuckets = 16)
+    TextOps.posIndexIngest(docs.filter(col("doc_id") > 2), inc, 1L, nBuckets = 16)
+    val a = TextOps.proximitySearchStored(s, flat, nPairs = 2, window = 3,
+      nBuckets = 16).collect().toSeq
+    val b = TextOps.proximitySearchIncremental(s, inc, nPairs = 2, window = 3,
+      nBuckets = 16).collect().toSeq
+    assert(a == b, s"flat=$a inc=$b")
+  }
+
   test("compaction: folds deltas into base with identical answers; crash between renames rolls forward") {
     val s = spark
     import s.implicits._

@@ -107,6 +107,38 @@ class TokenSpectrumSpec extends AnyFunSuite {
     assert(out(1) == ("alpha beta gamma", 2L, 2L), s"got ${out.toSeq}")
   }
 
+  test("textCollocation: exact-integer lift ranks the bound pair above frequent-but-independent ones") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // "neural network" occurs 5x, ALWAYS together (true collocation);
+    // "the cat" occurs 6x but both words are everywhere (independent)
+    val docs = Seq(
+      (1L, "the cat saw the dog and the neural network ran"),
+      (2L, "the cat and the dog met a neural network today"),
+      (3L, "the cat the dog the neural network"),
+      (4L, "a neural network and the cat and the dog"),
+      (5L, "the neural network likes the cat and the cat likes the dog")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textCollocation(docs, k = 5, minCount = 5L)
+      .collect()
+    val rows = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.contains("neural network"))
+    val toks = docs.collect().flatMap(_.getString(1).split(" "))
+    val nWindows = docs.collect()
+      .map(_.getString(1).split(" ").length - 1).sum.toLong
+    def f(t: String) = toks.count(_ == t).toLong
+    val (fp, f1, f2, nw, lift) = rows("neural network")
+    assert((fp, f1, f2, nw) == ((5L, f("neural"), f("network"), nWindows)))
+    assert(lift == 10000L * 5L * nWindows / (f("neural") * f("network")),
+      "lift is the exact integer formula")
+    // the bound pair out-lifts every frequent-but-independent pair
+    assert(out.head.getString(0) == "neural network", out.mkString(";"))
+    rows.get("the cat").foreach { case (_, _, _, _, l) =>
+      assert(l < lift, "independent pair must not out-lift the collocation")
+    }
+  }
+
   test("vocabGrowth on an empty frame fails with a descriptive require, not an NPE") {
     val spark = TestSpark.spark
     import spark.implicits._
