@@ -1997,6 +1997,10 @@ object TextOps {
     StoredArtifacts.deleteDir(fs, tmp)
     parts.map(p => spark.read.parquet(s"$p/postings"))
       .reduce(_ unionByName _)
+      // re-sort: a union does not preserve the per-file term order the
+      // ingest writers produced, and the probe's row-group skip
+      // depends on it
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$tmp/postings")
     spark.read.parquet(parts.map(_ + "/stats"): _*)
       .groupBy(col("term"))
