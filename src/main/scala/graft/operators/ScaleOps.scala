@@ -2573,8 +2573,11 @@ object ScaleOps {
   /** The registered face of [[quantileSketchStored]]: content-keyed
     * build-if-absent summary dir, then the certified stored report. */
   def quantileStoredFace(orders: DataFrame, sfKey: String): DataFrame = {
+    // fingerprint the SKETCHED column (price), not the key: a
+    // regenerated corpus with identical orderkeys but new prices must
+    // rebuild, not serve a stale summary (the r6 staleness hazard)
     val dir = StoredArtifacts.contentKeyedDir("graft-kll-sketch",
-      orders.select(col("o_orderkey")), sfKey, "-orders-price-k256")
+      orders.select(col("o_totalprice")), sfKey, "-orders-price-k256")
     ensureKllSketch(orders, dir)
     quantileSketchStored(orders, dir)
   }

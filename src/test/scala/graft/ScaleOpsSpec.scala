@@ -844,6 +844,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(st.getAs[Long]("est_join_rows") == r.getAs[Long]("est_join_rows"))
   }
 
+  test("end-to-end lifecycle: STREAM-maintained CMS dirs answer joinEstimateStored identically to the in-query estimate") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ka = ((1L to 40L) ++ Seq.fill(25)(5L))
+    val kb = ((10L to 70L) ++ Seq.fill(35)(5L))
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    def streamInto(keys: Seq[Long], dir: String): Unit = {
+      val mem = MemoryStream[(Long, Long)]
+      val q = ScaleOps.countMinStream(
+        mem.toDF().toDF("event_id", "user_id"), dir)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-jes-chk").toString)
+        .start()
+      try {
+        val (h1, h2) = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+          .splitAt(keys.size / 2)
+        mem.addData(h1: _*); q.processAllAvailable()
+        mem.addData(h2: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-jes-live").toString
+    streamInto(ka, s"$root/a")
+    streamInto(kb, s"$root/b")
+    val stored = ScaleOps.joinEstimateStored(s, s"$root/a", s"$root/b").head()
+    val inQuery = ScaleOps.joinEstimate(
+      ka.toDF("o_orderkey"), kb.toDF("l_orderkey")).head()
+    assert(stored.getAs[Long]("est_join_rows") ==
+      inQuery.getAs[Long]("est_join_rows"),
+      "live stream-built sketches answer admission identically")
+    assert(stored.getAs[Long]("n_a") == ka.size.toLong &&
+      stored.getAs[Long]("n_b") == kb.size.toLong)
+  }
+
   test("joinAdmissionFace: three pairs from six maintained sketch dirs, each row certified; orderkey pair identical to the single-pair face") {
     import org.apache.spark.sql.functions._
     val s = spark
