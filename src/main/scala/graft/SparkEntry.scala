@@ -126,7 +126,7 @@ object SparkEntry {
     "text_collocation" -> ((s, d) => TextOps.textCollocation(Tables.documents(s, d))),
     "text_phrase_search_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = StoredArtifacts.contentKeyedDir("graft-pos-index-inc", docs, d, "-b64s")
+      val dir = StoredArtifacts.contentKeyedDirOn("graft-pos-index-inc", docs, "text", d, "-b64s")
       TextOps.ensurePosIndexIncremental(docs, dir)
       TextOps.phraseSearchIncremental(s, dir)
     }),

@@ -188,7 +188,7 @@ object Ann {
     * (see [[defaultIndexDir]]). */
   def defaultIvfIndexDir(embeddings: DataFrame, sfKey: String,
                          nlist: Int = 16): String =
-    StoredArtifacts.contentKeyedDir("graft-ivf-index", embeddings, sfKey, s"-l$nlist")
+    StoredArtifacts.contentKeyedDirOn("graft-ivf-index", embeddings, "embedding", sfKey, s"-l$nlist")
 
   /** The PROBE face of [[annIvfSampled]]: rank each query's `nprobe`
     * nearest stored centroids (a broadcast of nlist tiny rows), then
@@ -499,7 +499,7 @@ object Ann {
   /** Content-keyed default location for a corpus's binary index. */
   def defaultBinaryIndexDir(embeddings: DataFrame, sfKey: String,
                             nShards: Int = 8): String =
-    StoredArtifacts.contentKeyedDir("graft-bin-index", embeddings, sfKey,
+    StoredArtifacts.contentKeyedDirOn("graft-bin-index", embeddings, "embedding", sfKey,
       s"-s$nShards")
 
   /** Ingest-time maintenance for the stored binary index: each
@@ -1046,7 +1046,7 @@ object Ann {
   def defaultPqIndexDir(embeddings: DataFrame, sfKey: String,
                         nlist: Int = 16, m: Int = 4, kCode: Int = 16,
                         dim: Int = 64): String =
-    StoredArtifacts.contentKeyedDir("graft-pq-index", embeddings, sfKey,
+    StoredArtifacts.contentKeyedDirOn("graft-pq-index", embeddings, "embedding", sfKey,
       s"-l$nlist-m$m-k$kCode-d$dim")
 
   /** Ingest-time maintenance for the stored IVFPQ index — the PQ
@@ -1531,7 +1531,7 @@ object Ann {
   def defaultIndexDir(embeddings: DataFrame, sfKey: String,
                       numPlanes: Int = 5, tables: Int = 2,
                       degree: Int = 6): String =
-    StoredArtifacts.contentKeyedDir("graft-ann-index", embeddings, sfKey,
+    StoredArtifacts.contentKeyedDirOn("graft-ann-index", embeddings, "embedding", sfKey,
       s"-p$numPlanes-t$tables-d$degree")
 
   /** Build-if-absent guard for [[buildAnnIndex]]: the parquet
@@ -1881,7 +1881,7 @@ object Ann {
     * model (see [[defaultIvfIndexDir]]). */
   def defaultKmeansModelDir(embeddings: DataFrame, sfKey: String,
                             nlist: Int = 8, iters: Int = 3): String =
-    StoredArtifacts.contentKeyedDir("graft-kmeans", embeddings, sfKey,
+    StoredArtifacts.contentKeyedDirOn("graft-kmeans", embeddings, "embedding", sfKey,
       s"-k$nlist-i$iters")
 
   /** Load stored centroids back into driver arrays (k×dims longs —

@@ -2285,7 +2285,7 @@ object ScaleOps {
   /** Content-keyed default location for a corpus's KMV sketch table. */
   def defaultKmvSketchDir(orders: DataFrame, sfKey: String,
                           k: Int = 512): String =
-    StoredArtifacts.contentKeyedDir("graft-kmv-sketch", orders, sfKey, s"-k$k")
+    StoredArtifacts.contentKeyedDirOn("graft-kmv-sketch", orders, "o_custkey", sfKey, s"-k$k")
 
   /** The overlap matrix over the STORED sketch table: the per-pair
     * set algebra never touches the corpus — the corpus pass here

@@ -69,6 +69,17 @@ private[graft] object StoredArtifacts {
     * generator has produced between rounds (the events ns/µs layout
     * change) — now produce a different key and a rebuild instead of a
     * silently stale model. */
+  /** [[contentKeyedDir]] fingerprinting an EXPLICIT content column —
+    * the column the artifact is actually built FROM, not whatever
+    * happens to be first. Keying an embedding index on vec_id (or a
+    * text index on doc_id) misses the regeneration that changes the
+    * vectors/text under identical ids — the same hazard class the
+    * row-count-only key had (round 11 audit: every index/sketch
+    * family now fingerprints its own content). */
+  def contentKeyedDirOn(family: String, df: DataFrame, contentCol: String,
+                        sfKey: String, paramSuffix: String): String =
+    contentKeyedDir(family, df.select(col(contentCol)), sfKey, paramSuffix)
+
   def contentKeyedDir(family: String, df: DataFrame, sfKey: String,
                       paramSuffix: String): String = {
     val safe = sfKey.replaceAll("[^A-Za-z0-9._-]", "_")

@@ -531,7 +531,7 @@ object TextOps {
   /** Content-keyed default location for a corpus's stored vocab. */
   def defaultVocabDir(documents: DataFrame, sfKey: String,
                       merges: Int = 8): String =
-    StoredArtifacts.contentKeyedDir("graft-vocab-index", documents, sfKey,
+    StoredArtifacts.contentKeyedDirOn("graft-vocab-index", documents, "text", sfKey,
       s"-m$merges")
 
   /** The STORED-VOCAB face of [[tokenizerApply]]: load the
@@ -969,7 +969,7 @@ object TextOps {
       "globals")(buildLexIndex(documents, indexDir))
 
   def defaultLexIndexDir(documents: DataFrame, sfKey: String): String =
-    StoredArtifacts.contentKeyedDir("graft-lex-index", documents, sfKey, "")
+    StoredArtifacts.contentKeyedDirOn("graft-lex-index", documents, "text", sfKey, "")
 
   /** [[textBm25]] over the stored lexical index: identical output (the
     * driver gates it against the SAME oracle), but the corpus is never
@@ -1374,7 +1374,7 @@ object TextOps {
   /** Content-keyed default location for a corpus's stored model. */
   def defaultQualityModelDir(documents: DataFrame, sfKey: String,
                              iters: Int = 32, lrDen: Long = 40L): String =
-    StoredArtifacts.contentKeyedDir("graft-quality-model", documents, sfKey,
+    StoredArtifacts.contentKeyedDirOn("graft-quality-model", documents, "text", sfKey,
       s"-i$iters-d$lrDen")
 
   /** The STORED-MODEL face of [[textQualityLrTrained]]: load the
@@ -2077,7 +2077,7 @@ object TextOps {
     // changes rebuild rather than silently serving the old physical
     // order (the staleness discipline; results are identical, the
     // row-group pruning is not)
-    StoredArtifacts.contentKeyedDir("graft-pos-index", documents, sfKey,
+    StoredArtifacts.contentKeyedDirOn("graft-pos-index", documents, "text", sfKey,
       s"-b${nBuckets}s")
 
   /** Pick each phrase's SEEK word: the offset whose term has the
