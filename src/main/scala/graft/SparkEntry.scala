@@ -124,9 +124,14 @@ object SparkEntry {
         TextOps.ensurePosIndex(docs, TextOps.defaultPosIndexDir(docs, d)))
     }),
     "text_collocation" -> ((s, d) => TextOps.textCollocation(Tables.documents(s, d))),
+    "text_collocation_stored" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.textCollocationStored(s,
+        TextOps.ensurePosIndex(docs, TextOps.defaultPosIndexDir(docs, d)))
+    }),
     "text_phrase_search_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = StoredArtifacts.contentKeyedDirOn("graft-pos-index-inc", docs, "text", d, "-b64s")
+      val dir = StoredArtifacts.contentKeyedDirOn("graft-pos-index-inc", docs, "text", d, "-b64s2")
       TextOps.ensurePosIndexIncremental(docs, dir)
       TextOps.phraseSearchIncremental(s, dir)
     }),
@@ -1165,6 +1170,9 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // the incremental index's doc-disjoint epochs union to exactly the
     // corpus tokenization — third face, same oracle
     .updated("text_phrase_search_incremental", oracleSqlBase("text_phrase_search"))
+    // the stored stats tables hold exactly the unigram/bigram counts
+    // the in-query face derives — identical lift, one oracle
+    .updated("text_collocation_stored", oracleSqlBase("text_collocation"))
     // the hamming tuning curve aggregates the mm_phash oracle's own
     // pair chain — same banded candidate space by construction
     .updated("mm_phash_curve",

@@ -1878,10 +1878,27 @@ object TextOps {
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexDir/postings")
+    // adjacent-bigram stats beside the postings: what turns the index
+    // into a corpus-statistics store (collocation lift needs ONLY
+    // stats + stats2 — zero corpus reads)
+    bigramStats(toks).write.mode("overwrite").parquet(s"$indexDir/stats2")
     toks.groupBy(col("term"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** (t1, t2, f_pair) over adjacent positions — distinct-bigram-
+    * bounded; doc-disjoint epochs SUM exactly (bigrams never span
+    * docs). */
+  private def bigramStats(toks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("w2", lead(col("term"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("term").as("t1"), col("w2").as("t2"))
+      .agg(count(lit(1)).as("f_pair"))
   }
 
   def ensurePosIndex(documents: DataFrame, indexDir: String,
@@ -1905,6 +1922,8 @@ object TextOps {
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$indexDir/delta-b$epoch/postings")
+    bigramStats(toks).write.mode("overwrite")
+      .parquet(s"$indexDir/delta-b$epoch/stats2")
     toks.groupBy(col("term"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -2002,6 +2021,10 @@ object TextOps {
       // depends on it
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$tmp/postings")
+    spark.read.parquet(parts.map(_ + "/stats2"): _*)
+      .groupBy(col("t1"), col("t2"))
+      .agg(sum(col("f_pair")).as("f_pair"))
+      .write.mode("overwrite").parquet(s"$tmp/stats2")
     spark.read.parquet(parts.map(_ + "/stats"): _*)
       .groupBy(col("term"))
       .agg(sum(col("n_occ")).as("n_occ"), sum(col("n_docs")).as("n_docs"))
@@ -2078,7 +2101,7 @@ object TextOps {
     // order (the staleness discipline; results are identical, the
     // row-group pruning is not)
     StoredArtifacts.contentKeyedDirOn("graft-pos-index", documents, "text", sfKey,
-      s"-b${nBuckets}s")
+      s"-b${nBuckets}s2")
 
   /** Pick each phrase's SEEK word: the offset whose term has the
     * SHORTEST posting list (ties → leftmost). Pure function — the
@@ -2239,15 +2262,52 @@ object TextOps {
     * widen to the decimal path (stated knob, like 47z5's width). */
   def textCollocation(documents: DataFrame, k: Int = 10,
                       minCount: Long = 5L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = Dedup.materialized(positionalToks(documents))
     val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("f"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = toks
-      .withColumn("w2", lead(col("term"), 1).over(byDoc))
-      .filter(col("w2").isNotNull)
-      .groupBy(col("term").as("t1"), col("w2").as("t2"))
-      .agg(count(lit(1)).as("f_pair"))
+    collocationLift(bigramStats(toks), uni, k, minCount)
+  }
+
+  /** [[textCollocation]] answered FROM THE STORED INDEX — zero corpus
+    * reads: unigram frequencies come from the stats table, bigram
+    * frequencies from the stats2 table the build writes beside the
+    * postings, and lift is pure arithmetic over the two vocab-sized
+    * frames. The payoff of storing corpus statistics WITH the index:
+    * every collocation question after the first is corpus-free, the
+    * way bm25_stored serves lexical queries. Identical output to the
+    * in-query face (stats are exact counts), so one oracle gates
+    * both. */
+  def textCollocationStored(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, k: Int = 10,
+                            minCount: Long = 5L): DataFrame =
+    collocationLift(
+      spark.read.parquet(s"$indexDir/stats2"),
+      spark.read.parquet(s"$indexDir/stats")
+        .select(col("term"), col("n_occ").as("f")),
+      k, minCount)
+
+  /** [[textCollocationStored]] against an INCREMENTAL epoch-family
+    * index: unigram and bigram stats sum exactly over doc-disjoint
+    * epochs (and the compacted base), so the lift is identical. */
+  def textCollocationIncremental(spark: org.apache.spark.sql.SparkSession,
+                                 indexDir: String, k: Int = 10,
+                                 minCount: Long = 5L): DataFrame = {
+    val epochs = StoredArtifacts.listEpochs(spark, indexDir,
+      subTables = Seq("postings", "stats"))
+    val base = if (posBaseReady(spark, indexDir)) Seq(s"$indexDir/base") else Nil
+    val parts = base ++ epochs
+    require(parts.nonEmpty, s"no completed index epochs under $indexDir")
+    val bi = spark.read.parquet(parts.map(_ + "/stats2"): _*)
+      .groupBy(col("t1"), col("t2")).agg(sum(col("f_pair")).as("f_pair"))
+    val uni = spark.read.parquet(parts.map(_ + "/stats"): _*)
+      .groupBy(col("term")).agg(sum(col("n_occ")).as("f"))
+    collocationLift(bi, uni, k, minCount)
+  }
+
+  /** The exact-integer lift tail over explicit (t1,t2,f_pair) bigram
+    * and (term,f) unigram frames — shared by the in-query and stored
+    * faces. */
+  private def collocationLift(bi: DataFrame, uni: DataFrame, k: Int,
+                              minCount: Long): DataFrame = {
     val totals = bi.agg(sum(col("f_pair")).as("n_windows"))
     bi.filter(col("f_pair") >= minCount)
       .join(uni.select(col("term").as("t1"), col("f").as("f1")), "t1")

@@ -282,6 +282,10 @@ class StoredPhraseIndexSpec extends AnyFunSuite {
     val merged = TextOps.posIndexMerged(s, dir)
     merged._1.write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/base-compacting/postings")
+    s.read.parquet(s"$dir/base/stats2", s"$dir/delta-b3/stats2")
+      .groupBy(col("t1"), col("t2"))
+      .agg(org.apache.spark.sql.functions.sum(col("f_pair")).as("f_pair"))
+      .write.mode("overwrite").parquet(s"$dir/base-compacting/stats2")
     merged._2.write.mode("overwrite").parquet(s"$dir/base-compacting/stats")
     graft.operators.StoredArtifacts.writeTextFile(fs,
       s"$dir/base-compacting/_FOLDED", "delta-b3")

@@ -137,6 +137,22 @@ class TokenSpectrumSpec extends AnyFunSuite {
     rows.get("the cat").foreach { case (_, _, _, _, l) =>
       assert(l < lift, "independent pair must not out-lift the collocation")
     }
+    // the STORED face (stats + stats2, zero corpus reads) and the
+    // incremental epoch family answer identically
+    val flat = java.nio.file.Files.createTempDirectory("graft-coll-f").toString
+    graft.operators.TextOps.buildPosIndex(docs, flat, nBuckets = 16)
+    val stored = graft.operators.TextOps
+      .textCollocationStored(spark, flat, k = 5, minCount = 5L)
+      .collect().toSeq
+    assert(stored == out.toSeq, s"stored=$stored direct=${out.toSeq}")
+    val inc = java.nio.file.Files.createTempDirectory("graft-coll-i").toString
+    graft.operators.TextOps.posIndexIngest(
+      docs.filter(col("doc_id") <= 2), inc, 0L, nBuckets = 16)
+    graft.operators.TextOps.posIndexIngest(
+      docs.filter(col("doc_id") > 2), inc, 1L, nBuckets = 16)
+    assert(graft.operators.TextOps
+      .textCollocationIncremental(spark, inc, k = 5, minCount = 5L)
+      .collect().toSeq == out.toSeq)
   }
 
   test("vocabGrowth on an empty frame fails with a descriptive require, not an NPE") {
