@@ -155,6 +155,73 @@ class RandomizedCrossChecksR11Spec extends AnyFunSuite {
     }
   }
 
+  test("textCollocation (+stored +incremental): lift columns equal the driver formula on random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(123)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    for (trial <- 1 to 2) {
+      val docs = (1L to 60L).map { id =>
+        (id, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.operators.TextOps.textCollocation(df, k = 50, minCount = 1L)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      // driver recompute
+      val toks = docs.map(_._2.split(" ").toSeq)
+      val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bis = toks.flatMap(ws => ws.zip(ws.tail))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nW = bis.values.sum
+      out.foreach { case (pair, (fp, f1, f2, nw, lift)) =>
+        val Array(t1, t2) = pair.split(" ")
+        assert((fp, f1, f2, nw) == ((bis((t1, t2)), uni(t1), uni(t2), nW)),
+          s"trial $trial $pair counts")
+        assert(lift == 10000L * fp * nW / (f1 * f2), s"trial $trial $pair lift")
+      }
+      // stored face: identical rows
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-rnd-coll-$trial").toString
+      graft.operators.TextOps.buildPosIndex(df, dir, nBuckets = 8)
+      val stored = graft.operators.TextOps
+        .textCollocationStored(s, dir, k = 50, minCount = 1L)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(stored.toSeq == out.toSeq, s"trial $trial stored ≠ in-query")
+    }
+  }
+
+  test("proximitySearchStored: NEAR counts equal the driver sliding recompute on random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(127)
+    val vocab = Vector("xx", "yy", "zz", "ww", "vv")
+    val docs = (1L to 50L).map { id =>
+      (id, Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rnd-prox").toString
+    graft.operators.TextOps.buildPosIndex(df, dir, nBuckets = 8)
+    val w = 4
+    val out = graft.operators.TextOps
+      .proximitySearchStored(s, dir, nPairs = 3, window = w, nBuckets = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val toks = docs.map(_._2.split(" ").toSeq)
+    out.foreach { case (pair, (nDocs, nOcc)) =>
+      val Array(t1, t2) = pair.split(" ")
+      val per = toks.map { ws =>
+        val p1 = ws.zipWithIndex.filter(_._1 == t1).map(_._2)
+        val p2 = ws.zipWithIndex.filter(_._1 == t2).map(_._2)
+        p1.map(a => p2.count(b => b > a && b <= a + w)).sum.toLong
+      }
+      assert((nDocs, nOcc) == ((per.count(_ > 0).toLong, per.sum)), pair)
+    }
+    assert(out.nonEmpty)
+  }
+
   test("sortable bits: order preservation and round-trip on random bit patterns") {
     val rnd = new scala.util.Random(121)
     val doubles = Seq.fill(4000) {
