@@ -131,7 +131,7 @@ object SparkEntry {
     }),
     "text_phrase_search_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = StoredArtifacts.contentKeyedDirOn("graft-pos-index-inc", docs, "text", d, "-b64s2")
+      val dir = StoredArtifacts.contentKeyedDirOn("graft-pos-index-inc", docs, "text", d, "-b64s3")
       TextOps.ensurePosIndexIncremental(docs, dir)
       TextOps.phraseSearchIncremental(s, dir)
     }),
@@ -1596,7 +1596,8 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |), tot AS (SELECT CAST(sum(f_pair) AS BIGINT) AS n_windows FROM bi)
         |SELECT bi.t1 || ' ' || bi.t2 AS pair, bi.f_pair,
         |  u1.f AS f1, u2.f AS f2, tot.n_windows,
-        |  CAST((10000 * bi.f_pair * tot.n_windows) // (u1.f * u2.f) AS BIGINT)
+        |  CAST((CAST(bi.f_pair AS HUGEINT) * 10000 * tot.n_windows)
+        |    // (CAST(u1.f AS HUGEINT) * u2.f) AS BIGINT)
         |    AS lift_bp
         |FROM bi
         |JOIN uni u1 ON u1.term = bi.t1

@@ -286,6 +286,13 @@ class StoredPhraseIndexSpec extends AnyFunSuite {
       .groupBy(col("t1"), col("t2"))
       .agg(org.apache.spark.sql.functions.sum(col("f_pair")).as("f_pair"))
       .write.mode("overwrite").parquet(s"$dir/base-compacting/stats2")
+    Seq(3, 4).foreach { n =>
+      val tcols = (1 to n).map(i => col(s"t$i"))
+      s.read.parquet(s"$dir/base/stats$n", s"$dir/delta-b3/stats$n")
+        .groupBy(tcols: _*)
+        .agg(org.apache.spark.sql.functions.sum(col("f")).as("f"))
+        .write.mode("overwrite").parquet(s"$dir/base-compacting/stats$n")
+    }
     merged._2.write.mode("overwrite").parquet(s"$dir/base-compacting/stats")
     graft.operators.StoredArtifacts.writeTextFile(fs,
       s"$dir/base-compacting/_FOLDED", "delta-b3")
@@ -316,5 +323,54 @@ class StoredPhraseIndexSpec extends AnyFunSuite {
     assert(fs.exists(statsPath), "torn build must be rebuilt")
     val out = TextOps.phraseSearchStored(s, dir, nPhrases = 1)
     assert(out.count() == 1L)
+  }
+
+  test("probes read nBuckets from _META: a mismatched caller parameter cannot mis-prune") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma other"),
+      (3L, "alpha beta end")
+    ).toDF("doc_id", "text")
+    val dir = freshDir("meta")
+    TextOps.buildPosIndex(docs, dir, nBuckets = 16)
+    assert(TextOps.posIndexNBuckets(s, dir, fallback = 999) == 16)
+    val right = TextOps.phraseProbeStored(s, dir,
+      Seq(Seq("alpha", "beta")), nBuckets = 16).collect().toSeq
+    // a caller passing the WRONG bucket count used to recompute wrong
+    // bucket literals, prune away the real postings, and silently
+    // return empty; the _META sidecar makes the build-time value win
+    val wrong = TextOps.phraseProbeStored(s, dir,
+      Seq(Seq("alpha", "beta")), nBuckets = 7).collect().toSeq
+    assert(wrong == right && right.nonEmpty, s"wrong=$wrong right=$right")
+    // the incremental family persists _META at the family root too
+    val inc = freshDir("meta-inc")
+    TextOps.ensurePosIndexIncremental(docs, inc, nEpochs = 2, nBuckets = 16)
+    val incRight = TextOps.phraseProbeIncremental(s, inc,
+      Seq(Seq("alpha", "beta")), nBuckets = 16).collect().toSeq
+    val incWrong = TextOps.phraseProbeIncremental(s, inc,
+      Seq(Seq("alpha", "beta")), nBuckets = 7).collect().toSeq
+    assert(incWrong == incRight && incRight.nonEmpty)
+  }
+
+  test("collocation lift survives counts whose products overflow LONG (DECIMAL(38) path)") {
+    val s = spark
+    import s.implicits._
+    // f_pair * n_windows * 10^4 = 6e28 and f1 * f2 = 7.5e24 — both far
+    // past 2^63 ~ 9.2e18; the quotient is exact and basis-point-scale
+    val bi = Seq(
+      ("aa", "bb", 2_000_000_000_000L),
+      ("cc", "dd", 1_000_000_000_000L)
+    ).toDF("t1", "t2", "f_pair")
+    val uni = Seq(
+      ("aa", 2_500_000_000_000L), ("bb", 3_000_000_000_000L),
+      ("cc", 4_000_000_000_000L), ("dd", 5_000_000_000_000L)
+    ).toDF("term", "f")
+    val out = TextOps.collocationLift(bi, uni, k = 10, minCount = 5L)
+      .select("pair", "lift_bp").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // lift(aa bb) = 10^4 * 2e12 * 3e12 div (2.5e12 * 3e12) = 8000
+    // lift(cc dd) = 10^4 * 1e12 * 3e12 div (4e12 * 5e12)   = 1500
+    assert(out == Seq(("aa bb", 8000L), ("cc dd", 1500L)), out.toString)
   }
 }
