@@ -3027,11 +3027,12 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |WHERE levenshtein(a.title, b.title) <= 3
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "dedup_edit_distance_multipass" ->
-      // the SAME two-pass rotated blocking: pass 1 = (lang :
+      // the SAME three-pass rotated blocking: pass 1 = (lang :
       // length-band : 2-char prefix), pass 2 = (lang : offset
-      // length-band : 2-char SUFFIX), each capped at 64 by doc_id
+      // length-band : 2-char SUFFIX), pass 3 = (lang : length-band :
+      // fixed mid-anchor chars 20-21), each capped at 64 by doc_id
       // rank within its own block, candidates UNION + pair-dedup,
-      // then the exact Levenshtein verify — the gate mirrors both
+      // then the exact Levenshtein verify — the gate mirrors all
       // passes, so it stays exact rather than recall-fuzzy
       """WITH t0 AS (
         |  SELECT doc_id, lang, lower(trim(substr(text, 1, 40))) AS title
@@ -3053,6 +3054,14 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |), r2 AS (
         |  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
         |  FROM p2
+        |), p3 AS (
+        |  SELECT doc_id, title,
+        |    lang || ':' || CAST(length(title) // 8 AS VARCHAR) || ':' ||
+        |      substr(title, 20, 2) AS blk
+        |  FROM tt
+        |), r3 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+        |  FROM p3
         |), cand AS (
         |  SELECT DISTINCT a_id, b_id, ta, tb FROM (
         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -3064,6 +3073,11 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |    SELECT a.doc_id, b.doc_id, a.title, b.title
         |    FROM (SELECT * FROM r2 WHERE rn <= 64) a
         |    JOIN (SELECT * FROM r2 WHERE rn <= 64) b
+        |      ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |    UNION ALL
+        |    SELECT a.doc_id, b.doc_id, a.title, b.title
+        |    FROM (SELECT * FROM r3 WHERE rn <= 64) a
+        |    JOIN (SELECT * FROM r3 WHERE rn <= 64) b
         |      ON a.blk = b.blk AND a.doc_id < b.doc_id
         |  )
         |)

@@ -929,6 +929,24 @@ object Dedup {
       expr("CAST((length(title) + 4) div 8 AS STRING)"),
       expr("right(title, 2)"))
 
+  /** Pass-3 (MID-ANCHOR q-gram) key: (lang, length band, the 2 chars
+    * at the title field's fixed midpoint) — closes the two-pass blind
+    * spot the r11 contract stated: a pair edited at BOTH ends (first
+    * two chars AND last two) escapes the prefix and suffix keys but
+    * shares the untouched middle. The anchor is a FIXED position
+    * (chars 20–21 of the 40-char title field), not length-relative,
+    * so substitution edits never move it; titles shorter than the
+    * anchor share the empty q-gram inside their (lang, band) block —
+    * small blocks by construction, still capped. Remaining stated
+    * miss: an INDEL before the anchor shifts the mid-gram (inherent
+    * to positional q-grams — full q-gram inverted blocking is the
+    * unbounded alternative), or 3 substitutions hitting prefix,
+    * middle and suffix at once. */
+  private def midBlockKey: Column =
+    concat_ws(":", col("lang"),
+      expr("CAST(length(title) div 8 AS STRING)"),
+      substring(col("title"), 20, 2))
+
   /** One blocked pass: cap each block at `maxBlockSize` rows (by
     * doc_id rank — candidates ≤ blocks·cap²/2 BY CONSTRUCTION), then
     * ordered within-block pairs WITH both titles (so the union of
@@ -954,16 +972,19 @@ object Dedup {
 
   /** MULTI-PASS [[dedupEditDistance]] — the rotated-re-blocking
     * extension its recall bound names: pass 1 blocks on the prefix
-    * key, pass 2 on the rotated suffix key, candidates UNION +
-    * pair-dedup BEFORE the Levenshtein verify (each pair pays the
-    * O(titleLen²) kernel once even when both passes surface it).
-    * Recall now covers the single-pass blind spots — an edit in the
-    * first two chars (same suffix → pass 2 co-blocks) and a pass-1
-    * band-edge pair (the offset band is mid-band there; see
-    * [[suffixBlockKey]] for why d ≤ 3 pairs cannot straddle both
-    * bandings) — at exactly 2× the bounded candidate budget
-    * (2·blocks·cap²/2). Remaining miss: an edit touching BOTH the
-    * prefix and the suffix. The oracle mirrors the same two-pass
+    * key, pass 2 on the rotated suffix key, pass 3 (round 12) on the
+    * fixed mid-anchor q-gram key; candidates UNION + pair-dedup
+    * BEFORE the Levenshtein verify (each pair pays the O(titleLen²)
+    * kernel once even when several passes surface it). Recall covers
+    * the single-pass blind spots — an edit in the first two chars
+    * (same suffix → pass 2 co-blocks), a pass-1 band-edge pair (the
+    * offset band is mid-band there; see [[suffixBlockKey]] for why
+    * d ≤ 3 pairs cannot straddle both bandings), and now a DOUBLE
+    * edit touching both ends (untouched middle → pass 3 co-blocks;
+    * see [[midBlockKey]]) — at exactly 3× the bounded candidate
+    * budget (3·blocks·cap²/2). Remaining stated miss: indels
+    * shifting the mid anchor, or edits at prefix+middle+suffix
+    * simultaneously. The oracle mirrors the same three-pass
     * generation, so the gate stays exact. */
   def dedupEditDistanceMultipass(documents: DataFrame, maxDist: Int = 3,
                                  titleLen: Int = 40,
@@ -971,6 +992,7 @@ object Dedup {
     val titles = materialized(editTitles(documents, titleLen))
     val cand = editBlockPairs(titles, prefixBlockKey, maxBlockSize)
       .union(editBlockPairs(titles, suffixBlockKey, maxBlockSize))
+      .union(editBlockPairs(titles, midBlockKey, maxBlockSize))
       .distinct()
     cand
       .select(col("doc_id_a"), col("doc_id_b"),

@@ -48,7 +48,7 @@ class RandomizedCrossChecksR11Spec extends AnyFunSuite {
     }
   }
 
-  test("dedupEditDistanceMultipass: complete and exact over the UNION of both pass's blocks on random strings") {
+  test("dedupEditDistanceMultipass: complete and exact over the UNION of all three passes' blocks on random strings") {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(113)
@@ -74,8 +74,8 @@ class RandomizedCrossChecksR11Spec extends AnyFunSuite {
     val df = docs.toDF("doc_id", "lang", "text")
     val got = graft.operators.Dedup.dedupEditDistanceMultipass(df)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    // driver recompute: titles, BOTH block keys, union of in-block
-    // pairs (no cap bites at this scale), exact Levenshtein
+    // driver recompute: titles, ALL THREE block keys, union of
+    // in-block pairs (no cap bites at this scale), exact Levenshtein
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
         if (i == 0) j else if (j == 0) i else 0
@@ -88,10 +88,11 @@ class RandomizedCrossChecksR11Spec extends AnyFunSuite {
     val titles = docs.map { case (id, _, t) => id -> t.take(40).toLowerCase }
     def blk1(t: String) = s"en:${t.length / 8}:${t.take(2)}"
     def blk2(t: String) = s"en:${(t.length + 4) / 8}:${t.takeRight(2)}"
+    def blk3(t: String) = s"en:${t.length / 8}:${t.slice(19, 21)}"
     val want = (for {
       (ia, ta) <- titles; (ib, tb) <- titles
       if ia < ib
-      if blk1(ta) == blk1(tb) || blk2(ta) == blk2(tb)
+      if blk1(ta) == blk1(tb) || blk2(ta) == blk2(tb) || blk3(ta) == blk3(tb)
       d = lev(ta, tb) if d <= 3
     } yield (ia, ib) -> d.toLong).toMap
     assert(got == want,

@@ -948,12 +948,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     // splits them; same length band + suffix co-blocks them in pass 2
     val pre1 = "cc" + "d" * 20 + "yy"
     val pre2 = "xc" + "d" * 20 + "yy"
-    // in-block pair both passes surface (must appear exactly once)
+    // DOUBLE-edit pair: chars 1 AND 40 both edited — the exact blind
+    // spot the two-pass contract stated: prefix differs (pass 1
+    // splits), suffix differs (pass 2 splits), but the fixed
+    // mid-anchor chars 20-21 and the length band agree, so pass 3
+    // co-blocks them
+    val dbl1 = "ab" + "m" * 36 + "yz"
+    val dbl2 = "Qb" + "m" * 36 + "yR"
+    assert(dbl1.length == 40 && dbl2.length == 40)
+    // in-block pair several passes surface (must appear exactly once)
     val docs = Seq(
       (1L, "en", edge1), (2L, "en", edge2),
       (3L, "en", pre1), (4L, "en", pre2),
       (5L, "en", "shared block title one here"),
-      (6L, "en", "shared block title one herX")
+      (6L, "en", "shared block title one herX"),
+      (7L, "en", dbl1), (8L, "en", dbl2)
     ).toDF("doc_id", "lang", "text")
     val single = graft.operators.Dedup.dedupEditDistance(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
@@ -961,9 +970,10 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // single-pass finds only the co-blocked pair
     assert(single == Seq((5L, 6L, 1L)), s"single=$single")
-    // multipass adds the two rotated-key catches, each reported ONCE
-    assert(multi == Seq((1L, 2L, 1L), (3L, 4L, 1L), (5L, 6L, 1L)),
-      s"multi=$multi")
+    // multipass adds the rotated-key and mid-anchor catches, each
+    // reported ONCE
+    assert(multi == Seq((1L, 2L, 1L), (3L, 4L, 1L), (5L, 6L, 1L),
+      (7L, 8L, 2L)), s"multi=$multi")
     // multipass is a superset of single-pass on any corpus
     assert(single.toSet.subsetOf(multi.toSet))
   }
