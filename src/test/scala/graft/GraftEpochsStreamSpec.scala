@@ -4,17 +4,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The graft-epochs-stream Structured Streaming source: each new
   * COMPLETED epoch arrives as a micro-batch (torn epochs invisible
-  * until their sentinel lands), offsets are epoch-name SETS (so
-  * batchId-keyed names that don't sort lexicographically still
-  * deliver), and the checkpointed offset log gives exactly-once per
-  * epoch across restarts. */
+  * until their sentinel lands), offsets are compacted {hw, holes}
+  * sequence ranges (so batchId-keyed names that don't sort
+  * lexicographically still deliver while checkpoint offsets stay
+  * O(in-flight), not O(#epochs)), and the checkpointed offset log
+  * gives exactly-once per epoch across restarts. */
 class GraftEpochsStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def freshDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-estream-$tag").toString
 
-  test("new completed epochs arrive as micro-batches; torn epochs stay invisible until committed; set offsets beat name order") {
+  test("new completed epochs arrive as micro-batches; torn epochs stay invisible until committed; range offsets beat name order") {
     val s = spark
     import s.implicits._
     val dir = freshDir("arrive")
@@ -135,6 +136,69 @@ class GraftEpochsStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(folded.toMap == merged && merged == whole,
       "stream fold == merged face == whole-corpus sketch")
+  }
+
+  test("offsets stay bounded on a many-epoch family: {hw, holes}, not a name list") {
+    import graft.sources.EpochRangeOffset
+    // 1000 contiguous delivered epochs -> constant-size offset
+    val contiguous = EpochRangeOffset.advance(EpochRangeOffset.initial,
+      (0L until 1000L).toSet)
+    assert(contiguous == EpochRangeOffset(999L, Nil))
+    assert(contiguous.json() == """{"hw":999,"holes":[]}""",
+      s"offset JSON must not grow with epoch count: ${contiguous.json()}")
+    // a torn epoch (1001) with a later arrival (1002) already landed
+    val sparse = EpochRangeOffset.advance(contiguous,
+      (0L until 1000L).toSet ++ Set(1000L, 1002L))
+    assert(sparse == EpochRangeOffset(1002L, Seq(1001L)))
+    // the late epoch completes: delivered exactly once, hole drains
+    val drained = EpochRangeOffset.advance(sparse,
+      (0L until 1003L).toSet)
+    assert(drained == EpochRangeOffset(1002L, Nil))
+    assert(EpochRangeOffset.fresh(sparse, drained) == Seq(1001L))
+    assert(EpochRangeOffset.fresh(contiguous, sparse) == Seq(1000L, 1002L))
+    // advance is idempotent at the fixed point (AvailableNow drains)
+    assert(EpochRangeOffset.advance(drained, (0L until 1003L).toSet) == drained)
+    // JSON round-trip, numbers only
+    assert(EpochRangeOffset.fromJson(sparse.json()) == sparse)
+    assert(EpochRangeOffset.fromJson(EpochRangeOffset.initial.json()) ==
+      EpochRangeOffset.initial)
+  }
+
+  test("a fresh subscriber on an already-compacted family fails fast instead of missing folded rows") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("compacted")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/delta-b0")
+    // simulate a compaction having folded earlier deltas into base/
+    Seq((0L, "folded")).toDF("id", "v").write.parquet(s"$dir/base")
+    val e = intercept[Exception] {
+      s.readStream.format("graft-epochs-stream").option("path", dir).load()
+    }
+    assert(e.getMessage.contains("compacted base/"), e.getMessage)
+  }
+
+  test("a non-numeric epoch dir under the family fails the poll loudly, never corrupts offsets") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("badname")
+    val chk = freshDir("badname-chk")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/delta-b0")
+    Seq((2L, "x")).toDF("id", "v").write.parquet(s"$dir/delta-bOOPS")
+    val q = s.readStream.format("graft-epochs-stream")
+      .option("path", dir).load()
+      .writeStream.option("checkpointLocation", chk)
+      .format("noop").start()
+    val e = intercept[Exception] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+      ()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("numeric epoch seqs")),
+      s"expected the seq-validation error, got: ${messages(e)}")
+    q.stop()
   }
 
   test("schema inference requires one completed epoch; explicit schema works on an empty family") {
