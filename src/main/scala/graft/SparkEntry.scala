@@ -337,6 +337,9 @@ object SparkEntry {
     "scale_join_admission" -> ((s, d) =>
       ScaleOps.joinAdmissionFace(Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.customer(s, d), Tables.part(s, d), d)),
+    "scale_join_admission_fast" -> ((s, d) =>
+      ScaleOps.joinAdmissionFastFace(Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.customer(s, d), Tables.part(s, d), d)),
     "scale_hll_grouped" -> ((s, d) => ScaleOps.hllGrouped(Tables.events(s, d))),
     "scale_integrity" -> ((s, d) => ScaleOps.integrityAudit(
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
@@ -468,24 +471,36 @@ object SparkEntry {
     s"""SELECT '$label' AS pair, sz$i.n_a, sz$i.n_b,
        |  ex$i.exact_join_rows, est$i.est_join_rows,
        |  est$i.est_join_rows >= ex$i.exact_join_rows AS never_underestimates,
-       |  10000 * (est$i.est_join_rows - ex$i.exact_join_rows) // ex$i.exact_join_rows
-       |    AS overshoot_bp,
+       |  CASE WHEN ex$i.exact_join_rows > 0 THEN
+       |    10000 * (est$i.est_join_rows - ex$i.exact_join_rows) // ex$i.exact_join_rows
+       |  END AS overshoot_bp,
        |  sz$i.n_a * sz$i.n_b // 512 AS noise_budget,
        |  est$i.est_join_rows - ex$i.exact_join_rows
        |    <= 3 * (sz$i.n_a * sz$i.n_b // 512) AS within_noise
        |FROM sz$i, ex$i, est$i""".stripMargin
 
-  private def joinAdmissionOracleSql: String = {
-    val pairs = Seq(
-      ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
-      ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
-      ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"))
-    "WITH " + pairs.zipWithIndex.map { case ((_, aT, aC, bT, bC), i) =>
+  /** The estimate-only projection of [[jeSelect]] — the
+    * scale_join_admission_fast oracle's tail: no exact/audit columns,
+    * mirroring the Spark face that reads sketches alone. */
+  private def jeSelectFast(i: Int, label: String): String =
+    s"""SELECT '$label' AS pair, sz$i.n_a, sz$i.n_b, est$i.est_join_rows,
+       |  sz$i.n_a * sz$i.n_b // 512 AS noise_budget
+       |FROM sz$i, est$i""".stripMargin
+
+  private val admissionPairTables = Seq(
+    ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"))
+
+  private def admissionOracle(select: (Int, String) => String): String =
+    "WITH " + admissionPairTables.zipWithIndex.map { case ((_, aT, aC, bT, bC), i) =>
       jeCtes(i, aT, aC, bT, bC) }.mkString(",\n") + "\n" +
-      pairs.zipWithIndex.map { case ((label, _, _, _, _), i) =>
-        jeSelect(i, label) }.mkString("\nUNION ALL\n") +
+      admissionPairTables.zipWithIndex.map { case ((label, _, _, _, _), i) =>
+        select(i, label) }.mkString("\nUNION ALL\n") +
       "\nORDER BY pair"
-  }
+
+  private def joinAdmissionOracleSql: String = admissionOracle(jeSelect)
+  private def joinAdmissionFastOracleSql: String = admissionOracle(jeSelectFast)
 
   private def pcaCtes(iters: Int, dims: Int): String = {
     val steps = (1 to iters).map { t =>
@@ -1153,6 +1168,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     .updated("scale_join_estimate_stored", oracleSqlBase("scale_join_estimate"))
     .updated("scale_countmin_stored", oracleSqlBase("scale_countmin"))
     .updated("scale_join_admission", joinAdmissionOracleSql)
+    .updated("scale_join_admission_fast", joinAdmissionFastOracleSql)
     // HLL merge is per-register max: merged stored registers ARE the
     // whole-corpus register table, so the stored face estimates
     // identically and gates on scale_hll's oracle

@@ -772,9 +772,17 @@ object ScaleOps {
     }
 
   def defaultCmSketchDir(keys: DataFrame, sfKey: String, side: String,
-                         depth: Int = 4, width: Int = 512): String =
+                         depth: Int = 4, width: Int = 512,
+                         nEpochs: Int = 3): String =
+    // nEpochs is part of the key (r11 advice): the build sentinel is
+    // delta-b{nEpochs-1}/_SUCCESS, so a torn PRIOR build with more
+    // slices (b0..b2 of a 4-slice build) would satisfy a later
+    // 3-slice call's sentinel and serve a sketch missing a hash slice
+    // — silently breaking the never-underestimates certificate. With
+    // the slice count in the dir name, different nEpochs never share
+    // a dir; the torn build is orphaned, not served.
     StoredArtifacts.contentKeyedDir("graft-cm-sketch", keys, sfKey,
-      s"-$side-d$depth-w$width")
+      s"-$side-d$depth-w$width-e$nEpochs")
 
   /** JOIN ADMISSION FROM STORED SKETCHES — the corpus-free face
     * [[joinEstimate]]'s contract promises: both operands are
@@ -901,17 +909,37 @@ object ScaleOps {
     * because near-tied true sizes (part⋈lineitem and orders⋈lineitem
     * both equal |lineitem| by FK-ness) would make a rank
     * noise-ordered; the certified per-pair bounds ARE the planner
-    * input. */
+    * input.
+    *
+    * THIS face is the GATE: it re-reads each key frame for the
+    * per-pair exact-identity audit BY DESIGN (three corpus scans that
+    * exist to prove the estimates right). The production admission
+    * call is [[joinAdmissionFastFace]] / [[joinEstimateStored]] —
+    * sketch reads only. */
   def joinAdmissionFace(orders: DataFrame, lineitem: DataFrame,
                         customer: DataFrame, part: DataFrame,
                         sfKey: String): DataFrame = {
+    val pairs = admissionPairs(orders, lineitem, customer, part, sfKey)
+    pairs.map { case (label, a, dirA, b, dirB) =>
+      joinEstimateStoredAuditedKeys(a, b, dirA, dirB)
+        .select(lit(label).as("pair"), col("*"))
+    }.reduce(_ unionByName _).orderBy(col("pair"))
+  }
+
+  /** The six (key frame, sketch dir) sides of the three admission
+    * pairs — ensure-built once, shared by the audited gate face and
+    * the sketch-only production face. */
+  private def admissionPairs(orders: DataFrame, lineitem: DataFrame,
+                             customer: DataFrame, part: DataFrame,
+                             sfKey: String)
+      : Seq[(String, DataFrame, String, DataFrame, String)] = {
     def keys(df: DataFrame, c: String): DataFrame =
       df.select(col(c).cast("string").as("k")).filter(col("k").isNotNull)
     def sketch(df: DataFrame, c: String, tag: String): String = {
       val k = keys(df, c)
       ensureCmSketch(k, defaultCmSketchDir(k, sfKey, tag))
     }
-    val pairs = Seq(
+    Seq(
       ("customer_orders", keys(customer, "c_custkey"),
         sketch(customer, "c_custkey", "customer-ck"),
         keys(orders, "o_custkey"), sketch(orders, "o_custkey", "orders-ck")),
@@ -921,8 +949,25 @@ object ScaleOps {
       ("part_lineitem", keys(part, "p_partkey"),
         sketch(part, "p_partkey", "part-pk"),
         keys(lineitem, "l_partkey"), sketch(lineitem, "l_partkey", "lineitem-pk")))
-    pairs.map { case (label, a, dirA, b, dirB) =>
-      joinEstimateStoredAuditedKeys(a, b, dirA, dirB)
+  }
+
+  /** THE PRODUCTION ADMISSION CALL, registered as its own query
+    * (round 12): all three pair estimates answered from the six
+    * stored sketch dirs ALONE — after the build-if-absent guard finds
+    * its sentinels, no plan branch touches a corpus table; each
+    * operand is a ≤ depth·width-row merged sketch read. This is what
+    * the bench should measure as admission latency; the exact-identity
+    * audits live in the separately registered [[joinAdmissionFace]].
+    * Gated on the estimate columns alone (n_a/n_b derive from sketch
+    * row-0 sums — exactly count(keys) since every ingested key adds
+    * one cell per row). */
+  def joinAdmissionFastFace(orders: DataFrame, lineitem: DataFrame,
+                            customer: DataFrame, part: DataFrame,
+                            sfKey: String): DataFrame = {
+    val spark = orders.sparkSession
+    val pairs = admissionPairs(orders, lineitem, customer, part, sfKey)
+    pairs.map { case (label, _, dirA, _, dirB) =>
+      joinEstimateStored(spark, dirA, dirB)
         .select(lit(label).as("pair"), col("*"))
     }.reduce(_ unionByName _).orderBy(col("pair"))
   }
@@ -1042,8 +1087,10 @@ object ScaleOps {
   def hllStoredFace(events: DataFrame, sfKey: String): DataFrame = {
     val keys = events.select(col("user_id").cast("string").as("k"))
       .filter(col("k").isNotNull)
+    // -e3: slice count in the key, like defaultCmSketchDir (a torn
+    // larger-nEpochs build must never satisfy this call's sentinel)
     val dir = StoredArtifacts.contentKeyedDir("graft-hll-sketch", keys,
-      sfKey, "-events-user-p9")
+      sfKey, "-events-user-p9-e3")
     ensureHllSketch(events, dir)
     hllDistinctStored(events, dir)
   }
@@ -2577,7 +2624,7 @@ object ScaleOps {
     // regenerated corpus with identical orderkeys but new prices must
     // rebuild, not serve a stale summary (the r6 staleness hazard)
     val dir = StoredArtifacts.contentKeyedDir("graft-kll-sketch",
-      orders.select(col("o_totalprice")), sfKey, "-orders-price-k256")
+      orders.select(col("o_totalprice")), sfKey, "-orders-price-k256-e3")
     ensureKllSketch(orders, dir)
     quantileSketchStored(orders, dir)
   }

@@ -977,6 +977,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     // multipass is a superset of single-pass on any corpus
     assert(single.toSet.subsetOf(multi.toSet))
   }
+
+  test("sketch dir keys carry the slice count; fast admission face equals the audited face's estimates") {
+    val s = spark
+    import s.implicits._
+    val k = (1L to 100L).map(_.toString).toDF("k")
+    // nEpochs in the key: a torn 4-slice build (sentinel delta-b2
+    // present) can never satisfy a 3-slice call's sentinel, because
+    // the two calls resolve DIFFERENT dirs
+    val d3 = ScaleOps.defaultCmSketchDir(k, "sfX", "t", nEpochs = 3)
+    val d4 = ScaleOps.defaultCmSketchDir(k, "sfX", "t", nEpochs = 4)
+    assert(d3 != d4 && d3.contains("-e3") && d4.contains("-e4"))
+    // the production (sketch-only) admission face emits exactly the
+    // audited gate face's estimate columns
+    val sf = TestSpark.sf
+    val (o, l) = (Tables.orders(s, sf), Tables.lineitem(s, sf))
+    val (c, p) = (Tables.customer(s, sf), Tables.part(s, sf))
+    val audited = ScaleOps.joinAdmissionFace(o, l, c, p, sf)
+      .select("pair", "n_a", "n_b", "est_join_rows", "noise_budget")
+      .collect().toSeq
+    val fast = ScaleOps.joinAdmissionFastFace(o, l, c, p, sf).collect().toSeq
+    assert(fast == audited, s"fast=$fast audited=$audited")
+  }
 }
 
 class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
