@@ -130,10 +130,13 @@ object SparkEntry {
         TextOps.ensurePosIndex(docs, TextOps.defaultPosIndexDir(docs, d)))
     }),
     "text_phrase_search_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val dir = StoredArtifacts.contentKeyedDirOn("graft-pos-index-inc", docs, "text", d, "-b64s3")
-      TextOps.ensurePosIndexIncremental(docs, dir)
-      TextOps.phraseSearchIncremental(s, dir)
+      TextOps.phraseSearchIncremental(s, posIndexIncDir(s, d))
+    }),
+    "text_proximity_incremental" -> ((s, d) => {
+      TextOps.proximitySearchIncremental(s, posIndexIncDir(s, d))
+    }),
+    "text_collocation_incremental" -> ((s, d) => {
+      TextOps.textCollocationIncremental(s, posIndexIncDir(s, d))
     }),
     "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.textLangid(Tables.documents(s, d))),
@@ -432,6 +435,19 @@ object SparkEntry {
     * milli renormalization), so the loadings hash-match bit-for-bit.
     * DuckDB sums BIGINT into HUGEINT; all values stay ≪ 2^63 (|x| ≤
     * 0.6 → |xb| ≤ 6e3, Gram sums ≤ ~1e11), so casting back is safe. */
+  /** The ONE incremental positional-index family shared by the three
+    * incremental text faces (phrase/proximity/collocation): ensure-
+    * built once per (corpus content, params), then each face reads
+    * the same epoch family — the registry mirrors production, where
+    * one maintained index serves every IR question. */
+  private def posIndexIncDir(s: SparkSession, d: String): String = {
+    val docs = Tables.documents(s, d)
+    val dir = StoredArtifacts.contentKeyedDirOn("graft-pos-index-inc",
+      docs, "text", d, "-b64s3")
+    TextOps.ensurePosIndexIncremental(docs, dir)
+    dir
+  }
+
   /** One pair's CTE chain of the multi-pair admission oracle — the
     * scale_join_estimate oracle parameterized by (table, key) per
     * side, CTEs suffixed `$i` so three pairs share one WITH. */
@@ -1189,6 +1205,8 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     // the stored stats tables hold exactly the unigram/bigram counts
     // the in-query face derives — identical lift, one oracle
     .updated("text_collocation_stored", oracleSqlBase("text_collocation"))
+    .updated("text_collocation_incremental", oracleSqlBase("text_collocation"))
+    .updated("text_proximity_incremental", oracleSqlBase("text_proximity_search"))
     // the hamming tuning curve aggregates the mm_phash oracle's own
     // pair chain — same banded candidate space by construction
     .updated("mm_phash_curve",

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 randomized net. First property: the `graft_kll`
+  * DOUBLE/DECIMAL update arms TRUNCATE toward zero (documented in
+  * KllAgg) — this pins exactly what that truncation means for
+  * percentiles on sign-mixed data: truncation is a MONOTONE map, so
+  * it commutes with order statistics (the truncated domain's exact
+  * rank-r value IS trunc(the double domain's exact rank-r value) —
+  * `quantileSketchDouble`'s exact path), and the KLL certificate
+  * still holds verbatim on the truncated domain. */
+class RandomizedCrossChecksR12Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("graft_kll truncating arms (DOUBLE, DECIMAL): certified bounds hold and percentiles equal trunc(exact double path)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1213)
+    for (trial <- 1 to 2) {
+      val n = 1200 + rnd.nextInt(1500)
+      val vals = Seq.fill(n)(rnd.nextInt(4) match {
+        case 0 => -math.exp(rnd.nextDouble() * 18) // large negatives
+        case 1 => -rnd.nextDouble() * 3            // small negatives
+        case 2 => rnd.nextDouble() * 1e6
+        case _ => rnd.nextDouble() * 7              // integer-bucket ties
+      })
+      val df = vals.toDF("value").repartition(4)
+      // the double face's exact path: bit-exact order statistics
+      val exactDouble = graft.operators.ScaleOps
+        .quantileSketchDouble(df, k = 128)
+        .collect().map(r => r.getAs[String]("q_label") ->
+          r.getAs[Double]("exact_value")).toMap
+      for (arm <- Seq("double", "decimal")) {
+        val vcol =
+          if (arm == "double") col("value")
+          else col("value").cast("decimal(28,6)")
+        // the truncated domain the arm actually sketches
+        val cents = df.select(vcol.cast("bigint").as("cents"))
+        val entries = df
+          .agg(graft.functions.F.kllSketch(vcol, 128).as("sk"))
+          .select(explode(col("sk")).as("e"))
+          .select(col("e.lvl").as("lvl"), col("e.v").as("v"))
+        val report = graft.operators.ScaleOps
+          .kllQuantileReport(cents, entries, k = 128)
+          .collect()
+        assert(report.length == 5, s"$arm trial $trial")
+        report.foreach { r =>
+          val label = r.getAs[String]("q_label")
+          assert(r.getAs[Boolean]("within_bound"),
+            s"$arm trial $trial $label: certificate must hold on the truncated domain")
+          // truncation commutes with order statistics
+          assert(r.getAs[Long]("exact_value") == exactDouble(label).toLong,
+            s"$arm trial $trial $label: truncated exact != trunc(double exact)")
+        }
+      }
+    }
+  }
+}
