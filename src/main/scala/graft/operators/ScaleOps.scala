@@ -740,8 +740,8 @@ object ScaleOps {
     * proves the true join is empty — dropping it (the pre-fix inner
     * join) returned NULL instead of the correct upper bound 0 on
     * key-disjoint inputs. */
-  private def cmInnerProductEst(ca: DataFrame, cb: DataFrame,
-                                depth: Int): DataFrame = {
+  private[graft] def cmInnerProductEst(ca: DataFrame, cb: DataFrame,
+                                       depth: Int): DataFrame = {
     val ips = ca
       .join(cb.withColumnRenamed("cnt", "cnt_b"), Seq("row", "cell"))
       .groupBy(col("row"))
