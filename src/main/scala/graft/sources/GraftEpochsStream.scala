@@ -48,9 +48,23 @@ import graft.operators.StoredArtifacts
   *
   * Each batch's read delegates to Spark's own [[ParquetTable]] over
   * just the new epoch paths — the one-scan multi-path planning of the
-  * batch `graft-epochs` table, per micro-batch. Like that table, the
-  * scope is FLAT epoch families (partitioned IVF/PQ roots are a
-  * FileIndex invariant — excluded). Read-only by the same contract.
+  * batch `graft-epochs` table, per micro-batch.
+  *
+  * PARTITIONED / MULTI-TABLE FAMILIES (round 12): epoch families
+  * whose epochs are DIRECTORIES of named child tables (the positional
+  * index's `delta-b<n>/{postings,stats,…}`, the IVF/PQ code lists)
+  * were excluded in round 11 — several partitioned roots cannot share
+  * one FileIndex. Now: pass `subtables=postings,stats` (the epoch's
+  * COMPLETENESS set — an epoch is visible only when every named child
+  * is a committed table, the same lister contract the merged faces
+  * use, so a torn epoch whose stats sentinel hasn't landed is
+  * invisible) and optionally `read=<child>` (which child's rows the
+  * stream delivers; defaults to the first of `subtables`). In this
+  * mode admission control delivers ONE epoch per micro-batch — each
+  * batch reads exactly one (possibly partitioned) root, which is what
+  * sidesteps the FileIndex invariant; epochs are metadata-scale
+  * units, so per-epoch batches are the natural grain anyway.
+  * Read-only by the same contract.
   * Schema: pass `.schema(...)` or let it infer from the completed
   * epochs present at start (inference requires at least one).
   * COMPACTION COORDINATION: folding deltas into a base REMOVES epoch
@@ -69,27 +83,49 @@ class GraftEpochsStream extends TableProvider with DataSourceRegister {
   private def prefix(options: CaseInsensitiveStringMap): String =
     Option(options.get("prefix")).getOrElse("delta-b")
 
+  private def subTables(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("subtables"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  private def readChild(options: CaseInsensitiveStringMap): Option[String] = {
+    val subs = subTables(options)
+    val child = Option(options.get("read")).orElse(subs.headOption)
+    child.foreach(c => require(subs.contains(c),
+      s"graft-epochs-stream: read='$c' must be one of subtables=" +
+        subs.mkString(",")))
+    child
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val dir = familyDir(options)
     EpochsMicroBatchStream.requireNotCompacted(spark, dir)
-    val epochs = StoredArtifacts.listEpochs(spark, dir, prefix(options))
+    val epochs = StoredArtifacts.listEpochs(spark, dir, prefix(options),
+      subTables = subTables(options))
     require(epochs.nonEmpty,
       s"graft-epochs-stream: cannot infer a schema with no completed epochs " +
         s"under $dir — pass .schema(...) or write one epoch first")
-    ParquetTable("graft-epochs-stream", spark, options, epochs, None,
+    val paths = readChild(options) match {
+      case Some(child) => Seq(s"${epochs.head}/$child")
+      case None        => epochs
+    }
+    ParquetTable("graft-epochs-stream", spark, options, paths, None,
       classOf[ParquetFileFormat]).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new EpochsStreamTable(schema, familyDir(options), prefix(options))
+    new EpochsStreamTable(schema, familyDir(options), prefix(options),
+      subTables(options), readChild(options))
   }
 }
 
 private[sources] class EpochsStreamTable(tableSchema: StructType,
-                                         dir: String, prefix: String)
+                                         dir: String, prefix: String,
+                                         subTables: Seq[String],
+                                         readChild: Option[String])
     extends Table with SupportsRead {
   override def name(): String = s"graft-epochs-stream($dir)"
   override def schema(): StructType = tableSchema
@@ -100,7 +136,8 @@ private[sources] class EpochsStreamTable(tableSchema: StructType,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new EpochsMicroBatchStream(tableSchema, dir, prefix)
+          new EpochsMicroBatchStream(tableSchema, dir, prefix, subTables,
+            readChild)
       }
     }
 }
@@ -167,7 +204,9 @@ private[sources] object EpochsMicroBatchStream {
 }
 
 private[sources] class EpochsMicroBatchStream(tableSchema: StructType,
-                                              dir: String, prefix: String)
+                                              dir: String, prefix: String,
+                                              subTables: Seq[String] = Nil,
+                                              readChild: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
@@ -190,7 +229,7 @@ private[sources] class EpochsMicroBatchStream(tableSchema: StructType,
   }
 
   private def completedNow(): Set[Long] =
-    StoredArtifacts.listEpochs(spark, dir, prefix)
+    StoredArtifacts.listEpochs(spark, dir, prefix, subTables = subTables)
       .map(p => seqOf(new Path(p).getName)).toSet
 
   // Trigger.AvailableNow pins the target set ONCE so the run drains
@@ -216,9 +255,21 @@ private[sources] class EpochsMicroBatchStream(tableSchema: StructType,
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    EpochRangeOffset.advance(start.asInstanceOf[EpochRangeOffset],
-      availableNowTarget.getOrElse(completedNow()))
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[EpochRangeOffset]
+    val completed = availableNowTarget.getOrElse(completedNow())
+    if (readChild.isEmpty) EpochRangeOffset.advance(s, completed)
+    else {
+      // multi-table mode: ONE epoch per micro-batch — each child may
+      // be a partitioned root, and one batch = one root is what keeps
+      // the per-batch scan a single clean FileIndex. The engine loops
+      // batches until the offset stops moving, so a backlog drains at
+      // one metadata-scale epoch per batch.
+      val undelivered = completed.filterNot(s.delivered)
+      if (undelivered.isEmpty) s
+      else EpochRangeOffset.advance(s, Set(undelivered.min))
+    }
+  }
   override def deserializeOffset(json: String): Offset =
     EpochRangeOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
@@ -237,7 +288,10 @@ private[sources] class EpochsMicroBatchStream(tableSchema: StructType,
       end.asInstanceOf[EpochRangeOffset]).map(seq => s"$prefix$seq")
     if (fresh.isEmpty) { lastFactory = null; return Array.empty }
     val fs = StoredArtifacts.fsOf(spark, dir)
-    val paths = fresh.map(n => fs.makeQualified(new Path(dir, n)).toString)
+    val paths = fresh.map { n =>
+      val epoch = readChild.map(c => s"$n/$c").getOrElse(n)
+      fs.makeQualified(new Path(dir, epoch)).toString
+    }
     val batch = ParquetTable("graft-epochs-stream", spark,
       CaseInsensitiveStringMap.empty(), paths, Some(tableSchema),
       classOf[ParquetFileFormat])

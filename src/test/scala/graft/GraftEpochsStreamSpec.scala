@@ -138,6 +138,66 @@ class GraftEpochsStreamSpec extends AnyFunSuite {
       "stream fold == merged face == whole-corpus sketch")
   }
 
+  test("partitioned multi-table family: one epoch per micro-batch, completeness over all subtables, both children streamable") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps
+    val dir = freshDir("subt")
+    val chk = freshDir("subt-chk")
+    val b0 = Seq((1L, "alpha beta gamma"), (2L, "alpha beta end"))
+    val b1 = Seq((3L, "gamma delta alpha"), (4L, "beta beta beta"))
+    TextOps.posIndexIngest(b0.toDF("doc_id", "text"), dir, 0L, nBuckets = 8)
+    TextOps.posIndexIngest(b1.toDF("doc_id", "text"), dir, 1L, nBuckets = 8)
+    // torn epoch: postings committed, stats (the sentinel child) not
+    TextOps.posIndexIngest(Seq((9L, "torn epoch text")).toDF("doc_id", "text"),
+      dir, 2L, nBuckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    // tear it: remove the stats sentinel AFTER the fact
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/delta-b2/stats/_SUCCESS"), false))
+
+    val batchDocSets = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = s.readStream.format("graft-epochs-stream")
+      .option("path", dir)
+      .option("subtables", "postings,stats2,stats3,stats4,stats")
+      .option("read", "postings")
+      .load()
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val docs = b.collect().map(_.getAs[Long]("doc_id")).toSet
+        batchDocSets.synchronized { if (docs.nonEmpty) batchDocSets += docs }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // one epoch per micro-batch: each non-empty batch's docs belong to
+    // exactly one ingest epoch, and the torn epoch never arrives
+    assert(batchDocSets.size == 2, s"one batch per epoch: $batchDocSets")
+    assert(batchDocSets.toSet == Set(Set(1L, 2L), Set(3L, 4L)),
+      s"epoch-grain batches: $batchDocSets")
+    // the OTHER child streams too: stats rows fold to the merged stats
+    val statsSeen = scala.collection.mutable.Map.empty[String, Long]
+    val q2 = s.readStream.format("graft-epochs-stream")
+      .option("path", dir)
+      .option("subtables", "postings,stats2,stats3,stats4,stats")
+      .option("read", "stats")
+      .load()
+      .writeStream.option("checkpointLocation", freshDir("subt-chk2"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          val t = r.getAs[String]("term")
+          statsSeen.synchronized {
+            statsSeen(t) = statsSeen.getOrElse(t, 0L) + r.getAs[Long]("n_occ")
+          }
+        }
+        ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    val merged = TextOps.posIndexMerged(s, dir)._2.collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("n_occ")).toMap
+    assert(statsSeen.toMap == merged,
+      s"streamed stats fold == merged stats: $statsSeen vs $merged")
+  }
+
   test("offsets stay bounded on a many-epoch family: {hw, holes}, not a name list") {
     import graft.sources.EpochRangeOffset
     // 1000 contiguous delivered epochs -> constant-size offset
