@@ -468,14 +468,15 @@ object SparkEntry {
        |    count(*) AS cnt
        |  FROM b$i, (SELECT unnest(range(4)) AS r) r GROUP BY 1, 2
        |), ip$i AS (
-       |  SELECT ca$i.row, CAST(sum(ca$i.cnt * cb$i.cnt) AS BIGINT) AS ip
+       |  SELECT ca$i.row, CAST(sum(CAST(ca$i.cnt AS HUGEINT) * cb$i.cnt) AS BIGINT) AS ip
        |  FROM ca$i JOIN cb$i ON ca$i.row = cb$i.row AND ca$i.cell = cb$i.cell
        |  GROUP BY 1
        |), est$i AS (
        |  SELECT min(COALESCE(ip$i.ip, 0)) AS est_join_rows
        |  FROM (SELECT unnest(range(4)) AS row) d LEFT JOIN ip$i ON ip$i.row = d.row
        |), ex$i AS (
-       |  SELECT CAST(COALESCE(sum(x.ca * y.cb), 0) AS BIGINT) AS exact_join_rows
+       |  SELECT CAST(COALESCE(sum(CAST(x.ca AS HUGEINT) * y.cb), 0) AS BIGINT)
+       |    AS exact_join_rows
        |  FROM (SELECT k, count(*) AS ca FROM a$i GROUP BY 1) x
        |  JOIN (SELECT k, count(*) AS cb FROM b$i GROUP BY 1) y USING (k)
        |), sz$i AS (
@@ -488,11 +489,12 @@ object SparkEntry {
        |  ex$i.exact_join_rows, est$i.est_join_rows,
        |  est$i.est_join_rows >= ex$i.exact_join_rows AS never_underestimates,
        |  CASE WHEN ex$i.exact_join_rows > 0 THEN
-       |    10000 * (est$i.est_join_rows - ex$i.exact_join_rows) // ex$i.exact_join_rows
+       |    CAST(CAST(est$i.est_join_rows - ex$i.exact_join_rows AS HUGEINT)
+       |      * 10000 // ex$i.exact_join_rows AS BIGINT)
        |  END AS overshoot_bp,
-       |  sz$i.n_a * sz$i.n_b // 512 AS noise_budget,
+       |  CAST(CAST(sz$i.n_a AS HUGEINT) * sz$i.n_b // 512 AS BIGINT) AS noise_budget,
        |  est$i.est_join_rows - ex$i.exact_join_rows
-       |    <= 3 * (sz$i.n_a * sz$i.n_b // 512) AS within_noise
+       |    <= 3 * (CAST(sz$i.n_a AS HUGEINT) * sz$i.n_b // 512) AS within_noise
        |FROM sz$i, ex$i, est$i""".stripMargin
 
   /** The estimate-only projection of [[jeSelect]] — the
@@ -500,7 +502,7 @@ object SparkEntry {
     * mirroring the Spark face that reads sketches alone. */
   private def jeSelectFast(i: Int, label: String): String =
     s"""SELECT '$label' AS pair, sz$i.n_a, sz$i.n_b, est$i.est_join_rows,
-       |  sz$i.n_a * sz$i.n_b // 512 AS noise_budget
+       |  CAST(CAST(sz$i.n_a AS HUGEINT) * sz$i.n_b // 512 AS BIGINT) AS noise_budget
        |FROM sz$i, est$i""".stripMargin
 
   private val admissionPairTables = Seq(
@@ -2347,20 +2349,20 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |j AS (SELECT a.ca, b.cb FROM a FULL JOIN b ON a.key = b.key),
         |g AS (
         |  SELECT
-        |    CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN ca * cb ELSE 0 END) AS BIGINT) AS join_rows,
+        |    CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN CAST(ca AS HUGEINT) * cb ELSE 0 END) AS BIGINT) AS join_rows,
         |    CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched_keys,
         |    CAST(sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_only_keys,
         |    CAST(sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS right_only_keys,
-        |    CAST(COALESCE(max(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN ca * cb END), 0) AS BIGINT) AS hot_key_rows,
+        |    CAST(COALESCE(max(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN CAST(ca AS HUGEINT) * cb END), 0) AS BIGINT) AS hot_key_rows,
         |    CAST(sum(COALESCE(cb, 0)) AS BIGINT) AS right_rows
         |  FROM j
         |)
         |SELECT join_rows, matched_keys, left_only_keys, right_only_keys,
         |  hot_key_rows,
-        |  CASE WHEN join_rows > 0 THEN CAST((10000 * hot_key_rows) // join_rows AS BIGINT)
+        |  CASE WHEN join_rows > 0 THEN CAST((CAST(hot_key_rows AS HUGEINT) * 10000) // join_rows AS BIGINT)
         |       ELSE 0 END AS hot_share_bp,
         |  CASE WHEN right_rows <= 100000 THEN 'broadcast'
-        |       WHEN hot_key_rows * 5 > join_rows THEN 'salt'
+        |       WHEN CAST(hot_key_rows AS HUGEINT) * 5 > join_rows THEN 'salt'
         |       ELSE 'shuffle' END AS advice
         |FROM g""".stripMargin,
     "scale_window_preflight" ->
@@ -4146,7 +4148,10 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |    count(*) AS cnt
         |  FROM b, (SELECT unnest(range(4)) AS r) r GROUP BY 1, 2
         |), ip AS (
-        |  SELECT ca.row, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+        |  -- products widened (HUGEINT here, DECIMAL(38,0) on the
+        |  -- Spark side): cell counts ~n/width make ca*cb pass 2^63 at
+        |  -- the corpus sizes admission exists for
+        |  SELECT ca.row, CAST(sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) AS ip
         |  FROM ca JOIN cb ON ca.row = cb.row AND ca.cell = cb.cell GROUP BY 1
         |), est AS (
         |  -- full row domain: a sketch row with no matching cells has
@@ -4155,7 +4160,8 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |  FROM (SELECT unnest(range(4)) AS row) d LEFT JOIN ip ON ip.row = d.row
         |),
         |ex AS (
-        |  SELECT CAST(COALESCE(sum(x.ca * y.cb), 0) AS BIGINT) AS exact_join_rows
+        |  SELECT CAST(COALESCE(sum(CAST(x.ca AS HUGEINT) * y.cb), 0) AS BIGINT)
+        |    AS exact_join_rows
         |  FROM (SELECT k, count(*) AS ca FROM a GROUP BY 1) x
         |  JOIN (SELECT k, count(*) AS cb FROM b GROUP BY 1) y USING (k)
         |), sz AS (
@@ -4166,11 +4172,11 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
         |)
         |SELECT sz.n_a, sz.n_b, ex.exact_join_rows, est.est_join_rows,
         |  est.est_join_rows >= ex.exact_join_rows AS never_underestimates,
-        |  10000 * (est.est_join_rows - ex.exact_join_rows) // ex.exact_join_rows
-        |    AS overshoot_bp,
-        |  sz.n_a * sz.n_b // 512 AS noise_budget,
+        |  CAST(CAST(est.est_join_rows - ex.exact_join_rows AS HUGEINT) * 10000
+        |    // ex.exact_join_rows AS BIGINT) AS overshoot_bp,
+        |  CAST(CAST(sz.n_a AS HUGEINT) * sz.n_b // 512 AS BIGINT) AS noise_budget,
         |  est.est_join_rows - ex.exact_join_rows
-        |    <= 3 * (sz.n_a * sz.n_b // 512) AS within_noise
+        |    <= 3 * (CAST(sz.n_a AS HUGEINT) * sz.n_b // 512) AS within_noise
         |FROM sz, ex, est""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

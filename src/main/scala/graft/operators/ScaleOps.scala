@@ -714,9 +714,20 @@ object ScaleOps {
       .filter(col("k").isNotNull))
     val est = cmInnerProductEst(cmTableOf(a, depth, width),
       cmTableOf(b, depth, width), depth)
+    // ALL products in DECIMAL(38,0) (round 12, the collocation-lift
+    // discipline): per-key count products (ca·cb at 10¹²-row sides →
+    // 10²⁴), the noise-budget product n_a·n_b, and the overshoot
+    // scaling all pass 2⁶³ exactly at the corpus sizes admission
+    // exists for — so every INTERMEDIATE stays exact, and the query
+    // survives wherever the FINAL value fits the declared BIGINT
+    // schema (width tracking corpus scale keeps it there — the
+    // standing knob). A final that genuinely exceeds 2⁶³ fails the
+    // ANSI cast LOUDLY (spec-pinned) — never a wrapped negative
+    // masquerading as a small join.
     val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
       .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_rows"))
+      .agg(coalesce(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")),
+        lit(0).cast("decimal(38,0)")).cast("bigint").as("exact_join_rows"))
     a.agg(count(lit(1)).as("n_a"))
       .crossJoin(b.agg(count(lit(1)).as("n_b")))
       .crossJoin(broadcast(est)).crossJoin(broadcast(exact))
@@ -724,10 +735,12 @@ object ScaleOps {
         col("exact_join_rows"), col("est_join_rows"),
         (col("est_join_rows") >= col("exact_join_rows")).as("never_underestimates"),
         expr("CASE WHEN exact_join_rows > 0 THEN " +
-          "10000L * (est_join_rows - exact_join_rows) div exact_join_rows END")
+          "CAST((CAST(est_join_rows - exact_join_rows AS DECIMAL(38,0)) " +
+          "* 10000) div exact_join_rows AS BIGINT) END")
           .as("overshoot_bp"),
-        expr(s"n_a * n_b div $width").as("noise_budget"),
-        expr(s"est_join_rows - exact_join_rows <= 3L * (n_a * n_b div $width)")
+        expr(s"CAST(n_a AS DECIMAL(38,0)) * n_b div $width").as("noise_budget"),
+        expr("CAST(est_join_rows - exact_join_rows AS DECIMAL(38,0)) <= " +
+          s"CAST(3 AS DECIMAL(38,0)) * (CAST(n_a AS DECIMAL(38,0)) * n_b div $width)")
           .as("within_noise"))
   }
 
@@ -742,14 +755,24 @@ object ScaleOps {
     * key-disjoint inputs. */
   private[graft] def cmInnerProductEst(ca: DataFrame, cb: DataFrame,
                                        depth: Int): DataFrame = {
+    // cell products in DECIMAL(38,0): cells hold ~n/width counts, so
+    // a 10¹²-row side at width 512 has ~2·10⁹-count cells whose
+    // products (~4·10¹⁸) brush 2⁶³ and whose row-sum passes it —
+    // LONG arithmetic here dies mid-sum (ANSI) or wraps a certified
+    // upper bound into a small negative lie (legacy mode) at exactly
+    // the corpus sizes the sketch substrate exists for; the decimal
+    // sum is exact, the min picks the tightest row, and only a FINAL
+    // estimate past 2⁶³ fails the cast (loudly, spec-pinned — widen
+    // `width` so the estimate domain fits, the standing knob)
     val ips = ca
       .join(cb.withColumnRenamed("cnt", "cnt_b"), Seq("row", "cell"))
       .groupBy(col("row"))
-      .agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt_b")).as("ip"))
     ca.sparkSession.range(depth)
       .select(col("id").cast("int").as("row"))
       .join(ips, Seq("row"), "left")
-      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_rows"))
+      .agg(min(coalesce(col("ip"), lit(0).cast("decimal(38,0)"))).as("est_dec"))
+      .select(col("est_dec").cast("bigint").as("est_join_rows"))
   }
 
   /** Build-if-absent CM sketch EPOCH FAMILY from a batch key frame —
@@ -810,7 +833,7 @@ object ScaleOps {
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_b"))
     na.crossJoin(broadcast(nb)).crossJoin(broadcast(est))
       .select(col("n_a"), col("n_b"), col("est_join_rows"),
-        expr(s"n_a * n_b div $width").as("noise_budget"))
+        expr(s"CAST(n_a AS DECIMAL(38,0)) * n_b div $width").as("noise_budget"))
   }
 
   /** [[joinEstimateStored]] composed with the exact-identity audit —
@@ -839,16 +862,19 @@ object ScaleOps {
     val stored = joinEstimateStored(spark, sketchDirA, sketchDirB, depth, width)
     val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
       .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_rows"))
+      .agg(coalesce(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")),
+        lit(0).cast("decimal(38,0)")).cast("bigint").as("exact_join_rows"))
     stored.crossJoin(broadcast(exact))
       .select(col("n_a"), col("n_b"),
         col("exact_join_rows"), col("est_join_rows"),
         (col("est_join_rows") >= col("exact_join_rows")).as("never_underestimates"),
         expr("CASE WHEN exact_join_rows > 0 THEN " +
-          "10000L * (est_join_rows - exact_join_rows) div exact_join_rows END")
+          "CAST((CAST(est_join_rows - exact_join_rows AS DECIMAL(38,0)) " +
+          "* 10000) div exact_join_rows AS BIGINT) END")
           .as("overshoot_bp"),
         col("noise_budget"),
-        expr("est_join_rows - exact_join_rows <= 3L * noise_budget")
+        expr("CAST(est_join_rows - exact_join_rows AS DECIMAL(38,0)) <= " +
+          "CAST(3 AS DECIMAL(38,0)) * noise_budget")
           .as("within_noise"))
   }
 
@@ -1344,21 +1370,30 @@ object ScaleOps {
     val a = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("ca"))
     val b = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("cb"))
     val matched = col("ca").isNotNull && col("cb").isNotNull
+    // per-key products and their sum in DECIMAL(38,0) (round 12): the
+    // exploding joins this operator exists to catch are exactly the
+    // ones whose Σ ca·cb passes 2⁶³ — LONG arithmetic would wrap the
+    // explosion into a plausible small number and advise "shuffle"
+    val prod = expr("CAST(ca AS DECIMAL(38,0)) * cb")
     a.join(b, Seq("key"), "full_outer")
       .agg(
-        sum(when(matched, col("ca") * col("cb")).otherwise(0L)).as("join_rows"),
+        sum(when(matched, prod).otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("bigint").as("join_rows"),
         sum(when(matched, lit(1L)).otherwise(0L)).as("matched_keys"),
         sum(when(col("cb").isNull, lit(1L)).otherwise(0L)).as("left_only_keys"),
         sum(when(col("ca").isNull, lit(1L)).otherwise(0L)).as("right_only_keys"),
-        coalesce(max(when(matched, col("ca") * col("cb"))), lit(0L)).as("hot_key_rows"),
+        coalesce(max(when(matched, prod)), lit(0).cast("decimal(38,0)"))
+          .cast("bigint").as("hot_key_rows"),
         sum(coalesce(col("cb"), lit(0L))).as("right_rows"))
       .select(col("join_rows"), col("matched_keys"),
         col("left_only_keys"), col("right_only_keys"), col("hot_key_rows"),
         when(col("join_rows") > 0L,
-          expr("(10000 * hot_key_rows) div join_rows")).otherwise(0L)
+          expr("CAST((CAST(hot_key_rows AS DECIMAL(38,0)) * 10000) " +
+            "div join_rows AS BIGINT)")).otherwise(0L)
           .as("hot_share_bp"),
         when(col("right_rows") <= broadcastMax, "broadcast")
-          .when(col("hot_key_rows") * 5L > col("join_rows"), "salt")
+          .when(expr("CAST(hot_key_rows AS DECIMAL(38,0)) * 5") > col("join_rows"),
+            "salt")
           .otherwise("shuffle").as("advice"))
   }
 

@@ -14,6 +14,33 @@ import org.scalatest.funsuite.AnyFunSuite
 class RandomizedCrossChecksR12Spec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("CM inner product sums near/past 2^63: decimal internals stay exact; a final past 2^63 fails loudly, never wraps") {
+    val s = spark
+    import s.implicits._
+    // cells hold ~n/width counts at corpus scale; individual products
+    // fit LONG but their row-sum brushes 2^63 — the regime where LONG
+    // arithmetic dies mid-sum (ANSI) or silently wraps (legacy)
+    def tbl(cells: Seq[(Int, Long, Long)]) = cells.toDF("row", "cell", "cnt")
+    val two = tbl(Seq((0, 0L, 2000000000L), (0, 1L, 2000000000L)))
+    val fits = graft.operators.ScaleOps.cmInnerProductEst(two, two, depth = 1)
+      .head()
+    // 2 * (2e9)^2 = 8e18 < 2^63: exact through the decimal path (a
+    // LONG sum would have needed both products AND the sum in range —
+    // here they are, but three cells below push the sum over)
+    assert(fits.getLong(0) == 8000000000000000000L, fits.toString)
+    val three = tbl(Seq((0, 0L, 2000000000L), (0, 1L, 2000000000L),
+      (0, 2L, 2000000000L)))
+    // 1.2e19 > 2^63: the decimal sum is exact; the final BIGINT cast
+    // fails LOUDLY under ANSI — the estimate domain is the declared
+    // schema's, and `width` is the knob that keeps real deployments
+    // inside it. What must never happen is a wrapped negative
+    // masquerading as a small join.
+    val e = intercept[Throwable] {
+      graft.operators.ScaleOps.cmInnerProductEst(three, three, depth = 1).head()
+    }
+    assert(e.toString.toLowerCase.contains("overflow"), e.toString)
+  }
+
   test("graft_kll truncating arms (DOUBLE, DECIMAL): certified bounds hold and percentiles equal trunc(exact double path)") {
     val s = spark
     import s.implicits._
