@@ -162,13 +162,15 @@ private[graft] object StoredArtifacts {
             .map(st => s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
         }.sorted
       val plan = df.queryExecution.analyzed.canonicalized.toString
-      Some(md5hex((inv ++ Seq(df.columns.mkString(","), plan)).mkString("\n")))
+      // stream the digest entry-by-entry: at 10⁶-file sources the
+      // concatenated inventory would be a ~100 MB transient string
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (inv ++ Seq(df.columns.mkString(","), plan)).foreach { line =>
+        md.update(line.getBytes("UTF-8")); md.update('\n'.toByte)
+      }
+      Some(md.digest().map("%02x".format(_)).mkString)
     }
   }
-
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** First line `<n> <fp>`; anything unreadable or malformed is None —
     * the caller recomputes and overwrites. */

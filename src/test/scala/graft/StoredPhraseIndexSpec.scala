@@ -373,4 +373,24 @@ class StoredPhraseIndexSpec extends AnyFunSuite {
     // lift(cc dd) = 10^4 * 1e12 * 3e12 div (4e12 * 5e12)   = 1500
     assert(out == Seq(("aa bb", 8000L), ("cc dd", 1500L)), out.toString)
   }
+
+  test("ngram derivation: stored stats for n in 2..4, lead-window fallback beyond the stored range") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five other"),
+      (3L, "one two three only")
+    ).toDF("doc_id", "text")
+    val dir = freshDir("nfall")
+    TextOps.buildPosIndex(docs, dir, nBuckets = 16)
+    // n=5 has no stored stats table -> the window fallback derives it
+    // from the postings; n=2 reads stats2 — both verify exactly
+    val out = TextOps.phraseSearchNgramStored(s, dir, ns = Seq(2, 5),
+      perN = 1, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (2L, "one two", 3L, 3L),
+      (5L, "one two three four five", 2L, 2L)), out.toSeq.toString)
+  }
 }
