@@ -169,4 +169,29 @@ class StoredArtifactsFsSpec extends AnyFunSuite {
       assert(built == 1, "second ensure must see the URI-rooted sentinel")
     } finally spark.conf.unset("graft.artifacts.root")
   }
+
+  test("fingerprint stamps live and resolve through scheme-qualified file:// URIs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = fileUri("graft-fsuri-stamps")
+    val data = fileUri("graft-fsuri-src") + "/docs.parquet"
+    (0L until 150L).map(i => (i, s"fs text $i")).toDF("doc_id", "text")
+      .repartition(1).write.mode("overwrite").parquet(data)
+    spark.conf.set("graft.artifacts.root", root)
+    try {
+      val docs = spark.read.parquet(data)
+      val d1 = StoredArtifacts.contentKeyedDirOn("graft-fs-stamp", docs,
+        "text", "sfX", "-p1")
+      assert(d1.startsWith(s"$root/graft-fs-stamp/"))
+      // the stamp landed under the URI root (via the FS API, not
+      // java.io.File) and the second resolution reads it back
+      val fs = StoredArtifacts.fsOf(spark, root)
+      val stampDir = new org.apache.hadoop.fs.Path(s"$root/graft-fs-stamp/_fingerprints")
+      assert(fs.exists(stampDir) && fs.listStatus(stampDir).exists(_.isFile),
+        "stamp file must exist under the scheme-qualified root")
+      assert(StoredArtifacts.contentKeyedDirOn("graft-fs-stamp", docs,
+        "text", "sfX", "-p1") == d1)
+      assert(StoredArtifacts.auditContentKeyOn(docs, "text", d1))
+    } finally spark.conf.unset("graft.artifacts.root")
+  }
 }
