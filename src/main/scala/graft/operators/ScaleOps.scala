@@ -2353,11 +2353,17 @@ object ScaleOps {
     * the overlap matrix reads at 100 TB (sketch `_SUCCESS` is the
     * completed-build sentinel; sketch content is a pure function of
     * the key sets, so a rebuild is bit-identical). */
-  def buildKmvSketches(orders: DataFrame, dir: String, k: Int = 512): Unit =
+  def buildKmvSketches(orders: DataFrame, dir: String, k: Int = 512): Unit = {
+    // k rides the _META sidecar (before the sketch sentinel): the
+    // stored probe's set algebra keys on the BUILD-time k (the kth
+    // statistic, the union re-sketch width) — a caller-supplied
+    // mismatch would silently shift every estimate
+    StoredArtifacts.writeMeta(orders.sparkSession, dir, s"k=$k\n")
     kmvTable(orders
       .filter(col("o_custkey").isNotNull && col("o_orderpriority").isNotNull)
       .select(col("o_orderpriority").as("side"), col("o_custkey").as("key")), k)
       .write.mode("overwrite").parquet(s"$dir/sketch")
+  }
 
   /** Build-if-absent guard for [[buildKmvSketches]]. */
   def ensureKmvSketches(orders: DataFrame, dir: String, k: Int = 512): String =
@@ -2378,7 +2384,9 @@ object ScaleOps {
   def kmvMatrixStored(orders: DataFrame, indexDir: String, k: Int = 512,
                       tol: Double = 0.12): DataFrame =
     kmvMatrixFrom(orders.sparkSession.read.parquet(s"$indexDir/sketch"),
-      Dedup.materialized(kmvMatrixBase(orders)), k, tol)
+      Dedup.materialized(kmvMatrixBase(orders)),
+      // build-time k from _META, never the caller's word for it
+      StoredArtifacts.metaInt(orders.sparkSession, indexDir, "k", k), tol)
 
   /** Ingest-time KMV maintenance — per-epoch delta sketches, the
     * [[hllStream]] ownership contract (delta dirs keyed by batchId,

@@ -282,6 +282,26 @@ private[graft] object StoredArtifacts {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Write-once `_META` sidecar under an artifact dir: build
+    * parameters a PROBE must agree with the builder on (`key=value`
+    * lines). Probes read these instead of trusting their caller's
+    * parameter — a mismatch would silently mis-probe (wrong bucket
+    * literals, wrong kth-statistic row) rather than fail. */
+  def writeMeta(spark: SparkSession, dir: String, content: String): Unit =
+    if (!exists(spark, s"$dir/_META"))
+      writeTextFile(fsOf(spark, dir), s"$dir/_META", content)
+
+  /** `key=<int>` from `dir/_META`; `fallback` only for artifacts
+    * predating the sidecar (or non-integer/missing keys). */
+  def metaInt(spark: SparkSession, dir: String, key: String,
+              fallback: Int): Int =
+    try {
+      if (!exists(spark, s"$dir/_META")) fallback
+      else s"""$key=(\\d+)""".r
+        .findFirstMatchIn(readTextFile(fsOf(spark, dir), s"$dir/_META"))
+        .map(_.group(1).toInt).getOrElse(fallback)
+    } catch { case scala.util.control.NonFatal(_) => fallback }
+
   def readTextFile(fs: FileSystem, path: String): String = {
     val in = fs.open(new Path(path))
     try {

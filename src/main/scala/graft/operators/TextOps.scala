@@ -1931,23 +1931,13 @@ object TextOps {
     * content) before the stats sentinel. */
   private def writePosMeta(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String, nBuckets: Int): Unit =
-    if (!StoredArtifacts.exists(spark, s"$indexDir/_META"))
-      StoredArtifacts.writeTextFile(StoredArtifacts.fsOf(spark, indexDir),
-        s"$indexDir/_META", s"nBuckets=$nBuckets\n")
+    StoredArtifacts.writeMeta(spark, indexDir, s"nBuckets=$nBuckets\n")
 
   /** The build-time nBuckets from `_META`; `fallback` only for indexes
     * predating the sidecar. */
   private[graft] def posIndexNBuckets(spark: org.apache.spark.sql.SparkSession,
                                       indexDir: String, fallback: Int): Int =
-    try {
-      if (!StoredArtifacts.exists(spark, s"$indexDir/_META")) fallback
-      else {
-        val txt = StoredArtifacts.readTextFile(
-          StoredArtifacts.fsOf(spark, indexDir), s"$indexDir/_META")
-        "nBuckets=(\\d+)".r.findFirstMatchIn(txt)
-          .map(_.group(1).toInt).getOrElse(fallback)
-      }
-    } catch { case scala.util.control.NonFatal(_) => fallback }
+    StoredArtifacts.metaInt(spark, indexDir, "nBuckets", fallback)
 
   def ensurePosIndex(documents: DataFrame, indexDir: String,
                      nBuckets: Int = 64): String =

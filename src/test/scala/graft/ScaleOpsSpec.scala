@@ -2924,6 +2924,12 @@ class KmvSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ScaleOps.kmvMatrixStored(orders, dir, k = 16)
       .collect().map(_.toString).toSeq == self,
       "the rebuilt sketches serve the same matrix")
+    // the _META sidecar makes the BUILD-time k win: a caller passing
+    // the wrong k used to silently shift every estimate (wrong kth
+    // statistic, wrong union re-sketch width)
+    assert(ScaleOps.kmvMatrixStored(orders, dir, k = 999)
+      .collect().map(_.toString).toSeq == self,
+      "a mismatched caller k must not change the stored probe")
   }
 
   test("KMV stream deltas re-sketch to the whole-corpus sketch; replay is a no-op") {
