@@ -442,8 +442,10 @@ object SparkEntry {
     * one maintained index serves every IR question. */
   private def posIndexIncDir(s: SparkSession, d: String): String = {
     val docs = Tables.documents(s, d)
+    // -e3: the slice count is part of the key (the ensure sentinel is
+    // delta-b{n-1}, so different slice counts must never share a dir)
     val dir = StoredArtifacts.contentKeyedDirOn("graft-pos-index-inc",
-      docs, "text", d, "-b64s3")
+      docs, "text", d, "-b64s3-e3")
     TextOps.ensurePosIndexIncremental(docs, dir)
     dir
   }

@@ -1868,7 +1868,8 @@ object TextOps {
     * phrase must not probe the fattest one). Stats are written LAST:
     * their `_SUCCESS` is the completed-build sentinel. */
   def buildPosIndex(documents: DataFrame, indexDir: String,
-                    nBuckets: Int = 64): Unit = {
+                    nBuckets: Int = 64,
+                    statsNs: Seq[Int] = DefaultStatsNs): Unit = {
     val toks = Dedup.materialized(positionalToks(documents))
     toks
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
@@ -1880,20 +1881,28 @@ object TextOps {
       .parquet(s"$indexDir/postings")
     // adjacent n-gram stats beside the postings: what turns the index
     // into a corpus-statistics store. stats2 feeds collocation lift
-    // AND the proximity face's query-set derivation; stats3/stats4
-    // feed the trigram/quadgram derivations — after round 12 NO stored
-    // face windows the full postings to find its own query set (the
-    // r11 verdict's second `weak`): the window pass is paid once here,
-    // where the build already owns a corpus scan.
+    // AND the proximity face's query-set derivation; statsN (the
+    // `statsNs` build knob, default 3 and 4) feeds the per-length
+    // phrase derivations — after round 12 NO stored face windows the
+    // full postings to find its own query set (the r11 verdict's
+    // second `weak`): the window pass is paid once here, where the
+    // build already owns a corpus scan. A workload that routinely
+    // asks exotic lengths extends `statsNs` at build; lengths beyond
+    // the stored range fall back to the window derivation.
     bigramStats(toks).write.mode("overwrite").parquet(s"$indexDir/stats2")
-    Seq(3, 4).foreach(n => ngramStats(toks, n).write.mode("overwrite")
-      .parquet(s"$indexDir/stats$n"))
+    statsNs.filter(_ > 2).foreach(n => ngramStats(toks, n)
+      .write.mode("overwrite").parquet(s"$indexDir/stats$n"))
     writePosMeta(documents.sparkSession, indexDir, nBuckets)
     toks.groupBy(col("term"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
   }
+
+  /** The per-n n-gram stats lengths a build stores by default (beside
+    * the always-written bigram stats2): trigrams and quadgrams — the
+    * lengths the registered faces derive query sets for. */
+  val DefaultStatsNs: Seq[Int] = Seq(3, 4)
 
   /** (t1, t2, f_pair) over adjacent positions — distinct-bigram-
     * bounded; doc-disjoint epochs SUM exactly (bigrams never span
@@ -1953,7 +1962,8 @@ object TextOps {
     * stats a plain per-term SUM. A replayed epoch overwrites its own
     * pair — replay-idempotent like every delta family. */
   def posIndexIngest(docsBatch: DataFrame, indexDir: String, epoch: Long,
-                     nBuckets: Int = 64): Unit = {
+                     nBuckets: Int = 64,
+                     statsNs: Seq[Int] = DefaultStatsNs): Unit = {
     val toks = Dedup.materialized(positionalToks(docsBatch))
     writePosMeta(docsBatch.sparkSession, indexDir, nBuckets)
     toks
@@ -1963,8 +1973,8 @@ object TextOps {
       .parquet(s"$indexDir/delta-b$epoch/postings")
     bigramStats(toks).write.mode("overwrite")
       .parquet(s"$indexDir/delta-b$epoch/stats2")
-    Seq(3, 4).foreach(n => ngramStats(toks, n).write.mode("overwrite")
-      .parquet(s"$indexDir/delta-b$epoch/stats$n"))
+    statsNs.filter(_ > 2).foreach(n => ngramStats(toks, n)
+      .write.mode("overwrite").parquet(s"$indexDir/delta-b$epoch/stats$n"))
     toks.groupBy(col("term"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -1981,7 +1991,14 @@ object TextOps {
     }
 
   /** Batch twin of [[posIndexStream]]: build-if-absent epoch family
-    * from doc_id hash slices (doc-disjoint by construction). */
+    * from doc_id hash slices (doc-disjoint by construction).
+    * CALLER CONTRACT: `nEpochs` must be part of `indexDir`'s key (the
+    * registry suffixes `-e<nEpochs>`) — the build sentinel is
+    * `delta-b{nEpochs-1}/stats`, so a torn PRIOR build with MORE
+    * slices sharing the dir would satisfy a smaller build's sentinel
+    * and silently serve an index missing a doc hash slice (the same
+    * hazard the r11 advice flagged for the sketch families; same
+    * fix). */
   def ensurePosIndexIncremental(documents: DataFrame, indexDir: String,
                                 nEpochs: Int = 3,
                                 nBuckets: Int = 64): String =
@@ -2074,8 +2091,22 @@ object TextOps {
       .groupBy(col("t1"), col("t2"))
       .agg(sum(col("f_pair")).as("f_pair"))
       .write.mode("overwrite").parquet(s"$tmp/stats2")
-    // per-n ngram stats fold by the same doc-disjoint exact sum
-    Seq(3, 4).foreach { n =>
+    // per-n ngram stats fold by the same doc-disjoint exact sum. The
+    // lengths are DISCOVERED from the parts (the statsNs build knob
+    // may exceed the default): fold every n present in ALL parts —
+    // a length only some epochs carry (knob changed mid-family) can't
+    // sum exactly, so it is dropped from the base rather than folded
+    // wrong; the derivation falls back to the postings window for it.
+    val statsNs = parts
+      .map { p =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+          .map(_.getPath.getName)
+          .collect { case s if s.matches("stats\\d+") =>
+            s.stripPrefix("stats").toInt }
+          .filter(_ > 2).toSet
+      }
+      .reduce(_ intersect _).toSeq.sorted
+    statsNs.foreach { n =>
       val tcols = (1 to n).map(i => col(s"t$i"))
       spark.read.parquet(parts.map(_ + s"/stats$n"): _*)
         .groupBy(tcols: _*).agg(sum(col("f")).as("f"))
@@ -2529,7 +2560,7 @@ object TextOps {
     * stored range at build if a workload asks for them routinely). */
   private def topNgramsStoredOrDerived(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, n: Int, k: Int): Seq[Seq[String]] =
-    if (n >= 2 && n <= 4 &&
+    if (n >= 2 &&
         StoredArtifacts.exists(spark, s"$indexDir/stats$n/_SUCCESS")) {
       val raw = spark.read.parquet(s"$indexDir/stats$n")
       val stats = if (n == 2) raw.select(col("t1"), col("t2"),

@@ -393,4 +393,40 @@ class StoredPhraseIndexSpec extends AnyFunSuite {
       (2L, "one two", 3L, 3L),
       (5L, "one two three four five", 2L, 2L)), out.toSeq.toString)
   }
+
+  test("statsNs build knob: exotic lengths stored at build; compaction folds discovered lengths exactly") {
+    val s = spark
+    import s.implicits._
+    val batchA = Seq((1L, "a b c d e f g"), (2L, "a b c d e x y"))
+    val batchB = Seq((3L, "a b c d e done"), (4L, "z z a b c d e"))
+    val docs = (batchA ++ batchB).toDF("doc_id", "text")
+    // flat build with pentagram stats stored
+    val flat = freshDir("knob5")
+    TextOps.buildPosIndex(docs, flat, nBuckets = 16, statsNs = Seq(3, 4, 5))
+    assert(graft.operators.StoredArtifacts.exists(s, s"$flat/stats5/_SUCCESS"))
+    val viaStored = TextOps.phraseSearchNgramStored(s, flat, ns = Seq(5),
+      perN = 1, nBuckets = 16).collect().toSeq
+    // a default build lacks stats5 -> the window fallback derives the
+    // same query set -> identical output proves the stored path right
+    val flatDefault = freshDir("knob-def")
+    TextOps.buildPosIndex(docs, flatDefault, nBuckets = 16)
+    assert(!graft.operators.StoredArtifacts.exists(s, s"$flatDefault/stats5/_SUCCESS"))
+    val viaWindow = TextOps.phraseSearchNgramStored(s, flatDefault, ns = Seq(5),
+      perN = 1, nBuckets = 16).collect().toSeq
+    assert(viaStored == viaWindow && viaStored.nonEmpty,
+      s"stored=$viaStored window=$viaWindow")
+    // incremental: per-epoch stats5 written, compaction DISCOVERS and
+    // folds it; the folded table equals the whole-corpus build's
+    val inc = freshDir("knob-inc")
+    TextOps.posIndexIngest(batchA.toDF("doc_id", "text"), inc, 0L,
+      nBuckets = 16, statsNs = Seq(3, 4, 5))
+    TextOps.posIndexIngest(batchB.toDF("doc_id", "text"), inc, 1L,
+      nBuckets = 16, statsNs = Seq(3, 4, 5))
+    assert(TextOps.compactPosIndex(s, inc) == 2)
+    assert(graft.operators.StoredArtifacts.exists(s, s"$inc/base/stats5/_SUCCESS"))
+    val folded = s.read.parquet(s"$inc/base/stats5").collect()
+      .map(_.toSeq).toSet
+    val whole = s.read.parquet(s"$flat/stats5").collect().map(_.toSeq).toSet
+    assert(folded == whole, "doc-disjoint epochs must sum to the corpus stats5")
+  }
 }
