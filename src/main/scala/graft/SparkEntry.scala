@@ -343,6 +343,11 @@ object SparkEntry {
     "scale_join_admission_fast" -> ((s, d) =>
       ScaleOps.joinAdmissionFastFace(Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.customer(s, d), Tables.part(s, d), d)),
+    // broadcastMax 5000 is a demo budget chosen so the three pairs
+    // split across verdicts at the gate SFs
+    "scale_join_route" -> ((s, d) =>
+      ScaleOps.joinRouteFace(Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.customer(s, d), Tables.part(s, d), d, broadcastMax = 5000L)),
     "scale_hll_grouped" -> ((s, d) => ScaleOps.hllGrouped(Tables.events(s, d))),
     "scale_integrity" -> ((s, d) => ScaleOps.integrityAudit(
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
@@ -507,6 +512,18 @@ object SparkEntry {
        |  CAST(CAST(sz$i.n_a AS HUGEINT) * sz$i.n_b // 512 AS BIGINT) AS noise_budget
        |FROM sz$i, est$i""".stripMargin
 
+  /** The route projection of the admission oracle — 47j's advice
+    * rules over sketch-served inputs, mirrored exactly. */
+  private def jeSelectRoute(i: Int, label: String): String =
+    s"""SELECT '$label' AS pair, sz$i.n_a, sz$i.n_b, est$i.est_join_rows,
+       |  CAST(CAST(sz$i.n_a AS HUGEINT) * sz$i.n_b // 512 AS BIGINT) AS noise_budget,
+       |  CASE WHEN least(sz$i.n_a, sz$i.n_b) <= 5000 THEN 'broadcast'
+       |       WHEN CAST(est$i.est_join_rows AS HUGEINT)
+       |              - 3 * (CAST(sz$i.n_a AS HUGEINT) * sz$i.n_b // 512)
+       |            > 4 * (CAST(sz$i.n_a AS HUGEINT) + sz$i.n_b) THEN 'salt'
+       |       ELSE 'shuffle' END AS route
+       |FROM sz$i, est$i""".stripMargin
+
   private val admissionPairTables = Seq(
     ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
     ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
@@ -521,6 +538,7 @@ object SparkEntry {
 
   private def joinAdmissionOracleSql: String = admissionOracle(jeSelect)
   private def joinAdmissionFastOracleSql: String = admissionOracle(jeSelectFast)
+  private def joinRouteOracleSql: String = admissionOracle(jeSelectRoute)
 
   private def pcaCtes(iters: Int, dims: Int): String = {
     val steps = (1 to iters).map { t =>
@@ -1189,6 +1207,7 @@ m$i AS MATERIALIZED (SELECT $i AS merge_idx, l AS lhs, r AS rhs, l || r AS merge
     .updated("scale_countmin_stored", oracleSqlBase("scale_countmin"))
     .updated("scale_join_admission", joinAdmissionOracleSql)
     .updated("scale_join_admission_fast", joinAdmissionFastOracleSql)
+    .updated("scale_join_route", joinRouteOracleSql)
     // HLL merge is per-register max: merged stored registers ARE the
     // whole-corpus register table, so the stored face estimates
     // identically and gates on scale_hll's oracle

@@ -998,6 +998,52 @@ object ScaleOps {
     }.reduce(_ unionByName _).orderBy(col("pair"))
   }
 
+  /** SKETCH-ONLY JOIN ROUTING — the planner loop closed: 47j's advice
+    * rules driven by STORED-SKETCH inputs instead of per-question
+    * corpus scans. For each admission pair, the route comes from
+    * exactly what the sketches serve — n_a, n_b, the certified upper
+    * bound est_join_rows and its noise budget — through deterministic
+    * integer rules:
+    *   - `broadcast` when the smaller side fits the broadcast budget
+    *     (row counts come from sketch row-0 sums);
+    *   - `salt` when the bound certifies join mass beyond collision
+    *     noise: est − 3·noise > 4·(n_a + n_b) — only TRUE mass can
+    *     put est that far above the noise floor (collisions
+    *     contribute ≤ noise in expectation, 3× is the working band),
+    *     and 4× input size is the blow-up threshold a shuffle should
+    *     not absorb un-salted;
+    *   - `shuffle` otherwise (noise-dominated bound = no certified
+    *     explosion — FK-shaped joins land here).
+    * Decision arithmetic rides the same DECIMAL(38,0) discipline as
+    * the estimates. This is the call a planner makes per candidate
+    * join order at 100 TB: metadata-scale reads, corpus never
+    * touched; [[joinPreflight]] stays the exact (corpus-priced)
+    * second opinion for the pairs this face flags. */
+  def joinRouteFace(orders: DataFrame, lineitem: DataFrame,
+                    customer: DataFrame, part: DataFrame, sfKey: String,
+                    broadcastMax: Long = 100000L): DataFrame = {
+    val spark = orders.sparkSession
+    val pairs = admissionPairs(orders, lineitem, customer, part, sfKey)
+    pairs.map { case (label, _, dirA, _, dirB) =>
+      joinRouteFromSketches(spark, dirA, dirB, broadcastMax)
+        .select(lit(label).as("pair"), col("*"))
+    }.reduce(_ unionByName _).orderBy(col("pair"))
+  }
+
+  /** One pair's route from its two sketch dirs — the reusable core. */
+  def joinRouteFromSketches(spark: SparkSession, sketchDirA: String,
+                            sketchDirB: String, broadcastMax: Long,
+                            depth: Int = 4, width: Int = 512): DataFrame =
+    joinEstimateStored(spark, sketchDirA, sketchDirB, depth, width)
+      .select(col("n_a"), col("n_b"), col("est_join_rows"),
+        col("noise_budget"),
+        when(least(col("n_a"), col("n_b")) <= broadcastMax, "broadcast")
+          .when(expr("CAST(est_join_rows AS DECIMAL(38,0)) " +
+            "- CAST(3 AS DECIMAL(38,0)) * noise_budget") >
+            expr("CAST(4 AS DECIMAL(38,0)) * (CAST(n_a AS DECIMAL(38,0)) + n_b)"),
+            "salt")
+          .otherwise("shuffle").as("route"))
+
   /** Ingest-time SKETCH MAINTENANCE — the stream half of the CMS
     * lifecycle: each micro-batch's ≤ depth·width-row delta sketch is
     * written as `delta-b<epoch>`; a replayed epoch OVERWRITES its own

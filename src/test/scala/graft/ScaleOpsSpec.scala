@@ -999,6 +999,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     val fast = ScaleOps.joinAdmissionFastFace(o, l, c, p, sf).collect().toSeq
     assert(fast == audited, s"fast=$fast audited=$audited")
   }
+
+  test("sketch-only join routing: broadcast/salt/shuffle verdicts from stored sketches alone") {
+    val s = spark
+    import s.implicits._
+    def route(dirA: String, dirB: String, bmax: Long): String =
+      ScaleOps.joinRouteFromSketches(s, dirA, dirB, bmax)
+        .head().getAs[String]("route")
+    val root = java.nio.file.Files.createTempDirectory("graft-route").toString
+    // exploding pair: one hot key on both sides — certified join mass
+    // (est - 3*noise) dwarfs 4*(n_a+n_b) -> salt
+    val hot = Seq.fill(20000)("7").toDF("k")
+    val dirH = ScaleOps.ensureCmSketch(hot, s"$root/h")
+    assert(route(dirH, dirH, bmax = 100) == "salt")
+    // FK-shaped pair: near-unique keys, noise-dominated bound -> the
+    // sketches certify NO explosion -> shuffle
+    val a = (1 to 5000).map(_.toString).toDF("k")
+    val b = (2500 to 7500).map(_.toString).toDF("k")
+    val dirA = ScaleOps.ensureCmSketch(a, s"$root/a")
+    val dirB = ScaleOps.ensureCmSketch(b, s"$root/b")
+    assert(route(dirA, dirB, bmax = 100) == "shuffle")
+    // same pair under a larger broadcast budget: the smaller side
+    // fits -> broadcast wins before any mass question is asked
+    assert(route(dirA, dirB, bmax = 10000) == "broadcast")
+  }
 }
 
 class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
