@@ -68,10 +68,11 @@ import graft.operators.StoredArtifacts
   * Schema: pass `.schema(...)` or let it infer from the completed
   * epochs present at start (inference requires at least one).
   * COMPACTION COORDINATION: folding deltas into a base REMOVES epoch
-  * dirs — vanished names never re-deliver (set difference only adds),
-  * but a batch planned over a dir deleted mid-flight fails like any
-  * vanished input; run compaction under the family's one-owner
-  * contract, quiescing live stream readers first. */
+  * dirs — vanished seqs never re-deliver (delivered seqs stay inside
+  * [0..hw] forever), but a batch planned over a dir deleted
+  * mid-flight fails like any vanished input; run compaction under
+  * the family's one-owner contract, quiescing live stream readers
+  * first (and fresh subscribers fail fast once a base/ exists). */
 class GraftEpochsStream extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-epochs-stream"
   override def supportsExternalMetadata(): Boolean = true
