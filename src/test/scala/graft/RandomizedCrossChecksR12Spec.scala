@@ -84,4 +84,71 @@ class RandomizedCrossChecksR12Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("ngram query-set derivation: stored statsN path equals the window path on random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1217)
+    val vocab = Array("ape", "bee", "cat", "dog", "elk", "fox")
+    for (trial <- 1 to 3) {
+      val docs = (1 to 25 + rnd.nextInt(15)).map { i =>
+        (i.toLong, Seq.fill(5 + rnd.nextInt(11))(
+          vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val ns = Seq(2, 3, 4, 5)
+      // stored path: every requested length has a stats table
+      val stored = java.nio.file.Files
+        .createTempDirectory(s"graft-nq-s$trial").toString
+      graft.operators.TextOps.buildPosIndex(docs, stored, nBuckets = 16,
+        statsNs = Seq(3, 4, 5))
+      // window path: same index, statsN sentinels torn away so every
+      // length falls back to the n-1-lead-window derivation over the
+      // postings (the pre-r12 shape) — outputs must be identical
+      val windowed = java.nio.file.Files
+        .createTempDirectory(s"graft-nq-w$trial").toString
+      graft.operators.TextOps.buildPosIndex(docs, windowed, nBuckets = 16,
+        statsNs = Seq(3, 4, 5))
+      Seq(2, 3, 4, 5).foreach { n =>
+        new java.io.File(s"$windowed/stats$n/_SUCCESS").delete()
+      }
+      val a = graft.operators.TextOps.phraseSearchNgramStored(s, stored, ns, perN = 3,
+        nBuckets = 16).collect().toSeq
+      val b = graft.operators.TextOps.phraseSearchNgramStored(s, windowed, ns, perN = 3,
+        nBuckets = 16).collect().toSeq
+      assert(a == b, s"trial $trial: stored=$a window=$b")
+      assert(a.nonEmpty)
+    }
+  }
+
+  test("range offsets: every completed epoch delivers exactly once under random completion orders, holes stay bounded") {
+    import graft.sources.EpochRangeOffset
+    val rnd = new scala.util.Random(1219)
+    for (trial <- 1 to 25) {
+      val n = 5 + rnd.nextInt(40)
+      val arrival = rnd.shuffle((0L until n.toLong).toVector)
+      var offset = EpochRangeOffset.initial
+      var delivered = Vector.empty[Long]
+      var completed = Set.empty[Long]
+      var maxHoles = 0
+      arrival.grouped(1 + rnd.nextInt(4)).foreach { batch =>
+        completed ++= batch
+        val next = EpochRangeOffset.advance(offset, completed)
+        val fresh = EpochRangeOffset.fresh(offset, next)
+        assert(fresh.forall(sq => !delivered.contains(sq)),
+          s"trial $trial: re-delivery in $fresh after $delivered")
+        delivered ++= fresh
+        maxHoles = math.max(maxHoles, next.holes.size)
+        offset = next
+      }
+      assert(delivered.sorted == (0L until n.toLong),
+        s"trial $trial: delivered ${delivered.sorted} != 0..${n - 1}")
+      assert(offset.holes.isEmpty,
+        s"trial $trial: holes must drain at the fixed point")
+      // a hole only exists while a lower seq is outstanding — bounded
+      // by the out-of-orderness, never the epoch count
+      assert(maxHoles < n, s"trial $trial")
+      // idempotent at the fixed point
+      assert(EpochRangeOffset.advance(offset, completed) == offset)
+    }
+  }
 }
