@@ -1459,22 +1459,37 @@ object Ann {
     // from the results — an inner join dropped such queries with no
     // signal. Known buckets behave identically.
     val globalEntry = entries.agg(min(col("entry")).as("global_entry"))
-    var frontier = qs.join(entries, Seq("b0"), "left")
+    // Each hop's frontier is localCheckpoint(eager)'d — the
+    // pagerankRanks discipline: the loop references `frontier` twice
+    // per hop (the union's identity branch and the adjacency
+    // expansion) and once more in the final rerank, so an unbroken
+    // lineage re-plans and re-executes every earlier hop's
+    // join+distinct+topk subtree under each reference (plan depth —
+    // and with it analysis, codegen and AQE re-planning cost — grew
+    // per hop; measured 4.96 s at sf0.1 for a queries×beam×(degree+1)
+    // row working set). The checkpoint pins the hop's ≤ queries·beam
+    // rows and keeps every hop's plan flat and constant-size.
+    // -Dgraft.beam.ckpt=false pins the unbroken-lineage shape (the
+    // BeamDelta A/B harness flips this to measure the win in one JVM).
+    val ckptHops = !"false".equals(System.getProperty("graft.beam.ckpt"))
+    def pin(df: DataFrame): DataFrame =
+      if (ckptHops) df.localCheckpoint(true) else df
+    var frontier = pin(qs.join(entries, Seq("b0"), "left")
       .crossJoin(broadcast(globalEntry))
-      .select(col("q_id"), coalesce(col("entry"), col("global_entry")).as("vec_id"))
+      .select(col("q_id"), coalesce(col("entry"), col("global_entry")).as("vec_id")))
     for (_ <- 1 to hops) {
       val expanded = frontier.unionByName(
           frontier.join(adj, frontier("vec_id") === adj("node"))
             .select(col("q_id"), col("nbr").as("vec_id")))
         .distinct()
-      frontier = emb.join(broadcast(expanded), "vec_id")
+      frontier = pin(emb.join(broadcast(expanded), "vec_id")
         .join(broadcast(qvecs), "q_id")
         .select(col("q_id"), col("vec_id"),
           simBp(col("q_vec"), col("embedding")).as("s"))
         .groupBy(col("q_id"))
         .agg(F.topk(col("s").cast("double"), col("vec_id"), beam).as("f"))
         .select(col("q_id"), explode(col("f")))
-        .select(col("q_id"), col("col.id").as("vec_id"))
+        .select(col("q_id"), col("col.id").as("vec_id")))
     }
     emb.join(broadcast(frontier.filter(col("vec_id") =!= col("q_id"))), "vec_id")
       .join(broadcast(qvecs), "q_id")
