@@ -588,6 +588,19 @@ object TextOps {
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
     var w = words0.persist()
     w.count()
+    // Each round's vocab-sized frame is localCheckpoint(eager)'d — the
+    // beamSearch/pagerankRanks lineage-pinning discipline: rounds never
+    // re-execute (the old persist+count already guaranteed that), but
+    // round i's plan was i nested aggregate-folds deep, and the final
+    // table's lineage rides into every downstream read (the
+    // tokenizer_apply encode join re-analyzes it per reference).
+    // Interleaved same-JVM A/B (BpeDelta): tokenizer_apply 3.40→2.92 s
+    // at sf0.1 (−14%), tokenizer_bpe 2.81→2.72 s (noise-level) — the
+    // win is the flat plan under the downstream reads.
+    // -Dgraft.bpe.ckpt=false pins the persist shape for the harness.
+    val ckptRounds = !"false".equals(System.getProperty("graft.bpe.ckpt"))
+    def pinRound(df: DataFrame): DataFrame =
+      if (ckptRounds) df.localCheckpoint(true) else df.persist()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long)]
     var i = 1
     var exhausted = false
@@ -602,13 +615,12 @@ object TextOps {
         // greedy left-to-right apply: fold each word's symbol array;
         // lit() columns, not SQL interpolation — symbols are corpus
         // strings and must not be parsed as SQL
-        val w2 = w.withColumn("syms",
+        val w2 = pinRound(w.withColumn("syms",
           aggregate(col("syms"), array().cast("array<string>"),
             (acc, x) => when(size(acc) > 0 &&
                 element_at(acc, -1) === lit(l) && x === lit(r),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-              .otherwise(concat(acc, array(x)))))
-          .persist()
+              .otherwise(concat(acc, array(x))))))
         val vocab = w2.select(explode(col("syms")).as("s"))
           .agg(countDistinct(col("s"))).head().getLong(0)
         w.unpersist()
