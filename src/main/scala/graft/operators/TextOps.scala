@@ -588,19 +588,6 @@ object TextOps {
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
     var w = words0.persist()
     w.count()
-    // Each round's vocab-sized frame is localCheckpoint(eager)'d — the
-    // beamSearch/pagerankRanks lineage-pinning discipline: rounds never
-    // re-execute (the old persist+count already guaranteed that), but
-    // round i's plan was i nested aggregate-folds deep, and the final
-    // table's lineage rides into every downstream read (the
-    // tokenizer_apply encode join re-analyzes it per reference).
-    // Interleaved same-JVM A/B (BpeDelta): tokenizer_apply 3.40→2.92 s
-    // at sf0.1 (−14%), tokenizer_bpe 2.81→2.72 s (noise-level) — the
-    // win is the flat plan under the downstream reads.
-    // -Dgraft.bpe.ckpt=false pins the persist shape for the harness.
-    val ckptRounds = !"false".equals(System.getProperty("graft.bpe.ckpt"))
-    def pinRound(df: DataFrame): DataFrame =
-      if (ckptRounds) df.localCheckpoint(true) else df.persist()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long)]
     var i = 1
     var exhausted = false
@@ -631,6 +618,24 @@ object TextOps {
     }
     (w, out.toSeq)
   }
+
+  /** Per-round lineage pin shared by both BPE trainers: each round's
+    * vocab-sized frame is localCheckpoint(eager)'d — the beamSearch/
+    * pagerankRanks discipline. Rounds never re-execute (the old
+    * persist+count already guaranteed that), but round i's plan was i
+    * nested aggregate-folds deep, and the final table's lineage rides
+    * into every downstream read (the tokenizer_apply encode join
+    * re-analyzes the whole merge history per reference). Interleaved
+    * same-JVM A/B (BpeDelta): tokenizer_apply 3.40→2.92 s at sf0.1
+    * (−14%), tokenizer_bpe 2.81→2.72 s (noise-level) — the win is the
+    * flat plan under the downstream reads. At the batched trainer's
+    * production shape (32k merges / B=256 ⇒ 128 rounds) the unbroken
+    * lineage would be an analysis-time blowup, not a nicety.
+    * -Dgraft.bpe.ckpt=false pins the persist shape for the harness. */
+  private def pinRound(df: DataFrame): DataFrame =
+    if (!"false".equals(System.getProperty("graft.bpe.ckpt")))
+      df.localCheckpoint(true)
+    else df.persist()
 
   /** The adjacent-pair count table of a word/symbol frame — shared by
     * the sequential and batched BPE trainers. */
@@ -708,7 +713,7 @@ object TextOps {
         // one rule can match any position (disjoint symbol sets), so
         // rule order is immaterial and the fold equals B single-rule
         // passes. lit() columns, never SQL interpolation.
-        val w2 = w.withColumn("syms",
+        val w2 = pinRound(w.withColumn("syms",
           aggregate(col("syms"), array().cast("array<string>"), (acc, x) => {
             val repl = sel.foldLeft(lit(null).cast("string")) {
               case (els, (l, r, _)) =>
@@ -718,8 +723,7 @@ object TextOps {
             when(size(acc) > 0 && repl.isNotNull,
               concat(slice(acc, lit(1), size(acc) - 1), array(repl)))
               .otherwise(concat(acc, array(x)))
-          }))
-          .persist()
+          })))
         val vocab = w2.select(explode(col("syms")).as("s"))
           .agg(countDistinct(col("s"))).head().getLong(0)
         w.unpersist()
