@@ -677,7 +677,24 @@ object Ann {
       .groupBy(col("vec_id"))
       .agg(sum((col("xb") - col("mb")) * (col("xb") - col("mb"))).as("dist2"))
     val n = embeddings.agg(count(lit(1)).as("n"))
-    dist.withColumn("rank",
+    // rank only the CANDIDATE SET (r12): a histTable-style dist²
+    // histogram finds the bucket holding the ⌈n/pctDen⌉-th largest
+    // value, so the row_number window ranks ≤ target + one-bucket
+    // rows (~1/pctDen of the corpus) instead of every vector — the
+    // corpus-wide sort this replaces was the documented 100 TB trade.
+    // Ranking a desc-downward-closed superset of the kept set yields
+    // identical ranks for every kept row, so the output is unchanged.
+    val distW = 1L << 24
+    val cutHb = dist.groupBy(expr(s"dist2 div $distW").as("hb"))
+      .agg(count(lit(1)).as("hc"))
+      .withColumn("ctop", sum(col("hc")).over(Window.orderBy(col("hb").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(n))
+      .filter(col("ctop") >= expr(s"(n + ${pctDen - 1}) div $pctDen"))
+      .agg(max(col("hb")).as("cut_hb"))
+    dist.crossJoin(broadcast(cutHb))
+      .filter(expr(s"dist2 div $distW") >= col("cut_hb"))
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("dist2").desc, col("vec_id"))))
       .crossJoin(broadcast(n))
       .filter(col("rank") <= expr(s"(n + ${pctDen - 1}) div $pctDen"))

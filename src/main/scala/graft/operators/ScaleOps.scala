@@ -235,10 +235,11 @@ object ScaleOps {
     * reaches that rank, and `contains_exact` re-checks the sketch
     * theorem (the rank-th value MUST lie in that bucket) in both
     * engines. Every output is an exact integer or a theorem boolean —
-    * no doubles anywhere. The exact side's global sort exists only for
-    * this audit; at 100 TB the histogram (cum table ≤ range/width
-    * rows, broadcast) answers quantile queries alone, which is the
-    * point of the sketch. */
+    * no doubles anywhere. The exact side needs NO global sort (r12):
+    * the candidate bucket + in-bucket offset selection bounds every
+    * window at bucket granularity; at 100 TB the histogram (cum table
+    * ≤ range/width rows, broadcast) answers quantile queries alone,
+    * which is the point of the sketch. */
   def histQuantiles(orders: DataFrame, widthCents: Long = 200000L,
                     qs: Seq[Int] = Seq(25, 50, 75, 95, 99)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -251,10 +252,29 @@ object ScaleOps {
       .select(col("q_pct"), expr("(q_pct * n + 99) div 100").as("rank"))
     val est = quants.join(broadcast(cum), col("cum") >= col("rank"))
       .groupBy(col("q_pct"), col("rank")).agg(min(col("bucket")).as("b"))
-    val sorted = orders
+    // exact order statistic WITHOUT a global sort (r12): the estimate
+    // already names the candidate bucket, and the cum table knows how
+    // many rows precede it — so the rank-th value is the offset-th
+    // smallest INSIDE that one bucket. Only candidate-bucket rows are
+    // ranked (per-q_pct window over ≤ widthCents distinct values), the
+    // kllQuantileReportGrouped selection idiom — the corpus-wide
+    // row_number this replaces was the audit's documented 100 TB trade.
+    val cand = est.join(broadcast(cum), col("b") === col("bucket"))
+      .select(col("q_pct"), col("rank"), col("b"), col("b").as("bucket"),
+        (col("rank") - (col("cum") - col("cnt"))).as("offset"))
+    val exact = orders
       .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("cents"))))
-    est.join(sorted, col("rn") === col("rank"))
+      .withColumn("bucket", expr(s"cents div $widthCents"))
+      .join(broadcast(cand), "bucket")
+      .groupBy(col("q_pct"), col("rank"), col("b"), col("offset"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("icum", sum(col("c")).over(
+        Window.partitionBy(col("q_pct")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("icum") >= col("offset"))
+      .groupBy(col("q_pct"), col("rank"), col("b"))
+      .agg(min(col("cents")).as("cents"))
+    exact
       .select(col("q_pct"), col("rank"),
         (col("b") * widthCents).as("est_lo_cents"),
         (col("b") * widthCents + widthCents).as("est_hi_cents"),
@@ -415,8 +435,9 @@ object ScaleOps {
     * Scale shape: the corpus is touched once by the per-key count agg
     * (map-side combinable); everything after runs on the REDUCED
     * key-count table — the top-10 rides a graft_topk heap with
-    * partials, and the percentile sort orders only that table (the
-    * diagnostic's own cost, #keys rows, not #rows). */
+    * partials, and the percentiles come from the count-of-counts
+    * cumulative (≤ √(2·n_rows) distinct count values — r12; never a
+    * sort of the key domain itself). */
   def skewReport(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perKey = materializedKeys(events)
@@ -428,12 +449,22 @@ object ScaleOps {
         expr("aggregate(top, 0L, (a, x) -> a + CAST(x.score AS LONG))").as("top10_rows"),
         expr("(50 * n_keys + 99) div 100").as("r50"),
         expr("(99 * n_keys + 99) div 100").as("r99"))
-    val ranked = perKey.withColumn("rn",
-      row_number().over(Window.orderBy(col("cnt"), col("user_id"))))
-    val p50 = ranked.join(broadcast(base.select(col("r50"))), col("rn") === col("r50"))
-      .select(col("cnt").as("p50_cnt"))
-    val p99 = ranked.join(broadcast(base.select(col("r99"))), col("rn") === col("r99"))
-      .select(col("cnt").as("p99_cnt"))
+    // exact p50/p99 from the COUNT-OF-COUNTS table (r12): the rank-r
+    // key's cnt equals min{c : ccum(c) >= r}, and distinct count
+    // values are <= sqrt(2·n_rows) — the keys-sized row_number window
+    // this replaces was a single-partition sort of the whole key
+    // domain at 100 TB. The user_id tiebreak never changes the cnt
+    // value at a given rank, so the outputs are identical.
+    val coc = perKey.groupBy(col("cnt")).agg(count(lit(1)).as("k"))
+      .withColumn("ccum", sum(col("k")).over(Window.orderBy(col("cnt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the trailing isNotNull keeps the empty-input contract: zero rows
+    // out (a bare global agg would emit one null row where the old
+    // rank-equality join emitted none)
+    val p50 = coc.join(broadcast(base.select(col("r50"))), col("ccum") >= col("r50"))
+      .agg(min(col("cnt")).as("p50_cnt")).where(col("p50_cnt").isNotNull)
+    val p99 = coc.join(broadcast(base.select(col("r99"))), col("ccum") >= col("r99"))
+      .agg(min(col("cnt")).as("p99_cnt")).where(col("p99_cnt").isNotNull)
     base.crossJoin(p50).crossJoin(p99)
       .select(col("n_rows"), col("n_keys"), col("max_cnt"),
         col("p50_cnt"), col("p99_cnt"),

@@ -1945,6 +1945,32 @@ class SketchRandomSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(r.getLong(6) == 10000L * top10 / n)
     }
   }
+
+  test("degenerate shapes survive the r12 bounded-window selection paths") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // histQuantiles: every value identical -> one bucket holds every
+    // rank, the in-bucket offset equals the rank itself
+    val flat = ScaleOps.histQuantiles(
+      Seq.fill(500)(Tuple1(123.45)).toDF("o_totalprice")).collect()
+    assert(flat.length == 5 && flat.forall(r =>
+      r.getLong(4) == 12345L && r.getBoolean(5)), s"${flat.toSeq}")
+    // skewReport: every key has the same count -> count-of-counts is
+    // one row and both percentiles read it
+    val even = (0 until 300).map(i => (i.toLong, (i % 30).toLong))
+      .toDF("event_id", "user_id")
+    val er = ScaleOps.skewReport(even).head()
+    assert(er.getLong(3) == 10L && er.getLong(4) == 10L, s"$er")
+    // embeddingOutliers: 50 rows share ONE exact dist2 at the cut —
+    // ranking the candidate superset must keep rank/tiebreak identical
+    // (the kept two are the smallest vec_ids of the tied far half)
+    val tied = (0 until 200).map(i => (i.toLong,
+      Array.fill(4)(if (i < 150) 0.0f else 1.0f)))
+    val out = graft.operators.Ann.embeddingOutliers(
+      tied.toDF("vec_id", "embedding")).collect()
+    assert(out.length == 2, s"ceil(200/100) = 2: ${out.toSeq}")
+    assert(out.map(_.getLong(1)).toSeq == Seq(150L, 151L), s"${out.toSeq}")
+  }
 }
 
 class Bm25RandomSpec extends org.scalatest.funsuite.AnyFunSuite {
