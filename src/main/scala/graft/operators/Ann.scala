@@ -673,9 +673,14 @@ object Ann {
         x => round(x.cast("double") * lit(1e4), 0).cast("long"))).as(Seq("i", "xb")))
     val mean = coords.groupBy(col("i"))
       .agg(expr("(2 * sum(xb) + count(1)) div (2 * count(1))").as("mb"))
-    val dist = coords.join(broadcast(mean), "i")
-      .groupBy(col("vec_id"))
-      .agg(sum((col("xb") - col("mb")) * (col("xb") - col("mb"))).as("dist2"))
+    // persisted: the histogram cut below and the final candidate rank
+    // both read dist — unmaterialized, each reference re-runs the
+    // explode+mean-join+agg chain (and the narrow (vec_id, dist2)
+    // table is the cheapest thing in this query to hold)
+    val dist = graft.operators.Dedup.materialized(
+      coords.join(broadcast(mean), "i")
+        .groupBy(col("vec_id"))
+        .agg(sum((col("xb") - col("mb")) * (col("xb") - col("mb"))).as("dist2")))
     val n = embeddings.agg(count(lit(1)).as("n"))
     // rank only the CANDIDATE SET (r12): a histTable-style dist²
     // histogram finds the bucket holding the ⌈n/pctDen⌉-th largest
