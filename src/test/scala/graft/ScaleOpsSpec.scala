@@ -1963,13 +1963,21 @@ class SketchRandomSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(er.getLong(3) == 10L && er.getLong(4) == 10L, s"$er")
     // embeddingOutliers: 50 rows share ONE exact dist2 at the cut —
     // ranking the candidate superset must keep rank/tiebreak identical
-    // (the kept two are the smallest vec_ids of the tied far half)
+    // (the kept two are the smallest vec_ids of the tied far half).
+    // cutThreshold = 0 forces the histogram-cut arm; both arms must
+    // agree exactly (the size-adaptive branch's contract)
     val tied = (0 until 200).map(i => (i.toLong,
       Array.fill(4)(if (i < 150) 0.0f else 1.0f)))
-    val out = graft.operators.Ann.embeddingOutliers(
-      tied.toDF("vec_id", "embedding")).collect()
-    assert(out.length == 2, s"ceil(200/100) = 2: ${out.toSeq}")
-    assert(out.map(_.getLong(1)).toSeq == Seq(150L, 151L), s"${out.toSeq}")
+    val tdf = tied.toDF("vec_id", "embedding")
+    val viaCut = graft.operators.Ann.embeddingOutliers(
+      tdf, cutThreshold = 0L).collect()
+    assert(viaCut.length == 2, s"ceil(200/100) = 2: ${viaCut.toSeq}")
+    assert(viaCut.map(_.getLong(1)).toSeq == Seq(150L, 151L), s"${viaCut.toSeq}")
+    val viaWindow = graft.operators.Ann.embeddingOutliers(
+      tdf, cutThreshold = Long.MaxValue).collect()
+    assert(viaCut.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      viaWindow.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      "cut arm must equal window arm exactly")
   }
 }
 
